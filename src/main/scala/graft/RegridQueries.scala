@@ -1,0 +1,378 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.regrid._
+import graft.regrid.Rounding.{sqlLit => L, sqlR9, sqlR12}
+
+/** One driver-contract query: the Spark plan and (when SQL-expressible)
+  * its DuckDB oracle over the same inputs. */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    sql: Option[String])
+
+/** Regrid-engine queries for the driver's correctness gate.
+  *
+  * Every query here runs on the reference's own test fixtures
+  * (`grid_global(20,12) → grid_global(15,9)`, `wave_smooth`,
+  * the 4-point locstream — reference `xesmf/tests/test_frontend.py:11-31`),
+  * generated analytically on both engines. The DuckDB oracle SQL is
+  * assembled from the SAME grid parameters with every literal forced to
+  * DOUBLE, so both engines execute identical IEEE arithmetic; trig
+  * last-ULP differences are absorbed by the shared floor-based rounding
+  * (see [[graft.regrid.Rounding]]).
+  */
+object RegridQueries {
+
+  // ---- fixtures (reference test_frontend.py:11-31) ----
+  val gridIn: RectGrid = RectGrid.of(-180, 180, 20, -90, 90, 12)   // (15, 18)
+  val gridOut: RectGrid = RectGrid.of(-180, 180, 15, -90, 90, 9)   // (20, 24)
+  val locs4: Seq[(Double, Double)] =
+    Seq((0.0, -20.0), (5.0, -10.0), (10.0, 0.0), (15.0, 10.0))     // (lon, lat)
+
+  // ---- shared SQL fragments, generated from the same grid objects ----
+
+  /** Grid cell CTE body — mirrors [[Grids.cells]] formula-for-formula. */
+  def gridSql(g: RectGrid, withBounds: Boolean = false): String = {
+    val lon = g.lonAxis; val lat = g.latAxis
+    val bounds = if (!withBounds) "" else s""",
+      ${L(lon.start)} + CAST(x AS DOUBLE) * ${L(lon.step)} AS lon_w,
+      ${L(lon.start)} + (CAST(x AS DOUBLE) + 1.0e0) * ${L(lon.step)} AS lon_e,
+      ${L(lat.start)} + CAST(y AS DOUBLE) * ${L(lat.step)} AS lat_s,
+      ${L(lat.start)} + (CAST(y AS DOUBLE) + 1.0e0) * ${L(lat.step)} AS lat_n"""
+    s"""SELECT CAST(y * ${g.nx} + x AS BIGINT) AS cell_id,
+      CAST(y AS INTEGER) AS y, CAST(x AS INTEGER) AS x,
+      ${L(lon.start)} + (CAST(x AS DOUBLE) + 0.5e0) * ${L(lon.step)} AS lon,
+      ${L(lat.start)} + (CAST(y AS DOUBLE) + 0.5e0) * ${L(lat.step)} AS lat$bounds
+      FROM range(${g.ny}) ty(y), range(${g.nx}) tx(x)"""
+  }
+
+  def locSql(points: Seq[(Double, Double)]): String = {
+    val rows = points.zipWithIndex
+      .map { case ((lo, la), i) => s"(CAST($i AS BIGINT), ${L(lo)}, ${L(la)})" }
+      .mkString(", ")
+    s"SELECT * FROM (VALUES $rows) t(cell_id, lon, lat)"
+  }
+
+  /** `wave_smooth` — mirrors [[TestFields.waveSmooth]]. */
+  def waveSql(lon: String, lat: String): String =
+    s"2.0e0 + pow(cos(radians($lat)), 2) * cos(2.0e0 * radians($lon))"
+
+  /** argmin-by-great-circle CTE: nearest `src` row per `dst` row.
+    * The oracle states the SEMANTICS (global argmin via cross join);
+    * the Spark side reaches the same result with the banded equi-join
+    * of [[graft.regrid.NearestJoin]]. Tie-break: rounded distance, then
+    * source id — identical on both engines. */
+  private def nearestSelect(probe: String, point: String): String = {
+    val dist = NearestJoin.sqlSqChord(s"$probe.lon", s"$probe.lat", s"$point.lon", s"$point.lat")
+    s"""SELECT $probe.cell_id AS probe_id, $point.cell_id AS point_id,
+          ${sqlR9(dist)} AS dist
+        FROM probes $probe, points $point
+        QUALIFY row_number() OVER (PARTITION BY $probe.cell_id ORDER BY ${sqlR9(dist)}, $point.cell_id) = 1"""
+  }
+
+  def nearestS2DSql(srcSql: String, dstSql: String): String =
+    s"""WITH points AS ($srcSql), probes AS ($dstSql),
+      nn AS (${nearestSelect("q", "p")})
+      SELECT probe_id AS "row", point_id AS col, 1.0e0 AS s FROM nn"""
+
+  def nearestD2SSql(srcSql: String, dstSql: String): String =
+    s"""WITH points AS ($dstSql), probes AS ($srcSql),
+      nn AS (${nearestSelect("q", "p")})
+      SELECT point_id AS "row", probe_id AS col, 1.0e0 AS s FROM nn"""
+
+  /** Bilinear weights CTE — mirrors [[Weights.bilinear]]. */
+  def bilinearSql(g: RectGrid, dstSql: String, periodic: Boolean): String = {
+    val nx = g.nx; val ny = g.ny
+    val c0x = L(g.lonAxis.firstCenter); val dx = L(g.lonAxis.step)
+    val c0y = L(g.latAxis.firstCenter); val dy = L(g.latAxis.step)
+    val cNy = L(g.latAxis.lastCenter)
+    val nxD = L(nx.toDouble)
+    if (!periodic)
+      s"""WITH dst AS ($dstSql),
+        t AS (
+          SELECT cell_id AS drow,
+            (lon - $c0x) / $dx AS tx, (lat - $c0y) / $dy AS ty
+          FROM dst
+          WHERE (lon - $c0x) / $dx >= 0.0e0 AND (lon - $c0x) / $dx <= ${L((nx - 1).toDouble)}
+            AND (lat - $c0y) / $dy >= 0.0e0 AND (lat - $c0y) / $dy <= ${L((ny - 1).toDouble)}
+        ),
+        idx AS (
+          SELECT drow,
+            CAST(least(floor(tx), ${L((nx - 2).toDouble)}) AS BIGINT) AS ix0,
+            CAST(least(floor(ty), ${L((ny - 2).toDouble)}) AS BIGINT) AS iy0,
+            tx - least(floor(tx), ${L((nx - 2).toDouble)}) AS fx,
+            ty - least(floor(ty), ${L((ny - 2).toDouble)}) AS fy
+          FROM t
+        ),
+        triplets AS (
+          SELECT drow, iy0 * $nx + ix0 AS scol, (1.0e0 - fx) * (1.0e0 - fy) AS w FROM idx
+          UNION ALL
+          SELECT drow, iy0 * $nx + ix0 + 1, fx * (1.0e0 - fy) FROM idx
+          UNION ALL
+          SELECT drow, (iy0 + 1) * $nx + ix0, (1.0e0 - fx) * fy FROM idx
+          UNION ALL
+          SELECT drow, (iy0 + 1) * $nx + ix0 + 1, fx * fy FROM idx
+        )
+        SELECT drow AS "row", CAST(scol AS BIGINT) AS col, ${sqlR12("sum(w)")} AS s
+        FROM triplets GROUP BY 1, 2 HAVING ${sqlR12("sum(w)")} <> 0.0e0"""
+    else
+      s"""WITH dst AS ($dstSql),
+        t AS (
+          SELECT cell_id AS drow, lat,
+            ((((lon - $c0x) / $dx) % $nxD) + $nxD) % $nxD AS txw,
+            (lat - $c0y) / $dy AS ty
+          FROM dst
+        ),
+        idx AS (
+          SELECT drow, lat, ty,
+            CAST(floor(txw) AS BIGINT) AS ix0,
+            (CAST(floor(txw) AS BIGINT) + 1) % $nx AS ix1,
+            txw - floor(txw) AS fx
+          FROM t
+        ),
+        interior AS (
+          SELECT drow, ix0, ix1, fx,
+            CAST(least(floor(ty), ${L((ny - 2).toDouble)}) AS BIGINT) AS iy0,
+            ty - least(floor(ty), ${L((ny - 2).toDouble)}) AS fy
+          FROM idx WHERE ty >= 0.0e0 AND ty <= ${L((ny - 1).toDouble)}
+        ),
+        north AS (
+          SELECT drow, ix0, ix1, fx, (lat - $cNy) / (90.0e0 - $cNy) AS tp
+          FROM idx WHERE ty > ${L((ny - 1).toDouble)} AND lat <= 90.0e0
+        ),
+        south AS (
+          SELECT drow, ix0, ix1, fx, ($c0y - lat) / ($c0y - -90.0e0) AS tp
+          FROM idx WHERE ty < 0.0e0 AND lat >= -90.0e0
+        ),
+        triplets AS (
+          SELECT drow, iy0 * $nx + ix0 AS scol, (1.0e0 - fx) * (1.0e0 - fy) AS w FROM interior
+          UNION ALL SELECT drow, iy0 * $nx + ix1, fx * (1.0e0 - fy) FROM interior
+          UNION ALL SELECT drow, (iy0 + 1) * $nx + ix0, (1.0e0 - fx) * fy FROM interior
+          UNION ALL SELECT drow, (iy0 + 1) * $nx + ix1, fx * fy FROM interior
+          UNION ALL SELECT drow, ${(ny - 1).toLong * nx} + ix0, (1.0e0 - tp) * (1.0e0 - fx) FROM north
+          UNION ALL SELECT drow, ${(ny - 1).toLong * nx} + ix1, (1.0e0 - tp) * fx FROM north
+          UNION ALL SELECT drow, ${(ny - 1).toLong * nx} + px, tp / $nxD
+            FROM north CROSS JOIN range($nx) tpx(px)
+          UNION ALL SELECT drow, 0 * $nx + ix0, (1.0e0 - tp) * (1.0e0 - fx) FROM south
+          UNION ALL SELECT drow, 0 * $nx + ix1, (1.0e0 - tp) * fx FROM south
+          UNION ALL SELECT drow, 0 * $nx + px, tp / $nxD
+            FROM south CROSS JOIN range($nx) tpx(px)
+        )
+        SELECT drow AS "row", CAST(scol AS BIGINT) AS col, ${sqlR12("sum(w)")} AS s
+        FROM triplets GROUP BY 1, 2 HAVING ${sqlR12("sum(w)")} <> 0.0e0"""
+  }
+
+  /** Conservative weights CTE — mirrors [[Weights.conservative]]
+    * (plain theta join here; the Spark side band-buckets it). */
+  def conservativeSql(srcSql: String, dstSql: String): String = {
+    val num = "(least(s.lon_e, d.lon_e) - greatest(s.lon_w, d.lon_w)) * " +
+      "(sin(radians(least(s.lat_n, d.lat_n))) - sin(radians(greatest(s.lat_s, d.lat_s))))"
+    val den = "(d.lon_e - d.lon_w) * (sin(radians(d.lat_n)) - sin(radians(d.lat_s)))"
+    s"""WITH src AS ($srcSql), dst AS ($dstSql)
+      SELECT d.cell_id AS "row", s.cell_id AS col, ${sqlR12(s"($num) / ($den)")} AS s
+      FROM dst d JOIN src s
+        ON s.lon_w < d.lon_e AND s.lon_e > d.lon_w
+       AND s.lat_s < d.lat_n AND s.lat_n > d.lat_s
+      WHERE ${sqlR12(s"($num) / ($den)")} <> 0.0e0"""
+  }
+
+  /** SpMM apply CTE: weights × field → dest frame with unmapped → 0.
+    * Mirrors [[Apply.regrid]] (K1 + K2). */
+  def applySql(weightsSql: String, fieldSql: String, dstSql: String): String =
+    s"""WITH w AS ($weightsSql), f AS ($fieldSql), dstg AS ($dstSql),
+      agg AS (
+        SELECT w."row" AS r, sum(w.s * f.value) AS v
+        FROM w JOIN f ON f.cell_id = w.col GROUP BY 1
+      )
+      SELECT dstg.cell_id, coalesce(${sqlR9("agg.v")}, 0.0e0) AS value
+      FROM dstg LEFT JOIN agg ON dstg.cell_id = agg.r"""
+
+  // ---- Spark-side fixture helpers ----
+
+  def srcCells(s: SparkSession, bounds: Boolean = false): DataFrame =
+    Grids.cells(s, gridIn, bounds)
+  def dstCells(s: SparkSession, bounds: Boolean = false): DataFrame =
+    Grids.cells(s, gridOut, bounds)
+  def waveField(s: SparkSession): DataFrame =
+    srcCells(s).select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+
+  // ---- the queries ----
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q_grid_1d",
+      (s, _) => Grids.axis1d(s, gridIn.lonAxis).orderBy("i"),
+      Some {
+        val a = gridIn.lonAxis
+        s"""SELECT CAST(i AS BIGINT) AS i,
+          ${L(a.start)} + (CAST(i AS DOUBLE) + 0.5e0) * ${L(a.step)} AS center,
+          ${L(a.start)} + CAST(i AS DOUBLE) * ${L(a.step)} AS bound_lo,
+          ${L(a.start)} + (CAST(i AS DOUBLE) + 1.0e0) * ${L(a.step)} AS bound_hi
+        FROM range(${a.n}) t(i) ORDER BY i"""
+      }),
+
+    QueryDef("q_grid_2d",
+      (s, _) => srcCells(s, bounds = true).orderBy("cell_id"),
+      Some(s"SELECT * FROM (${gridSql(gridIn, withBounds = true)}) g ORDER BY cell_id")),
+
+    QueryDef("q_grid_global",
+      (s, _) => Grids.cells(s, RectGrid.of(-180, 180, 1.5, -90, 90, 1.5)).orderBy("cell_id"),
+      Some(s"SELECT * FROM (${gridSql(RectGrid.of(-180, 180, 1.5, -90, 90, 1.5))}) g ORDER BY cell_id")),
+
+    QueryDef("q_wave_smooth",
+      (s, _) => srcCells(s)
+        .select(col("cell_id"), col("lon"), col("lat"),
+          Rounding.r9(TestFields.waveSmooth(col("lon"), col("lat"))).as("value"))
+        .orderBy("cell_id"),
+      Some(s"""SELECT cell_id, lon, lat, ${sqlR9(waveSql("lon", "lat"))} AS value
+        FROM (${gridSql(gridIn)}) g ORDER BY cell_id""")),
+
+    QueryDef("q_flatten_idx",
+      // R2 flatten/unflatten roundtrip: (y,x) → cell_id → (y2,x2)
+      (s, _) => dstCells(s)
+        .select(col("cell_id"), col("y"), col("x"),
+          expr(s"CAST(cell_id DIV ${gridOut.nx} AS INT)").as("y2"),
+          expr(s"CAST(cell_id % ${gridOut.nx} AS INT)").as("x2"))
+        .orderBy("cell_id"),
+      Some(s"""SELECT cell_id, y, x,
+          CAST(cell_id // ${gridOut.nx} AS INTEGER) AS y2,
+          CAST(cell_id % ${gridOut.nx} AS INTEGER) AS x2
+        FROM (${gridSql(gridOut)}) g ORDER BY cell_id""")),
+
+    QueryDef("q_w_nearest_s2d",
+      (s, _) => Weights.nearestS2D(srcCells(s), dstCells(s)).orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${nearestS2DSql(gridSql(gridIn), gridSql(gridOut))}) w
+        ORDER BY "row", col""")),
+
+    QueryDef("q_w_nearest_d2s",
+      (s, _) => Weights.nearestD2S(srcCells(s), dstCells(s)).orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${nearestD2SSql(gridSql(gridIn), gridSql(gridOut))}) w
+        ORDER BY "row", col""")),
+
+    QueryDef("q_w_bilinear",
+      (s, _) => Weights.bilinear(gridIn, dstCells(s), periodic = false).orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${bilinearSql(gridIn, gridSql(gridOut), periodic = false)}) w
+        ORDER BY "row", col""")),
+
+    QueryDef("q_w_bilinear_peri",
+      (s, _) => Weights.bilinear(gridIn, dstCells(s), periodic = true).orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${bilinearSql(gridIn, gridSql(gridOut), periodic = true)}) w
+        ORDER BY "row", col""")),
+
+    QueryDef("q_w_conservative",
+      (s, _) => Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true))
+        .orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${conservativeSql(
+          gridSql(gridIn, withBounds = true), gridSql(gridOut, withBounds = true))}) w
+        ORDER BY "row", col""")),
+
+    QueryDef("q_spmm_apply",
+      (s, _) => Apply.regrid(
+        Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)),
+        waveField(s), dstCells(s)).orderBy("cell_id"),
+      Some(s"""SELECT * FROM (${applySql(
+          conservativeSql(gridSql(gridIn, withBounds = true), gridSql(gridOut, withBounds = true)),
+          s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${gridSql(gridIn)}) g",
+          gridSql(gridOut))}) a ORDER BY cell_id""")),
+
+    QueryDef("q_unmapped_zero",
+      // K2: non-periodic bilinear leaves seam+pole dest cells with no
+      // weights; they must surface as exactly 0.0 (test_frontend.py:116-127)
+      (s, _) => Apply.regrid(
+        Weights.bilinear(gridIn, dstCells(s), periodic = false),
+        waveField(s), dstCells(s)).orderBy("cell_id"),
+      Some(s"""SELECT * FROM (${applySql(
+          bilinearSql(gridIn, gridSql(gridOut), periodic = false),
+          s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${gridSql(gridIn)}) g",
+          gridSql(gridOut))}) a ORDER BY cell_id""")),
+
+    QueryDef("q_broadcast_dims",
+      // K3: 4-D data4D = time * lev * wave, time 1..7, lev 1..11
+      // (test_frontend.py:21-23); extra dims ride through the join-agg
+      (s, _) => {
+        val f = waveField(s)
+          .crossJoin(s.range(1, 8).toDF("time"))
+          .crossJoin(s.range(1, 12).toDF("lev"))
+          .select(col("cell_id"), col("time"), col("lev"),
+            (col("time") * col("lev") * col("value")).as("value"))
+        Apply.regrid(
+          Weights.bilinear(gridIn, dstCells(s), periodic = true),
+          f, dstCells(s), extraDims = Seq("time", "lev"))
+          .orderBy("cell_id", "time", "lev")
+      },
+      Some(s"""WITH w AS (${bilinearSql(gridIn, gridSql(gridOut), periodic = true)}),
+        f AS (
+          SELECT cell_id, time, lev,
+            CAST(time * lev AS DOUBLE) * (${waveSql("lon", "lat")}) AS value
+          FROM (${gridSql(gridIn)}) g, range(1, 8) tt(time), range(1, 12) tl(lev)
+        ),
+        agg AS (
+          SELECT w."row" AS r, f.time, f.lev, sum(w.s * f.value) AS v
+          FROM w JOIN f ON f.cell_id = w.col GROUP BY 1, 2, 3
+        ),
+        frame AS (
+          SELECT g.cell_id, time, lev
+          FROM (${gridSql(gridOut)}) g, range(1, 8) tt(time), range(1, 12) tl(lev)
+        )
+        SELECT frame.cell_id, frame.time, frame.lev,
+          coalesce(${sqlR9("agg.v")}, 0.0e0) AS value
+        FROM frame LEFT JOIN agg
+          ON frame.cell_id = agg.r AND frame.time = agg.time AND frame.lev = agg.lev
+        ORDER BY 1, 2, 3""")),
+
+    QueryDef("q_dataset_map",
+      // R6: two data_vars regridded in ONE join-agg pass
+      (s, _) => {
+        val f = srcCells(s).select(col("cell_id"),
+          TestFields.waveSmooth(col("lon"), col("lat")).as("v_wave"),
+          (lit(3.0) + col("lat") / lit(90.0)).as("v_lat"))
+        Apply.regrid(
+          Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)),
+          f, dstCells(s), valueCols = Seq("v_wave", "v_lat")).orderBy("cell_id")
+      },
+      Some(s"""WITH w AS (${conservativeSql(
+          gridSql(gridIn, withBounds = true), gridSql(gridOut, withBounds = true))}),
+        f AS (SELECT cell_id, ${waveSql("lon", "lat")} AS v_wave,
+              3.0e0 + lat / 90.0e0 AS v_lat FROM (${gridSql(gridIn)}) g),
+        agg AS (
+          SELECT w."row" AS r, sum(w.s * f.v_wave) AS v1, sum(w.s * f.v_lat) AS v2
+          FROM w JOIN f ON f.cell_id = w.col GROUP BY 1
+        )
+        SELECT dstg.cell_id,
+          coalesce(${sqlR9("agg.v1")}, 0.0e0) AS v_wave,
+          coalesce(${sqlR9("agg.v2")}, 0.0e0) AS v_lat
+        FROM (${gridSql(gridOut)}) dstg LEFT JOIN agg ON dstg.cell_id = agg.r
+        ORDER BY cell_id""")),
+
+    QueryDef("q_attach_coords",
+      // R5: output coords re-attached from the destination grid + method attr
+      (s, _) => {
+        val out = Apply.regrid(
+          Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)),
+          waveField(s), dstCells(s))
+        out.join(broadcast(dstCells(s).select(col("cell_id"), col("lon"), col("lat"))), "cell_id")
+          .withColumn("regrid_method", lit("conservative"))
+          .orderBy("cell_id")
+      },
+      Some(s"""WITH a AS (${applySql(
+          conservativeSql(gridSql(gridIn, withBounds = true), gridSql(gridOut, withBounds = true)),
+          s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${gridSql(gridIn)}) g",
+          gridSql(gridOut))})
+        SELECT a.cell_id, a.value, g.lon, g.lat, 'conservative' AS regrid_method
+        FROM a JOIN (${gridSql(gridOut)}) g ON a.cell_id = g.cell_id
+        ORDER BY a.cell_id""")),
+
+    QueryDef("q_locstream_nearest",
+      // G6 + W3: locstream output, nearest_s2d, wave values at 4 points
+      (s, _) => Apply.regrid(
+        Weights.nearestS2D(srcCells(s), Grids.locstream(s, locs4)),
+        waveField(s), Grids.locstream(s, locs4)).orderBy("cell_id"),
+      Some(s"""SELECT * FROM (${applySql(
+          nearestS2DSql(gridSql(gridIn), locSql(locs4)),
+          s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${gridSql(gridIn)}) g",
+          locSql(locs4))}) a ORDER BY cell_id"""))
+  )
+}

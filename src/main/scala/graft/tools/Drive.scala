@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: drive the driver-facing surface (entry + any query) and
+  * dump physical plans. Usage:
+  *   runMain graft.tools.Drive entry
+  *   runMain graft.tools.Drive q_w_conservative /root/testdata/sf0.001 [explain]
+  */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val name = args.headOption.getOrElse("entry")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val df =
+      if (name == "entry") graft.SparkEntry.entry(spark)
+      else graft.SparkEntry.queries(name)(spark, sfDir)
+
+    println(s"=== $name rows=${df.count()}")
+    df.show(5, truncate = false)
+    if (args.contains("explain")) df.explain("formatted")
+    spark.stop()
+  }
+}

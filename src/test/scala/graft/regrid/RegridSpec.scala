@@ -1,0 +1,235 @@
+package graft.regrid
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the reference's analytic-oracle test layer
+  * (`xesmf/tests/test_frontend.py`, thresholds in BASELINE.md):
+  * regrid `wave_smooth` between the reference's own test grids and
+  * compare to the analytically evaluated field on the output grid. */
+class RegridSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .appName("regrid-spec")
+    .getOrCreate()
+
+  // reference fixtures: test_frontend.py:11-12
+  val gridIn: RectGrid = RectGrid.of(-180, 180, 20, -90, 90, 12)
+  val gridOut: RectGrid = RectGrid.of(-180, 180, 15, -90, 90, 9)
+
+  def srcCells(b: Boolean = false): DataFrame = Grids.cells(spark, gridIn, b)
+  def dstCells(b: Boolean = false): DataFrame = Grids.cells(spark, gridOut, b)
+  def waveIn: DataFrame = srcCells().select(col("cell_id"),
+    TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+
+  /** max |(ref - out)/ref| over all destination cells. */
+  def maxRelErr(out: DataFrame): Double = {
+    val ref = dstCells().select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("ref"))
+    out.join(ref, "cell_id")
+      .select(max(abs((col("ref") - col("value")) / col("ref"))).as("e"))
+      .head().getDouble(0)
+  }
+
+  test("grid shapes match reference (test_util.py:5-13)") {
+    assert(gridIn.shape === ((15, 18)))
+    assert(gridOut.shape === ((20, 24)))
+    val g = RectGrid.of(-180, 180, 1.5, -90, 90, 1.5)
+    assert(g.shape === ((120, 240)))
+    assert(Grids.cells(spark, g).count() === 120L * 240)
+    // non-divisible resolution warns (test_util.py:16-21)
+    assert(RectGrid.globalWarnings(1.7, 1.5).nonEmpty)
+    assert(RectGrid.globalWarnings(1.5, 1.5).isEmpty)
+  }
+
+  test("conservative: max rel err < 0.05 (test_frontend.py:186-187)") {
+    val w = Weights.conservative(srcCells(b = true), dstCells(b = true))
+    val out = Apply.regrid(w, waveIn, dstCells())
+    val e = maxRelErr(out)
+    assert(e < 0.05, s"max rel err $e")
+  }
+
+  test("conservative weights: rows sum to 1 (area fractions)") {
+    val w = Weights.conservative(srcCells(b = true), dstCells(b = true))
+    val bad = w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-9).count()
+    assert(bad === 0)
+  }
+
+  test("conservative: global area-weighted mean preserved to 1e-10 (Jones 1999)") {
+    // Σ_d out_d·A_d == Σ_s in_s·A_s when grids tile the same sphere
+    def area(cells: DataFrame): DataFrame = cells.withColumn("a",
+      (col("lon_e") - col("lon_w")) * (sin(radians(col("lat_n"))) - sin(radians(col("lat_s")))))
+    val w = Weights.conservative(srcCells(b = true), dstCells(b = true))
+    val out = Apply.regrid(w, waveIn, dstCells(), roundDigits = 0)
+    val inMean = area(srcCells(b = true))
+      .join(waveIn, "cell_id")
+      .select(sum(col("a") * col("value")) / sum(col("a"))).head().getDouble(0)
+    val outMean = area(dstCells(b = true))
+      .join(out, "cell_id")
+      .select(sum(col("a") * col("value")) / sum(col("a"))).head().getDouble(0)
+    assert(math.abs(inMean - outMean) < 1e-10, s"$inMean vs $outMean")
+  }
+
+  test("bilinear non-periodic: max rel err == 1.0 — seam unmapped → 0 (test_frontend.py:116-127)") {
+    val w = Weights.bilinear(gridIn, dstCells(), periodic = false)
+    val out = Apply.regrid(w, waveIn, dstCells())
+    assert(maxRelErr(out) === 1.0)
+    assert(out.filter(col("value") === 0.0).count() > 0)
+  }
+
+  test("bilinear periodic: max rel err < 0.065 (test_frontend.py:136-137)") {
+    val w = Weights.bilinear(gridIn, dstCells(), periodic = true)
+    val out = Apply.regrid(w, waveIn, dstCells())
+    val e = maxRelErr(out)
+    assert(e < 0.065, s"max rel err $e")
+  }
+
+  test("bilinear weights: each mapped dest sums to 1; ≤ 4 entries non-periodic") {
+    val w = Weights.bilinear(gridIn, dstCells(), periodic = false)
+    val per = w.groupBy("row").agg(sum("s").as("t"), count("*").as("n"))
+    assert(per.filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    assert(per.filter(col("n") > 4).count() === 0)
+    val wp = Weights.bilinear(gridIn, dstCells(), periodic = true)
+    assert(wp.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    // periodic maps every destination
+    assert(wp.select("row").distinct().count() === gridOut.nCells)
+  }
+
+  test("nearest_s2d: exactly one weight of 1.0 per dest (FIXTURES.md §4)") {
+    val w = Weights.nearestS2D(srcCells(), dstCells())
+    assert(w.count() === gridOut.nCells)
+    assert(w.select("row").distinct().count() === gridOut.nCells)
+    assert(w.filter(col("s") =!= 1.0).count() === 0)
+  }
+
+  test("nearest_s2d matches brute-force argmin") {
+    val src = srcCells().select(col("cell_id").as("sid"), col("lon").as("slon"), col("lat").as("slat"))
+    val dst = dstCells().select(col("cell_id").as("did"), col("lon").as("dlon"), col("lat").as("dlat"))
+    val brute = dst.crossJoin(src)
+      .withColumn("dist", Rounding.r9(
+        NearestJoin.sqChord(col("dlon"), col("dlat"), col("slon"), col("slat"))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("did").orderBy(col("dist"), col("sid"))))
+      .filter(col("rn") === 1)
+      .select(col("did").as("row"), col("sid").as("bcol"))
+    val w = Weights.nearestS2D(srcCells(), dstCells())
+    assert(w.join(brute, "row").filter(col("col") =!= col("bcol")).count() === 0)
+  }
+
+  test("nearest_d2s: every source assigned once; dest sums arrivals (test_frontend.py:64-78)") {
+    val w = Weights.nearestD2S(srcCells(), dstCells())
+    assert(w.count() === gridIn.nCells)           // one row per source
+    assert(w.select("col").distinct().count() === gridIn.nCells)
+    // applying to a constant-1 field counts arrivals; some dests get 0
+    val ones = srcCells().select(col("cell_id"), lit(1.0).as("value"))
+    val out = Apply.regrid(w, ones, dstCells())
+    assert(out.count() === gridOut.nCells)
+    assert(out.filter(col("value") === 0.0).count() > 0)      // non-surjective
+    assert(out.agg(sum("value")).head().getDouble(0) === gridIn.nCells.toDouble)
+  }
+
+  test("4-D broadcast: horizontal mean preserved per (time,lev) slab to 10 dp (test_frontend.py:196-199)") {
+    // conservative preserves the area-weighted mean; data4D = time*lev*wave
+    val f4 = waveIn
+      .crossJoin(spark.range(1, 8).toDF("time"))
+      .crossJoin(spark.range(1, 12).toDF("lev"))
+      .select(col("cell_id"), col("time"), col("lev"),
+        (col("time") * col("lev") * col("value")).as("value"))
+    val w = Weights.conservative(srcCells(b = true), dstCells(b = true))
+    val out = Apply.regrid(w, f4, dstCells(), extraDims = Seq("time", "lev"), roundDigits = 0)
+    assert(out.count() === gridOut.nCells * 7 * 11)
+
+    def area(c: DataFrame) = c.withColumn("a",
+      (col("lon_e") - col("lon_w")) * (sin(radians(col("lat_n"))) - sin(radians(col("lat_s")))))
+    val inMeans = area(srcCells(b = true)).join(f4, "cell_id")
+      .groupBy("time", "lev")
+      .agg((sum(col("a") * col("value")) / sum(col("a"))).as("m_in"))
+    val outMeans = area(dstCells(b = true)).join(out, "cell_id")
+      .groupBy("time", "lev")
+      .agg((sum(col("a") * col("value")) / sum(col("a"))).as("m_out"))
+    val bad = inMeans.join(outMeans, Seq("time", "lev"))
+      .filter(abs(col("m_in") - col("m_out")) > 1e-10).count()
+    assert(bad === 0)
+  }
+
+  test("multi-variable dataset map regrids all vars in one pass (frontend.py:448-511)") {
+    val f = srcCells().select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("v1"),
+      (col("lat") / 90.0 + 3.0).as("v2"))
+    val w = Weights.conservative(srcCells(b = true), dstCells(b = true))
+    val out = Apply.regrid(w, f, dstCells(), valueCols = Seq("v1", "v2"))
+    assert(out.columns.toSet === Set("cell_id", "v1", "v2"))
+    assert(out.count() === gridOut.nCells)
+    assert(out.filter(col("v1").isNull || col("v2").isNull).count() === 0)
+  }
+
+  test("Regridder facade: build, persist, reuse, clean (test_frontend.py:81-97)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-weights").toString
+    val r1 = new Regridder(spark, RectDef(gridIn), RectDef(gridOut),
+      RegridMethod.Bilinear, periodicRequested = true, weightsDir = Some(dir))
+    val n1 = r1.weights.count()
+    assert(new java.io.File(s"$dir/${r1.defaultFilename}").exists())
+    assert(r1.defaultFilename === "bilinear_15x18_20x24_peri.parquet")
+
+    val r2 = new Regridder(spark, RectDef(gridIn), RectDef(gridOut),
+      RegridMethod.Bilinear, periodicRequested = true, weightsDir = Some(dir),
+      reuseWeights = true)
+    assert(r2.weights.count() === n1)
+
+    assert(r1.toString.contains("graft Regridder"))
+    assert(r1.toString.contains("bilinear"))
+
+    r1.cleanWeightFile()
+    assert(!new java.io.File(s"$dir/${r1.defaultFilename}").exists())
+  }
+
+  test("Regridder applyWithCoords attaches output coords + method attr (frontend.py:424-441)") {
+    val r = new Regridder(spark, RectDef(gridIn), RectDef(gridOut), RegridMethod.Conservative)
+    val out = r.applyWithCoords(waveIn)
+    assert(out.columns.toSet === Set("cell_id", "value", "lon", "lat", "regrid_method"))
+    val row = out.orderBy("cell_id").head()
+    assert(row.getAs[String]("regrid_method") === "conservative")
+    assert(out.count() === gridOut.nCells)
+  }
+
+  test("error paths (V5, V7, locstream matrix — test_frontend.py:100-102,241-246)") {
+    // conservative without bounds
+    intercept[NoSuchElementException] {
+      new Regridder(spark, RectDef(gridIn, bounds = false), RectDef(gridOut),
+        RegridMethod.Conservative).weights.count()
+    }
+    // unknown method name
+    intercept[IllegalArgumentException] { RegridMethod.parse("bogus") }
+    // locstream input with bilinear
+    val locs = LocDef(Seq((0.0, -20.0), (5.0, -10.0)))
+    intercept[IllegalArgumentException] {
+      new Regridder(spark, locs, RectDef(gridOut), RegridMethod.Bilinear)
+    }
+    // locstream output with conservative
+    intercept[IllegalArgumentException] {
+      new Regridder(spark, RectDef(gridIn), locs, RegridMethod.Conservative)
+    }
+    // locstream in+out with nearest works (test_frontend.py:52-78 matrix)
+    val r = new Regridder(spark, locs, LocDef(Seq((1.0, -19.0))), RegridMethod.NearestS2D)
+    assert(r.weights.count() === 1)
+  }
+
+  test("periodic forced off for conservative (frontend.py:164-176)") {
+    val r = new Regridder(spark, RectDef(gridIn), RectDef(gridOut),
+      RegridMethod.Conservative, periodicRequested = true)
+    assert(!r.periodic)
+  }
+
+  test("lat validation warning range (backend.py:40-52)") {
+    val cells = Grids.cells(spark, RectGrid.of(-180, 180, 10, -100, 90, 5))
+    assert(Validate.latOutOfRange(cells) > 0)
+    assert(Validate.latOutOfRange(srcCells()) === 0)
+  }
+}
