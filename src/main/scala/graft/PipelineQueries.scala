@@ -1,0 +1,289 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Training-data pipeline queries over the driver's parquet tables
+  * (`documents`, `embeddings`, `events`, `lineitem`, …) — the
+  * capability-extension operator set of SURVEY.md §2.7, built out to
+  * the full list the 100 TB north star mandates: dedup (exact, MinHash
+  * LSH, SimHash, n-gram Jaccard, embedding cosine), similarity search
+  * (brute-force + IVF), text analysis, windowed/sessionized events,
+  * and multimodal binary plumbing.
+  *
+  * Each Spark plan pairs with a DuckDB oracle computing the same
+  * semantics; integer outputs are exact, float outputs go through the
+  * shared floor-rounding or exact DECIMAL sums (see
+  * [[graft.pipeline.Events]]).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  /** The events table carries nanosecond timestamps, which Spark's
+    * parquet reader rejects; read them as long and floor to micros.
+    * The oracle applies the identical truncation (`epoch_ns // 1000`). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  private val evCte =
+    """SELECT event_id, user_id, event_type, value,
+      make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events"""
+
+  // ---- shared DuckDB fragments (same semantics as TextOps exprs) ----
+
+  private val tokCte =
+    "SELECT doc_id, source, text, string_split_regex(trim(text), '\\s+') AS tokens FROM documents"
+
+  private def sh(n: Int) =
+    s"""SELECT DISTINCT doc_id, source, unnest(list_transform(
+        generate_series(0, len(tokens) - $n),
+        i -> array_to_string(list_slice(tokens, i + 1, i + $n), ' '))) AS s
+      FROM tok WHERE len(tokens) >= $n"""
+
+  private def hits(words: Seq[String]) =
+    s"CAST(len(list_filter(tokens, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS INTEGER)"
+
+  private def h60(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  private def r9(e: String) = s"floor(($e) * 1.0e9 + 0.5e0) / 1.0e9"
+
+  private val jaccardSelect =
+    s"""SELECT inter.a, inter.b, ${r9("CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)")} AS jaccard
+      FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id"""
+
+  // DuckDB cosine between two DOUBLE[] (fold order = Spark's aggregate)
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, v) -> acc + v)"
+  private def cosSql(a: String, b: String) =
+    r9(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis ----
+
+    QueryDef("q_text_tokens",
+      (s, dir) => TextOps.tokenStats(docs(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH tok AS ($tokCte)
+        SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tokens,
+          CAST(len(list_distinct(tokens)) AS INTEGER) AS n_uniq,
+          CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len(tokens) AS avg_token_len
+        FROM tok ORDER BY doc_id""")),
+
+    QueryDef("q_lang_id",
+      (s, dir) => TextOps.langId(docs(s, dir)).orderBy("doc_id"),
+      Some {
+        val hs = TextOps.langMarkers.map { case (l, ws) => s"${hits(ws)} AS hits_$l" }
+        val langs = TextOps.langMarkers.map(_._1)
+        val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1)
+          s"WHEN ${rest.map(r => s"hits_$l >= hits_$r").mkString(" AND ")} THEN '$l'"
+        }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+        s"""WITH tok AS ($tokCte),
+          h AS (SELECT doc_id, ${hs.mkString(", ")} FROM tok)
+          SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, hits_zh,
+            $caseExpr AS predicted
+          FROM h ORDER BY doc_id"""
+      }),
+
+    QueryDef("q_quality_score",
+      (s, dir) => TextOps.qualityScore(docs(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH tok AS ($tokCte),
+        m AS (SELECT doc_id,
+          CAST(length(text) AS INTEGER) AS n_chars,
+          CAST(len(tokens) AS INTEGER) AS n_tokens,
+          CAST(${hits(TextOps.langMarkers.head._2)} AS DOUBLE) / len(tokens) AS stop_ratio,
+          CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+        FROM tok)
+        SELECT doc_id, n_chars, n_tokens, stop_ratio, alpha_ratio,
+          floor((0.3e0 * stop_ratio + 0.4e0 * alpha_ratio +
+            0.3e0 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0)) * 1.0e9 + 0.5e0) / 1.0e9 AS score
+        FROM m ORDER BY doc_id""")),
+
+    QueryDef("q_doc_fingerprint",
+      (s, dir) => TextOps.fingerprint(docs(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH tok AS ($tokCte)
+        SELECT doc_id, list_aggregate(list_transform(
+            list_transform(generate_series(0, len(tokens) - 5),
+              i -> array_to_string(list_slice(tokens, i + 1, i + 5), ' ')),
+            s -> md5(s)), 'min') AS fp
+        FROM tok WHERE len(tokens) >= 5 ORDER BY doc_id""")),
+
+    QueryDef("q_minhash_sig",
+      (s, dir) => TextOps.minhash(docs(s, dir)).orderBy("doc_id", "seed"),
+      Some(s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)})
+        SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+          min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS minhash
+        FROM sh5, range(16) r(seed) GROUP BY 1, 2 ORDER BY doc_id, seed""")),
+
+    QueryDef("q_simhash",
+      (s, dir) => TextOps.simhash(docs(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH tok AS ($tokCte),
+        t AS (SELECT doc_id, unnest(tokens) AS t FROM tok),
+        h AS (SELECT doc_id, ${h60("t")} AS h FROM t),
+        bits AS (SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sv
+                 FROM h, range(60) r(b) GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1 ORDER BY doc_id""")),
+
+    // ---- dedup ----
+
+    QueryDef("q_dedup_exact",
+      (s, dir) => Dedup.exact(docs(s, dir)).orderBy("h"),
+      Some("""SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
+          count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY h""")),
+
+    QueryDef("q_dedup_minhash",
+      (s, dir) => Dedup.minhashLsh(docs(s, dir)).orderBy("a", "b"),
+      Some(s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
+        mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS m
+               FROM sh5, range(16) r(seed) GROUP BY 1, 2),
+        bands AS (SELECT doc_id, seed // 4 AS band,
+                    md5(string_agg(m, '|' ORDER BY seed)) AS sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+                 WHERE x.doc_id < y.doc_id),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
+        inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+                  FROM sh5 sa JOIN sh5 sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+                  JOIN cand ON cand.a = sa.doc_id AND cand.b = sb.doc_id
+                  GROUP BY 1, 2)
+        $jaccardSelect ORDER BY a, b""")),
+
+    QueryDef("q_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardBlocked(docs(s, dir), 3, 0.3).orderBy("a", "b"),
+      Some(s"""WITH tok AS ($tokCte), sh3 AS (${sh(3)}),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1),
+        inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+                  FROM sh3 sa JOIN sh3 sb
+                    ON sa.source = sb.source AND sa.s = sb.s AND sa.doc_id < sb.doc_id
+                  GROUP BY 1, 2)
+        SELECT * FROM ($jaccardSelect) j WHERE jaccard >= 0.3e0 ORDER BY a, b""")),
+
+    QueryDef("q_embedding_cosine",
+      (s, dir) => Similarity.nearDupPairs(emb(s, dir), 0.45).orderBy("a", "b"),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a.v", "b.v")} AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT * FROM p WHERE cos >= 0.45e0 ORDER BY a, b""")),
+
+    // ---- similarity search ----
+
+    QueryDef("q_ann_topk",
+      (s, dir) => Similarity.bruteTopK(emb(s, dir), "vec_id % 50 = 0", 5)
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                ${cosSql("q.v", "n.v")} AS cos
+              FROM e q JOIN e n ON q.vec_id <> n.vec_id
+              WHERE q.vec_id % 50 = 0),
+        r AS (SELECT *, CAST(row_number() OVER
+                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              FROM c)
+        SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    QueryDef("q_ann_ivf",
+      (s, dir) => Similarity.ivfTopK(emb(s, dir), "vec_id % 50 = 0", 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank"),
+      Some {
+        val bucket = (v: String) => (0 until 6).map(i =>
+          s"CASE WHEN $v[${i + 1}] > 0.0e0 THEN ${1L << i} ELSE 0 END").mkString("(", " + ", ")")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        eb AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM e),
+        c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                ${cosSql("q.v", "n.v")} AS cos
+              FROM eb q JOIN eb n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+              WHERE q.vec_id % 50 = 0),
+        r AS (SELECT *, CAST(row_number() OVER
+                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              FROM c)
+        SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+      }),
+
+    // ---- events / time series ----
+
+    QueryDef("q_events_window",
+      (s, dir) => Events.hourly(events(s, dir)).orderBy("hour", "event_type"),
+      Some(s"""WITH ev AS ($evCte)
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+          count(DISTINCT user_id) AS n_users
+        FROM ev GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q_events_sessions",
+      (s, dir) => Events.sessions(events(s, dir)).orderBy("user_id", "session_idx"),
+      Some(s"""WITH ev AS ($evCte),
+        x AS (SELECT user_id, event_id, ts, value,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM ev),
+        y AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new FROM x),
+        z AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM y)
+        SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM z GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- multimodal binary plumbing ----
+
+    QueryDef("q_multimodal_meta",
+      (s, dir) => Multimodal.metaRelational(docs(s, dir)).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+          CAST(64 + ${h60("text")} % 448 AS INTEGER) AS width,
+          CAST(64 + (${h60("text")} // 448) % 448 AS INTEGER) AS height,
+          CASE WHEN ${h60("text")} % 3 = 0 THEN 'jpeg'
+               WHEN ${h60("text")} % 3 = 1 THEN 'png' ELSE 'webp' END AS format
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- relational breadth on the star schema ----
+
+    QueryDef("q_lineitem_pricing",
+      (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count("*").as("n"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)").as("sum_base"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE)")
+            .as("sum_disc_price"))
+        .withColumn("avg_qty", expr("sum_qty / CAST(n AS DOUBLE)"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q_orders_revenue",
+      (s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val n = s.read.parquet(s"$dir/nation.parquet")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count("*").as("n_orders"),
+            expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)").as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY 1"""))
+  )
+}

@@ -6,7 +6,7 @@ import graft.regrid._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] = RegridQueries.defs
+  private def allDefs: Seq[QueryDef] = RegridQueries.defs ++ PipelineQueries.defs
 
   /** Flagship query: the reference's own end-to-end workload — build
     * conservative weights for `grid_global(20,12) → grid_global(15,9)`

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash-LSH, and n-gram Jaccard.
+  *
+  * Scale shape: everything is hash-groupBy or inverted-index equi-join.
+  * The only pairwise work happens AFTER candidate generation, on the
+  * (tiny) candidate set — never on the full corpus cross product.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content hash: one row per distinct
+    * content, keeping the smallest doc_id. Pure hash-aggregate —
+    * one shuffle on the hash, no join. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.selectExpr("md5(lower(trim(text))) AS h", "doc_id")
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
+
+  /** Exact Jaccard for a candidate pair relation `(a, b)` via the
+    * inverted shingle index: |A∩B| from a shingle equi-join, sizes from
+    * a groupBy — never materializing per-doc sets in memory. */
+  def jaccardFor(shingles: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count("*").as("n"))
+    // candidates-first: expand the (small) pair set to side-a shingles,
+    // then equi-join side b on (b, s) — cost scales with candidate
+    // pairs, not with every shingle collision in the corpus
+    val inter = pairs
+      .join(shingles.select(col("doc_id").as("a"), col("s")), "a")
+      .join(shingles.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b")
+      .agg(count("*").as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .selectExpr("a", "b",
+        "floor((CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9 AS jaccard")
+  }
+
+  /** MinHash-LSH near-dup pipeline: shingle → minhash → band →
+    * bucket-join for candidates → exact Jaccard verification.
+    * Returns `(a, b, jaccard)` for candidate pairs, ordered ids. */
+  def minhashLsh(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bands = TextOps.lshBands(TextOps.minhash(docs, k), rowsPerBand)
+    val candidates = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    jaccardFor(TextOps.shingleSet(docs, 5), candidates)
+  }
+
+  /** All same-group pairs with n-gram Jaccard ≥ threshold, via the
+    * inverted index restricted to a blocking column (here: `source`).
+    * The blocking key keeps the shingle self-join an equi-join on
+    * (s, source) — no cross product across groups. */
+  def ngramJaccardBlocked(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val sh = TextOps.shingleSet(docs, n, carry = Seq("source"))
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("n"))
+    val inter = sh.select(col("doc_id").as("a"), col("source"), col("s"))
+      .join(sh.select(col("doc_id").as("b"), col("source"), col("s")), Seq("source", "s"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count("*").as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .selectExpr("a", "b",
+        "floor((CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE)) * 1.0e9 + 0.5) / 1.0e9 AS jaccard")
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

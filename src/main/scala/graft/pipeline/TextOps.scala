@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting, MinHash
+  * and SimHash signatures.
+  *
+  * Everything is built from codegen'd built-in / higher-order functions
+  * (no Scala UDFs), so the hot path stays inside whole-stage codegen
+  * and the same expressions are portable to the SQL oracle.
+  *
+  * Portability primitives shared with the oracle:
+  *  - tokens: `split(trim(text), '\s+')`
+  *  - 60-bit hash: first 15 hex chars of md5, parsed base-16 (fits in
+  *    a signed int64, always ≥ 0 — stable across engines, unlike each
+  *    engine's built-in `hash()`)
+  */
+object TextOps {
+
+  /** Spark SQL expression for the token array of `text`. */
+  val tokensExpr: String = "split(trim(text), '\\\\s+')"
+
+  /** 60-bit deterministic hash of a string expression (Spark SQL). */
+  def hash60(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  /** n-token shingle list over a `tokens` array column (Spark SQL). */
+  def shinglesExpr(n: Int): String =
+    s"transform(sequence(0, size(tokens) - $n), i -> array_join(slice(tokens, i + 1, $n), ' '))"
+
+  /** Language marker words. Tiny on purpose: the operator contract is
+    * "deterministic n-gram/stopword heuristic", not a trained model. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "zh" -> Seq("的", "了", "是", "在", "和"))
+
+  private def hitsExpr(words: Seq[String]): String =
+    s"size(filter(tokens, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("tokens", expr(tokensExpr))
+
+  /** Per-document token counts: total, distinct, mean token length. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    withTokens(docs).selectExpr(
+      "doc_id",
+      "size(tokens) AS n_tokens",
+      "size(array_distinct(tokens)) AS n_uniq",
+      // mean token length without re-walking the array: all non-space
+      // chars over token count
+      "CAST(length(regexp_replace(trim(text), '\\\\s+', '')) AS DOUBLE) / size(tokens) AS avg_token_len")
+
+  /** Stopword-hit counts per language + arg-max prediction. */
+  def langId(docs: DataFrame): DataFrame = {
+    val hits = langMarkers.map { case (l, ws) => s"${hitsExpr(ws)} AS hits_$l" }
+    val langs = langMarkers.map(_._1)
+    // deterministic arg-max with fixed priority order on ties
+    val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      s"WHEN ${rest.map(r => s"hits_$l >= hits_$r").mkString(" AND ")} THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    withTokens(docs)
+      .selectExpr("doc_id" +: hits: _*)
+      .selectExpr("doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "hits_zh",
+        s"$caseExpr AS predicted")
+  }
+
+  /** Heuristic quality score: stopword ratio, alphabetic ratio, length
+    * saturation — the standard cheap pre-filters for web-scale corpora. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .selectExpr(
+        "doc_id",
+        "length(text) AS n_chars",
+        "size(tokens) AS n_tokens",
+        s"CAST(${hitsExpr(langMarkers.head._2)} AS DOUBLE) / size(tokens) AS stop_ratio",
+        "CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE) / length(text) AS alpha_ratio")
+      .selectExpr("doc_id", "n_chars", "n_tokens", "stop_ratio", "alpha_ratio",
+        "floor((0.3e0 * stop_ratio + 0.4e0 * alpha_ratio + " +
+          "0.3e0 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0)) * 1.0e9 + 0.5e0) / 1.0e9 AS score")
+
+  /** Content fingerprint: lexicographic min of md5 over 5-token
+    * shingles — one stable 32-hex-char id per document. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .filter(expr("size(tokens) >= 5"))
+      .selectExpr("doc_id",
+        s"array_min(transform(${shinglesExpr(5)}, s -> md5(s))) AS fp")
+
+  /** MinHash signatures, long format `(doc_id, seed, minhash)`:
+    * k simulated permutations via md5(seed || '|' || shingle), min per
+    * seed. Explodes to (docs × shingles × k) rows — map-side work plus
+    * one partial-agg shuffle on doc_id; no pairwise anything. */
+  def minhash(docs: DataFrame, k: Int = 16): DataFrame =
+    withTokens(docs)
+      .filter(expr("size(tokens) >= 5"))
+      .selectExpr("doc_id", s"explode(${shinglesExpr(5)}) AS s")
+      .distinct()
+      .selectExpr("doc_id", "s", s"explode(sequence(0, ${k - 1})) AS seed")
+      .groupBy("doc_id", "seed")
+      .agg(expr("min(md5(concat(CAST(seed AS STRING), '|', s)))").as("minhash"))
+
+  /** LSH band signatures from minhash sigs: `(doc_id, band, sig)` with
+    * `rowsPerBand` minhashes concatenated per band. Near-dup candidates
+    * are then an equi-join on (band, sig) — the scalable formulation. */
+  def lshBands(minhashes: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    minhashes
+      .withColumn("band", expr(s"CAST(seed DIV $rowsPerBand AS INT)"))
+      .groupBy("doc_id", "band")
+      .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(seed, minhash))), " +
+        "x -> x.minhash), '|'))").as("sig"))
+
+  /** 60-bit SimHash per document: sign of the per-bit sum of ±1 votes
+    * from every token occurrence's hash60. */
+  def simhash(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .selectExpr("doc_id", "explode(tokens) AS t")
+      .selectExpr("doc_id", s"${hash60("t")} AS h")
+      .selectExpr("doc_id", "h", "explode(sequence(0, 59)) AS b")
+      .selectExpr("doc_id", "b",
+        "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END AS v")
+      .groupBy("doc_id", "b")
+      .agg(sum("v").as("sv"))
+      .selectExpr("doc_id",
+        "CASE WHEN sv > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END AS bit")
+      .groupBy("doc_id")
+      .agg(sum("bit").cast("long").as("simhash"))
+
+  /** Distinct n-gram shingle relation `(doc_id, s [, carry cols])` —
+    * the inverted-index side of exact Jaccard. */
+  def shingleSet(docs: DataFrame, n: Int, carry: Seq[String] = Nil): DataFrame =
+    withTokens(docs)
+      .filter(expr(s"size(tokens) >= $n"))
+      .selectExpr(("doc_id" +: carry) :+ s"explode(${shinglesExpr(n)}) AS s": _*)
+      .distinct()
+}

@@ -2,6 +2,9 @@ package graft.regrid
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 
 /** The one dataflow kernel of the reference: sparse matrix–vector apply,
   * `out[d] = Σ_s W[d,s] · in[s]` (reference `xesmf/smm.py:44-95`, dot at
@@ -39,37 +42,109 @@ object Apply {
              broadcastWeights: Boolean = true,
              roundDigits: Int = 9): DataFrame = {
     val w0 = weights.select(col("row"), col("col"), col("s"))
-    val w = if (broadcastWeights) broadcast(w0) else w0
 
-    val contrib = field
-      .join(w, field("cell_id") === w("col"))
-      .groupBy(col("row") +: extraDims.map(col): _*)
-      .agg(
-        sum(col("s") * col(valueCols.head)).as(valueCols.head),
-        valueCols.tail.map(v => sum(col("s") * col(v)).as(v)): _*)
-
-    // full destination frame: every dest cell × every extra-dim combo.
-    // Frame columns are renamed to break lineage with `contrib` (both
-    // derive from `field`, so same-name join conditions would resolve
-    // to trivially-true self-comparisons).
-    val destIds = destCells.select(col("cell_id"))
-    val frame =
-      if (extraDims.isEmpty) destIds
-      else destIds.crossJoin(broadcast(
-        field.select(extraDims.map(col): _*).distinct()
-          .toDF(extraDims.map("__frame_" + _): _*)))
-
-    val joinCond = (frame("cell_id") === contrib("row")) +: extraDims.map(dim =>
-      frame("__frame_" + dim) === contrib(dim)) reduce (_ && _)
+    // K2 (unmapped → 0) at WEIGHTS cardinality, not output cardinality:
+    // destinations with no weights get one zero-weight triplet against
+    // an arbitrary existing source cell, so the join-agg below emits
+    // every (dest × extra-dim combo) with value 0.0 — no outer join
+    // against the (dest × slabs)-sized output frame. At 500 slabs that
+    // turns a 60M-row join into a 120k-row anti-join at plan time.
+    // Assumes a dense field (every source cell present per slab), which
+    // is the reference's own data model (flattened dense arrays,
+    // smm.py:89).
+    // any existing source cell works as the zero-weight anchor; take it
+    // from the weights relation (small) rather than scanning the field
+    val anyCol = broadcast(w0.select(min(col("col")).as("col")))
+    val padding = destCells.select(col("cell_id").as("row"))
+      .join(w0.select("row").distinct(), Seq("row"), "left_anti")
+      .crossJoin(anyCol)
+      .withColumn("s", lit(0.0))
+    val padded = w0.unionByName(padding)
+    val w = if (broadcastWeights) broadcast(padded) else padded
 
     def finish(c: Column): Column = {
       val r = if (roundDigits > 0) Rounding.roundN(c, roundDigits) else c
       coalesce(r, lit(0.0))
     }
 
-    frame.join(contrib, joinCond, "left")
+    field
+      .join(w, field("cell_id") === w("col"))
+      .groupBy(col("row") +: extraDims.map(col): _*)
+      .agg(
+        sum(col("s") * col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(v => sum(col("s") * col(v)).as(v)): _*)
       .select(
-        (frame("cell_id") +: extraDims.map(d => frame("__frame_" + d).as(d))) ++
-          valueCols.map(v => finish(contrib(v)).as(v)): _*)
+        (col("row").as("cell_id") +: extraDims.map(col)) ++
+          valueCols.map(v => finish(col(v)).as(v)): _*)
+  }
+
+  /** Convert a tall field `(cell_id, extraDims..., value)` to slab-major
+    * dense layout: one row per extra-dim combo carrying the whole
+    * horizontal field as `values ARRAY<DOUBLE>` (index = cell_id).
+    *
+    * This is the Spark-native analog of the dense arrays the reference
+    * operates on (and of Spark ML's vector columns): for raster data the
+    * per-value relational row is the WRONG storage at scale — 500 slabs
+    * × 240k cells is 120M rows but only 500 × 1.9 MB arrays. The
+    * conversion is one shuffle; do it once and cache. */
+  def toSlabs(field: DataFrame, nIn: Int, extraDims: Seq[String]): DataFrame = {
+    require(extraDims.nonEmpty, "slab layout needs at least one extra dim")
+    field
+      .groupBy(extraDims.map(col): _*)
+      .agg(collect_list(struct(col("cell_id"), col("value"))).as("kv"))
+      .select(extraDims.map(c => col(c).cast("long")) :+
+        expr(s"transform(array_sort(kv), x -> x.value)").as("values"): _*)
+  }
+
+  /** Slab-vectorized apply — the reference's own distribution strategy
+    * (O6/P1, `frontend.py:375-389`: partition over extra dims, replicate
+    * the full W to every chunk, run a dense local kernel per chunk).
+    *
+    * Weights are collected once into primitive COO arrays and broadcast
+    * (1M triplets ≈ 24 MB — the same "every dask chunk sees all of W"
+    * memory bar the reference sets). Each task then scatters
+    * `out[row] += s·in[col]` over its slabs at memory speed — the exact
+    * kernel and layout of the reference's scipy path (`smm.py:90`).
+    *
+    * Use for dense raster fields with many slabs; use [[regrid]] when
+    * the field is genuinely sparse/relational or W is too large to
+    * replicate.
+    *
+    * @param slabs output of [[toSlabs]]: (extraDims..., values)
+    * @return same layout on the destination grid; unmapped dests 0.0
+    */
+  /** @param slabs (slab_id LONG, values ARRAY<DOUBLE>) — pack multiple
+    *              extra dims into `slab_id` relationally (cheap: one
+    *              projection over #slabs rows)
+    * @return (slab_id, values) on the destination grid */
+  def regridSlabbed(weights: DataFrame, slabs: DataFrame, nOut: Int): DataFrame = {
+    val spark = slabs.sparkSession
+    import spark.implicits._
+    val trips = weights.select(col("row").cast("int"), col("col").cast("int"),
+      col("s")).collect()
+    val rowA = new Array[Int](trips.length)
+    val colA = new Array[Int](trips.length)
+    val sA = new Array[Double](trips.length)
+    var i = 0
+    while (i < trips.length) {
+      rowA(i) = trips(i).getInt(0); colA(i) = trips(i).getInt(1); sA(i) = trips(i).getDouble(2)
+      i += 1
+    }
+    val bw = spark.sparkContext.broadcast((rowA, colA, sA))
+
+    // typed Dataset: ArrayType decodes to primitive Array[Double]
+    // (no per-element boxing, unlike Row.getSeq)
+    slabs.select(col("slab_id").cast("long"), col("values"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (rw, cl, sv) = bw.value
+        it.map { case (k, inA) =>
+          val out = new Array[Double](nOut)
+          var j = 0
+          while (j < rw.length) { out(rw(j)) += sv(j) * inA(cl(j)); j += 1 }
+          (k, out)
+        }
+      }
+      .toDF("slab_id", "values")
   }
 }

@@ -1,0 +1,180 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic tests for the training-data pipeline operators, beyond the
+  * oracle hash-parity the driver checks: planted-duplicate recovery,
+  * LSH candidate correctness, similarity ordering, session invariants,
+  * multimodal decode determinism. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("pipeline-spec")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+  def docs: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
+  def emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  import spark.implicits._
+
+  test("exact dedup keeps the smallest doc_id per planted duplicate group") {
+    val planted = docs.limit(3).select(col("doc_id") + 100000, col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Dedup.exact(docs.unionByName(planted))
+    val dups = d.filter(col("n_copies") === 2)
+    assert(dups.count() === 3)
+    // the kept id is always the original (smaller) one
+    assert(dups.filter(col("keep_id") >= 100000).count() === 0)
+    assert(d.agg(sum("n_copies")).head().getLong(0) === docs.count() + 3)
+  }
+
+  test("minhash LSH finds high-jaccard near-dups and reports exact jaccard") {
+    val lsh = Dedup.minhashLsh(docs)
+    val found = lsh.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(found.nonEmpty, "expected planted near-duplicates in documents")
+    // every reported jaccard must equal the brute-force value
+    val pairsDf = lsh.select("a", "b")
+    val brute = Dedup.jaccardFor(TextOps.shingleSet(docs, 5), pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(found === brute)
+    // LSH with 4 bands of 4 rows must recover everything with j >= 0.95
+    val all = Dedup.ngramJaccardBlocked(
+      docs.withColumn("source", lit("all")), 5, 0.95)
+    val strong = all.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.subsetOf(found.keySet), s"missed strong pairs: ${strong -- found.keySet}")
+  }
+
+  test("minhash signature: k entries per doc, hex-stable") {
+    val mh = TextOps.minhash(docs, k = 16)
+    val perDoc = mh.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") =!= 16).count() === 0)
+    assert(mh.filter(length(col("minhash")) =!= 32).count() === 0)
+  }
+
+  test("simhash: near-dup pairs have much smaller hamming distance than random") {
+    val sh = TextOps.simhash(docs)
+    val near = Dedup.minhashLsh(docs).filter(col("jaccard") >= 0.8).select("a", "b")
+    if (near.head(1).nonEmpty) {
+      val j = near
+        .join(sh.select(col("doc_id").as("a"), col("simhash").as("sa")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("simhash").as("sb")), "b")
+      val nearHam = j.select(avg(expr("bit_count(sa ^ sb)"))).head().getDouble(0)
+      assert(nearHam < 12.0, s"near-dup mean hamming $nearHam")
+    }
+    assert(sh.count() === docs.count())
+  }
+
+  test("language id is deterministic and total") {
+    val l = TextOps.langId(docs)
+    assert(l.count() === docs.count())
+    assert(l.filter(col("predicted").isNull).count() === 0)
+    val dist = l.groupBy("predicted").count().collect()
+    assert(dist.nonEmpty)
+  }
+
+  test("quality score in [0,1] and monotone in components") {
+    val q = TextOps.qualityScore(docs)
+    assert(q.filter(col("score") < 0.0 || col("score") > 1.0).count() === 0)
+    assert(q.filter(col("alpha_ratio") < 0.0 || col("alpha_ratio") > 1.0).count() === 0)
+  }
+
+  test("brute top-k: ranks ordered by cosine, no self-matches, k rows per probe") {
+    val t = Similarity.bruteTopK(emb, "vec_id % 50 = 0", 5)
+    val nProbes = emb.filter(expr("vec_id % 50 = 0")).count()
+    assert(t.count() === nProbes * 5)
+    assert(t.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    // rank 1 has the max cosine per query
+    val bad = t.groupBy("query_id")
+      .agg(max("cos").as("mx"), max(when(col("rank") === 1, col("cos"))).as("r1"))
+      .filter(col("mx") =!= col("r1"))
+    assert(bad.count() === 0)
+  }
+
+  test("IVF top-k is the bucket-restricted subset of brute force") {
+    val ivf = Similarity.ivfTopK(emb, "vec_id % 50 = 0", 5)
+      .select("query_id", "neighbor_id", "cos")
+    // every IVF hit must appear in the full brute ranking with same cos
+    val brute = Similarity.bruteTopK(emb, "vec_id % 50 = 0", 100000)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("bcos"))
+    val joined = ivf.join(brute, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("bcos").isNull || col("bcos") =!= col("cos")).count() === 0)
+  }
+
+  test("sessions partition the event stream: counts add up, gaps split") {
+    val s = Events.sessions(events, 30)
+    assert(s.agg(sum("n_events")).head().getLong(0) === events.count())
+    assert(s.filter(col("session_end") < col("session_start")).count() === 0)
+    // more sessions than users (gaps exist in the data)
+    assert(s.count() > events.select("user_id").distinct().count())
+  }
+
+  test("hourly window totals equal raw totals") {
+    val h = Events.hourly(events)
+    assert(h.agg(sum("n")).head().getLong(0) === events.count())
+  }
+
+  test("multimodal stub decode: deterministic, consistent with relational meta") {
+    val feats = Multimodal.decodeFeatures(spark, docs).toDF()
+    val meta = Multimodal.metaRelational(docs)
+    val j = feats.alias("f").join(meta.alias("m"), "doc_id")
+    assert(j.count() === docs.count())
+    assert(j.filter(col("f.width") =!= col("m.width") ||
+      col("f.height") =!= col("m.height") ||
+      col("f.format") =!= col("m.format") ||
+      col("f.n_bytes") =!= col("m.n_bytes")).count() === 0)
+    // byte stats are sane
+    assert(feats.filter(col("mean_byte") <= 0.0 || col("mean_byte") >= 256.0).count() === 0)
+    assert(feats.filter(col("entropy_q") < 0.0 || col("entropy_q") > 8.0).count() === 0)
+    // deterministic across runs
+    val again = Multimodal.decodeFeatures(spark, docs).toDF()
+    assert(feats.exceptAll(again).count() === 0)
+  }
+
+  test("streaming: windowed counts over a stream equal the batch result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val data = events.select("ts", "event_type").as[(java.sql.Timestamp, String)].collect()
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingOps.hourlyCounts(
+        stream.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData(data.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("hourly_stream")
+    val batch = graft.streaming.StreamingOps.hourlyCounts(events)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    q.stop()
+  }
+
+  test("streaming: per-batch regrid equals batch apply") {
+    import graft.regrid._
+    val gIn = RectGrid.of(-180, 180, 20, -90, 90, 12)
+    val gOut = RectGrid.of(-180, 180, 15, -90, 90, 9)
+    val src = Grids.cells(spark, gIn, withBounds = true)
+    val dst = Grids.cells(spark, gOut, withBounds = true)
+    val w = Weights.conservative(src, dst)
+    val field = Grids.cells(spark, gIn).select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+    val streamed = graft.streaming.StreamingOps.regridBatch(w, field)
+    val batch = Apply.regrid(w, field, Grids.cells(spark, gOut), roundDigits = 0)
+      .filter(col("value") =!= 0.0)
+    assert(streamed.count() === batch.count())
+  }
+}
