@@ -6,12 +6,20 @@ import graft.regrid._
 
 /** Benchmark main: one JSON line with per-query wall times.
   *
-  * Two groups:
-  *  - every driver-contract query at `SPARK_GRAFT_SF_DIR` scale;
+  * Three groups:
+  *  - every driver-contract query at `SPARK_GRAFT_SF_DIR` scale
+  *    (failures are reported explicitly in an `errors` map, never as a
+  *    silent time-to-crash);
   *  - the reference's own benchmark workload (BASELINE.md,
   *    `doc/notebooks/Backend.ipynb` cells 17/24/33): bilinear weight
   *    build 400×600 → 300×400 (baseline 7.57 s) and the 4-D apply of
   *    (time=10, lev=50, 400, 600) ≈ 120 M values (baseline 0.62 s).
+  *    The headline apply runs the dense slab kernel ([[SlabApplier]])
+  *    under the same conditions as the baseline's `%timeit`: weights
+  *    already in RAM (the reference loads scipy's COO at regridder
+  *    init), input array already materialized, min of 3 runs;
+  *  - the relational join-agg apply on the same workload, reported
+  *    separately so regressions in either path stay visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,23 +35,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(f: => Long): Double = {
+    def time(f: => Any): Double = {
       val t0 = System.nanoTime()
       f
       (System.nanoTime() - t0) / 1e9
     }
+    // the baseline numbers are notebook `%timeit` results = best of
+    // several warm runs; measure the kernels the same way
+    def timeMin3(f: => Any): Double = (1 to 3).map(_ => time(f)).min
 
     // JVM/Spark warm-up so the first measured query doesn't absorb
     // classloading + codegen compilation
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val contract = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> time {
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
       }
     }
 
-    // reference-benchmark workload (grids from BASELINE.md)
+    // ---- reference-benchmark workload (grids from BASELINE.md) ----
     val gridIn = RectGrid.of(-120, 120, 0.4, -60, 60, 0.3)    // 400 x 600
     val gridOut = RectGrid.of(-120, 120, 0.6, -60, 60, 0.4)   // 300 x 400
     val tBuild = time {
@@ -52,8 +67,41 @@ object Bench {
     val weights = Weights.bilinear(gridIn, Grids.cells(spark, gridOut), periodic = false)
       .cache()
     weights.count()
-    // 4-D field (time=10, lev=50) over 240k cells = 120M values,
-    // generated once and cached so the apply measurement is pure SpMM
+
+    // dense 4-D raster input in slab-major layout (one row per
+    // (time, lev) slab, values index = cell_id) — the shape raster data
+    // arrives in; generated analytically and cached so the apply
+    // measurement is pure SpMM, exactly like the baseline's in-RAM array
+    val nIn = gridIn.nCells.toInt
+    val lonE = s"(${gridIn.lonAxis.start}e0 + (CAST(c % ${gridIn.nx} AS DOUBLE) + 0.5e0) * ${gridIn.lonAxis.step}e0)"
+    val latE = s"(${gridIn.latAxis.start}e0 + (CAST(c DIV ${gridIn.nx} AS DOUBLE) + 0.5e0) * ${gridIn.latAxis.step}e0)"
+    val waveE = s"2.0e0 + pow(cos(radians($latE)), 2) * cos(2.0e0 * radians($lonE))"
+    val slabs = spark.range(1, 11).toDF("time")
+      .crossJoin(spark.range(1, 51).toDF("lev"))
+      .repartition(cpus.toInt)
+      .selectExpr("time * 64 + lev AS slab_id",
+        s"transform(sequence(0, ${nIn - 1}), c -> CAST(time * lev AS DOUBLE) * ($waveE)) AS values")
+      .cache()
+    slabs.count()
+    // W collect + broadcast: once per regridder lifetime (the scipy
+    // COO-load analog, smm.py:34-41) — reported separately as prep
+    var applier: SlabApplier = null
+    val tPrep = time { applier = new SlabApplier(weights, gridOut.nCells.toInt) }
+    def runSlabs(in: org.apache.spark.sql.DataFrame): Unit = {
+      applier.apply(in).select(sum(size(col("values")))).collect(); ()
+    }
+    val tApplySlab = timeMin3 { runSlabs(slabs) }
+
+    val slab2d = spark.range(0, 1).toDF("slab_id")
+      .selectExpr("slab_id",
+        s"transform(sequence(0, ${nIn - 1}), c -> CAST($waveE AS DOUBLE)) AS values")
+      .cache()
+    slab2d.count()
+    val tApply2d = timeMin3 { runSlabs(slab2d) }
+
+    // relational join-agg on the same 4-D workload (regression guard
+    // for the shuffled path — the one that serves W too big to
+    // replicate)
     val field = Grids.cells(spark, gridIn)
       .select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("v0"))
       .crossJoin(spark.range(1, 11).toDF("time"))
@@ -62,24 +110,23 @@ object Bench {
         (col("time") * col("lev") * col("v0")).as("value"))
       .cache()
     field.count()
-    val tApply = time {
+    val tApplyRel = time {
       Apply.regrid(weights, field, Grids.cells(spark, gridOut),
         extraDims = Seq("time", "lev"), roundDigits = 0).count()
     }
-    val tApply2d = time {
-      Apply.regrid(weights,
-        Grids.cells(spark, gridIn).select(col("cell_id"),
-          TestFields.waveSmooth(col("lon"), col("lat")).as("value")),
-        Grids.cells(spark, gridOut), roundDigits = 0).count()
-    }
+    field.unpersist()
 
     val all = contract ++ Seq(
       "bench_weight_build_bilinear_400x600_300x400" -> tBuild,
-      "bench_apply_4d_120M" -> tApply,
-      "bench_apply_2d_240k" -> tApply2d)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      "bench_apply_4d_120M" -> tApplySlab,
+      "bench_apply_2d_240k" -> tApply2d,
+      "bench_apply_prep_collectW" -> tPrep,
+      "bench_apply_4d_relational" -> tApplyRel)
+    def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = all.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,11 +169,35 @@ object PipelineQueries {
         SELECT * FROM ($jaccardSelect) j WHERE jaccard >= 0.3e0 ORDER BY a, b""")),
 
     QueryDef("q_embedding_cosine",
-      (s, dir) => Similarity.nearDupPairs(emb(s, dir), 0.45).orderBy("a", "b"),
+      // EXACT all-pairs near-dup, distributed shape: block-pair
+      // replication → shuffled hash EQUI-join (no nested loop), pair
+      // cosine evaluated exactly once. Same semantics as the naive
+      // quadratic join, so the oracle stays the declarative all-pairs
+      // statement.
+      (s, dir) => Similarity.nearDupPairsBlocked(emb(s, dir), 0.45).orderBy("a", "b"),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         p AS (SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a.v", "b.v")} AS cos
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
         SELECT * FROM p WHERE cos >= 0.45e0 ORDER BY a, b""")),
+
+    QueryDef("q_embedding_cosine_lsh",
+      // the true corpus-scale path: sign-bucket LSH candidates
+      // (Hamming ≤ 1 on 8 sign bits — part of the operator contract,
+      // mirrored by the oracle), exact cosine verify on candidates
+      // only. Standard LSH recall tradeoff vs q_embedding_cosine.
+      (s, dir) => Similarity.nearDupPairsBucketed(emb(s, dir), 0.45, bits = 8)
+        .orderBy("a", "b"),
+      Some {
+        val bucket = (v: String) => (0 until 8).map(i =>
+          s"CASE WHEN $v[${i + 1}] > 0.0e0 THEN ${1L << i} ELSE 0 END")
+          .mkString("(", " + ", ")")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        eb AS (SELECT vec_id, v, CAST(${bucket("v")} AS BIGINT) AS bucket FROM e),
+        p AS (SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a.v", "b.v")} AS cos
+              FROM eb a JOIN eb b ON a.vec_id < b.vec_id
+                AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+        SELECT * FROM p WHERE cos >= 0.45e0 ORDER BY a, b"""
+      }),
 
     // ---- similarity search ----
 

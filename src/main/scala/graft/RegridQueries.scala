@@ -31,6 +31,28 @@ object RegridQueries {
   val locs4: Seq[(Double, Double)] =
     Seq((0.0, -20.0), (5.0, -10.0), (10.0, 0.0), (15.0, 10.0))     // (lon, lat)
 
+  /** Curvilinear fixture: rotated-pole mesh, uniform 4° in rotated
+    * coordinates (pole at lat 70, lon −165 keeps geographic longitudes
+    * seam-free), destination sub-grid inside the mesh footprint. */
+  val rotGrid: RectGrid = RectGrid.of(2, 62, 4, -30, 30, 4)           // (15, 15)
+  val rotPoleLat = 70.0
+  val rotPoleLon = -165.0
+  val dstCurv: RectGrid = RectGrid.of(-25, 0, 2.5, 5, 30, 2.5)        // (10, 10)
+
+  /** Non-uniform rectilinear fixture: stretched longitudes + smoothstep
+    * latitudes (cells cluster toward the poles) — a Gaussian-grid
+    * stand-in whose centers/bounds are computed once here and embedded
+    * as identical double literals on both engines. */
+  val gridInNonuni: CoordGrid = {
+    val nx = 16; val ny = 12
+    val lonB = Array.tabulate(nx + 1)(i => -180.0 + 360.0 * math.pow(i.toDouble / nx, 1.25))
+    val latB = Array.tabulate(ny + 1) { j =>
+      val t = j.toDouble / ny
+      -90.0 + 180.0 * (t * t * (3.0 - 2.0 * t))
+    }
+    CoordGrid(CoordAxis.fromBounds(lonB), CoordAxis.fromBounds(latB))
+  }
+
   // ---- shared SQL fragments, generated from the same grid objects ----
 
   /** Grid cell CTE body — mirrors [[Grids.cells]] formula-for-formula. */
@@ -164,6 +186,148 @@ object RegridQueries {
         FROM triplets GROUP BY 1, 2 HAVING ${sqlR12("sum(w)")} <> 0.0e0"""
   }
 
+  /** Patch (bicubic-stencil) weights CTE — mirrors [[Weights.patch]]
+    * (non-periodic), Horner kernel text identical on both engines. */
+  def patchSql(g: RectGrid, dstSql: String): String = {
+    val nx = g.nx; val ny = g.ny
+    val c0x = L(g.lonAxis.firstCenter); val dx = L(g.lonAxis.step)
+    val c0y = L(g.latAxis.firstCenter); val dy = L(g.latAxis.step)
+    def kc(f: String, o: String): String =
+      s"""CASE $o WHEN -1 THEN ((-0.5e0 * $f + 1.0e0) * $f - 0.5e0) * $f
+         WHEN 0 THEN (1.5e0 * $f - 2.5e0) * $f * $f + 1.0e0
+         WHEN 1 THEN ((-1.5e0 * $f + 2.0e0) * $f + 0.5e0) * $f
+         ELSE (0.5e0 * $f - 0.5e0) * $f * $f END"""
+    val clampX = s"least(greatest(floor(tx), 1.0e0), ${L((nx - 3).toDouble)})"
+    val clampY = s"least(greatest(floor(ty), 1.0e0), ${L((ny - 3).toDouble)})"
+    s"""WITH dst AS ($dstSql),
+      t AS (
+        SELECT cell_id AS drow,
+          (lon - $c0x) / $dx AS tx, (lat - $c0y) / $dy AS ty
+        FROM dst
+        WHERE (lon - $c0x) / $dx >= 0.0e0 AND (lon - $c0x) / $dx <= ${L((nx - 1).toDouble)}
+          AND (lat - $c0y) / $dy >= 0.0e0 AND (lat - $c0y) / $dy <= ${L((ny - 1).toDouble)}
+      ),
+      idx AS (
+        SELECT drow,
+          CAST($clampX AS BIGINT) AS ix0, CAST($clampY AS BIGINT) AS iy0,
+          tx - $clampX AS fx, ty - $clampY AS fy
+        FROM t
+      ),
+      off AS (SELECT * FROM (VALUES (-1), (0), (1), (2)) t(o)),
+      triplets AS (
+        SELECT drow, (iy0 + oy.o) * $nx + ix0 + ox.o AS scol,
+          (${kc("fx", "ox.o")}) * (${kc("fy", "oy.o")}) AS w
+        FROM idx, off ox, off oy
+      )
+      SELECT drow AS "row", CAST(scol AS BIGINT) AS col, ${sqlR12("sum(w)")} AS s
+      FROM triplets GROUP BY 1, 2 HAVING ${sqlR12("sum(w)")} <> 0.0e0"""
+  }
+
+  /** Inter-center segment relation of a non-uniform axis as a VALUES
+    * literal (i0, c_lo, c_hi, is_last). */
+  private def coordSegsSql(ax: CoordAxis): String = {
+    val rows = (0 until ax.n - 1).map(i =>
+      s"($i, ${L(ax.centers(i))}, ${L(ax.centers(i + 1))}, ${i == ax.n - 2})").mkString(", ")
+    s"SELECT * FROM (VALUES $rows) t(i0, c_lo, c_hi, is_last)"
+  }
+
+  /** Non-uniform bilinear weights CTE — mirrors
+    * [[Weights.bilinearIrregular]] (the oracle states the interval
+    * containment as a plain theta join; the Spark side band-buckets it
+    * into an equi-join). */
+  def bilinearIrregularSql(g: CoordGrid, dstSql: String): String =
+    s"""WITH dst AS ($dstSql),
+      xs AS (${coordSegsSql(g.lonAxis)}),
+      ys AS (${coordSegsSql(g.latAxis)}),
+      dx AS (SELECT cell_id AS drow, i0 AS ix0, (lon - c_lo) / (c_hi - c_lo) AS fx
+             FROM dst JOIN xs ON lon >= c_lo AND (lon < c_hi OR (is_last AND lon <= c_hi))),
+      dy AS (SELECT cell_id AS drow, i0 AS iy0, (lat - c_lo) / (c_hi - c_lo) AS fy
+             FROM dst JOIN ys ON lat >= c_lo AND (lat < c_hi OR (is_last AND lat <= c_hi))),
+      idx AS (SELECT dx.drow, ix0, fx, iy0, fy FROM dx JOIN dy ON dx.drow = dy.drow),
+      triplets AS (
+        SELECT drow, CAST(iy0 AS BIGINT) * ${g.nx} + ix0 AS scol,
+          (1.0e0 - fx) * (1.0e0 - fy) AS w FROM idx
+        UNION ALL SELECT drow, CAST(iy0 AS BIGINT) * ${g.nx} + ix0 + 1, fx * (1.0e0 - fy) FROM idx
+        UNION ALL SELECT drow, (CAST(iy0 AS BIGINT) + 1) * ${g.nx} + ix0, (1.0e0 - fx) * fy FROM idx
+        UNION ALL SELECT drow, (CAST(iy0 AS BIGINT) + 1) * ${g.nx} + ix0 + 1, fx * fy FROM idx
+      )
+      SELECT drow AS "row", CAST(scol AS BIGINT) AS col, ${sqlR12("sum(w)")} AS s
+      FROM triplets GROUP BY 1, 2 HAVING ${sqlR12("sum(w)")} <> 0.0e0"""
+
+  /** Rotated-pole mesh cell CTE — mirrors [[Curvilinear.rotatedCells]]. */
+  def rotatedCellsSql(rot: RectGrid, poleLat: Double, poleLon: Double): String = {
+    val lamr = s"(${L(rot.lonAxis.start)} + (CAST(x AS DOUBLE) + 0.5e0) * ${L(rot.lonAxis.step)})"
+    val thr = s"(${L(rot.latAxis.start)} + (CAST(y AS DOUBLE) + 0.5e0) * ${L(rot.latAxis.step)})"
+    s"""SELECT CAST(y * ${rot.nx} + x AS BIGINT) AS cell_id,
+      CAST(y AS INTEGER) AS y, CAST(x AS INTEGER) AS x,
+      ${Curvilinear.sqlRotLon(lamr, thr, poleLat, poleLon)} AS lon,
+      ${Curvilinear.sqlRotLat(lamr, thr, poleLat)} AS lat
+      FROM range(${rot.ny}) ty(y), range(${rot.nx}) tx(x)"""
+  }
+
+  /** Curvilinear bilinear weights CTE — mirrors
+    * [[Weights.bilinearCurvilinear]] step for step (quads from shifted
+    * self-joins, bbox candidates, inverse-bilinear quadratic, r9'd
+    * (u,v), deterministic first-quad pick). */
+  def bilinearCurvSql(rot: RectGrid, poleLat: Double, poleLon: Double,
+                      dstSql: String): String = {
+    import graft.regrid.Weights.{linEps, rootLo, rootHi}
+    s"""WITH cells AS (${rotatedCellsSql(rot, poleLat, poleLon)}),
+      dst AS ($dstSql),
+      quads AS (
+        SELECT c00.y AS qy, c00.x AS qx,
+          c00.cell_id AS id00, c00.lon AS lon00, c00.lat AS lat00,
+          c10.cell_id AS id10, c10.lon AS lon10, c10.lat AS lat10,
+          c01.cell_id AS id01, c01.lon AS lon01, c01.lat AS lat01,
+          c11.cell_id AS id11, c11.lon AS lon11, c11.lat AS lat11
+        FROM cells c00
+        JOIN cells c10 ON c10.y = c00.y AND c10.x = c00.x + 1
+        JOIN cells c01 ON c01.y = c00.y + 1 AND c01.x = c00.x
+        JOIN cells c11 ON c11.y = c00.y + 1 AND c11.x = c00.x + 1
+      ),
+      cand AS (
+        SELECT dst.cell_id AS drow, dst.lon AS plon, dst.lat AS plat, q.*
+        FROM dst JOIN quads q
+          ON dst.lon >= least(lon00, lon10, lon01, lon11)
+         AND dst.lon <= greatest(lon00, lon10, lon01, lon11)
+         AND dst.lat >= least(lat00, lat10, lat01, lat11)
+         AND dst.lat <= greatest(lat00, lat10, lat01, lat11)
+      ),
+      c1 AS (SELECT drow, qy, qx, id00, id10, id01, id11,
+          plon - lon00 AS hx, plat - lat00 AS hy,
+          lon10 - lon00 AS ex, lat10 - lat00 AS ey,
+          lon01 - lon00 AS fx, lat01 - lat00 AS fy,
+          lon00 - lon10 - lon01 + lon11 AS gx,
+          lat00 - lat10 - lat01 + lat11 AS gy
+        FROM cand),
+      c2 AS (SELECT *, gx * fy - gy * fx AS k2,
+          (ex * fy - ey * fx) + (hx * gy - hy * gx) AS k1,
+          hx * ey - hy * ex AS k0 FROM c1),
+      c3 AS (SELECT *, k1 * k1 - 4.0e0 * k0 * k2 AS disc FROM c2),
+      c3f AS (SELECT * FROM c3 WHERE disc >= 0.0e0),
+      c4 AS (SELECT *, (-k1 - sqrt(disc)) / (2.0e0 * k2) AS vm,
+          (-k1 + sqrt(disc)) / (2.0e0 * k2) AS vp FROM c3f),
+      c5 AS (SELECT *, ${sqlR9(
+            s"CASE WHEN abs(k2) < ${L(linEps)} THEN -k0 / k1 " +
+            s"WHEN vm >= ${L(rootLo)} AND vm <= ${L(rootHi)} THEN vm ELSE vp END")} AS v
+        FROM c4),
+      c6 AS (SELECT *, ex + gx * v AS dnx, ey + gy * v AS dny FROM c5),
+      c7 AS (SELECT *, ${sqlR9(
+            "CASE WHEN abs(dnx) >= abs(dny) THEN (hx - fx * v) / dnx " +
+            "ELSE (hy - fy * v) / dny END")} AS u FROM c6),
+      ok AS (SELECT * FROM c7
+        WHERE u >= 0.0e0 AND u <= 1.0e0 AND v >= 0.0e0 AND v <= 1.0e0
+        QUALIFY row_number() OVER (PARTITION BY drow ORDER BY qy, qx) = 1),
+      triplets AS (
+        SELECT drow, id00 AS scol, (1.0e0 - u) * (1.0e0 - v) AS w FROM ok
+        UNION ALL SELECT drow, id10, u * (1.0e0 - v) FROM ok
+        UNION ALL SELECT drow, id01, (1.0e0 - u) * v FROM ok
+        UNION ALL SELECT drow, id11, u * v FROM ok
+      )
+      SELECT drow AS "row", CAST(scol AS BIGINT) AS col, ${sqlR12("sum(w)")} AS s
+      FROM triplets GROUP BY 1, 2 HAVING ${sqlR12("sum(w)")} <> 0.0e0"""
+  }
+
   /** Conservative weights CTE — mirrors [[Weights.conservative]]
     * (plain theta join here; the Spark side band-buckets it). */
   def conservativeSql(srcSql: String, dstSql: String): String = {
@@ -262,9 +426,77 @@ object RegridQueries {
       Some(s"""SELECT * FROM (${bilinearSql(gridIn, gridSql(gridOut), periodic = true)}) w
         ORDER BY "row", col""")),
 
+    QueryDef("q_w_patch",
+      // W5 best-effort: bicubic-stencil patch (documented deviation
+      // from ESMF's internal patch recovery — see Weights.patch)
+      (s, _) => Weights.patch(gridIn, dstCells(s), periodic = false).orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${patchSql(gridIn, gridSql(gridOut))}) w
+        ORDER BY "row", col""")),
+
+    QueryDef("q_w_bilinear_nonuniform",
+      // G5 ingestion path: bilinear from a NON-uniform rectilinear grid
+      // (stretched lon, smoothstep lat) via banded interval equi-join
+      (s, _) => Weights.bilinearIrregular(gridInNonuni, dstCells(s)).orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${bilinearIrregularSql(gridInNonuni, gridSql(gridOut))}) w
+        ORDER BY "row", col""")),
+
+    QueryDef("q_w_bilinear_curv",
+      // G5/G7 curvilinear ingestion: bilinear on a rotated-pole 2-D
+      // mesh via point-in-quad + inverse bilinear (frontend.py:21-30)
+      (s, _) => Weights.bilinearCurvilinear(
+        Curvilinear.rotatedCells(s, rotGrid, rotPoleLat, rotPoleLon),
+        Grids.cells(s, dstCurv)).orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${bilinearCurvSql(rotGrid, rotPoleLat, rotPoleLon,
+          gridSql(dstCurv))}) w ORDER BY "row", col""")),
+
+    QueryDef("q_regrid_curv",
+      // end-to-end curvilinear regrid: wave field on the rotated mesh →
+      // uniform destination through the curvilinear bilinear weights
+      (s, _) => Apply.regrid(
+        Weights.bilinearCurvilinear(
+          Curvilinear.rotatedCells(s, rotGrid, rotPoleLat, rotPoleLon),
+          Grids.cells(s, dstCurv)),
+        Curvilinear.rotatedCells(s, rotGrid, rotPoleLat, rotPoleLon)
+          .select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("value")),
+        Grids.cells(s, dstCurv)).orderBy("cell_id"),
+      Some(s"""SELECT * FROM (${applySql(
+          bilinearCurvSql(rotGrid, rotPoleLat, rotPoleLon, gridSql(dstCurv)),
+          s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${rotatedCellsSql(rotGrid, rotPoleLat, rotPoleLon)}) g",
+          gridSql(dstCurv))}) a ORDER BY cell_id""")),
+
+    QueryDef("q_w_conservative_curv",
+      // curvilinear conservative via exact polygon clipping — the
+      // geometry kernel is not SQL-expressible, so no DuckDB oracle
+      // (driver records rows-only); the conservation invariants are
+      // asserted to 1e-10 in RegridSpec.
+      (s, _) => Weights.conservativeCurvilinear(
+        Curvilinear.rotatedCorners(s, rotGrid, rotPoleLat, rotPoleLon),
+        Curvilinear.boundsToPolys(Grids.cells(s, dstCurv, withBounds = true)))
+        .orderBy("row", "col"),
+      None),
+
     QueryDef("q_w_conservative",
       (s, _) => Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true))
         .orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${conservativeSql(
+          gridSql(gridIn, withBounds = true), gridSql(gridOut, withBounds = true))}) w
+        ORDER BY "row", col""")),
+
+    QueryDef("q_weights_read",
+      // G8 weight-file interop: round-trip conservative weights through
+      // the ESMF on-disk convention (1-based col/row, capital S —
+      // reference smm.py:10-41) and read them back; the result must
+      // equal the direct build, which is exactly what the oracle
+      // computes.
+      (s, _) => {
+        val p = "/root/repo/target/weights_io/esmf_conservative.parquet"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        WeightsIO.writeEsmf(
+          Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)), p)
+        WeightsIO.readEsmf(s, p).orderBy("row", "col")
+      },
       Some(s"""SELECT * FROM (${conservativeSql(
           gridSql(gridIn, withBounds = true), gridSql(gridOut, withBounds = true))}) w
         ORDER BY "row", col""")),

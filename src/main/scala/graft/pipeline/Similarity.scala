@@ -38,13 +38,82 @@ object Similarity {
         s"sqrt(${dotExpr(s"${as}_v", s"${as}_v")}) AS ${as}_nrm")
 
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
-    * Exact but quadratic — the oracle-checkable baseline; use
-    * [[ivfTopK]] for corpus-scale. */
+    * Exact but quadratic (theta-join → nested-loop) — only for small,
+    * broadcastable corpora; the corpus-scale contract path is
+    * [[nearDupPairsBucketed]]. */
   def nearDupPairs(emb: DataFrame, minCos: Double): DataFrame =
     vecs(emb, "a").join(vecs(emb, "b"), col("a_id") < col("b_id"))
       .selectExpr("a_id AS a", "b_id AS b",
         s"${cosFromNorms(dotExpr("a_v", "b_v"), "a_nrm", "b_nrm")} AS cos")
       .filter(col("cos") >= minCos)
+
+  /** Exact all-pairs cosine ≥ threshold, distributed: block-pair
+    * replication turns the quadratic pair space into an EQUI-join.
+    *
+    * Every vector gets a block `blk = id mod B`; the unordered pair
+    * (x, y) is evaluated exactly once, in the partition keyed by
+    * `(min(blk_x, blk_y), max(blk_x, blk_y))`. Side 1 carries each
+    * vector replicated to keys `(blk, j) for j ≥ blk`, side 2 to
+    * `(i, blk) for i ≤ blk` — B+1 copies per vector total, `n²/B²`
+    * pair evaluations per key, `B(B+1)/2` keys. The join is a shuffled
+    * hash join on the key (no nested loop), so the quadratic compute is
+    * spread evenly across the cluster instead of serialized through a
+    * BroadcastNestedLoopJoin. Semantics identical to [[nearDupPairs]].
+    *
+    * Exact all-pairs is inherently O(n²) compute at any plan shape —
+    * this is the right EXACT baseline; for corpora where n² is off the
+    * table, use [[nearDupPairsBucketed]] / [[ivfTopK]]. */
+  def nearDupPairsBlocked(emb: DataFrame, minCos: Double, blocks: Int = 16): DataFrame = {
+    val b = blocks
+    val a1 = vecs(emb, "a").withColumn("a_blk", pmod(col("a_id"), lit(b)).cast("int"))
+      .withColumn("j", explode(sequence(col("a_blk"), lit(b - 1))))
+      .withColumn("key", col("a_blk") * b + col("j"))
+      .drop("j")
+    val b1 = vecs(emb, "b").withColumn("b_blk", pmod(col("b_id"), lit(b)).cast("int"))
+      .withColumn("i", explode(sequence(lit(0), col("b_blk"))))
+      .withColumn("key", col("i") * b + col("b_blk"))
+      .drop("i")
+    // roles are fixed by BLOCK order, not id order: a cross-block pair
+    // appears exactly once (side 1 = lower block), in whichever id
+    // order the blocks dictate — normalize with least/greatest. Only
+    // same-block pairs (both sides hold the block's vectors) need the
+    // id inequality to drop the mirrored duplicate.
+    a1.join(b1, Seq("key"))
+      .filter((col("a_blk") =!= col("b_blk")) || (col("a_id") < col("b_id")))
+      .selectExpr("least(a_id, b_id) AS a", "greatest(a_id, b_id) AS b",
+        s"${cosFromNorms(dotExpr("a_v", "b_v"), "a_nrm", "b_nrm")} AS cos")
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Embedding near-dup pairs at corpus scale: sign-bucket LSH
+    * candidates with Hamming-≤1 multi-probe, exact cosine verify —
+    * the same candidates-first shape as [[graft.pipeline.Dedup]]'s
+    * MinHash-LSH path.
+    *
+    * Candidate definition (part of the operator contract, mirrored
+    * bit-for-bit by the SQL oracle): a pair qualifies iff the sign
+    * patterns of its first `bits` dimensions differ in at most one bit.
+    * That is the standard LSH recall tradeoff (near-identical vectors
+    * agree on almost all sign bits); exactness over ALL pairs is only
+    * available via the quadratic [[nearDupPairs]].
+    *
+    * Plan shape: the probe side explodes to `bits + 1` bucket probes
+    * (its own bucket plus each 1-bit flip), then a bucket equi-join —
+    * shuffle-partitioned on bucket id, no nested loop, corpus-scale.
+    * Each qualifying pair matches exactly one probe (the XOR of two
+    * buckets is unique), so no dedup pass is needed. */
+  def nearDupPairsBucketed(emb: DataFrame, minCos: Double, bits: Int = 16): DataFrame = {
+    val a = vecs(emb, "a").withColumn("bucket", expr(bucketExpr("a_v", bits)).cast("long"))
+    val b = vecs(emb, "b").withColumn("b_bucket", expr(bucketExpr("b_v", bits)).cast("long"))
+    val flips = array(lit(0L) +: (0 until bits).map(i => lit(1L << i)): _*)
+    val aProbed = a
+      .withColumn("probe", explode(flips))
+      .withColumn("bucket", col("bucket").bitwiseXOR(col("probe")))
+    aProbed.join(b, aProbed("bucket") === b("b_bucket") && col("a_id") < col("b_id"))
+      .selectExpr("a_id AS a", "b_id AS b",
+        s"${cosFromNorms(dotExpr("a_v", "b_v"), "a_nrm", "b_nrm")} AS cos")
+      .filter(col("cos") >= minCos)
+  }
 
   /** Exact cosine top-k for a probe subset against the full corpus. */
   def bruteTopK(emb: DataFrame, probeFilter: String, k: Int): DataFrame = {

@@ -40,7 +40,18 @@ object Apply {
              extraDims: Seq[String] = Nil,
              valueCols: Seq[String] = Seq("value"),
              broadcastWeights: Boolean = true,
-             roundDigits: Int = 9): DataFrame = {
+             roundDigits: Int = 9,
+             validate: Boolean = false): DataFrame = {
+    // V4 shape contract (reference `smm.py:77-86`): every weight column
+    // must reference a source cell present in the field; a mismatched
+    // field would otherwise silently contribute zeros. Opt-in — costs
+    // one anti-join count at plan time.
+    if (validate) {
+      val dangling = Validate.danglingWeightCols(weights, field.select(col("cell_id")))
+      require(dangling == 0,
+        s"weights reference $dangling source cells absent from the field " +
+          "(shape contract, reference smm.py:77-86)")
+    }
     val w0 = weights.select(col("row"), col("col"), col("s"))
 
     // K2 (unmapped → 0) at WEIGHTS cardinality, not output cardinality:
@@ -117,9 +128,31 @@ object Apply {
     *              extra dims into `slab_id` relationally (cheap: one
     *              projection over #slabs rows)
     * @return (slab_id, values) on the destination grid */
-  def regridSlabbed(weights: DataFrame, slabs: DataFrame, nOut: Int): DataFrame = {
-    val spark = slabs.sparkSession
-    import spark.implicits._
+  def regridSlabbed(weights: DataFrame, slabs: DataFrame, nOut: Int): DataFrame =
+    new SlabApplier(weights, nOut).apply(slabs)
+}
+
+/** Reusable dense-slab regrid kernel: the weights relation is collected
+  * into primitive COO arrays ONCE, at construction, and broadcast for
+  * the applier's lifetime — exactly the reference's model, where
+  * `Regridder.__init__` loads the scipy COO matrix into RAM once
+  * (`smm.py:34-41`) and every apply is just the dot (`smm.py:90`).
+  *
+  * The replicate-W memory bar is the same one the reference's dask path
+  * sets ("every chunk sees the full W", `frontend.py:375-389`):
+  * ~20 bytes/triplet, asserted below so the ceiling is explicit rather
+  * than an executor OOM. For weights beyond the bar, use the shuffled
+  * relational [[Apply.regrid]].
+  */
+final class SlabApplier(weights: DataFrame, val nOut: Int,
+                        maxTriplets: Long = 200L * 1000 * 1000) {
+  private val spark = weights.sparkSession
+
+  private val bw = {
+    val nW = weights.count()
+    require(nW <= maxTriplets,
+      s"weights relation has $nW triplets > replicate-W ceiling $maxTriplets; " +
+        "use the shuffled relational Apply.regrid instead")
     val trips = weights.select(col("row").cast("int"), col("col").cast("int"),
       col("s")).collect()
     val rowA = new Array[Int](trips.length)
@@ -130,16 +163,23 @@ object Apply {
       rowA(i) = trips(i).getInt(0); colA(i) = trips(i).getInt(1); sA(i) = trips(i).getDouble(2)
       i += 1
     }
-    val bw = spark.sparkContext.broadcast((rowA, colA, sA))
+    spark.sparkContext.broadcast((rowA, colA, sA))
+  }
 
+  /** @param slabs (slab_id LONG, values ARRAY<DOUBLE>)
+    * @return (slab_id, values) on the destination grid; unmapped 0.0 */
+  def apply(slabs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val n = nOut
+    val b = bw
     // typed Dataset: ArrayType decodes to primitive Array[Double]
     // (no per-element boxing, unlike Row.getSeq)
     slabs.select(col("slab_id").cast("long"), col("values"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        val (rw, cl, sv) = bw.value
+        val (rw, cl, sv) = b.value
         it.map { case (k, inA) =>
-          val out = new Array[Double](nOut)
+          val out = new Array[Double](n)
           var j = 0
           while (j < rw.length) { out(rw(j)) += sv(j) * inA(cl(j)); j += 1 }
           (k, out)

@@ -1,0 +1,114 @@
+package graft.regrid
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Curvilinear (2-D lon/lat mesh) grid support — the reference's
+  * headline ingestion capability: `as_2d_mesh` accepts 2-D `(n_y, n_x)`
+  * coordinate arrays everywhere (reference `xesmf/frontend.py:21-30`,
+  * `backend.py:55-114`); rotated-pole and ocean model grids are the
+  * canonical instances.
+  *
+  * Representation: the same tidy cell relation as rectilinear grids —
+  * `(cell_id, y, x, lon, lat)` with `cell_id = y*nx + x` — the 2-D mesh
+  * is just data, not structure. What changes is weight GENERATION:
+  * bilinear needs point-in-quad location + inverse bilinear coordinates
+  * ([[Weights.bilinearCurvilinear]]), conservative needs polygon
+  * clipping ([[Weights.conservativeCurvilinear]]).
+  */
+object Curvilinear {
+
+  /** Rotated-pole transform: rotated coords (lamr, thr in degrees) →
+    * geographic (lon, lat), pole parameters in degrees. The standard
+    * COSMO/CORDEX rotation; expressed as Column formulas so an external
+    * SQL oracle can evaluate the identical text. */
+  def rotLat(lamr: Column, thr: Column, poleLat: Double): Column =
+    degrees(asin(
+      sin(radians(thr)) * sin(radians(lit(poleLat))) +
+        cos(radians(thr)) * cos(radians(lamr)) * cos(radians(lit(poleLat)))))
+
+  def rotLon(lamr: Column, thr: Column, poleLat: Double, poleLon: Double): Column =
+    lit(poleLon) + degrees(atan2(
+      cos(radians(thr)) * sin(radians(lamr)),
+      sin(radians(thr)) * cos(radians(lit(poleLat))) -
+        cos(radians(thr)) * cos(radians(lamr)) * sin(radians(lit(poleLat)))))
+
+  /** Same transforms as DuckDB SQL text (oracle generation). */
+  def sqlRotLat(lamr: String, thr: String, poleLat: Double): String =
+    s"degrees(asin(sin(radians($thr)) * sin(radians($poleLat)) + " +
+      s"cos(radians($thr)) * cos(radians($lamr)) * cos(radians($poleLat))))"
+
+  def sqlRotLon(lamr: String, thr: String, poleLat: Double, poleLon: Double): String =
+    s"$poleLon + degrees(atan2(cos(radians($thr)) * sin(radians($lamr)), " +
+      s"sin(radians($thr)) * cos(radians($poleLat)) - " +
+      s"cos(radians($thr)) * cos(radians($lamr)) * sin(radians($poleLat))))"
+
+  /** Center-mesh cell relation of a rotated-pole grid: a uniform grid
+    * in rotated coordinates, curvilinear in geographic coordinates.
+    * Cheap narrow projection over `spark.range` (same shape as
+    * [[Grids.cells]]). */
+  def rotatedCells(spark: SparkSession, rot: RectGrid,
+                   poleLat: Double, poleLon: Double): DataFrame = {
+    val nx = rot.nx
+    spark.range(rot.nCells).toDF("cell_id")
+      .withColumn("y", expr(s"CAST(cell_id DIV $nx AS INT)"))
+      .withColumn("x", expr(s"CAST(cell_id % $nx AS INT)"))
+      .withColumn("lamr", rot.lonAxis.center(col("x")))
+      .withColumn("thr", rot.latAxis.center(col("y")))
+      .withColumn("lon", rotLon(col("lamr"), col("thr"), poleLat, poleLon))
+      .withColumn("lat", rotLat(col("lamr"), col("thr"), poleLat))
+      .drop("lamr", "thr")
+  }
+
+  /** Corner polygons of a rotated-pole grid: per cell the 4 geographic
+    * corner coordinates (counter-clockwise in rotated space), for the
+    * curvilinear conservative kernel. */
+  def rotatedCorners(spark: SparkSession, rot: RectGrid,
+                     poleLat: Double, poleLon: Double): DataFrame = {
+    val nx = rot.nx
+    def corner(ix: Column, iy: Column, which: String): Seq[Column] = {
+      val lamr = rot.lonAxis.boundLo(ix)
+      val thr = rot.latAxis.boundLo(iy)
+      Seq(rotLon(lamr, thr, poleLat, poleLon).as(s"lon_$which"),
+        rotLat(lamr, thr, poleLat).as(s"lat_$which"))
+    }
+    spark.range(rot.nCells).toDF("cell_id")
+      .withColumn("y", expr(s"CAST(cell_id DIV $nx AS INT)"))
+      .withColumn("x", expr(s"CAST(cell_id % $nx AS INT)"))
+      .select(Seq(col("cell_id"), col("y"), col("x")) ++
+        corner(col("x"), col("y"), "c0") ++
+        corner(col("x") + 1, col("y"), "c1") ++
+        corner(col("x") + 1, col("y") + 1, "c2") ++
+        corner(col("x"), col("y") + 1, "c3"): _*)
+  }
+
+  /** Corner polygons of a rectilinear bounds relation (for mixing a
+    * rectilinear side into the curvilinear conservative kernel):
+    * `(cell_id, lon_c0..lat_c3)`, counter-clockwise. */
+  def boundsToPolys(cells: DataFrame): DataFrame = cells.select(col("cell_id"),
+    col("lon_w").as("lon_c0"), col("lat_s").as("lat_c0"),
+    col("lon_e").as("lon_c1"), col("lat_s").as("lat_c1"),
+    col("lon_e").as("lon_c2"), col("lat_n").as("lat_c2"),
+    col("lon_w").as("lon_c3"), col("lat_n").as("lat_c3"))
+
+  /** Quad relation of an arbitrary center mesh: one row per mesh cell
+    * (j, i) with the 4 surrounding CENTERS as vertices — the bilinear
+    * interpolation quads. Built from the tidy cell relation with three
+    * shifted equi-joins on (y, x); runs as hash joins, weight-build-once
+    * cost. */
+  def centerQuads(cells: DataFrame): DataFrame = {
+    def c(as: String) = cells.select(
+      col("y").as(s"${as}_y"), col("x").as(s"${as}_x"),
+      col("cell_id").as(s"id$as"), col("lon").as(s"lon$as"), col("lat").as(s"lat$as"))
+    c("00")
+      .join(c("10"), col("10_y") === col("00_y") && col("10_x") === col("00_x") + 1)
+      .join(c("01"), col("01_y") === col("00_y") + 1 && col("01_x") === col("00_x"))
+      .join(c("11"), col("11_y") === col("00_y") + 1 && col("11_x") === col("00_x") + 1)
+      .select(
+        col("00_y").as("qy"), col("00_x").as("qx"),
+        col("id00"), col("lon00"), col("lat00"),
+        col("id10"), col("lon10"), col("lat10"),
+        col("id01"), col("lon01"), col("lat01"),
+        col("id11"), col("lon11"), col("lat11"))
+  }
+}

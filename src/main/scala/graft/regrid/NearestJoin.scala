@@ -74,9 +74,14 @@ object NearestJoin {
         .filter(col("rn") === 1)
         .select(col("probe_id"), col("point_id"), col("dist"))
 
-      val done = best.filter(col("dist") <= lit(bound))
+      // localCheckpoint truncates lineage so round k's `remaining.isEmpty`
+      // action (and the caller's final action) does NOT recompute every
+      // previous round's candidate join — at 10^8 probes with 2-3 rounds
+      // the repeated join would multiply the dominant cost.
+      val done = best.filter(col("dist") <= lit(bound)).localCheckpoint()
       resolved = Some(resolved.map(_.unionByName(done)).getOrElse(done))
       remaining = remaining.join(done.select("probe_id"), Seq("probe_id"), "left_anti")
+        .localCheckpoint()
       r *= 4.0
       round += 1
     }

@@ -43,6 +43,52 @@ final case class RectDef(g: RectGrid, bounds: Boolean = true) extends GridDef {
   }
 }
 
+/** Non-uniform rectilinear grid from user coordinate arrays
+  * (reference accepts arbitrary coordinate datasets/dicts,
+  * `frontend.py:59-69`). */
+final case class CoordDef(g: CoordGrid, bounds: Boolean = true) extends GridDef {
+  def isLocstream = false
+  def nCells: Long = g.nCells
+  def shapeStr = s"(${g.ny}, ${g.nx})"
+  def hasBounds: Boolean = bounds
+  def cells(spark: SparkSession, withBounds: Boolean): DataFrame = {
+    if (withBounds && !bounds)
+      throw new NoSuchElementException("grid has no bounds (lon_b/lat_b) but method requires them")
+    CoordGrid.cells(spark, g, withBounds)
+  }
+}
+
+/** Grid from a user-supplied cell relation — the fully general
+  * ingestion path (the reference accepts raw datasets/dicts of
+  * coordinate arrays, `frontend.py:58-69`). The DataFrame must carry
+  * `(cell_id, lon, lat)` and, for bounds-needing methods, the four
+  * bound columns. Works with conservative / nearest methods, which
+  * only consume the cell relation; bilinear/patch need axis structure
+  * and reject it.
+  *
+  * V2 shape contract (reference `frontend.py:23-28`): the relation
+  * must have exactly `ny·nx` rows — checked once, lazily, at first
+  * use. */
+final case class CellsDef(df: DataFrame, ny: Int, nx: Int) extends GridDef {
+  def isLocstream = false
+  def nCells: Long = ny.toLong * nx
+  def shapeStr = s"($ny, $nx)"
+  private val boundCols = Set("lon_w", "lon_e", "lat_s", "lat_n")
+  def hasBounds: Boolean = boundCols.subsetOf(df.columns.toSet)
+  private lazy val v2Checked: Unit = {
+    val n = df.count()
+    require(n == nCells,
+      s"cell relation has $n rows but declared shape $shapeStr = $nCells cells " +
+        "(V2 shape contract, reference frontend.py:23-28)")
+  }
+  def cells(spark: SparkSession, withBounds: Boolean): DataFrame = {
+    if (withBounds && !hasBounds)
+      throw new NoSuchElementException("grid has no bounds (lon_b/lat_b) but method requires them")
+    v2Checked
+    if (withBounds) df else df.drop(boundCols.toSeq: _*)
+  }
+}
+
 final case class LocDef(points: Seq[(Double, Double)]) extends GridDef {
   def isLocstream = true
   def nCells: Long = points.size.toLong
@@ -73,7 +119,8 @@ final class Regridder(
     val periodicRequested: Boolean = false,
     val weightsDir: Option[String] = None,
     val reuseWeights: Boolean = false,
-    val nearestBandDeg: Double = 15.0) {
+    val nearestBandDeg: Double = 15.0,
+    val ignoreDegenerate: Boolean = false) {
 
   // periodic is forced off for conservative (reference `frontend.py:164-176`)
   val periodic: Boolean = periodicRequested && method != RegridMethod.Conservative
@@ -92,6 +139,7 @@ final class Regridder(
   def defaultFilename: String = {
     def dims(g: GridDef): String = g match {
       case RectDef(r, _) => s"${r.ny}x${r.nx}"
+      case CoordDef(c, _) => s"${c.ny}x${c.nx}"
       case l: LocDef => s"1x${l.nCells}"
     }
     val peri = if (periodic) "_peri" else ""
@@ -105,18 +153,35 @@ final class Regridder(
     val dstB = gridOut.cells(spark, method.needBounds)
     method match {
       case RegridMethod.Bilinear =>
-        val rect = gridIn match {
-          case RectDef(r, _) => r
+        gridIn match {
+          case RectDef(r, _) => Weights.bilinear(r, dstB, periodic)
+          case CoordDef(cg, _) => Weights.bilinearIrregular(cg, dstB)
           case _ => throw new IllegalArgumentException("bilinear needs a rectilinear source grid")
         }
-        Weights.bilinear(rect, dstB, periodic)
-      case RegridMethod.Conservative => Weights.conservative(srcB, dstB)
+      case RegridMethod.Conservative =>
+        // V6 `ignore_degenerate` (reference `backend.py:230-232`,
+        // `frontend.py:148-150`): zero-area cells either error (ESMF's
+        // default) or are silently dropped from the weight build
+        def degenerate(cells: DataFrame) =
+          cells.filter(col("lon_w") === col("lon_e") || col("lat_s") === col("lat_n"))
+        if (ignoreDegenerate)
+          Weights.conservative(
+            srcB.except(degenerate(srcB)), dstB.except(degenerate(dstB)))
+        else {
+          val nBad = degenerate(srcB).count() + degenerate(dstB).count()
+          if (nBad > 0) throw new IllegalArgumentException(
+            s"$nBad degenerate (zero-area) cells in grid bounds; " +
+              "pass ignoreDegenerate = true to skip them (reference backend.py:230-232)")
+          Weights.conservative(srcB, dstB)
+        }
       case RegridMethod.NearestS2D => Weights.nearestS2D(srcB, dstB, nearestBandDeg)
       case RegridMethod.NearestD2S => Weights.nearestD2S(srcB, dstB, nearestBandDeg)
       case RegridMethod.Patch =>
-        throw new UnsupportedOperationException(
-          "patch recovery is not implemented yet (reference itself skips it in tests, " +
-            "test_frontend.py:49-50)")
+        gridIn match {
+          case RectDef(r, _) => Weights.patch(r, dstB, periodic)
+          case _ => throw new IllegalArgumentException(
+            "patch needs a uniform rectilinear source grid")
+        }
     }
   }
 
@@ -127,9 +192,16 @@ final class Regridder(
       case Some(p) =>
         val path = new org.apache.hadoop.fs.Path(p)
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (reuseWeights && fs.exists(path)) spark.read.parquet(p)
-        else {
-          build().write.mode("overwrite").parquet(p)
+        if (fs.exists(path)) {
+          if (reuseWeights) spark.read.parquet(p)
+          else
+            // V8: refuse to clobber (reference `backend.py:269-272`);
+            // `cleanWeightFile()` removes it explicitly
+            throw new IllegalStateException(
+              s"Weight file $p already exists! Set reuseWeights = true to load it, " +
+                "or cleanWeightFile() first (reference backend.py:269-272)")
+        } else {
+          build().write.parquet(p)
           spark.read.parquet(p)
         }
       case None => build()
@@ -144,14 +216,32 @@ final class Regridder(
     if (fs.exists(path)) { fs.delete(path, true); () }
   }
 
-  /** Regrid a field: `(cell_id, [extraDims...], [valueCols...])` in
-    * source cell space → same relation in destination cell space. */
+  /** Dense-slab kernel, built once per regridder (collect + broadcast
+    * of W — the analog of the reference holding scipy's COO in RAM for
+    * the regridder's lifetime, `smm.py:34-41`). */
+  lazy val slabApplier: SlabApplier = {
+    require(gridOut.nCells <= Int.MaxValue,
+      s"slab path needs nOut <= 2^31 (got ${gridOut.nCells}); use the relational apply")
+    new SlabApplier(weights, gridOut.nCells.toInt)
+  }
+
+  /** Regrid a field. Two input shapes, auto-detected:
+    *  - tall relational `(cell_id, [extraDims...], [valueCols...])` →
+    *    join-agg kernel, output in the same tall shape;
+    *  - dense slab-major `(slab_id, values ARRAY<DOUBLE>)` (one row per
+    *    extra-dim combo, index = cell_id — see [[Apply.toSlabs]]) →
+    *    broadcast-W dense scatter, ~an order of magnitude faster for
+    *    raster fields with many slabs. */
   def apply(field: DataFrame,
             extraDims: Seq[String] = Nil,
             valueCols: Seq[String] = Seq("value"),
-            broadcastWeights: Boolean = true): DataFrame =
-    Apply.regrid(weights, field, gridOut.cells(spark, withBounds = false),
-      extraDims, valueCols, broadcastWeights)
+            broadcastWeights: Boolean = true,
+            validate: Boolean = false): DataFrame = {
+    val cols = field.columns.toSet
+    if (cols.contains("values") && cols.contains("slab_id")) slabApplier.apply(field)
+    else Apply.regrid(weights, field, gridOut.cells(spark, withBounds = false),
+      extraDims, valueCols, broadcastWeights, validate = validate)
+  }
 
   /** Regrid and attach output-grid coordinates + method metadata
     * (reference R5, `frontend.py:400-446`). */

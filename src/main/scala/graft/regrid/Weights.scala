@@ -148,6 +148,282 @@ object Weights {
       .filter(col("s") =!= 0.0)
   }
 
+  /** `patch` — best-effort stand-in for ESMF's patch recovery
+    * (reference `backend.py:241-246`; the reference's own tests skip it
+    * as too slow, `test_frontend.py:49-50`, and the exact
+    * patch-recovery polynomial lives inside ESMF's Fortran core).
+    *
+    * Approximation, documented deviation: separable bicubic
+    * convolution (Keys kernel, a = −1/2) over the 4×4 source-center
+    * stencil around each destination — like ESMF patch it is a
+    * higher-order, smoother-than-bilinear interpolant whose weights
+    * sum to 1. Closed form over a uniform grid, so weight generation
+    * is again a narrow projection over the destination relation (zero
+    * shuffle). Stencil rows/cols are clamped at the grid edge
+    * (longitude wraps instead when `periodic`); destinations outside
+    * the source center hull stay unmapped → 0 like bilinear.
+    */
+  def patch(src: RectGrid, dstPoints: DataFrame, periodic: Boolean): DataFrame = {
+    val nx = src.nx
+    val ny = src.ny
+    require(nx >= 4 && ny >= 4, s"patch needs at least 4x4 source centers, got ${ny}x$nx")
+
+    val d = dstPoints.select(col("cell_id").as("row"), col("lon"), col("lat"))
+      .withColumn("tx", (col("lon") - lit(src.lonAxis.firstCenter)) / lit(src.lonAxis.step))
+      .withColumn("ty", (col("lat") - lit(src.latAxis.firstCenter)) / lit(src.latAxis.step))
+
+    // Keys bicubic kernel, a = -1/2; Horner form reproduced textually in
+    // the SQL oracle so both engines compute identical doubles
+    def k(t: Column, off: Int): Column = off match {
+      case -1 => ((lit(-0.5) * t + lit(1.0)) * t - lit(0.5)) * t
+      case 0  => (lit(1.5) * t - lit(2.5)) * t * t + lit(1.0)
+      case 1  => ((lit(-1.5) * t + lit(2.0)) * t + lit(0.5)) * t
+      case 2  => (lit(0.5) * t - lit(0.5)) * t * t
+    }
+
+    val inHull =
+      if (periodic) col("ty") >= 0.0 && col("ty") <= lit((ny - 1).toDouble)
+      else col("tx") >= 0.0 && col("tx") <= lit((nx - 1).toDouble) &&
+        col("ty") >= 0.0 && col("ty") <= lit((ny - 1).toDouble)
+
+    // anchor clamped so the 4-point stencil stays on-grid (lat always;
+    // lon only when not periodic); frac then ranges past [0,1) in the
+    // outermost cells — the kernel extrapolates there, still sum-1
+    val base = d.filter(inHull)
+      .withColumn("ix0",
+        if (periodic)
+          floor(((col("tx") % lit(nx.toDouble)) + lit(nx.toDouble)) % lit(nx.toDouble)).cast("long")
+        else least(greatest(floor(col("tx")), lit(1.0)), lit((nx - 3).toDouble)).cast("long"))
+      .withColumn("iy0", least(greatest(floor(col("ty")), lit(1.0)), lit((ny - 3).toDouble)).cast("long"))
+      .withColumn("fx",
+        if (periodic)
+          (((col("tx") % lit(nx.toDouble)) + lit(nx.toDouble)) % lit(nx.toDouble)) - col("ix0").cast("double")
+        else col("tx") - col("ix0").cast("double"))
+      .withColumn("fy", col("ty") - col("iy0").cast("double"))
+
+    def colOf(dy: Int, dx: Int): Column = {
+      val ix =
+        if (periodic) pmod(col("ix0") + dx, lit(nx.toLong))
+        else col("ix0") + dx
+      ((col("iy0") + dy) * lit(nx.toLong) + ix).cast("long")
+    }
+
+    val stencil = for (dy <- -1 to 2; dx <- -1 to 2) yield
+      struct(colOf(dy, dx).as("col"), (k(col("fx"), dx) * k(col("fy"), dy)).as("s"))
+
+    base.select(col("row"), explode(array(stencil: _*)).as("e"))
+      .select(col("row"), col("e.col").as("col"), col("e.s").as("s"))
+      .groupBy(col("row"), col("col"))
+      .agg(r12(sum(col("s"))).as("s"))
+      .filter(col("s") =!= 0.0)
+  }
+
+  /** `bilinear` over an arbitrary NON-UNIFORM rectilinear source grid
+    * (Gaussian latitudes etc. — the coordinate-array ingestion path of
+    * reference `frontend.py:59-69`, which the closed-form [[bilinear]]
+    * cannot serve).
+    *
+    * The bracketing source centers per axis are located with a banded
+    * interval EQUI-join: band width = the axis's widest center gap, so
+    * every inter-center segment spans at most two bands and the
+    * candidate join is a hash join keyed on band id — no nested-loop
+    * theta join, same scale pattern as [[conservative]] and
+    * [[NearestJoin]]. Fractional weights use the local segment width.
+    * Destinations outside the source center hull stay unmapped → 0
+    * (the reference's `unmapped_action=IGNORE` behavior).
+    */
+  def bilinearIrregular(src: CoordGrid, dstPoints: DataFrame): DataFrame = {
+    val spark = dstPoints.sparkSession
+    import spark.implicits._
+
+    // per-axis bracketing: (row, i0, frac) for the segment
+    // [centers(i0), centers(i0+1)] containing the coordinate; points on
+    // an interior center boundary belong to the right segment, the last
+    // segment is upper-inclusive
+    def axisIndex(ax: CoordAxis, d: DataFrame, coordCol: String,
+                  idxName: String, fracName: String): DataFrame = {
+      val w = math.max(ax.maxSegmentWidth, 1e-12)
+      val segs = (0 until ax.n - 1)
+        .map(i => (i.toLong, ax.centers(i), ax.centers(i + 1), i == ax.n - 2))
+        .toDF("i0", "c_lo", "c_hi", "is_last")
+        .withColumn("band", explode(sequence(
+          floor(col("c_lo") / lit(w)).cast("long"),
+          floor(col("c_hi") / lit(w)).cast("long"))))
+      d.withColumn("band", floor(col(coordCol) / lit(w)).cast("long"))
+        .join(segs, Seq("band"))
+        .filter(col(coordCol) >= col("c_lo") &&
+          (col(coordCol) < col("c_hi") || (col("is_last") && col(coordCol) <= col("c_hi"))))
+        .select(col("row"), col("i0").as(idxName),
+          ((col(coordCol) - col("c_lo")) / (col("c_hi") - col("c_lo"))).as(fracName))
+    }
+
+    val d = dstPoints.select(col("cell_id").as("row"), col("lon"), col("lat"))
+    val dx = axisIndex(src.lonAxis, d.select("row", "lon"), "lon", "ix0", "fx")
+    val dy = axisIndex(src.latAxis, d.select("row", "lat"), "lat", "iy0", "fy")
+    val nx = src.nx
+
+    def cellOf(iy: Column, ix: Column): Column = (iy * lit(nx.toLong) + ix).cast("long")
+
+    dx.join(dy, "row")
+      .select(col("row"), explode(array(
+        struct(cellOf(col("iy0"), col("ix0")).as("col"),
+          ((lit(1.0) - col("fx")) * (lit(1.0) - col("fy"))).as("s")),
+        struct(cellOf(col("iy0"), col("ix0") + 1).as("col"),
+          (col("fx") * (lit(1.0) - col("fy"))).as("s")),
+        struct(cellOf(col("iy0") + 1, col("ix0")).as("col"),
+          ((lit(1.0) - col("fx")) * col("fy")).as("s")),
+        struct(cellOf(col("iy0") + 1, col("ix0") + 1).as("col"),
+          (col("fx") * col("fy")).as("s")))).as("e"))
+      .select(col("row"), col("e.col").as("col"), col("e.s").as("s"))
+      .groupBy(col("row"), col("col"))
+      .agg(r12(sum(col("s"))).as("s"))
+      .filter(col("s") =!= 0.0)
+  }
+
+  /** `bilinear` over a CURVILINEAR source mesh (2-D lon/lat arrays —
+    * reference `frontend.py:21-30` `as_2d_mesh`; rotated-pole/ocean
+    * grids): locate the enclosing center-quad per destination, invert
+    * the bilinear map inside it, weights from the (u, v) quad
+    * coordinates.
+    *
+    * Plan shape: quads from three shifted equi-joins on (y, x)
+    * ([[Curvilinear.centerQuads]]); candidate pairs from a lat-band
+    * equi-join on the quad bounding box (no nested loop); the inverse
+    * bilinear (a quadratic solve, iq's `invBilinear` formulation) runs
+    * as codegen'd column arithmetic on candidates only. A destination
+    * on a shared quad edge resolves to the lowest (qy, qx) quad on
+    * both engines via a deterministic row_number.
+    */
+  /** Tolerances of the inverse-bilinear root selection — public so the
+    * SQL oracle embeds the IDENTICAL double literals. */
+  val linEps: Double = 1e-12
+  val rootLo: Double = -1e-9
+  val rootHi: Double = 1.0 + 1e-9
+
+  def bilinearCurvilinear(srcCells: DataFrame, dstPoints: DataFrame,
+                          bandDeg: Double = 5.0): DataFrame = {
+    val quads = Curvilinear.centerQuads(srcCells)
+      .withColumn("lat_min", least(col("lat00"), col("lat10"), col("lat01"), col("lat11")))
+      .withColumn("lat_max", greatest(col("lat00"), col("lat10"), col("lat01"), col("lat11")))
+      .withColumn("lon_min", least(col("lon00"), col("lon10"), col("lon01"), col("lon11")))
+      .withColumn("lon_max", greatest(col("lon00"), col("lon10"), col("lon01"), col("lon11")))
+      .withColumn("band", explode(sequence(
+        floor(col("lat_min") / lit(bandDeg)).cast("long"),
+        floor(col("lat_max") / lit(bandDeg)).cast("long"))))
+
+    val d = dstPoints.select(col("cell_id").as("row"),
+      col("lon").as("plon"), col("lat").as("plat"))
+      .withColumn("band", floor(col("plat") / lit(bandDeg)).cast("long"))
+
+    val cand = d.join(quads, Seq("band"))
+      .filter(col("plon") >= col("lon_min") && col("plon") <= col("lon_max") &&
+        col("plat") >= col("lat_min") && col("plat") <= col("lat_max"))
+      // inverse bilinear: p(u,v) = p00 + u·e + v·f + uv·g, solve for (u,v)
+      .withColumn("hx", col("plon") - col("lon00"))
+      .withColumn("hy", col("plat") - col("lat00"))
+      .withColumn("ex", col("lon10") - col("lon00"))
+      .withColumn("ey", col("lat10") - col("lat00"))
+      .withColumn("fx", col("lon01") - col("lon00"))
+      .withColumn("fy", col("lat01") - col("lat00"))
+      .withColumn("gx", col("lon00") - col("lon10") - col("lon01") + col("lon11"))
+      .withColumn("gy", col("lat00") - col("lat10") - col("lat01") + col("lat11"))
+      .withColumn("k2", col("gx") * col("fy") - col("gy") * col("fx"))
+      .withColumn("k1", (col("ex") * col("fy") - col("ey") * col("fx")) +
+        (col("hx") * col("gy") - col("hy") * col("gx")))
+      .withColumn("k0", col("hx") * col("ey") - col("hy") * col("ex"))
+      .withColumn("disc", col("k1") * col("k1") - lit(4.0) * col("k0") * col("k2"))
+      // no real (u,v) solution when disc < 0 — filtered BEFORE sqrt so
+      // the SQL oracle (whose sqrt raises on negatives) can mirror this
+      .filter(col("disc") >= 0.0)
+      .withColumn("vm", (-col("k1") - sqrt(col("disc"))) / (lit(2.0) * col("k2")))
+      .withColumn("vp", (-col("k1") + sqrt(col("disc"))) / (lit(2.0) * col("k2")))
+      .withColumn("v", r9(
+        when(abs(col("k2")) < lit(linEps), -col("k0") / col("k1"))
+          .otherwise(when(col("vm") >= lit(rootLo) && col("vm") <= lit(rootHi), col("vm"))
+            .otherwise(col("vp")))))
+      .withColumn("dnx", col("ex") + col("gx") * col("v"))
+      .withColumn("dny", col("ey") + col("gy") * col("v"))
+      .withColumn("u", r9(
+        when(abs(col("dnx")) >= abs(col("dny")),
+          (col("hx") - col("fx") * col("v")) / col("dnx"))
+          .otherwise((col("hy") - col("fy") * col("v")) / col("dny"))))
+      .filter(col("u") >= 0.0 && col("u") <= 1.0 && col("v") >= 0.0 && col("v") <= 1.0)
+
+    import org.apache.spark.sql.expressions.Window
+    val first = cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("row")).orderBy(col("qy"), col("qx"))))
+      .filter(col("rn") === 1)
+
+    first.select(col("row"), explode(array(
+      struct(col("id00").as("col"), ((lit(1.0) - col("u")) * (lit(1.0) - col("v"))).as("s")),
+      struct(col("id10").as("col"), (col("u") * (lit(1.0) - col("v"))).as("s")),
+      struct(col("id01").as("col"), ((lit(1.0) - col("u")) * col("v")).as("s")),
+      struct(col("id11").as("col"), (col("u") * col("v")).as("s")))).as("e"))
+      .select(col("row"), col("e.col").as("col"), col("e.s").as("s"))
+      .groupBy(col("row"), col("col"))
+      .agg(r12(sum(col("s"))).as("s"))
+      .filter(col("s") =!= 0.0)
+  }
+
+  /** First-order conservative remap over CURVILINEAR quads: exact
+    * polygon clipping of source cells against destination cells.
+    *
+    * Documented deviation from ESMF: cell edges are straight in
+    * (lon°, lat°) space instead of great circles (SURVEY §7 (a)); the
+    * spherical measure `∫∫ cos(lat)` is evaluated in closed form per
+    * clipped polygon ([[Geometry.sphericalArea]]), so source pieces
+    * tile each destination exactly and conservation holds to FP
+    * precision (RegridSpec asserts 1e-10).
+    *
+    * Plan shape: lat-band bbox equi-join for candidates (with the
+    * ±360° longitude-frame bridge), then the clip kernel runs via
+    * `mapPartitions` on candidate pairs only — geometry is the one
+    * place where a local imperative kernel genuinely beats column
+    * expressions. Input schema both sides:
+    * `(cell_id, lon_c0, lat_c0, …, lon_c3, lat_c3)`
+    * (see [[Curvilinear.rotatedCorners]] / [[Curvilinear.boundsToPolys]]).
+    */
+  def conservativeCurvilinear(srcPolys: DataFrame, dstPolys: DataFrame,
+                              bandDeg: Double = 5.0): DataFrame = {
+    val spark = srcPolys.sparkSession
+    import spark.implicits._
+    def prep(df: DataFrame, role: String): DataFrame = {
+      val lons = (0 to 3).map(k => col(s"lon_c$k"))
+      val lats = (0 to 3).map(k => col(s"lat_c$k"))
+      df.select(col("cell_id").as(s"${role}_id"),
+        array((0 to 3).flatMap(k => Seq(col(s"lon_c$k"), col(s"lat_c$k"))): _*).as(s"${role}_p"),
+        least(lons: _*).as(s"${role}_lon_min"), greatest(lons: _*).as(s"${role}_lon_max"),
+        least(lats: _*).as(s"${role}_lat_min"), greatest(lats: _*).as(s"${role}_lat_max"))
+    }
+    val s0 = prep(srcPolys, "s")
+      .withColumn("shift", explode(array(lit(-360.0), lit(0.0), lit(360.0))))
+      .withColumn("s_p", expr("transform(s_p, (v, i) -> IF(i % 2 = 0, v + shift, v))"))
+      .withColumn("s_lon_min", col("s_lon_min") + col("shift"))
+      .withColumn("s_lon_max", col("s_lon_max") + col("shift"))
+      .drop("shift")
+      .withColumn("band", explode(sequence(
+        floor(col("s_lat_min") / lit(bandDeg)).cast("long"),
+        floor(col("s_lat_max") / lit(bandDeg)).cast("long"))))
+    val d0 = prep(dstPolys, "d")
+      .withColumn("band", explode(sequence(
+        floor(col("d_lat_min") / lit(bandDeg)).cast("long"),
+        floor(col("d_lat_max") / lit(bandDeg)).cast("long"))))
+
+    d0.join(s0,
+      d0("band") === s0("band") &&
+        col("s_lon_min") < col("d_lon_max") && col("s_lon_max") > col("d_lon_min") &&
+        col("s_lat_min") < col("d_lat_max") && col("s_lat_max") > col("d_lat_min") &&
+        d0("band") === floor(greatest(col("s_lat_min"), col("d_lat_min")) / lit(bandDeg)).cast("long"))
+      .select(col("d_id"), col("s_id"), col("s_p"), col("d_p"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (d, s, sp, dp) =>
+        (d, s, Geometry.overlapWeight(sp, dp))
+      })
+      .toDF("row", "col", "s")
+      .filter(col("s") =!= 0.0)
+  }
+
   /** First-order conservative remap (Jones 1999, cited reference
     * `xesmf/data.py:30-32`): `w(d,s) = A(s ∩ d) / A(d)` with spherical
     * patch area `Δlon · (sin lat_n − sin lat_s)`. Requires bounds
@@ -162,9 +438,23 @@ object Weights {
     */
   def conservative(srcCells: DataFrame, dstCells: DataFrame,
                    bandDeg: Double = 15.0): DataFrame = {
+    // Longitude-convention bridge: a [0,360) source grid must still
+    // overlap a [-180,180) destination (ESMF handles this natively in
+    // spherical coords). Each source cell is tried at shifts
+    // {-360, 0, +360}; the interval predicate below keeps exactly the
+    // copy that actually overlaps. For grids sharing a frame the
+    // shifted copies never match (strict inequalities), so existing
+    // results are bit-identical. A cell can match the same destination
+    // through two shifts only if the destination is wider than
+    // 360° − src-width — not a meaningful grid.
     val s = srcCells.select(
-      col("cell_id").as("s_id"), col("lon_w").as("s_lon_w"), col("lon_e").as("s_lon_e"),
+      col("cell_id").as("s_id"), col("lon_w"), col("lon_e"),
       col("lat_s").as("s_lat_s"), col("lat_n").as("s_lat_n"))
+      .withColumn("lon_shift", explode(array(lit(-360.0), lit(0.0), lit(360.0))))
+      .select(col("s_id"),
+        (col("lon_w") + col("lon_shift")).as("s_lon_w"),
+        (col("lon_e") + col("lon_shift")).as("s_lon_e"),
+        col("s_lat_s"), col("s_lat_n"))
       .withColumn("band", explode(sequence(
         floor(col("s_lat_s") / lit(bandDeg)).cast("long"),
         floor(col("s_lat_n") / lit(bandDeg)).cast("long"))))

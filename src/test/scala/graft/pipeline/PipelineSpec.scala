@@ -104,6 +104,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("blocked exact near-dup == naive all-pairs (block replication changes plan, not result)") {
+    val naive = Similarity.nearDupPairs(emb, 0.45)
+      .select(col("a"), col("b"), col("cos").as("ncos"))
+    val blocked = Similarity.nearDupPairsBlocked(emb, 0.45)
+    assert(blocked.count() === naive.count())
+    val j = blocked.join(naive, Seq("a", "b"), "full")
+    assert(j.filter(col("cos").isNull || col("ncos").isNull).count() === 0)
+    assert(j.filter(col("cos") =!= col("ncos")).count() === 0)
+    // no duplicate pair emitted by the replication scheme
+    assert(blocked.groupBy("a", "b").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("bucketed LSH near-dup is a subset of exact all-pairs with identical cosines") {
+    val lsh = Similarity.nearDupPairsBucketed(emb, 0.45, bits = 8)
+    val exact = Similarity.nearDupPairs(emb, 0.45)
+      .select(col("a"), col("b"), col("cos").as("ecos"))
+    val j = lsh.join(exact, Seq("a", "b"), "left")
+    assert(j.filter(col("ecos").isNull || col("ecos") =!= col("cos")).count() === 0)
+    assert(lsh.groupBy("a", "b").count().filter(col("count") > 1).count() === 0)
+  }
+
   test("IVF top-k is the bucket-restricted subset of brute force") {
     val ivf = Similarity.ivfTopK(emb, "vec_id % 50 = 0", 5)
       .select("query_id", "neighbor_id", "cos")

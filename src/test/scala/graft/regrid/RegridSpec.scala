@@ -232,4 +232,232 @@ class RegridSpec extends AnyFunSuite {
     assert(Validate.latOutOfRange(cells) > 0)
     assert(Validate.latOutOfRange(srcCells()) === 0)
   }
+
+  test("patch (bicubic stencil): weights sum to 1, ≤16 entries, beats bilinear accuracy") {
+    val w = Weights.patch(gridIn, dstCells(), periodic = false)
+    val per = w.groupBy("row").agg(sum("s").as("t"), count("*").as("n"))
+    assert(per.filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    assert(per.filter(col("n") > 16).count() === 0)
+    // on the cells patch maps, its error must beat bilinear's on the
+    // same cells (higher-order interpolant, smooth field)
+    val ref = dstCells().select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("ref"))
+    def errOn(weights: DataFrame): Double = {
+      val mapped = weights.select(col("row").as("cell_id")).distinct()
+      Apply.regrid(weights, waveIn, dstCells()).join(mapped, "cell_id").join(ref, "cell_id")
+        .select(max(abs((col("ref") - col("value")) / col("ref"))).as("e"))
+        .head().getDouble(0)
+    }
+    val eP = errOn(w)
+    val eB = errOn(Weights.bilinear(gridIn, dstCells(), periodic = false))
+    assert(eP < eB, s"patch err $eP !< bilinear err $eB")
+    assert(eP < 0.05, s"patch max rel err $eP")
+  }
+
+  test("patch periodic: wraps longitude, maps every dest row with lat in hull") {
+    val w = Weights.patch(gridIn, dstCells(), periodic = true)
+    val nInHull = dstCells().filter(
+      (col("lat") - gridIn.latAxis.firstCenter) / gridIn.latAxis.step >= 0.0 &&
+      (col("lat") - gridIn.latAxis.firstCenter) / gridIn.latAxis.step <= (gridIn.ny - 1).toDouble
+    ).count()
+    assert(w.select("row").distinct().count() === nInHull)
+    assert(w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+  }
+
+  test("bilinearIrregular on uniform coord arrays == closed-form bilinear") {
+    val cg = CoordGrid(CoordAxis.fromUniform(gridIn.lonAxis), CoordAxis.fromUniform(gridIn.latAxis))
+    val wi = Weights.bilinearIrregular(cg, dstCells()).withColumnRenamed("s", "si")
+    val wu = Weights.bilinear(gridIn, dstCells(), periodic = false).withColumnRenamed("s", "su")
+    val j = wi.join(wu, Seq("row", "col"), "full")
+    assert(j.filter(col("si").isNull || col("su").isNull).count() === 0)
+    assert(j.select(max(abs(col("si") - col("su")))).head().getDouble(0) < 1e-9)
+  }
+
+  test("bilinearIrregular: non-uniform (Gaussian-like) grid, rows sum to 1, analytic err bounded") {
+    val g = graft.RegridQueries.gridInNonuni
+    val w = Weights.bilinearIrregular(g, dstCells())
+    assert(w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    val f = CoordGrid.cells(spark, g).select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+    val mapped = w.select(col("row").as("cell_id")).distinct()
+    val ref = dstCells().select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("ref"))
+    val e = Apply.regrid(w, f, dstCells()).join(mapped, "cell_id").join(ref, "cell_id")
+      .select(max(abs((col("ref") - col("value")) / col("ref"))).as("e"))
+      .head().getDouble(0)
+    // wider bar than uniform: the smoothstep fixture has ~22°-tall
+    // equatorial cells, so the linear-interp truncation error is larger
+    assert(e < 0.15, s"non-uniform bilinear max rel err $e")
+  }
+
+  test("curvilinear bilinear: rotated-pole mesh, all dsts mapped, rows sum to 1, analytic err") {
+    val rot = RectGrid.of(2, 62, 4, -30, 30, 4)            // rotated coords, 15x15
+    val src = Curvilinear.rotatedCells(spark, rot, poleLat = 70.0, poleLon = -165.0)
+    val dstG = RectGrid.of(-25, 0, 2.5, 5, 30, 2.5)        // inside the mesh footprint
+    val dst = Grids.cells(spark, dstG)
+    val w = Weights.bilinearCurvilinear(src, dst)
+    assert(w.select("row").distinct().count() === dstG.nCells)
+    assert(w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    assert(w.groupBy("row").count().filter(col("count") > 4).count() === 0)
+    val f = src.select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+    val ref = dst.select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("ref"))
+    val e = Apply.regrid(w, f, dst).join(ref, "cell_id")
+      .select(max(abs((col("ref") - col("value")) / col("ref"))).as("e")).head().getDouble(0)
+    assert(e < 0.02, s"curvilinear bilinear max rel err $e")
+  }
+
+  test("Geometry kernel: clip + spherical area closed forms") {
+    // axis box area equals the rectilinear closed form
+    val box = Array(0.0, 0.0, 10.0, 0.0, 10.0, 20.0, 0.0, 20.0)
+    val expect = 10.0 * (math.sin(math.toRadians(20.0)) - 0.0)
+    assert(math.abs(Geometry.sphericalArea(box) - expect) < 1e-12)
+    // clip of two offset unit boxes = the shared half
+    val b2 = Array(5.0, 0.0, 15.0, 0.0, 15.0, 20.0, 5.0, 20.0)
+    val inter = Geometry.clipConvex(box, b2)
+    assert(math.abs(Geometry.sphericalArea(Geometry.ccw(inter)) - expect / 2.0) < 1e-12)
+    // orientation independence (same box, clockwise vertex order)
+    val boxCw = Array(0.0, 0.0, 0.0, 20.0, 10.0, 20.0, 10.0, 0.0)
+    assert(Geometry.overlapWeight(boxCw, b2) === Geometry.overlapWeight(box, b2))
+    // disjoint → 0
+    val far = Array(100.0, 0.0, 110.0, 0.0, 110.0, 20.0, 100.0, 20.0)
+    assert(Geometry.overlapWeight(box, far) === 0.0)
+  }
+
+  test("curvilinear conservative: exact tiling — rows sum to 1 to 1e-10, constant preserved") {
+    val rot = RectGrid.of(2, 62, 4, -30, 30, 4)
+    val srcPolys = Curvilinear.rotatedCorners(spark, rot, poleLat = 70.0, poleLon = -165.0)
+    val dstG = RectGrid.of(-25, 0, 2.5, 5, 30, 2.5)
+    val dstPolys = Curvilinear.boundsToPolys(Grids.cells(spark, dstG, withBounds = true))
+    val w = Weights.conservativeCurvilinear(srcPolys, dstPolys)
+    // destination strictly inside the mesh footprint → exact tiling
+    assert(w.select("row").distinct().count() === dstG.nCells)
+    assert(w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-10).count() === 0)
+    // constant field regrids to exactly 1 (conservation)
+    val src = Curvilinear.rotatedCells(spark, rot, poleLat = 70.0, poleLon = -165.0)
+    val ones = src.select(col("cell_id"), lit(1.0).as("value"))
+    val out = Apply.regrid(w, ones, Grids.cells(spark, dstG), roundDigits = 0)
+    assert(out.select(max(abs(col("value") - lit(1.0)))).head().getDouble(0) < 1e-10)
+    // smooth analytic field: modest first-order error on a 4° mesh
+    val f = src.select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+    val ref = Grids.cells(spark, dstG).select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("ref"))
+    val e = Apply.regrid(w, f, Grids.cells(spark, dstG)).join(ref, "cell_id")
+      .select(max(abs((col("ref") - col("value")) / col("ref"))).as("e")).head().getDouble(0)
+    assert(e < 0.02, s"curvilinear conservative max rel err $e")
+  }
+
+  test("CoordAxis V3 shape contract: bad bounds/centers rejected at the boundary") {
+    intercept[IllegalArgumentException] {         // bounds must be n+1
+      CoordAxis(Array(0.0, 1.0), Array(0.0, 0.5, 1.0, 1.5))
+    }
+    intercept[IllegalArgumentException] {         // centers monotone
+      CoordAxis(Array(1.0, 0.0), Array(-0.5, 0.5, 1.5))
+    }
+    intercept[IllegalArgumentException] {         // center inside its cell
+      CoordAxis(Array(0.9, 1.0), Array(0.0, 0.5, 1.5))
+    }
+  }
+
+  test("V2 shape contract: cell relation row count must match declared shape") {
+    val df = srcCells()                            // 270 cells
+    intercept[IllegalArgumentException] {
+      CellsDef(df, 10, 10).cells(spark, withBounds = false).count()
+    }
+    assert(CellsDef(df, 15, 18).cells(spark, withBounds = false).count() === 270)
+  }
+
+  test("V8: weight file must not pre-exist unless reuseWeights (backend.py:269-272)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v8").toString
+    def mk(reuse: Boolean) = new Regridder(spark, RectDef(gridIn), RectDef(gridOut),
+      RegridMethod.Bilinear, weightsDir = Some(dir), reuseWeights = reuse)
+    val r1 = mk(reuse = false)
+    val n1 = r1.weights.count()
+    intercept[IllegalStateException] { mk(reuse = false).weights.count() }
+    assert(mk(reuse = true).weights.count() === n1)
+    r1.cleanWeightFile()
+    assert(mk(reuse = false).weights.count() === n1)   // rebuilds after clean
+  }
+
+  test("V6 ignore_degenerate: zero-area cells error by default, dropped with flag") {
+    import spark.implicits._
+    // 2x2 grid with one zero-height cell (lat_s == lat_n)
+    val deg = Seq(
+      (0L, -10.0, -10.0, -20.0, 0.0, -5.0, -5.0),   // degenerate
+      (1L, 10.0, -10.0, 0.0, 20.0, -10.0, 0.0),
+      (2L, -10.0, 5.0, -20.0, 0.0, 0.0, 10.0),
+      (3L, 10.0, 5.0, 0.0, 20.0, 0.0, 10.0))
+      .toDF("cell_id", "lon", "lat", "lon_w", "lon_e", "lat_s", "lat_n")
+    val dst = RectDef(RectGrid.of(-20, 20, 10, -10, 10, 5))
+    intercept[IllegalArgumentException] {
+      new Regridder(spark, CellsDef(deg, 2, 2), dst, RegridMethod.Conservative).weights.count()
+    }
+    val w = new Regridder(spark, CellsDef(deg, 2, 2), dst, RegridMethod.Conservative,
+      ignoreDegenerate = true).weights
+    assert(w.filter(col("col") === 0L).count() === 0)  // degenerate source dropped
+    assert(w.count() > 0)
+  }
+
+  test("V4: validate flag catches weights referencing cells absent from the field (smm.py:77-86)") {
+    val w = Weights.conservative(srcCells(b = true), dstCells(b = true))
+    val truncated = waveIn.filter(col("cell_id") < 100)
+    intercept[IllegalArgumentException] {
+      Apply.regrid(w, truncated, dstCells(), validate = true).count()
+    }
+    // full field passes with validation on
+    assert(Apply.regrid(w, waveIn, dstCells(), validate = true).count() === gridOut.nCells)
+  }
+
+  test("WeightsIO: ESMF 1-based round-trip is identity; refuses to clobber") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wio").toString
+    val p = s"$dir/w.parquet"
+    val w = Weights.conservative(srcCells(b = true), dstCells(b = true))
+    WeightsIO.writeEsmf(w, p)
+    // on-disk convention is 1-based: no zero ids
+    assert(spark.read.parquet(p).filter(col("row") === 0L || col("col") === 0L).count() === 0)
+    val back = WeightsIO.readEsmf(spark, p).withColumnRenamed("s", "sb")
+    val j = w.join(back, Seq("row", "col"), "full")
+    assert(j.filter(col("s").isNull || col("sb").isNull).count() === 0)
+    assert(j.filter(col("s") =!= col("sb")).count() === 0)
+    intercept[IllegalStateException] { WeightsIO.writeEsmf(w, p) }
+  }
+
+  test("conservative bridges longitude conventions ([0,360) src vs [-180,180] dst)") {
+    val src360 = RectGrid.of(0, 360, 20, -90, 90, 12)
+    val w = Weights.conservative(Grids.cells(spark, src360, withBounds = true),
+      dstCells(b = true))
+    // every destination fully covered despite the frame mismatch
+    assert(w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    assert(w.select("row").distinct().count() === gridOut.nCells)
+  }
+
+  test("slab applier == relational apply on a dense 3-D field") {
+    val w = Weights.conservative(srcCells(b = true), dstCells(b = true))
+    val f = waveIn.crossJoin(spark.range(1, 6).toDF("time"))
+      .select(col("cell_id"), col("time"), (col("time") * col("value")).as("value"))
+    val rel = Apply.regrid(w, f, dstCells(), extraDims = Seq("time"), roundDigits = 0)
+    val slabs = Apply.toSlabs(f, gridIn.nCells.toInt, Seq("time"))
+      .select(col("time").as("slab_id"), col("values"))
+    val dense = Apply.regridSlabbed(w, slabs, gridOut.nCells.toInt)
+      .select(col("slab_id").as("time"), posexplode(col("values")).as(Seq("cell_id", "dv")))
+    val j = rel.join(dense, Seq("time", "cell_id"))
+    assert(j.count() === gridOut.nCells * 5)
+    assert(j.select(max(abs(col("value") - col("dv")))).head().getDouble(0) < 1e-9)
+  }
+
+  test("Regridder auto-routes slab-major input through the dense kernel") {
+    val r = new Regridder(spark, RectDef(gridIn), RectDef(gridOut), RegridMethod.Conservative)
+    val f = waveIn.crossJoin(spark.range(1, 4).toDF("time"))
+      .select(col("cell_id"), col("time"), (col("time") * col("value")).as("value"))
+    val slabs = Apply.toSlabs(f, gridIn.nCells.toInt, Seq("time"))
+      .select(col("time").as("slab_id"), col("values"))
+    val out = r.apply(slabs)
+    assert(out.columns.toSet === Set("slab_id", "values"))
+    assert(out.count() === 3)
+    assert(out.selectExpr("max(size(values))").head().getInt(0) === gridOut.nCells.toInt)
+  }
 }
