@@ -270,6 +270,24 @@ object PipelineQueries {
                WHEN ${h60("text")} % 3 = 1 THEN 'png' ELSE 'webp' END AS format
         FROM documents ORDER BY doc_id""")),
 
+    QueryDef("q_multimodal_decode",
+      // REAL codec round-trip: synthesize a deterministic solid-color
+      // PNG per doc (ImageIO encode), decode it back (ImageIO decode),
+      // extract per-channel pixel means. The oracle recomputes the
+      // expected shape/means analytically from the same content hash —
+      // any codec or plumbing fault breaks the hash compare.
+      (s, dir) => Multimodal.decodePng(s, Multimodal.withPngPayload(s, docs(s, dir)))
+        .select("doc_id", "img_w", "img_h", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents)
+        SELECT doc_id,
+          CAST(16 + h % 48 AS INTEGER) AS img_w,
+          CAST(16 + (h // 48) % 48 AS INTEGER) AS img_h,
+          CAST((h % 16777216) // 65536 AS DOUBLE) AS mean_r,
+          CAST(((h % 16777216) // 256) % 256 AS DOUBLE) AS mean_g,
+          CAST((h % 16777216) % 256 AS DOUBLE) AS mean_b
+        FROM h ORDER BY doc_id""")),
+
     // ---- relational breadth on the star schema ----
 
     QueryDef("q_lineitem_pricing",

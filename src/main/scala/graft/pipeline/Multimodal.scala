@@ -78,4 +78,88 @@ object Multimodal {
         it.map { case (id, bytes) => fakeDecode(id, bytes) }
       }
   }
+
+  // ---- REAL codec path (JVM ImageIO — PNG codec ships with the JDK) ----
+
+  /** 15-hex-char content hash, identical to the SQL
+    * `CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)`. */
+  def textHash60(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Deterministic solid-color PNG: shape and fill derived from the
+    * content hash. A REAL encoder (ImageIO), so the downstream decode
+    * exercises a genuine codec rather than a stub. */
+  def synthesizePng(h: Long): Array[Byte] = {
+    val w = (16 + h % 48).toInt
+    val hgt = (16 + (h / 48) % 48).toInt
+    val rgb = (h % 16777216).toInt
+    val img = new java.awt.image.BufferedImage(w, hgt,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * hgt)
+    java.util.Arrays.fill(px, rgb)
+    img.setRGB(0, 0, w, hgt, px, 0, w)    // bulk transfer — per-pixel setRGB is ~10× slower
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Documents with a real PNG payload column (encode stage). One
+    * encoder instance per partition — the setup cost a real codec
+    * pipeline amortizes across its batch. */
+  def withPngPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        it.map { case (id, text) =>
+          val h = textHash60(text)
+          val w = (16 + h % 48).toInt
+          val hgt = (16 + (h / 48) % 48).toInt
+          val rgb = (h % 16777216).toInt
+          val img = new java.awt.image.BufferedImage(w, hgt,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = new Array[Int](w * hgt)
+          java.util.Arrays.fill(px, rgb)
+          img.setRGB(0, 0, w, hgt, px, 0, w)
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
+          (id, baos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "png")
+  }
+
+  /** REAL image decode + feature extraction: ImageIO parse of the PNG
+    * bytes, per-channel pixel means — one decoder per partition,
+    * iterator-to-iterator, binary in / relational columns out. The
+    * oracle recomputes the expected shape/means from the same content
+    * hash, so a broken codec round-trip fails the hash compare. */
+  def decodePng(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("png"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)    // bulk transfer
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          i += 1
+        }
+        val n = (w.toLong * h).toDouble
+        (id, bytes.length, w, h, sr / n, sg / n, sb / n)
+      })
+      .toDF("doc_id", "n_bytes", "img_w", "img_h", "mean_r", "mean_g", "mean_b")
+  }
 }

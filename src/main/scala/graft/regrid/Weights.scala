@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   * that into 0.0 output (`unmapped_action=IGNORE`,
   * reference `xesmf/backend.py:275-280`).
   */
+/** Candidate (destination point × enclosing-quad) row for the
+  * curvilinear inverse-bilinear kernel. */
+final case class QuadCand(
+    row: Long, qy: Int, qx: Int,
+    id00: Long, id10: Long, id01: Long, id11: Long,
+    plon: Double, plat: Double,
+    lon00: Double, lat00: Double, lon10: Double, lat10: Double,
+    lon01: Double, lat01: Double, lon11: Double, lat11: Double)
+
+/** Resolved quad coordinates per destination. */
+final case class QuadUV(
+    row: Long, qy: Int, qx: Int,
+    id00: Long, id10: Long, id01: Long, id11: Long,
+    u: Double, v: Double)
+
 object Weights {
 
   import Rounding._
@@ -315,45 +330,69 @@ object Weights {
       col("lon").as("plon"), col("lat").as("plat"))
       .withColumn("band", floor(col("plat") / lit(bandDeg)).cast("long"))
 
+    val spark = dstPoints.sparkSession
+    import spark.implicits._
+    // The quadratic solve runs as a typed mapPartitions kernel rather
+    // than column expressions: expressed as chained columns, Catalyst's
+    // projection collapse re-expands the solve tree at every downstream
+    // reference (u appears in all 4 weights, u's tree holds ~5 copies
+    // of v's tree, …) — the generated method blows past Janino's limit
+    // and falls back to interpreted evaluation of an exponentially
+    // duplicated expression. The kernel performs the IDENTICAL IEEE
+    // operations in the identical order (see bilinearCurvSql, whose
+    // DuckDB oracle hash-matches this output), so parity is preserved.
     val cand = d.join(quads, Seq("band"))
       .filter(col("plon") >= col("lon_min") && col("plon") <= col("lon_max") &&
         col("plat") >= col("lat_min") && col("plat") <= col("lat_max"))
-      // inverse bilinear: p(u,v) = p00 + u·e + v·f + uv·g, solve for (u,v)
-      .withColumn("hx", col("plon") - col("lon00"))
-      .withColumn("hy", col("plat") - col("lat00"))
-      .withColumn("ex", col("lon10") - col("lon00"))
-      .withColumn("ey", col("lat10") - col("lat00"))
-      .withColumn("fx", col("lon01") - col("lon00"))
-      .withColumn("fy", col("lat01") - col("lat00"))
-      .withColumn("gx", col("lon00") - col("lon10") - col("lon01") + col("lon11"))
-      .withColumn("gy", col("lat00") - col("lat10") - col("lat01") + col("lat11"))
-      .withColumn("k2", col("gx") * col("fy") - col("gy") * col("fx"))
-      .withColumn("k1", (col("ex") * col("fy") - col("ey") * col("fx")) +
-        (col("hx") * col("gy") - col("hy") * col("gx")))
-      .withColumn("k0", col("hx") * col("ey") - col("hy") * col("ex"))
-      .withColumn("disc", col("k1") * col("k1") - lit(4.0) * col("k0") * col("k2"))
-      // no real (u,v) solution when disc < 0 — filtered BEFORE sqrt so
-      // the SQL oracle (whose sqrt raises on negatives) can mirror this
-      .filter(col("disc") >= 0.0)
-      .withColumn("vm", (-col("k1") - sqrt(col("disc"))) / (lit(2.0) * col("k2")))
-      .withColumn("vp", (-col("k1") + sqrt(col("disc"))) / (lit(2.0) * col("k2")))
-      .withColumn("v", r9(
-        when(abs(col("k2")) < lit(linEps), -col("k0") / col("k1"))
-          .otherwise(when(col("vm") >= lit(rootLo) && col("vm") <= lit(rootHi), col("vm"))
-            .otherwise(col("vp")))))
-      .withColumn("dnx", col("ex") + col("gx") * col("v"))
-      .withColumn("dny", col("ey") + col("gy") * col("v"))
-      .withColumn("u", r9(
-        when(abs(col("dnx")) >= abs(col("dny")),
-          (col("hx") - col("fx") * col("v")) / col("dnx"))
-          .otherwise((col("hy") - col("fy") * col("v")) / col("dny"))))
-      .filter(col("u") >= 0.0 && col("u") <= 1.0 && col("v") >= 0.0 && col("v") <= 1.0)
+      .select(col("row"), col("qy"), col("qx"),
+        col("id00"), col("id10"), col("id01"), col("id11"),
+        col("plon"), col("plat"),
+        col("lon00"), col("lat00"), col("lon10"), col("lat10"),
+        col("lon01"), col("lat01"), col("lon11"), col("lat11"))
+      .as[QuadCand]
+      .mapPartitions(_.flatMap { c =>
+        // inverse bilinear: p(u,v) = p00 + u·e + v·f + uv·g
+        val hx = c.plon - c.lon00; val hy = c.plat - c.lat00
+        val ex = c.lon10 - c.lon00; val ey = c.lat10 - c.lat00
+        val fx = c.lon01 - c.lon00; val fy = c.lat01 - c.lat00
+        val gx = c.lon00 - c.lon10 - c.lon01 + c.lon11
+        val gy = c.lat00 - c.lat10 - c.lat01 + c.lat11
+        val k2 = gx * fy - gy * fx
+        val k1 = (ex * fy - ey * fx) + (hx * gy - hy * gx)
+        val k0 = hx * ey - hy * ex
+        val disc = k1 * k1 - 4.0 * k0 * k2
+        if (!(disc >= 0.0)) None    // no real solution (oracle: WHERE disc >= 0)
+        else {
+          val v0 =
+            if (math.abs(k2) < linEps) -k0 / k1
+            else {
+              val sq = math.sqrt(disc)
+              val vm = (-k1 - sq) / (2.0 * k2)
+              if (vm >= rootLo && vm <= rootHi) vm else (-k1 + sq) / (2.0 * k2)
+            }
+          val v = math.floor(v0 * 1.0e9 + 0.5) / 1.0e9
+          val dnx = ex + gx * v; val dny = ey + gy * v
+          val u0 =
+            if (math.abs(dnx) >= math.abs(dny)) (hx - fx * v) / dnx
+            else (hy - fy * v) / dny
+          val u = math.floor(u0 * 1.0e9 + 0.5) / 1.0e9
+          if (u >= 0.0 && u <= 1.0 && v >= 0.0 && v <= 1.0)
+            Some(QuadUV(c.row, c.qy, c.qx, c.id00, c.id10, c.id01, c.id11, u, v))
+          else None
+        }
+      })
+      .toDF()
 
     import org.apache.spark.sql.expressions.Window
+    // one quad per destination, lowest (qy, qx) — deterministic on both
+    // engines; checkpointed so Apply.regrid's two references to the
+    // weights relation don't re-run the candidate join
     val first = cand
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("row")).orderBy(col("qy"), col("qx"))))
       .filter(col("rn") === 1)
+      .select("row", "id00", "id10", "id01", "id11", "u", "v")
+      .localCheckpoint()
 
     first.select(col("row"), explode(array(
       struct(col("id00").as("col"), ((lit(1.0) - col("u")) * (lit(1.0) - col("v"))).as("s")),

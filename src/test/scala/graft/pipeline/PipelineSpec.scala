@@ -148,6 +148,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(h.agg(sum("n")).head().getLong(0) === events.count())
   }
 
+  test("multimodal REAL codec: PNG encode→decode round-trip recovers synthesized shape/color") {
+    val out = Multimodal.decodePng(spark, Multimodal.withPngPayload(spark, docs))
+    assert(out.count() === docs.count())
+    // expected features from the same content hash the synthesizer used
+    val expect = docs.select(col("doc_id").cast("long").as("doc_id"), col("text")).collect()
+      .map { r =>
+        val h = Multimodal.textHash60(r.getString(1))
+        val rgb = (h % 16777216).toInt
+        r.getLong(0) -> ((16 + h % 48).toInt, (16 + (h / 48) % 48).toInt,
+          ((rgb >> 16) & 0xff).toDouble, ((rgb >> 8) & 0xff).toDouble, (rgb & 0xff).toDouble)
+      }.toMap
+    val got = out.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (w, hh, mr, mg, mb) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("img_w") === w)
+      assert(r.getAs[Int]("img_h") === hh)
+      assert(r.getAs[Double]("mean_r") === mr)
+      assert(r.getAs[Double]("mean_g") === mg)
+      assert(r.getAs[Double]("mean_b") === mb)
+      assert(r.getAs[Int]("n_bytes") > 0)    // real PNG payload
+    }
+  }
+
   test("multimodal stub decode: deterministic, consistent with relational meta") {
     val feats = Multimodal.decodeFeatures(spark, docs).toDF()
     val meta = Multimodal.metaRelational(docs)
@@ -182,6 +206,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch).count() === 0)
     q.stop()
+  }
+
+  test("streaming: stateful sessionization closes sessions on gap and on watermark timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingOps.sessionizeStream(spark,
+      stream.toDF().toDF("user_id", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    stream.addData(Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0)))
+    q.processAllAvailable()
+    stream.addData(Seq((1L, ts(60), 5.0)))    // 50-min gap closes session 1
+    q.processAllAvailable()
+    stream.addData(Seq((2L, ts(500), 1.0)))   // pushes watermark past 60+30
+    q.processAllAvailable()
+    stream.addData(Seq((2L, ts(501), 1.0)))   // next trigger fires the timeout
+    q.processAllAvailable()
+    val got = spark.table("sess_stream")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().toSet
+    q.stop()
+    assert(got.contains((1L, ts(0), ts(10), 2L, 3.0)))     // closed by gap
+    assert(got.contains((1L, ts(60), ts(60), 1L, 5.0)))    // closed by event-time timeout
   }
 
   test("streaming: per-batch regrid equals batch apply") {
