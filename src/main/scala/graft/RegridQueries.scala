@@ -455,7 +455,7 @@ object RegridQueries {
       (s, _) => Apply.regrid(
         Weights.bilinearCurvilinear(
           Curvilinear.rotatedCells(s, rotGrid, rotPoleLat, rotPoleLon),
-          Grids.cells(s, dstCurv)),
+          Grids.cells(s, dstCurv)).cache(),
         Curvilinear.rotatedCells(s, rotGrid, rotPoleLat, rotPoleLon)
           .select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("value")),
         Grids.cells(s, dstCurv)).orderBy("cell_id"),
@@ -503,7 +503,7 @@ object RegridQueries {
 
     QueryDef("q_spmm_apply",
       (s, _) => Apply.regrid(
-        Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)),
+        Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)).cache(),
         waveField(s), dstCells(s)).orderBy("cell_id"),
       Some(s"""SELECT * FROM (${applySql(
           conservativeSql(gridSql(gridIn, withBounds = true), gridSql(gridOut, withBounds = true)),
@@ -514,7 +514,7 @@ object RegridQueries {
       // K2: non-periodic bilinear leaves seam+pole dest cells with no
       // weights; they must surface as exactly 0.0 (test_frontend.py:116-127)
       (s, _) => Apply.regrid(
-        Weights.bilinear(gridIn, dstCells(s), periodic = false),
+        Weights.bilinear(gridIn, dstCells(s), periodic = false).cache(),
         waveField(s), dstCells(s)).orderBy("cell_id"),
       Some(s"""SELECT * FROM (${applySql(
           bilinearSql(gridIn, gridSql(gridOut), periodic = false),
@@ -531,7 +531,7 @@ object RegridQueries {
           .select(col("cell_id"), col("time"), col("lev"),
             (col("time") * col("lev") * col("value")).as("value"))
         Apply.regrid(
-          Weights.bilinear(gridIn, dstCells(s), periodic = true),
+          Weights.bilinear(gridIn, dstCells(s), periodic = true).cache(),
           f, dstCells(s), extraDims = Seq("time", "lev"))
           .orderBy("cell_id", "time", "lev")
       },
@@ -562,7 +562,7 @@ object RegridQueries {
           TestFields.waveSmooth(col("lon"), col("lat")).as("v_wave"),
           (lit(3.0) + col("lat") / lit(90.0)).as("v_lat"))
         Apply.regrid(
-          Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)),
+          Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)).cache(),
           f, dstCells(s), valueCols = Seq("v_wave", "v_lat")).orderBy("cell_id")
       },
       Some(s"""WITH w AS (${conservativeSql(
@@ -583,7 +583,7 @@ object RegridQueries {
       // R5: output coords re-attached from the destination grid + method attr
       (s, _) => {
         val out = Apply.regrid(
-          Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)),
+          Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)).cache(),
           waveField(s), dstCells(s))
         out.join(broadcast(dstCells(s).select(col("cell_id"), col("lon"), col("lat"))), "cell_id")
           .withColumn("regrid_method", lit("conservative"))
@@ -600,7 +600,7 @@ object RegridQueries {
     QueryDef("q_locstream_nearest",
       // G6 + W3: locstream output, nearest_s2d, wave values at 4 points
       (s, _) => Apply.regrid(
-        Weights.nearestS2D(srcCells(s), Grids.locstream(s, locs4)),
+        Weights.nearestS2D(srcCells(s), Grids.locstream(s, locs4)).cache(),
         waveField(s), Grids.locstream(s, locs4)).orderBy("cell_id"),
       Some(s"""SELECT * FROM (${applySql(
           nearestS2DSql(gridSql(gridIn), locSql(locs4)),

@@ -350,6 +350,29 @@ class RegridSpec extends AnyFunSuite {
     assert(e < 0.02, s"curvilinear conservative max rel err $e")
   }
 
+  test("Regridder with CoordDef: conservative on a non-uniform grid preserves the global mean") {
+    val g = graft.RegridQueries.gridInNonuni       // tiles [-180,180]x[-90,90]
+    val r = new Regridder(spark, CoordDef(g), RectDef(gridOut), RegridMethod.Conservative)
+    val w = r.weights
+    assert(w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    val f = CoordGrid.cells(spark, g).select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+    val out = r.apply(f, broadcastWeights = true)
+    def area(c: DataFrame) = c.withColumn("a",
+      (col("lon_e") - col("lon_w")) * (sin(radians(col("lat_n"))) - sin(radians(col("lat_s")))))
+    val inMean = area(CoordGrid.cells(spark, g, withBounds = true)).join(f, "cell_id")
+      .select(sum(col("a") * col("value")) / sum(col("a"))).head().getDouble(0)
+    val outMean = area(dstCells(b = true)).join(out, "cell_id")
+      .select(sum(col("a") * col("value")) / sum(col("a"))).head().getDouble(0)
+    // facade apply rounds output to 9 dp (oracle parity), so the mean
+    // carries up to ~5e-10 rounding per destination value
+    assert(math.abs(inMean - outMean) < 1e-8, s"$inMean vs $outMean")
+    // bilinear dispatch on the same CoordDef goes through the interval-join builder
+    val rb = new Regridder(spark, CoordDef(g), RectDef(gridOut), RegridMethod.Bilinear)
+    assert(rb.weights.count() > 0)
+  }
+
   test("CoordAxis V3 shape contract: bad bounds/centers rejected at the boundary") {
     intercept[IllegalArgumentException] {         // bounds must be n+1
       CoordAxis(Array(0.0, 1.0), Array(0.0, 0.5, 1.0, 1.5))
