@@ -76,6 +76,16 @@ object PipelineQueries {
           CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len(tokens) AS avg_token_len
         FROM tok ORDER BY doc_id""")),
 
+    QueryDef("q_tokens_bpe",
+      // BPE-ish pre-tokenizer counts (GPT-2 pattern family restricted
+      // to the RE2 ∩ Java portable regex subset)
+      (s, dir) => TextOps.bpeTokenStats(docs(s, dir)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+')) AS INTEGER) AS n_bpe,
+          CAST(len(regexp_extract_all(text, '\p{L}+')) AS INTEGER) AS n_word,
+          CAST(len(regexp_extract_all(text, '\p{N}+')) AS INTEGER) AS n_num
+        FROM documents ORDER BY doc_id""")),
+
     QueryDef("q_lang_id",
       (s, dir) => TextOps.langId(docs(s, dir)).orderBy("doc_id"),
       Some {

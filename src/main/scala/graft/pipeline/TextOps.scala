@@ -30,6 +30,25 @@ object TextOps {
   def shinglesExpr(n: Int): String =
     s"transform(sequence(0, size(tokens) - $n), i -> array_join(slice(tokens, i + 1, $n), ' '))"
 
+  /** BPE-style pre-tokenizer pattern (GPT-2 family, simplified to the
+    * RE2 ∩ Java-regex portable subset): contraction suffixes, letter
+    * runs, digit runs, punctuation runs. */
+  val bpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)|\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"
+
+  /** BPE-ish token counting — the cheap per-document token-budget
+    * estimator for corpus accounting: total pre-tokens plus the
+    * letter-run / digit-run breakdown. Pure regex projection, stays in
+    * whole-stage codegen. */
+  def bpeTokenStats(docs: DataFrame): DataFrame = {
+    def q(p: String) = "'" + p.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    docs.selectExpr(
+      "doc_id",
+      s"size(regexp_extract_all(text, ${q(bpePattern)}, 0)) AS n_bpe",
+      s"size(regexp_extract_all(text, ${q("\\p{L}+")}, 0)) AS n_word",
+      s"size(regexp_extract_all(text, ${q("\\p{N}+")}, 0)) AS n_num")
+  }
+
   /** Language marker words. Tiny on purpose: the operator contract is
     * "deterministic n-gram/stopword heuristic", not a trained model. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

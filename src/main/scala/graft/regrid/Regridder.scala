@@ -209,6 +209,16 @@ final class Regridder(
     df.cache()
   }
 
+  /** Shape/size accessors mirroring the reference's attributes
+    * (`frontend.py:201-227`). */
+  def nIn: Long = gridIn.nCells
+  def nOut: Long = gridOut.nCells
+
+  /** Deprecated alias for the weight matrix, kept for reference parity
+    * (`frontend.py:238-249` `Regridder.A`). */
+  @deprecated("use weights", "0.1.0")
+  def A: DataFrame = weights
+
   /** Delete the persisted weight file (reference `frontend.py:282-293`). */
   def cleanWeightFile(): Unit = weightsPath.foreach { p =>
     val path = new org.apache.hadoop.fs.Path(p)

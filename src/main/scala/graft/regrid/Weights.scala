@@ -325,10 +325,14 @@ object Weights {
       .withColumn("band", explode(sequence(
         floor(col("lat_min") / lit(bandDeg)).cast("long"),
         floor(col("lat_max") / lit(bandDeg)).cast("long"))))
+      .withColumn("ltile", explode(sequence(
+        floor(col("lon_min") / lit(bandDeg)).cast("long"),
+        floor(col("lon_max") / lit(bandDeg)).cast("long"))))
 
     val d = dstPoints.select(col("cell_id").as("row"),
       col("lon").as("plon"), col("lat").as("plat"))
       .withColumn("band", floor(col("plat") / lit(bandDeg)).cast("long"))
+      .withColumn("ltile", floor(col("plon") / lit(bandDeg)).cast("long"))
 
     val spark = dstPoints.sparkSession
     import spark.implicits._
@@ -341,7 +345,7 @@ object Weights {
     // duplicated expression. The kernel performs the IDENTICAL IEEE
     // operations in the identical order (see bilinearCurvSql, whose
     // DuckDB oracle hash-matches this output), so parity is preserved.
-    val cand = d.join(quads, Seq("band"))
+    val cand = d.join(quads, Seq("band", "ltile"))
       .filter(col("plon") >= col("lon_min") && col("plon") <= col("lon_max") &&
         col("plat") >= col("lat_min") && col("plat") <= col("lat_max"))
       .select(col("row"), col("qy"), col("qx"),
@@ -444,16 +448,24 @@ object Weights {
       .withColumn("band", explode(sequence(
         floor(col("s_lat_min") / lit(bandDeg)).cast("long"),
         floor(col("s_lat_max") / lit(bandDeg)).cast("long"))))
+      .withColumn("ltile", explode(sequence(
+        floor(col("s_lon_min") / lit(bandDeg)).cast("long"),
+        floor(col("s_lon_max") / lit(bandDeg)).cast("long"))))
     val d0 = prep(dstPolys, "d")
       .withColumn("band", explode(sequence(
         floor(col("d_lat_min") / lit(bandDeg)).cast("long"),
         floor(col("d_lat_max") / lit(bandDeg)).cast("long"))))
+      .withColumn("ltile", explode(sequence(
+        floor(col("d_lon_min") / lit(bandDeg)).cast("long"),
+        floor(col("d_lon_max") / lit(bandDeg)).cast("long"))))
 
     d0.join(s0,
-      d0("band") === s0("band") &&
+      d0("band") === s0("band") && d0("ltile") === s0("ltile") &&
         col("s_lon_min") < col("d_lon_max") && col("s_lon_max") > col("d_lon_min") &&
         col("s_lat_min") < col("d_lat_max") && col("s_lat_max") > col("d_lat_min") &&
-        d0("band") === floor(greatest(col("s_lat_min"), col("d_lat_min")) / lit(bandDeg)).cast("long"))
+        // SW-corner tile of the bbox overlap: exactly one match per pair
+        d0("band") === floor(greatest(col("s_lat_min"), col("d_lat_min")) / lit(bandDeg)).cast("long") &&
+        d0("ltile") === floor(greatest(col("s_lon_min"), col("d_lon_min")) / lit(bandDeg)).cast("long"))
       .select(col("d_id"), col("s_id"), col("s_p"), col("d_p"))
       .as[(Long, Long, Array[Double], Array[Double])]
       .mapPartitions(_.map { case (d, s, sp, dp) =>
@@ -468,12 +480,15 @@ object Weights {
     * patch area `Δlon · (sin lat_n − sin lat_s)`. Requires bounds
     * columns (reference errors without them, `backend.py:254-260`).
     *
-    * Scale shape: the interval-overlap theta-join is rewritten as a
-    * lat-band equi-join — both sides explode to the bands they span,
-    * pairs match in exactly the band containing the south edge of their
-    * overlap (no dedup needed), then the precise overlap predicate
-    * refines. Shuffle key = band id, so this stays a hash join at any
-    * grid size instead of a broadcast nested-loop cross join.
+    * Scale shape: the interval-overlap theta-join is rewritten as a 2-D
+    * tile equi-join — both sides explode to the (lat band × lon tile)
+    * grid cells their bounds span, pairs match in exactly the tile
+    * containing the south-west corner of their overlap (no dedup
+    * needed), then the precise overlap predicate refines. Shuffle key =
+    * tile id, so candidate lists stay O(cells per tile) — a hash join
+    * whose per-key work does not grow with grid resolution. Shifted
+    * source copies carry real (±360) longitudes, so tile ids need no
+    * wrap arithmetic.
     */
   def conservative(srcCells: DataFrame, dstCells: DataFrame,
                    bandDeg: Double = 15.0): DataFrame = {
@@ -497,20 +512,27 @@ object Weights {
       .withColumn("band", explode(sequence(
         floor(col("s_lat_s") / lit(bandDeg)).cast("long"),
         floor(col("s_lat_n") / lit(bandDeg)).cast("long"))))
+      .withColumn("ltile", explode(sequence(
+        floor(col("s_lon_w") / lit(bandDeg)).cast("long"),
+        floor(col("s_lon_e") / lit(bandDeg)).cast("long"))))
     val d = dstCells.select(
       col("cell_id").as("d_id"), col("lon_w").as("d_lon_w"), col("lon_e").as("d_lon_e"),
       col("lat_s").as("d_lat_s"), col("lat_n").as("d_lat_n"))
       .withColumn("band", explode(sequence(
         floor(col("d_lat_s") / lit(bandDeg)).cast("long"),
         floor(col("d_lat_n") / lit(bandDeg)).cast("long"))))
+      .withColumn("ltile", explode(sequence(
+        floor(col("d_lon_w") / lit(bandDeg)).cast("long"),
+        floor(col("d_lon_e") / lit(bandDeg)).cast("long"))))
 
     d.join(s,
-      d("band") === s("band") &&
+      d("band") === s("band") && d("ltile") === s("ltile") &&
         col("s_lon_w") < col("d_lon_e") && col("s_lon_e") > col("d_lon_w") &&
         col("s_lat_s") < col("d_lat_n") && col("s_lat_n") > col("d_lat_s") &&
-        // each overlapping pair matches in exactly one band: the one
-        // containing the overlap's south edge
-        d("band") === floor(greatest(col("s_lat_s"), col("d_lat_s")) / lit(bandDeg)).cast("long"))
+        // each overlapping pair matches in exactly one tile: the one
+        // containing the overlap's south-west corner
+        d("band") === floor(greatest(col("s_lat_s"), col("d_lat_s")) / lit(bandDeg)).cast("long") &&
+        d("ltile") === floor(greatest(col("s_lon_w"), col("d_lon_w")) / lit(bandDeg)).cast("long"))
       .select(
         col("d_id").as("row"),
         col("s_id").as("col"),
