@@ -298,6 +298,36 @@ object PipelineQueries {
           CAST((h % 16777216) % 256 AS DOUBLE) AS mean_b
         FROM h ORDER BY doc_id""")),
 
+    QueryDef("q_multimodal_resize",
+      // decode → 2x nearest-neighbor downscale on real pixels →
+      // features of the RESIZED image; oracle: halved hash-derived
+      // dims, means invariant for the solid fill
+      (s, dir) => Multimodal.resizePng(s, Multimodal.withPngPayload(s, docs(s, dir)))
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents)
+        SELECT doc_id,
+          CAST((16 + h % 48) // 2 AS INTEGER) AS rw,
+          CAST((16 + (h // 48) % 48) // 2 AS INTEGER) AS rh,
+          CAST((h % 16777216) // 65536 AS DOUBLE) AS mean_r,
+          CAST(((h % 16777216) // 256) % 256 AS DOUBLE) AS mean_g,
+          CAST((h % 16777216) % 256 AS DOUBLE) AS mean_b
+        FROM h ORDER BY doc_id""")),
+
+    QueryDef("q_multimodal_frames",
+      // video column (ARRAY<BINARY> of real PNG frames) → sample every
+      // 2nd frame → decode → per-frame channel means; oracle derives
+      // the same frame colors from the content hash
+      (s, dir) => Multimodal.sampleFrames(s,
+        Multimodal.withVideoPayload(s, docs(s, dir)), step = 2)
+        .orderBy("doc_id", "frame_idx"),
+      Some(s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+        f AS (SELECT doc_id, h, unnest(range(3 + h % 5)) AS i FROM h)
+        SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+          CAST(((h + i * 2654435761) % 16777216) // 65536 AS DOUBLE) AS mean_r,
+          CAST((((h + i * 2654435761) % 16777216) // 256) % 256 AS DOUBLE) AS mean_g,
+          CAST(((h + i * 2654435761) % 16777216) % 256 AS DOUBLE) AS mean_b
+        FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""")),
+
     // ---- relational breadth on the star schema ----
 
     QueryDef("q_lineitem_pricing",

@@ -43,13 +43,19 @@ object Dedup {
     * bucket-join for candidates → exact Jaccard verification.
     * Returns `(a, b, jaccard)` for candidate pairs, ordered ids. */
   def minhashLsh(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val bands = TextOps.lshBands(TextOps.minhash(docs, k), rowsPerBand)
+    // shared shingle relation (recomputed per consumer — measured
+    // faster than cache() at bench scale: the narrow re-scan pipelines
+    // into each consumer, while cache materialization pays a row-format
+    // conversion and breaks codegen at the boundary; revisit with
+    // persist(DISK) if the corpus scan itself ever dominates)
+    val sh = TextOps.shingleSet(docs, 5)
+    val bands = TextOps.lshBands(TextOps.minhashFromShingles(sh, k), rowsPerBand)
     val candidates = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
       .join(bands.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
-    jaccardFor(TextOps.shingleSet(docs, 5), candidates)
+    jaccardFor(sh, candidates)
   }
 
   /** All same-group pairs with n-gram Jaccard ≥ threshold, via the

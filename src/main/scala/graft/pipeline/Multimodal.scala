@@ -89,22 +89,43 @@ object Multimodal {
     java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16)
   }
 
-  /** Deterministic solid-color PNG: shape and fill derived from the
-    * content hash. A REAL encoder (ImageIO), so the downstream decode
-    * exercises a genuine codec rather than a stub. */
-  def synthesizePng(h: Long): Array[Byte] = {
-    val w = (16 + h % 48).toInt
-    val hgt = (16 + (h / 48) % 48).toInt
-    val rgb = (h % 16777216).toInt
-    val img = new java.awt.image.BufferedImage(w, hgt,
+  /** Solid-color PNG encoder (real ImageIO codec). */
+  def encodeSolidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val px = new Array[Int](w * hgt)
+    val px = new Array[Int](w * h)
     java.util.Arrays.fill(px, rgb)
-    img.setRGB(0, 0, w, hgt, px, 0, w)    // bulk transfer — per-pixel setRGB is ~10× slower
+    img.setRGB(0, 0, w, h, px, 0, w)      // bulk transfer — per-pixel setRGB is ~10× slower
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
   }
+
+  /** Decode PNG bytes → (pixels, width, height) via ImageIO. */
+  def decodePixels(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    (img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth),
+      img.getWidth, img.getHeight)
+  }
+
+  /** Per-channel pixel means of an RGB pixel array. */
+  def channelMeans(px: Array[Int]): (Double, Double, Double) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      i += 1
+    }
+    val n = px.length.toDouble
+    (sr / n, sg / n, sb / n)
+  }
+
+  /** Deterministic solid-color PNG: shape and fill derived from the
+    * content hash. A REAL encoder (ImageIO), so the downstream decode
+    * exercises a genuine codec rather than a stub. */
+  def synthesizePng(h: Long): Array[Byte] =
+    encodeSolidPng((16 + h % 48).toInt, (16 + (h / 48) % 48).toInt, (h % 16777216).toInt)
 
   /** Documents with a real PNG payload column (encode stage). One
     * encoder instance per partition — the setup cost a real codec
@@ -112,6 +133,9 @@ object Multimodal {
   def withPngPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
+      // codec work is CPU-bound and the source is often a single
+      // parquet split — spread it across the cluster first
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
@@ -146,20 +170,90 @@ object Multimodal {
     payloads.select(col("doc_id").cast("long"), col("png"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        val w = img.getWidth
-        val h = img.getHeight
-        val px = img.getRGB(0, 0, w, h, null, 0, w)    // bulk transfer
-        var (sr, sg, sb) = (0L, 0L, 0L)
-        var i = 0
-        while (i < px.length) {
-          val p = px(i)
-          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-          i += 1
-        }
-        val n = (w.toLong * h).toDouble
-        (id, bytes.length, w, h, sr / n, sg / n, sb / n)
+        val (px, w, h) = decodePixels(bytes)
+        val (mr, mg, mb) = channelMeans(px)
+        (id, bytes.length, w, h, mr, mg, mb)
       })
       .toDF("doc_id", "n_bytes", "img_w", "img_h", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** REAL resize: decode, 2× nearest-neighbor downscale on actual
+    * pixels (`out(x,y) = in(2x, 2y)`), features of the RESIZED image —
+    * the decode→transform→extract chain of a production thumbnailer. */
+  def resizePng(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("png"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (px, w, h) = decodePixels(bytes)
+        val rw = math.max(1, w / 2)
+        val rh = math.max(1, h / 2)
+        val out = new Array[Int](rw * rh)
+        var y = 0
+        while (y < rh) {
+          var x = 0
+          while (x < rw) { out(y * rw + x) = px(2 * y * w + 2 * x); x += 1 }
+          y += 1
+        }
+        val (mr, mg, mb) = channelMeans(out)
+        (id, rw, rh, mr, mg, mb)
+      })
+      .toDF("doc_id", "rw", "rh", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** Per-frame fill color of the synthesized "video" (Knuth-hash frame
+    * mixing, mirrored literally by the SQL oracle). */
+  def frameRgb(h: Long, i: Long): Int = ((h + i * 2654435761L) % 16777216L).toInt
+
+  /** Synthesized multi-frame "video" column: `ARRAY<BINARY>` of real
+    * PNG frames (frame count and per-frame fill from the content hash)
+    * — the container-of-frames layout a video column carries at rest. */
+  def withVideoPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // one encoder per partition: ImageIO.write pays a service
+        // lookup + stream setup per call (~1 ms) — ruinous per frame
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        def enc(rgb: Int): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(32, 24,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = new Array[Int](32 * 24)
+          java.util.Arrays.fill(px, rgb)
+          img.setRGB(0, 0, 32, 24, px, 0, 32)
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
+          baos.toByteArray
+        }
+        it.map { case (id, text) =>
+          val h = textHash60(text)
+          val nf = (3 + h % 5).toInt
+          (id, (0 until nf).map(i => enc(frameRgb(h, i))).toArray)
+        }
+      }
+      .toDF("doc_id", "frames")
+  }
+
+  /** Frame sampling + decode: every `step`-th frame of the video column
+    * is decoded (real codec) and reduced to per-channel means —
+    * decode / frame-sample / feature-extract in one per-partition
+    * batch pass. */
+  def sampleFrames(spark: SparkSession, videos: DataFrame, step: Int = 2): DataFrame = {
+    import spark.implicits._
+    videos.select(col("doc_id").cast("long"), col("frames"))
+      .as[(Long, Array[Array[Byte]])]
+      .mapPartitions(_.flatMap { case (id, frames) =>
+        frames.iterator.zipWithIndex.collect { case (bytes, i) if i % step == 0 =>
+          val (px, _, _) = decodePixels(bytes)
+          val (mr, mg, mb) = channelMeans(px)
+          (id, i, mr, mg, mb)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "mean_r", "mean_g", "mean_b")
   }
 }

@@ -116,10 +116,13 @@ object TextOps {
     * seed. Explodes to (docs × shingles × k) rows — map-side work plus
     * one partial-agg shuffle on doc_id; no pairwise anything. */
   def minhash(docs: DataFrame, k: Int = 16): DataFrame =
-    withTokens(docs)
-      .filter(expr("size(tokens) >= 5"))
-      .selectExpr("doc_id", s"explode(${shinglesExpr(5)}) AS s")
-      .distinct()
+    minhashFromShingles(shingleSet(docs, 5), k)
+
+  /** MinHash from a precomputed (possibly cached) shingle relation —
+    * lets the LSH pipeline share ONE shingle scan between signature
+    * generation and Jaccard verification. */
+  def minhashFromShingles(shingles: DataFrame, k: Int = 16): DataFrame =
+    shingles
       .selectExpr("doc_id", "s", s"explode(sequence(0, ${k - 1})) AS seed")
       .groupBy("doc_id", "seed")
       .agg(expr("min(md5(concat(CAST(seed AS STRING), '|', s)))").as("minhash"))
