@@ -1,0 +1,96 @@
+package graft.regrid
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the weight-generation invariants promised in
+  * SURVEY §5: partition-of-unity for interpolating methods, exact
+  * area-fraction rows for conservative, argmin agreement for nearest —
+  * across RANDOM grid geometries (fixed seeds, several cases per
+  * property), not just the reference fixtures. */
+class WeightPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("weight-props")
+    .getOrCreate()
+
+  private val cases = 6
+
+  private def randGrids(seed: Int): (RectGrid, RectGrid) = {
+    val r = new scala.util.Random(seed)
+    def pick(lo: Int, hi: Int) = lo + r.nextInt(hi - lo + 1)
+    (RectGrid.of(-180, 180, 360.0 / pick(4, 12), -90, 90, 180.0 / pick(4, 10)),
+      RectGrid.of(-180, 180, 360.0 / pick(3, 14), -90, 90, 180.0 / pick(3, 12)))
+  }
+
+  private def rowSums(w: DataFrame): DataFrame =
+    w.groupBy("row").agg(sum("s").as("t"))
+
+  test("property: bilinear weights are a partition of unity on every mapped destination") {
+    (1 to cases).foreach { seed =>
+      val (gs, gd) = randGrids(seed)
+      val w = Weights.bilinear(gs, Grids.cells(spark, gd), periodic = true)
+      assert(rowSums(w).filter(abs(col("t") - 1.0) > 1e-9).count() === 0,
+        s"seed $seed grids $gs $gd")
+      // periodic global source maps every destination
+      assert(w.select("row").distinct().count() === gd.nCells, s"seed $seed")
+    }
+  }
+
+  test("property: conservative rows are exact area fractions summing to 1 on global tilings") {
+    (1 to cases).foreach { seed =>
+      val (gs, gd) = randGrids(100 + seed)
+      val w = Weights.conservative(
+        Grids.cells(spark, gs, withBounds = true),
+        Grids.cells(spark, gd, withBounds = true))
+      assert(rowSums(w).filter(abs(col("t") - 1.0) > 1e-9).count() === 0,
+        s"seed $seed grids $gs $gd")
+      assert(w.filter(col("s") < -1e-12 || col("s") > 1.0 + 1e-12).count() === 0,
+        s"seed $seed")
+    }
+  }
+
+  test("property: patch stencil weights sum to 1 wherever mapped") {
+    (1 to cases).foreach { seed =>
+      val r = new scala.util.Random(200 + seed)
+      def pick(lo: Int, hi: Int) = lo + r.nextInt(hi - lo + 1)
+      val gs = RectGrid.of(-180, 180, 360.0 / pick(4, 12), -90, 90, 180.0 / pick(4, 10))
+      val gd = RectGrid.of(-180, 180, 360.0 / pick(3, 14), -90, 90, 180.0 / pick(3, 12))
+      val w = Weights.patch(gs, Grids.cells(spark, gd), periodic = true)
+      assert(rowSums(w).filter(abs(col("t") - 1.0) > 1e-9).count() === 0,
+        s"seed $seed grids $gs $gd")
+    }
+  }
+
+  test("property: banded nearest join equals brute-force argmin on random point sets") {
+    import spark.implicits._
+    (1 to cases).foreach { seed =>
+      val rnd = new scala.util.Random(300 + seed)
+      val n = 5 + rnd.nextInt(36)
+      val m = 3 + rnd.nextInt(23)
+      def mk(k: Int) = Seq.tabulate(k)(i =>
+        (i.toLong, rnd.nextDouble() * 360.0 - 180.0, rnd.nextDouble() * 170.0 - 85.0))
+      val pts = mk(n).toDF("id", "lon", "lat")
+      val probes = mk(m).toDF("id", "lon", "lat")
+      val got = NearestJoin.nearest(pts, probes, initBandDeg = 10.0)
+        .select(col("probe_id"), col("point_id").as("got"))
+      val brute = probes.select(col("id").as("probe_id"),
+          col("lon").as("qlon"), col("lat").as("qlat"))
+        .crossJoin(pts.select(col("id").as("pid"), col("lon").as("plon"), col("lat").as("plat")))
+        .withColumn("dist", Rounding.r9(
+          NearestJoin.sqChord(col("qlon"), col("qlat"), col("plon"), col("plat"))))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("probe_id").orderBy(col("dist"), col("pid"))))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("pid").as("want"))
+      assert(got.join(brute, "probe_id").filter(col("got") =!= col("want")).count() === 0,
+        s"seed $seed n=$n m=$m")
+      assert(got.count() === m, s"seed $seed")
+    }
+  }
+}
