@@ -166,6 +166,12 @@ final class SlabApplier(weights: DataFrame, val nOut: Int,
     spark.sparkContext.broadcast((rowA, colA, sA))
   }
 
+  /** Release the broadcast weight arrays (the analog of the reference's
+    * `esmf_regrid_finalize`, `backend.py:333-357` — it too frees the
+    * native regrid object once the weights are extracted). The applier
+    * is unusable afterwards. */
+  def close(): Unit = bw.destroy()
+
   /** @param slabs (slab_id LONG, values ARRAY<DOUBLE>)
     * @return (slab_id, values) on the destination grid; unmapped 0.0 */
   def apply(slabs: DataFrame): DataFrame = {

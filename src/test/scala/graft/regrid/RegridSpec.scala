@@ -221,6 +221,36 @@ class RegridSpec extends AnyFunSuite {
     assert(r.weights.count() === 1)
   }
 
+  test("locstream OUTPUT works for bilinear and patch (method matrix, frontend.py:178-184)") {
+    // 4 interior points: bilinear/patch to a locstream destination must
+    // interpolate the analytic field closely
+    val locs4: Seq[(Double, Double)] = graft.RegridQueries.locs4
+    val locDef = LocDef(locs4)
+    Seq(RegridMethod.Bilinear, RegridMethod.Patch).foreach { m =>
+      val r = new Regridder(spark, RectDef(gridIn), locDef, m, periodicRequested = true)
+      val out = r.apply(waveIn).orderBy("cell_id").collect()
+      assert(out.length === 4, s"method ${m.name}")
+      locs4.zip(out).foreach { case ((lon, lat), row) =>
+        val ref = 2.0 + math.pow(math.cos(math.toRadians(lat)), 2) *
+          math.cos(2.0 * math.toRadians(lon))
+        val got = row.getAs[Double]("value")
+        assert(math.abs(got - ref) / ref < 0.05, s"${m.name} at ($lon,$lat): $got vs $ref")
+      }
+    }
+  }
+
+  test("SlabApplier.close releases the broadcast (finalize analog, backend.py:333-357)") {
+    val r = new Regridder(spark, RectDef(gridIn), RectDef(gridOut), RegridMethod.Conservative)
+    val slabs = Apply.toSlabs(
+      waveIn.crossJoin(spark.range(1, 3).toDF("time"))
+        .select(col("cell_id"), col("time"), col("value")),
+      gridIn.nCells.toInt, Seq("time"))
+      .select(col("time").as("slab_id"), col("values"))
+    assert(r.slabApplier.apply(slabs).count() === 2)
+    r.slabApplier.close()
+    intercept[Exception] { r.slabApplier.apply(slabs).count() }
+  }
+
   test("periodic forced off for conservative (frontend.py:164-176)") {
     val r = new Regridder(spark, RectDef(gridIn), RectDef(gridOut),
       RegridMethod.Conservative, periodicRequested = true)
