@@ -93,11 +93,15 @@ object NearestJoin {
       val cand = probesBanded.join(ptsBanded, Seq("band", "lonb"))
         .withColumn("dist",
           Rounding.r9(sqChord(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat"))))
-      val byProbe = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("point_id"))
+      // argmin as a hash aggregate: lexicographic struct-min on
+      // (dist, point_id) is exactly row_number's (dist, point_id)
+      // ordering pick, but runs with map-side partial aggregation
+      // instead of a full per-probe sort — the cheaper shape when
+      // candidates ≫ probes
       val best = cand
-        .withColumn("rn", row_number().over(byProbe))
-        .filter(col("rn") === 1)
-        .select(col("probe_id"), col("point_id"), col("dist"))
+        .groupBy(col("probe_id"))
+        .agg(min(struct(col("dist"), col("point_id"))).as("m"))
+        .select(col("probe_id"), col("m.point_id").as("point_id"), col("m.dist").as("dist"))
 
       // localCheckpoint truncates lineage so round k's `remaining.isEmpty`
       // action (and the caller's final action) does NOT recompute every
@@ -117,10 +121,10 @@ object NearestJoin {
       val cand = remaining.crossJoin(pts)
         .withColumn("dist",
           Rounding.r9(sqChord(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat"))))
-      val w = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("point_id"))
-      val rest = cand.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("probe_id"), col("point_id"), col("dist"))
+      val rest = cand
+        .groupBy(col("probe_id"))
+        .agg(min(struct(col("dist"), col("point_id"))).as("m"))
+        .select(col("probe_id"), col("m.point_id").as("point_id"), col("m.dist").as("dist"))
       resolved = Some(resolved.map(_.unionByName(rest)).getOrElse(rest))
     }
     resolved.get
