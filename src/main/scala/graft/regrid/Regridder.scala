@@ -89,6 +89,28 @@ final case class CellsDef(df: DataFrame, ny: Int, nx: Int) extends GridDef {
   }
 }
 
+/** Curvilinear 2-D mesh grid: a tidy center relation
+  * `(cell_id, y, x, lon, lat)` plus, for conservative, a corner-polygon
+  * relation `(cell_id, lon_c0..lat_c3)` (see
+  * [[Curvilinear.rotatedCells]]/[[Curvilinear.rotatedCorners]] for the
+  * rotated-pole constructors, or supply any mesh). The reference's
+  * 2-D-coordinate-array ingestion (`frontend.py:21-30`) as a grid
+  * definition. */
+final case class CurvDef(centerCells: DataFrame, polys: Option[DataFrame],
+                         ny: Int, nx: Int) extends GridDef {
+  def isLocstream = false
+  def nCells: Long = ny.toLong * nx
+  def shapeStr = s"($ny, $nx)"
+  def hasBounds: Boolean = polys.isDefined
+  def cells(spark: SparkSession, withBounds: Boolean): DataFrame = {
+    if (withBounds && !hasBounds)
+      throw new NoSuchElementException("curvilinear grid has no corner polygons but method requires them")
+    centerCells
+  }
+  def polyRelation: DataFrame = polys.getOrElse(
+    throw new NoSuchElementException("curvilinear grid has no corner polygons"))
+}
+
 final case class LocDef(points: Seq[(Double, Double)]) extends GridDef {
   def isLocstream = true
   def nCells: Long = points.size.toLong
@@ -140,6 +162,8 @@ final class Regridder(
     def dims(g: GridDef): String = g match {
       case RectDef(r, _) => s"${r.ny}x${r.nx}"
       case CoordDef(c, _) => s"${c.ny}x${c.nx}"
+      case c: CurvDef => s"${c.ny}x${c.nx}"
+      case CellsDef(_, ny, nx) => s"${ny}x$nx"
       case l: LocDef => s"1x${l.nCells}"
     }
     val peri = if (periodic) "_peri" else ""
@@ -156,8 +180,22 @@ final class Regridder(
         gridIn match {
           case RectDef(r, _) => Weights.bilinear(r, dstB, periodic)
           case CoordDef(cg, _) => Weights.bilinearIrregular(cg, dstB)
-          case _ => throw new IllegalArgumentException("bilinear needs a rectilinear source grid")
+          case c: CurvDef => Weights.bilinearCurvilinear(c.centerCells, dstB)
+          case _ => throw new IllegalArgumentException(
+            "bilinear needs a rectilinear or curvilinear source grid")
         }
+      case RegridMethod.Conservative if gridIn.isInstanceOf[CurvDef] ||
+          gridOut.isInstanceOf[CurvDef] =>
+        // polygon-clip kernel whenever either side is a curvilinear
+        // mesh; a rectilinear side contributes its bound boxes as
+        // 4-corner polygons. Zero-area cells clip to weight 0 and drop
+        // out (the polygon path is inherently degenerate-tolerant).
+        def polysOf(g: GridDef, cellsWithBounds: => DataFrame): DataFrame = g match {
+          case c: CurvDef => c.polyRelation
+          case _ => Curvilinear.boundsToPolys(cellsWithBounds)
+        }
+        Weights.conservativeCurvilinear(
+          polysOf(gridIn, srcB), polysOf(gridOut, dstB))
       case RegridMethod.Conservative =>
         // V6 `ignore_degenerate` (reference `backend.py:230-232`,
         // `frontend.py:148-150`): zero-area cells either error (ESMF's

@@ -403,6 +403,34 @@ class RegridSpec extends AnyFunSuite {
     assert(rb.weights.count() > 0)
   }
 
+  test("Regridder with CurvDef: curvilinear bilinear + conservative through the facade") {
+    val rot = RectGrid.of(2, 62, 4, -30, 30, 4)
+    val curv = CurvDef(
+      Curvilinear.rotatedCells(spark, rot, poleLat = 70.0, poleLon = -165.0),
+      Some(Curvilinear.rotatedCorners(spark, rot, poleLat = 70.0, poleLon = -165.0)),
+      rot.ny, rot.nx)
+    val dstG = RectGrid.of(-25, 0, 2.5, 5, 30, 2.5)
+    val f = curv.centerCells.select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+    val ref = Grids.cells(spark, dstG).select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("ref"))
+    Seq(RegridMethod.Bilinear, RegridMethod.Conservative).foreach { m =>
+      val r = new Regridder(spark, curv, RectDef(dstG), m)
+      val out = r.apply(f)
+      assert(out.count() === dstG.nCells, m.name)
+      val e = out.join(ref, "cell_id")
+        .select(max(abs((col("ref") - col("value")) / col("ref"))).as("e"))
+        .head().getDouble(0)
+      assert(e < 0.02, s"${m.name} facade max rel err $e")
+    }
+    // conservative without corner polygons errors at the boundary (V5)
+    intercept[NoSuchElementException] {
+      new Regridder(spark,
+        CurvDef(curv.centerCells, None, rot.ny, rot.nx),
+        RectDef(dstG), RegridMethod.Conservative).weights.count()
+    }
+  }
+
   test("CoordAxis V3 shape contract: bad bounds/centers rejected at the boundary") {
     intercept[IllegalArgumentException] {         // bounds must be n+1
       CoordAxis(Array(0.0, 1.0), Array(0.0, 0.5, 1.0, 1.5))
