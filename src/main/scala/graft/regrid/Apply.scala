@@ -78,8 +78,19 @@ object Apply {
       coalesce(r, lit(0.0))
     }
 
-    field
-      .join(w, field("cell_id") === w("col"))
+    // Slab locality: with broadcast W, repartitioning the field by the
+    // extra dims makes every (row, extraDims…) group partition-local —
+    // the groupBy then needs no second shuffle and partial aggregation
+    // combines fully, so the one shuffle moves |field| input rows
+    // instead of ~|field|·nnz-per-cell partially-aggregated rows.
+    // (Caveat: parallelism = #extra-dim combos; fields with fewer slabs
+    // than cores should take the dense slab path anyway.)
+    val f =
+      if (broadcastWeights && extraDims.nonEmpty) field.repartition(extraDims.map(col): _*)
+      else field
+
+    f
+      .join(w, f("cell_id") === w("col"))
       .groupBy(col("row") +: extraDims.map(col): _*)
       .agg(
         sum(col("s") * col(valueCols.head)).as(valueCols.head),
