@@ -236,6 +236,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.contains((1L, ts(60), ts(60), 1L, 5.0)))    // closed by event-time timeout
   }
 
+  test("streaming: watermarked exact dedup keeps first occurrence per content hash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingOps.dedupStream(
+      stream.toDF().toDF("doc_id", "content_hash", "ts"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    stream.addData(Seq(
+      (1L, "aaa", ts(0)), (2L, "bbb", ts(1)), (3L, "aaa", ts(2))))   // 3 dups 1
+    q.processAllAvailable()
+    stream.addData(Seq((4L, "aaa", ts(3)), (5L, "ccc", ts(4))))      // 4 dups 1
+    q.processAllAvailable()
+    val got = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got === Set(1L, 2L, 5L))
+  }
+
   test("streaming: per-batch regrid equals batch apply") {
     import graft.regrid._
     val gIn = RectGrid.of(-180, 180, 20, -90, 90, 12)
