@@ -24,6 +24,7 @@ import graft.regrid._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    new java.io.File("/root/repo/target/spark-tmp").mkdirs()
     // bench contract runs at local[32] (builder prompt); allow override
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -32,6 +33,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+      // repo-local scratch: system /tmp reapers delete shuffle files
+      // mid-job on long runs (observed as FileNotFoundException)
+      .config("spark.local.dir", "/root/repo/target/spark-tmp")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
