@@ -127,10 +127,14 @@ object PipelineQueries {
 
     QueryDef("q_minhash_sig",
       (s, dir) => TextOps.minhash(docs(s, dir)).orderBy("doc_id", "seed"),
-      Some(s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)})
+      Some(s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
+        m AS (SELECT doc_id, ${h60("s")} % ${TextOps.minhashM} AS m FROM sh5),
+        perm AS (SELECT * FROM (VALUES ${(0 until 16).map(i =>
+          s"(${i}, ${TextOps.minhashA(i)}, ${TextOps.minhashB(i)})").mkString(", ")})
+          t(seed, a, b))
         SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-          min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS minhash
-        FROM sh5, range(16) r(seed) GROUP BY 1, 2 ORDER BY doc_id, seed""")),
+          min((a * m + b) % ${TextOps.minhashP}) AS minhash
+        FROM m, perm GROUP BY 1, 2 ORDER BY doc_id, seed""")),
 
     QueryDef("q_simhash",
       (s, dir) => TextOps.simhash(docs(s, dir)).orderBy("doc_id"),
@@ -153,10 +157,14 @@ object PipelineQueries {
     QueryDef("q_dedup_minhash",
       (s, dir) => Dedup.minhashLsh(docs(s, dir)).orderBy("a", "b"),
       Some(s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
-        mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS m
-               FROM sh5, range(16) r(seed) GROUP BY 1, 2),
+        hm AS (SELECT doc_id, ${h60("s")} % ${TextOps.minhashM} AS m FROM sh5),
+        perm AS (SELECT * FROM (VALUES ${(0 until 16).map(i =>
+          s"(${i}, ${TextOps.minhashA(i)}, ${TextOps.minhashB(i)})").mkString(", ")})
+          t(seed, a, b)),
+        mh AS (SELECT doc_id, seed, min((a * m + b) % ${TextOps.minhashP}) AS m
+               FROM hm, perm GROUP BY 1, 2),
         bands AS (SELECT doc_id, seed // 4 AS band,
-                    md5(string_agg(m, '|' ORDER BY seed)) AS sig
+                    md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY seed)) AS sig
                   FROM mh GROUP BY 1, 2),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig

@@ -111,21 +111,38 @@ object TextOps {
       .selectExpr("doc_id",
         s"array_min(transform(${shinglesExpr(5)}, s -> md5(s))) AS fp")
 
-  /** MinHash signatures, long format `(doc_id, seed, minhash)`:
-    * k simulated permutations via md5(seed || '|' || shingle), min per
-    * seed. Explodes to (docs × shingles × k) rows — map-side work plus
-    * one partial-agg shuffle on doc_id; no pairwise anything. */
+  /** LCG permutation parameters for MinHash: `perm_k(m) =
+    * (a_k·m + b_k) mod (2³¹−1)` over `m = hash60(shingle) mod 2³¹`.
+    * One string hash per shingle + k arithmetic permutations — the
+    * standard formulation, 16× fewer digest calls than hashing
+    * (seed, shingle) pairs, and the permutations stay inside
+    * whole-stage codegen. Constants are fixed and embedded identically
+    * in the SQL oracle. */
+  val minhashP: Long = 2147483647L          // 2^31 - 1
+  val minhashM: Long = 2147483648L          // 2^31
+  def minhashA(i: Int): Long = 1103515245L + 2L * i   // odd, distinct
+  def minhashB(i: Int): Long = 12345L + 7919L * i
+
+  /** MinHash signatures, long format `(doc_id, seed, minhash)`: min of
+    * each LCG permutation over the document's shingle hashes. No seed
+    * explode — k min-aggregates in ONE pass over the shingle relation,
+    * unpivoted afterwards at doc × k cardinality. */
   def minhash(docs: DataFrame, k: Int = 16): DataFrame =
     minhashFromShingles(shingleSet(docs, 5), k)
 
-  /** MinHash from a precomputed (possibly cached) shingle relation —
-    * lets the LSH pipeline share ONE shingle scan between signature
-    * generation and Jaccard verification. */
-  def minhashFromShingles(shingles: DataFrame, k: Int = 16): DataFrame =
+  /** MinHash from a precomputed shingle relation — lets the LSH
+    * pipeline share ONE shingle scan between signature generation and
+    * Jaccard verification. */
+  def minhashFromShingles(shingles: DataFrame, k: Int = 16): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(expr(s"(${minhashA(i)} * m + ${minhashB(i)}) % $minhashP")).as(s"mh_$i"))
     shingles
-      .selectExpr("doc_id", "s", s"explode(sequence(0, ${k - 1})) AS seed")
-      .groupBy("doc_id", "seed")
-      .agg(expr("min(md5(concat(CAST(seed AS STRING), '|', s)))").as("minhash"))
+      .selectExpr("doc_id", s"${hash60("s")} % $minhashM AS m")
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until k).map(i => col(s"mh_$i")): _*)).as(Seq("seed", "minhash")))
+  }
 
   /** LSH band signatures from minhash sigs: `(doc_id, band, sig)` with
     * `rowsPerBand` minhashes concatenated per band. Near-dup candidates
@@ -135,7 +152,7 @@ object TextOps {
       .withColumn("band", expr(s"CAST(seed DIV $rowsPerBand AS INT)"))
       .groupBy("doc_id", "band")
       .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(seed, minhash))), " +
-        "x -> x.minhash), '|'))").as("sig"))
+        "x -> CAST(x.minhash AS STRING)), '|'))").as("sig"))
 
   /** 60-bit SimHash per document: sign of the per-bit sum of ±1 votes
     * from every token occurrence's hash60. */
