@@ -83,27 +83,53 @@ object Similarity {
     * this is the right EXACT baseline; for corpora where n² is off the
     * table, use [[nearDupPairsBucketed]] / [[ivfTopK]]. */
   def nearDupPairsBlocked(emb: DataFrame, minCos: Double, blocks: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val b = blocks
-    val a1 = vecs(emb, "a").withColumn("a_blk", pmod(col("a_id"), lit(b)).cast("int"))
-      .withColumn("j", explode(sequence(col("a_blk"), lit(b - 1))))
-      .withColumn("key", col("a_blk") * b + col("j"))
-      .drop("j")
-    val b1 = vecs(emb, "b").withColumn("b_blk", pmod(col("b_id"), lit(b)).cast("int"))
-      .withColumn("i", explode(sequence(lit(0), col("b_blk"))))
-      .withColumn("key", col("i") * b + col("b_blk"))
-      .drop("i")
-    // roles are fixed by BLOCK order, not id order: a cross-block pair
-    // appears exactly once (side 1 = lower block), in whichever id
-    // order the blocks dictate — normalize with least/greatest. Only
-    // same-block pairs (both sides hold the block's vectors) need the
-    // id inequality to drop the mirrored duplicate.
-    val pairs = a1.join(b1, Seq("key"))
-      .filter((col("a_blk") =!= col("b_blk")) || (col("a_id") < col("b_id")))
-      .selectExpr("least(a_id, b_id) AS id1", "greatest(a_id, b_id) AS id2",
-        "a_v AS v1", "a_nrm AS n1", "b_v AS v2", "b_nrm AS n2")
-    cosKernel(pairs)
+    // block-matrix shape: ONE row per block carrying its vectors, so
+    // the shuffle moves each block B/2 times (O(n·B) doubles) instead
+    // of duplicating both vectors into every candidate pair row
+    // (O(n²/B) doubles). Each unordered pair is evaluated in exactly
+    // one block-pair task: (min blk, max blk), side 1 = lower block.
+    // Block size n/B must fit in a task (tune `blocks` upward for
+    // larger corpora — compute per task is (n/B)²·dim either way).
+    val grouped = vecs(emb, "a")
+      .withColumn("blk", pmod(col("a_id"), lit(b)).cast("int"))
+      .groupBy("blk")
+      .agg(collect_list(struct(col("a_id"), col("a_v"), col("a_nrm"))).as("vs"))
+    val side1 = grouped
+      .withColumn("j", explode(sequence(col("blk"), lit(b - 1))))
+      .select((col("blk") * b + col("j")).as("key"), col("blk").as("blk1"), col("vs").as("vs1"))
+    val side2 = grouped
+      .withColumn("i", explode(sequence(lit(0), col("blk"))))
+      .select((col("i") * b + col("blk")).as("key"), col("blk").as("blk2"), col("vs").as("vs2"))
+
+    side1.join(side2, Seq("key"))
+      .select(col("blk1") === col("blk2"), col("vs1"), col("vs2"))
+      .as[(Boolean, Seq[(Long, Seq[Double], Double)], Seq[(Long, Seq[Double], Double)])]
+      .mapPartitions(_.flatMap { case (sameBlk, vs1, vs2) =>
+        // unbox each vector ONCE — Seq[Double] apply in the pair loop
+        // would box every element access (128M unboxings per 2M pairs)
+        val a1 = vs1.map { case (id, v, n) => (id, v.toArray, n) }.toArray
+        val a2 = vs2.map { case (id, v, n) => (id, v.toArray, n) }.toArray
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        a1.foreach { case (idA, vA, nA) =>
+          a2.foreach { case (idB, vB, nB) =>
+            // same block holds identical sets on both sides: keep one
+            // orientation; cross-block pairs appear once, any id order
+            if (!sameBlk || idA < idB) {
+              var acc = 0.0
+              var k = 0
+              while (k < vA.length) { acc += vA(k) * vB(k); k += 1 }
+              val cos = math.floor(acc / (nA * nB) * 1.0e9 + 0.5) / 1.0e9
+              if (cos >= minCos)
+                out += ((math.min(idA, idB), math.max(idA, idB), cos))
+            }
+          }
+        }
+        out.result()
+      })
       .toDF("a", "b", "cos")
-      .filter(col("cos") >= minCos)
   }
 
   /** Embedding near-dup pairs at corpus scale: sign-bucket LSH
