@@ -126,7 +126,19 @@ object Bench {
       "bench_apply_2d_240k" -> tApply2d,
       "bench_apply_prep_collectW" -> tPrep,
       "bench_apply_4d_relational" -> tApplyRel)
-    def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escape incl. control chars — Spark exception
+    // messages carry newlines even after truncation, and a bare '\n'
+    // would break the one-line JSON contract exactly when the error
+    // report matters
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = all.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = all.map(_._2).sum

@@ -89,24 +89,56 @@ object Multimodal {
     java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16)
   }
 
-  /** Solid-color PNG encoder (real ImageIO codec). */
-  def encodeSolidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val px = new Array[Int](w * h)
-    java.util.Arrays.fill(px, rgb)
-    img.setRGB(0, 0, w, h, px, 0, w)      // bulk transfer — per-pixel setRGB is ~10× slower
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+  /** Per-partition PNG encoder factory: ONE ImageIO writer reused for
+    * every image the task encodes (the service lookup + stream setup in
+    * `ImageIO.write` costs ~1 ms per call — ruinous per record). */
+  def mkEncoder(): (Int, Int, Int) => Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    (w: Int, h: Int, rgb: Int) => {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
+      java.util.Arrays.fill(px, rgb)
+      img.setRGB(0, 0, w, h, px, 0, w)    // bulk transfer — per-pixel setRGB is ~10× slower
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.close()
+      baos.toByteArray
+    }
   }
 
-  /** Decode PNG bytes → (pixels, width, height) via ImageIO. */
-  def decodePixels(bytes: Array[Byte]): (Array[Int], Int, Int) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    (img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth),
-      img.getWidth, img.getHeight)
+  /** Per-partition PNG decoder factory: one reused ImageIO reader;
+    * undecodable payloads raise an informative error instead of the
+    * bare NullPointerException `ImageIO.read` would cause (it returns
+    * null, not an exception, for corrupt bytes). */
+  def mkDecoder(): Array[Byte] => (Array[Int], Int, Int) = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    (bytes: Array[Byte]) => {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val img =
+        try {
+          reader.setInput(iis)
+          reader.read(0)
+        } catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"undecodable PNG payload (${bytes.length} bytes): ${e.getMessage}", e)
+        } finally iis.close()
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable PNG payload (${bytes.length} bytes)")
+      (img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth),
+        img.getWidth, img.getHeight)
+    }
   }
+
+  /** Solid-color PNG encoder, one-shot form (tests/ad-hoc). */
+  def encodeSolidPng(w: Int, h: Int, rgb: Int): Array[Byte] = mkEncoder()(w, h, rgb)
+
+  /** Decode PNG bytes → (pixels, width, height), one-shot form. */
+  def decodePixels(bytes: Array[Byte]): (Array[Int], Int, Int) = mkDecoder()(bytes)
 
   /** Per-channel pixel means of an RGB pixel array. */
   def channelMeans(px: Array[Int]): (Double, Double, Double) = {
@@ -121,11 +153,19 @@ object Multimodal {
     (sr / n, sg / n, sb / n)
   }
 
+  /** Hash-derived PNG spec `(width, height, fill)` — the single source
+    * of truth for the synthesized payloads, mirrored by the SQL
+    * oracles. */
+  def pngSpec(h: Long): (Int, Int, Int) =
+    ((16 + h % 48).toInt, (16 + (h / 48) % 48).toInt, (h % 16777216).toInt)
+
   /** Deterministic solid-color PNG: shape and fill derived from the
     * content hash. A REAL encoder (ImageIO), so the downstream decode
     * exercises a genuine codec rather than a stub. */
-  def synthesizePng(h: Long): Array[Byte] =
-    encodeSolidPng((16 + h % 48).toInt, (16 + (h / 48) % 48).toInt, (h % 16777216).toInt)
+  def synthesizePng(h: Long): Array[Byte] = {
+    val (w, hgt, rgb) = pngSpec(h)
+    encodeSolidPng(w, hgt, rgb)
+  }
 
   /** Documents with a real PNG payload column (encode stage). One
     * encoder instance per partition — the setup cost a real codec
@@ -138,23 +178,10 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        val enc = mkEncoder()
         it.map { case (id, text) =>
-          val h = textHash60(text)
-          val w = (16 + h % 48).toInt
-          val hgt = (16 + (h / 48) % 48).toInt
-          val rgb = (h % 16777216).toInt
-          val img = new java.awt.image.BufferedImage(w, hgt,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val px = new Array[Int](w * hgt)
-          java.util.Arrays.fill(px, rgb)
-          img.setRGB(0, 0, w, hgt, px, 0, w)
-          val baos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-          writer.setOutput(ios)
-          writer.write(img)
-          ios.close()
-          (id, baos.toByteArray)
+          val (w, hgt, rgb) = pngSpec(textHash60(text))
+          (id, enc(w, hgt, rgb))
         }
       }
       .toDF("doc_id", "png")
@@ -169,11 +196,14 @@ object Multimodal {
     import spark.implicits._
     payloads.select(col("doc_id").cast("long"), col("png"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val (px, w, h) = decodePixels(bytes)
-        val (mr, mg, mb) = channelMeans(px)
-        (id, bytes.length, w, h, mr, mg, mb)
-      })
+      .mapPartitions { it =>
+        val dec = mkDecoder()
+        it.map { case (id, bytes) =>
+          val (px, w, h) = dec(bytes)
+          val (mr, mg, mb) = channelMeans(px)
+          (id, bytes.length, w, h, mr, mg, mb)
+        }
+      }
       .toDF("doc_id", "n_bytes", "img_w", "img_h", "mean_r", "mean_g", "mean_b")
   }
 
@@ -184,8 +214,10 @@ object Multimodal {
     import spark.implicits._
     payloads.select(col("doc_id").cast("long"), col("png"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val (px, w, h) = decodePixels(bytes)
+      .mapPartitions { it =>
+        val dec = mkDecoder()
+        it.map { case (id, bytes) =>
+        val (px, w, h) = dec(bytes)
         val rw = math.max(1, w / 2)
         val rh = math.max(1, h / 2)
         val out = new Array[Int](rw * rh)
@@ -197,7 +229,8 @@ object Multimodal {
         }
         val (mr, mg, mb) = channelMeans(out)
         (id, rw, rh, mr, mg, mb)
-      })
+        }
+      }
       .toDF("doc_id", "rw", "rh", "mean_r", "mean_g", "mean_b")
   }
 
@@ -214,26 +247,11 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
-        // one encoder per partition: ImageIO.write pays a service
-        // lookup + stream setup per call (~1 ms) — ruinous per frame
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
-        def enc(rgb: Int): Array[Byte] = {
-          val img = new java.awt.image.BufferedImage(32, 24,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val px = new Array[Int](32 * 24)
-          java.util.Arrays.fill(px, rgb)
-          img.setRGB(0, 0, 32, 24, px, 0, 32)
-          val baos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-          writer.setOutput(ios)
-          writer.write(img)
-          ios.close()
-          baos.toByteArray
-        }
+        val enc = mkEncoder()
         it.map { case (id, text) =>
           val h = textHash60(text)
           val nf = (3 + h % 5).toInt
-          (id, (0 until nf).map(i => enc(frameRgb(h, i))).toArray)
+          (id, (0 until nf).map(i => enc(32, 24, frameRgb(h, i))).toArray)
         }
       }
       .toDF("doc_id", "frames")
@@ -247,13 +265,16 @@ object Multimodal {
     import spark.implicits._
     videos.select(col("doc_id").cast("long"), col("frames"))
       .as[(Long, Array[Array[Byte]])]
-      .mapPartitions(_.flatMap { case (id, frames) =>
-        frames.iterator.zipWithIndex.collect { case (bytes, i) if i % step == 0 =>
-          val (px, _, _) = decodePixels(bytes)
-          val (mr, mg, mb) = channelMeans(px)
-          (id, i, mr, mg, mb)
+      .mapPartitions { it =>
+        val dec = mkDecoder()
+        it.flatMap { case (id, frames) =>
+          frames.iterator.zipWithIndex.collect { case (bytes, i) if i % step == 0 =>
+            val (px, _, _) = dec(bytes)
+            val (mr, mg, mb) = channelMeans(px)
+            (id, i, mr, mg, mb)
+          }
         }
-      })
+      }
       .toDF("doc_id", "frame_idx", "mean_r", "mean_g", "mean_b")
   }
 }

@@ -64,8 +64,15 @@ object Apply {
     // is the reference's own data model (flattened dense arrays,
     // smm.py:89).
     // any existing source cell works as the zero-weight anchor; take it
-    // from the weights relation (small) rather than scanning the field
-    val anyCol = broadcast(w0.select(min(col("col")).as("col")))
+    // from the weights relation (small) rather than scanning the field.
+    // An EMPTY weights relation (fully non-overlapping grids) would
+    // yield a NULL anchor and an empty output instead of the promised
+    // all-zero frame — fall back to one arbitrary field cell (limit(1)
+    // reads a single partition, not the whole field).
+    val anyCol = broadcast(
+      w0.select(col("col"))
+        .unionByName(field.select(col("cell_id").as("col")).limit(1))
+        .select(min(col("col")).as("col")))
     val padding = destCells.select(col("cell_id").as("row"))
       .join(w0.select("row").distinct(), Seq("row"), "left_anti")
       .crossJoin(anyCol)
@@ -195,7 +202,17 @@ final class SlabApplier(weights: DataFrame, val nOut: Int,
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val (rw, cl, sv) = b.value
+        // V4 shape contract for the dense path: every weight column
+        // must index into the slab (reference smm.py:77-86); report the
+        // offending slab instead of a bare ArrayIndexOutOfBounds
+        var maxCol = -1
+        var m = 0
+        while (m < cl.length) { if (cl(m) > maxCol) maxCol = cl(m); m += 1 }
         it.map { case (k, inA) =>
+          if (inA.length <= maxCol)
+            throw new IllegalArgumentException(
+              s"slab $k has ${inA.length} values but weights reference source cell $maxCol " +
+                "(shape contract, reference smm.py:77-86)")
           val out = new Array[Double](n)
           var j = 0
           while (j < rw.length) { out(rw(j)) += sv(j) * inA(cl(j)); j += 1 }

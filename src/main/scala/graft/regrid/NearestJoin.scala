@@ -71,10 +71,14 @@ object NearestJoin {
       val sinHalfR = math.sin(math.toRadians(r / 2.0))
 
       // lon reach of a point, in tiles: how far (wrapped) a probe within
-      // angle r can sit; widens toward the poles, whole ring in the cap
+      // angle r can sit; widens toward the poles. Points whose lat + r
+      // reaches the pole cap get the FULL ring — clamping the cosine
+      // argument there would under-cover when r is tiny (a sub-0.02°
+      // radius at lat 89.999 still spans all longitudes).
       val reach = least(
-        ceil(degrees(lit(2.0) * asin(least(lit(1.0),
-          lit(sinHalfR) / cos(radians(least(abs(col("p_lat")) + lit(r), lit(89.99))))))) / lit(w))
+        when(abs(col("p_lat")) + lit(r) >= 89.99, lit((nLon / 2 + 1).toDouble))
+          .otherwise(ceil(degrees(lit(2.0) * asin(least(lit(1.0),
+            lit(sinHalfR) / cos(radians(abs(col("p_lat")) + lit(r)))))) / lit(w)))
           .cast("long"),
         lit(nLon / 2 + 1))
       val ptsBanded = pts

@@ -179,8 +179,16 @@ final class Regridder(
       case RegridMethod.Bilinear =>
         gridIn match {
           case RectDef(r, _) => Weights.bilinear(r, dstB, periodic)
-          case CoordDef(cg, _) => Weights.bilinearIrregular(cg, dstB)
-          case c: CurvDef => Weights.bilinearCurvilinear(c.centerCells, dstB)
+          case CoordDef(cg, _) =>
+            // fail loudly rather than silently building non-periodic
+            // weights under a filename that claims periodicity
+            require(!periodic,
+              "periodic bilinear is only implemented for uniform rectilinear source grids")
+            Weights.bilinearIrregular(cg, dstB)
+          case c: CurvDef =>
+            require(!periodic,
+              "periodic bilinear is only implemented for uniform rectilinear source grids")
+            Weights.bilinearCurvilinear(c.centerCells, dstB)
           case _ => throw new IllegalArgumentException(
             "bilinear needs a rectilinear or curvilinear source grid")
         }
@@ -286,8 +294,14 @@ final class Regridder(
             broadcastWeights: Boolean = true,
             validate: Boolean = false): DataFrame = {
     val cols = field.columns.toSet
-    if (cols.contains("values") && cols.contains("slab_id")) slabApplier.apply(field)
-    else Apply.regrid(weights, field, gridOut.cells(spark, withBounds = false),
+    if (cols.contains("values") && cols.contains("slab_id")) {
+      // the dense kernel has no notion of these relational-path options
+      // — error rather than silently ignore what the caller asked for
+      require(extraDims.isEmpty && valueCols == Seq("value") && !validate,
+        "slab-major input supports none of extraDims/valueCols/validate " +
+          "(extra dims are packed into slab_id; shape is checked inside the kernel)")
+      slabApplier.apply(field)
+    } else Apply.regrid(weights, field, gridOut.cells(spark, withBounds = false),
       extraDims, valueCols, broadcastWeights, validate = validate)
   }
 

@@ -31,13 +31,17 @@ object StreamingOps {
       .agg(count("*").as("n"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"))
 
-  /** Streaming exact dedup: first occurrence wins, duplicates beyond
-    * the watermark horizon are dropped with their state. The streaming
-    * form of [[graft.pipeline.Dedup.exact]]. */
+  /** Streaming exact dedup with BOUNDED state: first occurrence wins
+    * within the watermark horizon, and each key's state is evicted once
+    * the watermark passes it (`dropDuplicatesWithinWatermark` — plain
+    * `dropDuplicates` on a non-event-time key would accumulate one
+    * state entry per distinct hash forever). The streaming form of
+    * [[graft.pipeline.Dedup.exact]] with the standard
+    * horizon-bounded-exactness tradeoff. */
   def dedupStream(docs: DataFrame, watermarkCol: String = "ts",
                   horizon: String = "1 hour"): DataFrame =
     docs.withWatermark(watermarkCol, horizon)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   /** Stateful sessionization with `flatMapGroupsWithState` — the
     * streaming form of [[graft.pipeline.Events.sessions]]: per-user
@@ -65,7 +69,10 @@ object StreamingOps {
           val t = e.ts.getTime
           open match {
             case Some(s) if t - s.endMs <= gapMs =>
-              open = Some(SessState(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+              // min on start too: a late-but-within-watermark event can
+              // precede the open session's first event
+              open = Some(SessState(math.min(s.startMs, t), math.max(s.endMs, t),
+                s.n + 1, s.sum + e.value))
             case Some(s) =>
               closed += toOut(s)
               open = Some(SessState(t, t, 1, e.value))

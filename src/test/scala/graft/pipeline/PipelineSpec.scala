@@ -225,6 +225,10 @@ class PipelineSpec extends AnyFunSuite {
     q.processAllAvailable()
     stream.addData(Seq((1L, ts(60), 5.0)))    // 50-min gap closes session 1
     q.processAllAvailable()
+    // late-but-within-watermark event PRECEDING the open session's
+    // start: must extend session_start backward (min, not keep)
+    stream.addData(Seq((1L, ts(55), 0.5)))
+    q.processAllAvailable()
     stream.addData(Seq((2L, ts(500), 1.0)))   // pushes watermark past 60+30
     q.processAllAvailable()
     stream.addData(Seq((2L, ts(501), 1.0)))   // next trigger fires the timeout
@@ -235,7 +239,7 @@ class PipelineSpec extends AnyFunSuite {
       .collect().toSet
     q.stop()
     assert(got.contains((1L, ts(0), ts(10), 2L, 3.0)))     // closed by gap
-    assert(got.contains((1L, ts(60), ts(60), 1L, 5.0)))    // closed by event-time timeout
+    assert(got.contains((1L, ts(55), ts(60), 2L, 5.5)))    // closed by event-time timeout
   }
 
   test("streaming: watermarked exact dedup keeps first occurrence per content hash") {
