@@ -431,6 +431,23 @@ object Weights {
                               bandDeg: Double = 5.0): DataFrame = {
     val spark = srcPolys.sparkSession
     import spark.implicits._
+
+    // Sutherland–Hodgman is only exact when the CLIP polygon (the
+    // destination cell) is convex; validate once at build time instead
+    // of silently corrupting weights on strongly distorted meshes
+    // (subject-side cells may be any simple quad). Convex ⟺ all
+    // consecutive edge cross products share a sign.
+    val crosses = (0 until 4).map { i =>
+      val j = (i + 1) % 4; val k = (i + 2) % 4
+      (col(s"lon_c$j") - col(s"lon_c$i")) * (col(s"lat_c$k") - col(s"lat_c$j")) -
+        (col(s"lat_c$j") - col(s"lat_c$i")) * (col(s"lon_c$k") - col(s"lon_c$j"))
+    }
+    val nonConvex = dstPolys.filter(
+      !(crosses.map(_ >= -1e-12).reduce(_ && _) || crosses.map(_ <= 1e-12).reduce(_ && _)))
+      .count()
+    require(nonConvex == 0,
+      s"$nonConvex destination cells are non-convex in (lon, lat) — the polygon-clip " +
+        "conservative kernel requires convex destination cells")
     def prep(df: DataFrame, role: String): DataFrame = {
       val lons = (0 to 3).map(k => col(s"lon_c$k"))
       val lats = (0 to 3).map(k => col(s"lat_c$k"))

@@ -431,6 +431,19 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  test("curvilinear conservative rejects non-convex destination cells") {
+    import spark.implicits._
+    // (0,0),(10,0),(2,2),(0,10) is concave at (2,2)
+    val concave = Seq((0L, 0.0, 0.0, 10.0, 0.0, 2.0, 2.0, 0.0, 10.0))
+      .toDF("cell_id", "lon_c0", "lat_c0", "lon_c1", "lat_c1",
+        "lon_c2", "lat_c2", "lon_c3", "lat_c3")
+    val src = Curvilinear.boundsToPolys(
+      Grids.cells(spark, RectGrid.of(-20, 20, 10, -20, 20, 10), withBounds = true))
+    intercept[IllegalArgumentException] {
+      Weights.conservativeCurvilinear(src, concave).count()
+    }
+  }
+
   test("CoordAxis V3 shape contract: bad bounds/centers rejected at the boundary") {
     intercept[IllegalArgumentException] {         // bounds must be n+1
       CoordAxis(Array(0.0, 1.0), Array(0.0, 0.5, 1.0, 1.5))
