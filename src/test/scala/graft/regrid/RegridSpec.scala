@@ -431,6 +431,43 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  test("K2 with EMPTY weights: every destination still surfaces as exactly 0.0") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Double)].toDF("row", "col", "s")
+    val out = Apply.regrid(empty, waveIn, dstCells())
+    assert(out.count() === gridOut.nCells)
+    assert(out.filter(col("value") =!= 0.0).count() === 0)
+  }
+
+  test("slab kernel reports the shape-contract violation with the offending slab") {
+    val r = new Regridder(spark, RectDef(gridIn), RectDef(gridOut), RegridMethod.Conservative)
+    import spark.implicits._
+    val shortSlab = Seq((7L, Array.fill(10)(1.0))).toDF("slab_id", "values")
+    val e = intercept[org.apache.spark.SparkException] {
+      r.apply(shortSlab).count()
+    }
+    assert(e.getMessage.contains("shape contract") ||
+      Option(e.getCause).exists(_.getMessage.contains("shape contract")))
+    // and the facade refuses relational-only options on slab input
+    intercept[IllegalArgumentException] { r.apply(shortSlab, validate = true) }
+  }
+
+  test("nearest join: tiny radius at the pole cap still finds the true neighbor") {
+    import spark.implicits._
+    // nearest point is 20° away in lon but only ~2e-4° in angle;
+    // a decoy sits within the first-round bound at a larger angle
+    val pts = Seq(
+      (0L, 120.0, 89.9995),     // true nearest (angular dist ~2e-4°)
+      (1L, 100.0, 89.9959))     // decoy 0.004° away — within the round-1
+                                // bound, so a missed true point would be
+                                // wrongly accepted as the global minimum
+      .toDF("id", "lon", "lat")
+    val probes = Seq((0L, 100.0, 89.9999)).toDF("id", "lon", "lat")
+    val got = NearestJoin.nearest(pts, probes, initBandDeg = 0.005)
+      .select("point_id").head().getLong(0)
+    assert(got === 0L, "pole-cap reach must cover the full lon ring")
+  }
+
   test("curvilinear conservative rejects non-convex destination cells") {
     import spark.implicits._
     // (0,0),(10,0),(2,2),(0,10) is concave at (2,2)
