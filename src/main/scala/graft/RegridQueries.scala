@@ -224,35 +224,50 @@ object RegridQueries {
   }
 
   /** Inter-center segment relation of a non-uniform axis as a VALUES
-    * literal (i0, c_lo, c_hi, is_last). */
-  private def coordSegsSql(ax: CoordAxis): String = {
-    val rows = (0 until ax.n - 1).map(i =>
-      s"($i, ${L(ax.centers(i))}, ${L(ax.centers(i + 1))}, ${i == ax.n - 2})").mkString(", ")
-    s"SELECT * FROM (VALUES $rows) t(i0, c_lo, c_hi, is_last)"
+    * literal (i_lo, i_hi, c_lo, c_hi, is_last); with `wrap` a seam
+    * segment `[centers(n−1), centers(0)+360]` with indices (n−1, 0)
+    * closes the ring. */
+  private def coordSegsSql(ax: CoordAxis, wrap: Boolean = false): String = {
+    val interior = (0 until ax.n - 1).map(i =>
+      s"($i, ${i + 1}, ${L(ax.centers(i))}, ${L(ax.centers(i + 1))}, ${!wrap && i == ax.n - 2})")
+    val rows =
+      if (wrap) interior :+
+        s"(${ax.n - 1}, 0, ${L(ax.centers(ax.n - 1))}, ${L(ax.centers(0) + 360.0)}, true)"
+      else interior
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) t(i_lo, i_hi, c_lo, c_hi, is_last)"
   }
 
   /** Non-uniform bilinear weights CTE — mirrors
     * [[Weights.bilinearIrregular]] (the oracle states the interval
     * containment as a plain theta join; the Spark side band-buckets it
     * into an equi-join). */
-  def bilinearIrregularSql(g: CoordGrid, dstSql: String): String =
+  def bilinearIrregularSql(g: CoordGrid, dstSql: String,
+                           periodic: Boolean = false): String = {
+    val c0 = L(g.lonAxis.centers(0))
+    val lonExpr =
+      if (periodic) s"(((lon - $c0) % 360.0e0 + 360.0e0) % 360.0e0 + $c0)"
+      else "lon"
     s"""WITH dst AS ($dstSql),
-      xs AS (${coordSegsSql(g.lonAxis)}),
+      xs AS (${coordSegsSql(g.lonAxis, wrap = periodic)}),
       ys AS (${coordSegsSql(g.latAxis)}),
-      dx AS (SELECT cell_id AS drow, i0 AS ix0, (lon - c_lo) / (c_hi - c_lo) AS fx
-             FROM dst JOIN xs ON lon >= c_lo AND (lon < c_hi OR (is_last AND lon <= c_hi))),
-      dy AS (SELECT cell_id AS drow, i0 AS iy0, (lat - c_lo) / (c_hi - c_lo) AS fy
+      dx AS (SELECT cell_id AS drow, i_lo AS ix0, i_hi AS ix1,
+               ($lonExpr - c_lo) / (c_hi - c_lo) AS fx
+             FROM dst JOIN xs ON $lonExpr >= c_lo
+               AND ($lonExpr < c_hi OR (is_last AND $lonExpr <= c_hi))),
+      dy AS (SELECT cell_id AS drow, i_lo AS iy0, i_hi AS iy1,
+               (lat - c_lo) / (c_hi - c_lo) AS fy
              FROM dst JOIN ys ON lat >= c_lo AND (lat < c_hi OR (is_last AND lat <= c_hi))),
-      idx AS (SELECT dx.drow, ix0, fx, iy0, fy FROM dx JOIN dy ON dx.drow = dy.drow),
+      idx AS (SELECT dx.drow, ix0, ix1, fx, iy0, iy1, fy FROM dx JOIN dy ON dx.drow = dy.drow),
       triplets AS (
         SELECT drow, CAST(iy0 AS BIGINT) * ${g.nx} + ix0 AS scol,
           (1.0e0 - fx) * (1.0e0 - fy) AS w FROM idx
-        UNION ALL SELECT drow, CAST(iy0 AS BIGINT) * ${g.nx} + ix0 + 1, fx * (1.0e0 - fy) FROM idx
-        UNION ALL SELECT drow, (CAST(iy0 AS BIGINT) + 1) * ${g.nx} + ix0, (1.0e0 - fx) * fy FROM idx
-        UNION ALL SELECT drow, (CAST(iy0 AS BIGINT) + 1) * ${g.nx} + ix0 + 1, fx * fy FROM idx
+        UNION ALL SELECT drow, CAST(iy0 AS BIGINT) * ${g.nx} + ix1, fx * (1.0e0 - fy) FROM idx
+        UNION ALL SELECT drow, CAST(iy1 AS BIGINT) * ${g.nx} + ix0, (1.0e0 - fx) * fy FROM idx
+        UNION ALL SELECT drow, CAST(iy1 AS BIGINT) * ${g.nx} + ix1, fx * fy FROM idx
       )
       SELECT drow AS "row", CAST(scol AS BIGINT) AS col, ${sqlR12("sum(w)")} AS s
       FROM triplets GROUP BY 1, 2 HAVING ${sqlR12("sum(w)")} <> 0.0e0"""
+  }
 
   /** Rotated-pole mesh cell CTE — mirrors [[Curvilinear.rotatedCells]]. */
   def rotatedCellsSql(rot: RectGrid, poleLat: Double, poleLon: Double): String = {
@@ -474,6 +489,14 @@ object RegridQueries {
         Curvilinear.boundsToPolys(Grids.cells(s, dstCurv, withBounds = true)))
         .orderBy("row", "col"),
       None),
+
+    QueryDef("q_w_bilinear_nonuniform_peri",
+      // periodic longitude on the non-uniform grid: seam segment closes
+      // the ring, lon wrapped into [centers(0), centers(0)+360)
+      (s, _) => Weights.bilinearIrregular(gridInNonuni, dstCells(s), periodic = true)
+        .orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${bilinearIrregularSql(gridInNonuni, gridSql(gridOut),
+          periodic = true)}) w ORDER BY "row", col""")),
 
     QueryDef("q_w_conservative",
       (s, _) => Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true))

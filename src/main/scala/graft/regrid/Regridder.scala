@@ -179,15 +179,12 @@ final class Regridder(
       case RegridMethod.Bilinear =>
         gridIn match {
           case RectDef(r, _) => Weights.bilinear(r, dstB, periodic)
-          case CoordDef(cg, _) =>
+          case CoordDef(cg, _) => Weights.bilinearIrregular(cg, dstB, periodic)
+          case c: CurvDef =>
             // fail loudly rather than silently building non-periodic
             // weights under a filename that claims periodicity
             require(!periodic,
-              "periodic bilinear is only implemented for uniform rectilinear source grids")
-            Weights.bilinearIrregular(cg, dstB)
-          case c: CurvDef =>
-            require(!periodic,
-              "periodic bilinear is only implemented for uniform rectilinear source grids")
+              "periodic bilinear is not implemented for curvilinear meshes")
             Weights.bilinearCurvilinear(c.centerCells, dstB)
           case _ => throw new IllegalArgumentException(
             "bilinear needs a rectilinear or curvilinear source grid")

@@ -247,34 +247,63 @@ object Weights {
     * Destinations outside the source center hull stay unmapped → 0
     * (the reference's `unmapped_action=IGNORE` behavior).
     */
-  def bilinearIrregular(src: CoordGrid, dstPoints: DataFrame): DataFrame = {
+  def bilinearIrregular(src: CoordGrid, dstPoints: DataFrame,
+                        periodic: Boolean = false): DataFrame = {
     val spark = dstPoints.sparkSession
     import spark.implicits._
 
-    // per-axis bracketing: (row, i0, frac) for the segment
-    // [centers(i0), centers(i0+1)] containing the coordinate; points on
+    // per-axis bracketing: (row, iLo, iHi, frac) for the segment
+    // [centers(iLo), centers(iHi)] containing the coordinate; points on
     // an interior center boundary belong to the right segment, the last
-    // segment is upper-inclusive
+    // segment is upper-inclusive. When `wrapSpan` is set (periodic
+    // longitude), a seam segment [centers(n-1), centers(0)+span] with
+    // indices (n-1, 0) closes the ring, and coordinates are first
+    // wrapped into [centers(0), centers(0)+span).
     def axisIndex(ax: CoordAxis, d: DataFrame, coordCol: String,
-                  idxName: String, fracName: String): DataFrame = {
-      val w = math.max(ax.maxSegmentWidth, 1e-12)
-      val segs = (0 until ax.n - 1)
-        .map(i => (i.toLong, ax.centers(i), ax.centers(i + 1), i == ax.n - 2))
-        .toDF("i0", "c_lo", "c_hi", "is_last")
+                  loName: String, hiName: String, fracName: String,
+                  wrapSpan: Option[Double]): DataFrame = {
+      val interior = (0 until ax.n - 1)
+        .map(i => (i.toLong, (i + 1).toLong, ax.centers(i), ax.centers(i + 1),
+          wrapSpan.isEmpty && i == ax.n - 2))
+      val segsSeq = wrapSpan match {
+        case Some(span) => interior :+
+          ((ax.n - 1).toLong, 0L, ax.centers(ax.n - 1), ax.centers(0) + span, true)
+        case None => interior
+      }
+      val maxW = math.max(segsSeq.map(s => s._4 - s._3).max, 1e-12)
+      val segs = segsSeq.toDF("i_lo", "i_hi", "c_lo", "c_hi", "is_last")
         .withColumn("band", explode(sequence(
-          floor(col("c_lo") / lit(w)).cast("long"),
-          floor(col("c_hi") / lit(w)).cast("long"))))
-      d.withColumn("band", floor(col(coordCol) / lit(w)).cast("long"))
+          floor(col("c_lo") / lit(maxW)).cast("long"),
+          floor(col("c_hi") / lit(maxW)).cast("long"))))
+      val dIn = wrapSpan match {
+        case Some(span) =>
+          // same op chain as the SQL oracle text (pmod's internal
+          // branch differs bit-wise near zero remainders)
+          val c0 = ax.centers(0)
+          d.withColumn(coordCol,
+            ((col(coordCol) - lit(c0)) % lit(span) + lit(span)) % lit(span) + lit(c0))
+        case None => d
+      }
+      dIn.withColumn("band", floor(col(coordCol) / lit(maxW)).cast("long"))
         .join(segs, Seq("band"))
         .filter(col(coordCol) >= col("c_lo") &&
           (col(coordCol) < col("c_hi") || (col("is_last") && col(coordCol) <= col("c_hi"))))
-        .select(col("row"), col("i0").as(idxName),
+        .select(col("row"), col("i_lo").as(loName), col("i_hi").as(hiName),
           ((col(coordCol) - col("c_lo")) / (col("c_hi") - col("c_lo"))).as(fracName))
     }
 
+    val wrap =
+      if (!periodic) None
+      else {
+        val span = src.lonAxis.bounds(src.nx) - src.lonAxis.bounds(0)
+        require(math.abs(span - 360.0) < 1e-6,
+          s"periodic longitude needs bounds spanning 360°, got $span")
+        Some(360.0)
+      }
+
     val d = dstPoints.select(col("cell_id").as("row"), col("lon"), col("lat"))
-    val dx = axisIndex(src.lonAxis, d.select("row", "lon"), "lon", "ix0", "fx")
-    val dy = axisIndex(src.latAxis, d.select("row", "lat"), "lat", "iy0", "fy")
+    val dx = axisIndex(src.lonAxis, d.select("row", "lon"), "lon", "ix0", "ix1", "fx", wrap)
+    val dy = axisIndex(src.latAxis, d.select("row", "lat"), "lat", "iy0", "iy1", "fy", None)
     val nx = src.nx
 
     def cellOf(iy: Column, ix: Column): Column = (iy * lit(nx.toLong) + ix).cast("long")
@@ -283,11 +312,11 @@ object Weights {
       .select(col("row"), explode(array(
         struct(cellOf(col("iy0"), col("ix0")).as("col"),
           ((lit(1.0) - col("fx")) * (lit(1.0) - col("fy"))).as("s")),
-        struct(cellOf(col("iy0"), col("ix0") + 1).as("col"),
+        struct(cellOf(col("iy0"), col("ix1")).as("col"),
           (col("fx") * (lit(1.0) - col("fy"))).as("s")),
-        struct(cellOf(col("iy0") + 1, col("ix0")).as("col"),
+        struct(cellOf(col("iy1"), col("ix0")).as("col"),
           ((lit(1.0) - col("fx")) * col("fy")).as("s")),
-        struct(cellOf(col("iy0") + 1, col("ix0") + 1).as("col"),
+        struct(cellOf(col("iy1"), col("ix1")).as("col"),
           (col("fx") * col("fy")).as("s")))).as("e"))
       .select(col("row"), col("e.col").as("col"), col("e.s").as("s"))
       .groupBy(col("row"), col("col"))

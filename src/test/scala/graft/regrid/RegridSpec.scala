@@ -481,6 +481,25 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  test("bilinearIrregular periodic: seam wrapped, every lat-hull destination mapped") {
+    val g = graft.RegridQueries.gridInNonuni
+    val w = Weights.bilinearIrregular(g, dstCells(), periodic = true)
+    assert(w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    val inHull = dstCells().filter(
+      col("lat") >= g.latAxis.centers(0) && col("lat") <= g.latAxis.centers(g.ny - 1)).count()
+    assert(w.select("row").distinct().count() === inHull)
+    // non-periodic leaves seam destinations unmapped — periodic must map more
+    assert(Weights.bilinearIrregular(g, dstCells(), periodic = false)
+      .select("row").distinct().count() < inHull)
+    // periodic on a non-global axis is rejected
+    intercept[IllegalArgumentException] {
+      val part = CoordGrid(
+        CoordAxis.fromBounds(Array(-90.0, 0.0, 90.0)), g.latAxis)
+      Weights.bilinearIrregular(part, dstCells(), periodic = true).count()
+    }
+  }
+
   test("CoordAxis V3 shape contract: bad bounds/centers rejected at the boundary") {
     intercept[IllegalArgumentException] {         // bounds must be n+1
       CoordAxis(Array(0.0, 1.0), Array(0.0, 0.5, 1.0, 1.5))
