@@ -61,9 +61,24 @@ object Dedup {
   /** All same-group pairs with n-gram Jaccard ≥ threshold, via the
     * inverted index restricted to a blocking column (here: `source`).
     * The blocking key keeps the shingle self-join an equi-join on
-    * (s, source) — no cross product across groups. */
-  def ngramJaccardBlocked(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val sh = TextOps.shingleSet(docs, n, carry = Seq("source"))
+    * (s, source) — no cross product across groups.
+    *
+    * `maxDocFreq` (optional) drops shingles appearing in more than that
+    * many documents BEFORE the self-join — the standard df-cap for
+    * web-scale corpora: a boilerplate shingle shared by 10⁶ documents
+    * would otherwise put 10¹² pairs in one join key (hot-shingle skew),
+    * while contributing nothing discriminative. Jaccard is then over
+    * the retained shingle space (both |A∩B| and the sizes). */
+  def ngramJaccardBlocked(docs: DataFrame, n: Int, minJaccard: Double,
+                          maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh0 = TextOps.shingleSet(docs, n, carry = Seq("source"))
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val rare = sh0.groupBy("s").agg(count("*").as("df"))
+          .filter(col("df") <= cap).select("s")
+        sh0.join(rare, "s")
+      case None => sh0
+    }
     val sizes = sh.groupBy("doc_id").agg(count("*").as("n"))
     val inter = sh.select(col("doc_id").as("a"), col("source"), col("s"))
       .join(sh.select(col("doc_id").as("b"), col("source"), col("s")), Seq("source", "s"))

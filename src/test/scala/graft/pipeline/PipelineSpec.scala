@@ -106,6 +106,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("ngram Jaccard df-cap drops ubiquitous shingles but keeps discriminative pairs") {
+    val full = Dedup.ngramJaccardBlocked(docs, 3, 0.3)
+    val capped = Dedup.ngramJaccardBlocked(docs, 3, 0.3, maxDocFreq = Some(50))
+    // the planted high-jaccard pairs survive a generous cap (their
+    // shared shingles are rare); pair set equality on this corpus
+    assert(capped.select("a", "b").exceptAll(full.select("a", "b")).count() === 0)
+    assert(full.select("a", "b").exceptAll(capped.select("a", "b")).count() === 0)
+    // a cap of 0 removes every shingle → no pairs at all
+    assert(Dedup.ngramJaccardBlocked(docs, 3, 0.3, maxDocFreq = Some(0)).count() === 0)
+  }
+
   test("blocked exact near-dup == naive all-pairs (block replication changes plan, not result)") {
     val naive = Similarity.nearDupPairs(emb, 0.45)
       .select(col("a"), col("b"), col("cos").as("ncos"))
