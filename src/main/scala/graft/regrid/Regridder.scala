@@ -228,6 +228,13 @@ final class Regridder(
     }
   }
 
+  private var weightsInit = false
+
+  /** Release the cached weights relation (with [[SlabApplier.close]]
+    * the analog of the reference's `esmf_regrid_finalize`,
+    * `backend.py:333-357`). No-op if weights were never built. */
+  def close(): Unit = if (weightsInit) { weights.unpersist(); () }
+
   /** The weights relation (row, col, s). Built once and cached;
     * round-trips through Parquet when `weightsDir` is set. */
   lazy val weights: DataFrame = {
@@ -249,6 +256,7 @@ final class Regridder(
         }
       case None => build()
     }
+    weightsInit = true
     df.cache()
   }
 

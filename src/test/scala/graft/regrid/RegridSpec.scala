@@ -188,6 +188,10 @@ class RegridSpec extends AnyFunSuite {
 
     r1.cleanWeightFile()
     assert(!new java.io.File(s"$dir/${r1.defaultFilename}").exists())
+    r1.close()                                     // finalize analog
+    assert(r1.weights.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    new Regridder(spark, RectDef(gridIn), RectDef(gridOut), RegridMethod.Bilinear)
+      .close()                                     // no-op before build
   }
 
   test("Regridder applyWithCoords attaches output coords + method attr (frontend.py:424-441)") {
