@@ -17,7 +17,7 @@ import graft.regrid._
   *    The headline apply runs the dense slab kernel ([[SlabApplier]])
   *    under the same conditions as the baseline's `%timeit`: weights
   *    already in RAM (the reference loads scipy's COO at regridder
-  *    init), input array already materialized, min of 3 runs;
+  *    init), input array already materialized, best of 5 runs;
   *  - the relational join-agg apply on the same workload, reported
   *    separately so regressions in either path stay visible.
   */
@@ -45,8 +45,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // the baseline numbers are notebook `%timeit` results = best of
-    // several warm runs; measure the kernels the same way
-    def timeMin3(f: => Any): Double = (1 to 3).map(_ => time(f)).min
+    // several warm runs; measure the kernels the same way. A GC pass
+    // first keeps collector pauses from earlier cached workloads out of
+    // the timing window (observed 0.3 s → 1.3 s swings without it).
+    def timeBest(f: => Any, runs: Int = 5): Double = {
+      System.gc()
+      (1 to runs).map(_ => time(f)).min
+    }
 
     // JVM/Spark warm-up so the first measured query doesn't absorb
     // classloading + codegen compilation
@@ -94,14 +99,14 @@ object Bench {
     def runSlabs(in: org.apache.spark.sql.DataFrame): Unit = {
       applier.apply(in).select(sum(size(col("values")))).collect(); ()
     }
-    val tApplySlab = timeMin3 { runSlabs(slabs) }
+    val tApplySlab = timeBest(runSlabs(slabs))
 
     val slab2d = spark.range(0, 1).toDF("slab_id")
       .selectExpr("slab_id",
         s"transform(sequence(0, ${nIn - 1}), c -> CAST($waveE AS DOUBLE)) AS values")
       .cache()
     slab2d.count()
-    val tApply2d = timeMin3 { runSlabs(slab2d) }
+    val tApply2d = timeBest(runSlabs(slab2d))
 
     // relational join-agg on the same 4-D workload (regression guard
     // for the shuffled path — the one that serves W too big to
