@@ -339,21 +339,27 @@ object PipelineQueries {
     // ---- relational breadth on the star schema ----
 
     QueryDef("q_lineitem_pricing",
+      // money sums are rounded to 3 decimals on BOTH engines: the
+      // DOUBLE→DECIMAL(18,6) per-row cast can round differently between
+      // engines (shortest-string vs exact-binary double conversion) and
+      // at 10^7 magnitudes the usual 9-decimal trick overflows the
+      // double mantissa (x·1e9 > 2^53) — milli-precision is exact there
+      // and absorbs the cast divergence.
       (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
         .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count("*").as("n"),
           expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)").as("sum_qty"),
-          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)").as("sum_base"),
-          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE)")
+          expr("floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3").as("sum_base"),
+          expr("floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3")
             .as("sum_disc_price"))
         .withColumn("avg_qty", expr("sum_qty / CAST(n AS DOUBLE)"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
-          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+          floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3 AS sum_base,
+          floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3 AS sum_disc_price,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY 1, 2 ORDER BY 1, 2""")),
@@ -367,11 +373,12 @@ object PipelineQueries {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy("n_name")
           .agg(count("*").as("n_orders"),
-            expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)").as("revenue"))
+            expr("floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3")
+              .as("revenue"))
           .orderBy("n_name")
       },
       Some("""SELECT n_name, count(*) AS n_orders,
-          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3 AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1 ORDER BY 1"""))
