@@ -162,24 +162,65 @@ object Apply {
   * than an executor OOM. For weights beyond the bar, use the shuffled
   * relational [[Apply.regrid]].
   */
+object SlabApplier {
+  /** Replicate-W ceiling derived from the driver's max heap instead of
+    * a fixed constant: the COO arrays cost 20 B/triplet resident plus a
+    * transient per-partition copy during collect, so cap at ~25% of max
+    * heap at 24 B/triplet (64 GiB heap → ~700 M triplets; default sbt
+    * 8 GiB → ~90 M). Overridable per instance for testing. */
+  def defaultMaxTriplets: Long = Runtime.getRuntime.maxMemory / 4 / 24
+}
+
 final class SlabApplier(weights: DataFrame, val nOut: Int,
-                        maxTriplets: Long = 200L * 1000 * 1000) {
+                        maxTriplets: Long = SlabApplier.defaultMaxTriplets) {
   private val spark = weights.sparkSession
 
   private val bw = {
-    val nW = weights.count()
-    require(nW <= maxTriplets,
-      s"weights relation has $nW triplets > replicate-W ceiling $maxTriplets; " +
+    // one aggregate pass yields the triplet count AND the index-range
+    // contract: rows must land in [0, nOut), row/col must fit in Int —
+    // otherwise the non-ANSI int cast below would silently wrap and the
+    // scatter kernel would either throw a bare ArrayIndexOutOfBounds or
+    // write the wrong destination cell
+    val st = weights.agg(
+      count(lit(1)), min(col("row")), max(col("row")),
+      min(col("col")), max(col("col"))).head()
+    val nW = st.getLong(0)
+    require(nW <= math.min(maxTriplets, Int.MaxValue.toLong),
+      s"weights relation has $nW triplets > replicate-W ceiling $maxTriplets " +
+        "(~25% of driver heap at 24 B/triplet, and Int-indexed arrays cap at 2^31); " +
         "use the shuffled relational Apply.regrid instead")
-    val trips = weights.select(col("row").cast("int"), col("col").cast("int"),
-      col("s")).collect()
-    val rowA = new Array[Int](trips.length)
-    val colA = new Array[Int](trips.length)
-    val sA = new Array[Double](trips.length)
-    var i = 0
-    while (i < trips.length) {
-      rowA(i) = trips(i).getInt(0); colA(i) = trips(i).getInt(1); sA(i) = trips(i).getDouble(2)
-      i += 1
+    val parts: Array[(Array[Int], Array[Int], Array[Double])] =
+      if (nW == 0) Array.empty
+      else {
+        require(st.getLong(1) >= 0 && st.getLong(2) < nOut,
+          s"weights reference destination rows [${st.getLong(1)}, ${st.getLong(2)}] " +
+            s"outside [0, $nOut) (shape contract, reference smm.py:77-86)")
+        require(st.getLong(3) >= 0 && st.getLong(4) <= Int.MaxValue,
+          s"weights reference source cols [${st.getLong(3)}, ${st.getLong(4)}] " +
+            "outside [0, 2^31) — the dense slab kernel indexes slabs with Int")
+        import spark.implicits._
+        // per-partition primitive arrays: the collect moves 20 B/triplet,
+        // not millions of boxed Row objects
+        weights.select(col("row").cast("int"), col("col").cast("int"), col("s"))
+          .as[(Int, Int, Double)]
+          .mapPartitions { it =>
+            val rb = Array.newBuilder[Int]
+            val cb = Array.newBuilder[Int]
+            val sb = Array.newBuilder[Double]
+            it.foreach { t => rb += t._1; cb += t._2; sb += t._3 }
+            Iterator.single((rb.result(), cb.result(), sb.result()))
+          }
+          .collect()
+      }
+    val rowA = new Array[Int](nW.toInt)
+    val colA = new Array[Int](nW.toInt)
+    val sA = new Array[Double](nW.toInt)
+    var off = 0
+    parts.foreach { case (r, c, s) =>
+      System.arraycopy(r, 0, rowA, off, r.length)
+      System.arraycopy(c, 0, colA, off, c.length)
+      System.arraycopy(s, 0, sA, off, s.length)
+      off += r.length
     }
     spark.sparkContext.broadcast((rowA, colA, sA))
   }

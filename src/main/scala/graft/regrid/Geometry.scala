@@ -66,6 +66,25 @@ object Geometry {
     a
   }
 
+  /** Convexity test (tolerance 1e-12): all consecutive edge cross
+    * products share a sign. Degenerate (collinear) edges count as
+    * convex — they clip to zero-area pieces harmlessly. */
+  def isConvex(p: Array[Double]): Boolean = {
+    val n = p.length / 2
+    var pos = true
+    var neg = true
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n; val k = (i + 2) % n
+      val cr = (p(2 * j) - p(2 * i)) * (p(2 * k + 1) - p(2 * j + 1)) -
+        (p(2 * j + 1) - p(2 * i + 1)) * (p(2 * k) - p(2 * j))
+      if (cr < -1e-12) pos = false
+      if (cr > 1e-12) neg = false
+      i += 1
+    }
+    pos || neg
+  }
+
   /** Sutherland–Hodgman: clip `subject` by the CONVEX CCW polygon
     * `clip`. Returns the intersection's vertices (possibly empty). */
   def clipConvex(subject: Array[Double], clip: Array[Double]): Array[Double] = {

@@ -172,9 +172,26 @@ final class Regridder(
 
   private def weightsPath: Option[String] = weightsDir.map(d => s"$d/$defaultFilename")
 
+  /** V1 lat-range warning (reference warns inside `esmf_grid`,
+    * `backend.py:40-52`) — auto-invoked from [[build]] on both grids.
+    * Analytic (no Spark job) for grids whose latitudes live on the
+    * driver; one filter-count for mesh/relation grids, where latitudes
+    * only exist distributed. */
+  private def warnV1(g: GridDef, cells: => DataFrame, what: String): Unit = g match {
+    case RectDef(r, _) =>
+      val a = r.latAxis
+      Validate.warnLatRangeLocal(
+        (0 until a.n).iterator.map(j => a.start + (j + 0.5) * a.step), what)
+    case CoordDef(cg, _) => Validate.warnLatRangeLocal(cg.latAxis.centers.iterator, what)
+    case LocDef(pts) => Validate.warnLatRangeLocal(pts.iterator.map(_._2), what)
+    case _ => Validate.warnLatRange(cells, what)
+  }
+
   private def build(): DataFrame = {
     val srcB = gridIn.cells(spark, method.needBounds)
     val dstB = gridOut.cells(spark, method.needBounds)
+    warnV1(gridIn, srcB, "input grid")
+    warnV1(gridOut, dstB, "output grid")
     method match {
       case RegridMethod.Bilinear =>
         gridIn match {
@@ -229,11 +246,20 @@ final class Regridder(
   }
 
   private var weightsInit = false
+  private var slabApplierInit = false
+  private var closed = false
 
-  /** Release the cached weights relation (with [[SlabApplier.close]]
-    * the analog of the reference's `esmf_regrid_finalize`,
-    * `backend.py:333-357`). No-op if weights were never built. */
-  def close(): Unit = if (weightsInit) { weights.unpersist(); () }
+  /** Release the cached weights relation AND the dense kernel's
+    * broadcast COO arrays — the analog of the reference's
+    * `esmf_regrid_finalize`, `backend.py:333-357`, which likewise frees
+    * the native regrid object. No-op for parts never built; the
+    * regridder is unusable afterwards ([[apply]] errors instead of
+    * silently recomputing freed state). */
+  def close(): Unit = {
+    if (weightsInit) { weights.unpersist(); () }
+    if (slabApplierInit) slabApplier.close()
+    closed = true
+  }
 
   /** The weights relation (row, col, s). Built once and cached;
     * round-trips through Parquet when `weightsDir` is set. */
@@ -283,7 +309,9 @@ final class Regridder(
   lazy val slabApplier: SlabApplier = {
     require(gridOut.nCells <= Int.MaxValue,
       s"slab path needs nOut <= 2^31 (got ${gridOut.nCells}); use the relational apply")
-    new SlabApplier(weights, gridOut.nCells.toInt)
+    val a = new SlabApplier(weights, gridOut.nCells.toInt)
+    slabApplierInit = true
+    a
   }
 
   /** Regrid a field. Two input shapes, auto-detected:
@@ -298,6 +326,8 @@ final class Regridder(
             valueCols: Seq[String] = Seq("value"),
             broadcastWeights: Boolean = true,
             validate: Boolean = false): DataFrame = {
+    require(!closed, "Regridder has been closed — its cached weights and " +
+      "broadcast kernel state are released; build a new Regridder")
     val cols = field.columns.toSet
     if (cols.contains("values") && cols.contains("slab_id")) {
       // the dense kernel has no notion of these relational-path options

@@ -16,7 +16,16 @@ object Validate {
   def warnLatRange(cells: DataFrame, what: String = "grid"): Unit = {
     val n = latOutOfRange(cells)
     if (n > 0)
-      System.err.println(s"[graft.regrid] WARN: latitude outside [-90, 90] on $n cells of $what")
+      Console.err.println(s"[graft.regrid] WARN: latitude outside [-90, 90] on $n cells of $what")
+  }
+
+  /** V1 for grids whose latitudes live on the driver (uniform/coord
+    * axes, locstream point lists) — analytic, no Spark job, so wiring
+    * the warning into every weight build costs nothing. */
+  def warnLatRangeLocal(lats: Iterator[Double], what: String = "grid"): Unit = {
+    val n = lats.count(l => l > 90.0 || l < -90.0)
+    if (n > 0)
+      Console.err.println(s"[graft.regrid] WARN: latitude outside [-90, 90] on $n cells of $what")
   }
 
   /** V4: weights/field shape contract before an apply

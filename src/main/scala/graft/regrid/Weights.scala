@@ -249,6 +249,11 @@ object Weights {
     */
   def bilinearIrregular(src: CoordGrid, dstPoints: DataFrame,
                         periodic: Boolean = false): DataFrame = {
+    // contract boundary: a single-center axis has no interior segment
+    // to bracket with (and would crash below with an unhelpful
+    // empty.max) — same style as CoordAxis's own shape validations
+    require(src.nx >= 2 && src.ny >= 2,
+      s"bilinear needs at least 2x2 source centers, got ${src.ny}x${src.nx}")
     val spark = dstPoints.sparkSession
     import spark.implicits._
 
@@ -461,22 +466,6 @@ object Weights {
     val spark = srcPolys.sparkSession
     import spark.implicits._
 
-    // Sutherland–Hodgman is only exact when the CLIP polygon (the
-    // destination cell) is convex; validate once at build time instead
-    // of silently corrupting weights on strongly distorted meshes
-    // (subject-side cells may be any simple quad). Convex ⟺ all
-    // consecutive edge cross products share a sign.
-    val crosses = (0 until 4).map { i =>
-      val j = (i + 1) % 4; val k = (i + 2) % 4
-      (col(s"lon_c$j") - col(s"lon_c$i")) * (col(s"lat_c$k") - col(s"lat_c$j")) -
-        (col(s"lat_c$j") - col(s"lat_c$i")) * (col(s"lon_c$k") - col(s"lon_c$j"))
-    }
-    val nonConvex = dstPolys.filter(
-      !(crosses.map(_ >= -1e-12).reduce(_ && _) || crosses.map(_ <= 1e-12).reduce(_ && _)))
-      .count()
-    require(nonConvex == 0,
-      s"$nonConvex destination cells are non-convex in (lon, lat) — the polygon-clip " +
-        "conservative kernel requires convex destination cells")
     def prep(df: DataFrame, role: String): DataFrame = {
       val lons = (0 to 3).map(k => col(s"lon_c$k"))
       val lats = (0 to 3).map(k => col(s"lat_c$k"))
@@ -515,6 +504,17 @@ object Weights {
       .select(col("d_id"), col("s_id"), col("s_p"), col("d_p"))
       .as[(Long, Long, Array[Double], Array[Double])]
       .mapPartitions(_.map { case (d, s, sp, dp) =>
+        // Sutherland–Hodgman is only exact when the CLIP polygon (the
+        // destination cell) is convex (subject cells may be any simple
+        // quad). Checked here inside the kernel — ~20 flops per
+        // candidate pair — rather than as an eager full dst scan at
+        // plan-construction time, which broke laziness and charged a
+        // full pass per (re)build. A non-convex cell that overlaps no
+        // source goes unreported, but it also contributes no weights.
+        if (!Geometry.isConvex(dp))
+          throw new IllegalArgumentException(
+            s"destination cell $d is non-convex in (lon, lat) — the polygon-clip " +
+              "conservative kernel requires convex destination cells")
         (d, s, Geometry.overlapWeight(sp, dp))
       })
       .toDF("row", "col", "s")

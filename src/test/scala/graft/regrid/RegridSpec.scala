@@ -255,6 +255,70 @@ class RegridSpec extends AnyFunSuite {
     intercept[Exception] { r.slabApplier.apply(slabs).count() }
   }
 
+  test("Regridder.close releases the dense kernel too; apply after close errors") {
+    val r = new Regridder(spark, RectDef(gridIn), RectDef(gridOut), RegridMethod.Conservative)
+    val slabs = Apply.toSlabs(
+      waveIn.crossJoin(spark.range(1, 3).toDF("time"))
+        .select(col("cell_id"), col("time"), col("value")),
+      gridIn.nCells.toInt, Seq("time"))
+      .select(col("time").as("slab_id"), col("values"))
+    assert(r.apply(slabs).count() === 2)
+    r.close()
+    // broadcast COO arrays destroyed — the dense path cannot silently
+    // reuse freed state
+    val e = intercept[Exception] { r.apply(slabs).count() }
+    assert(e.getMessage.contains("closed"))
+  }
+
+  test("SlabApplier rejects weights whose rows/cols break the index contract") {
+    import spark.implicits._
+    // row 99 >= nOut=10: must fail at construction with the shape-contract
+    // message, not as an ArrayIndexOutOfBounds inside the kernel
+    val bad = Seq((99L, 0L, 1.0)).toDF("row", "col", "s")
+    val e1 = intercept[IllegalArgumentException] { new SlabApplier(bad, 10) }
+    assert(e1.getMessage.contains("destination rows"))
+    val neg = Seq((-1L, 0L, 1.0)).toDF("row", "col", "s")
+    intercept[IllegalArgumentException] { new SlabApplier(neg, 10) }
+    // col beyond 2^31 would wrap under the non-ANSI int cast — must error
+    val wide = Seq((0L, Int.MaxValue.toLong + 5, 1.0)).toDF("row", "col", "s")
+    val e2 = intercept[IllegalArgumentException] { new SlabApplier(wide, 10) }
+    assert(e2.getMessage.contains("source cols"))
+    // triplet-count ceiling still enforced (heap-derived default)
+    val ok = Seq((0L, 0L, 1.0), (1L, 0L, 0.5)).toDF("row", "col", "s")
+    intercept[IllegalArgumentException] { new SlabApplier(ok, 10, maxTriplets = 1L) }
+    assert(SlabApplier.defaultMaxTriplets > 0)
+  }
+
+  test("bilinearIrregular rejects a single-center axis at the contract boundary") {
+    val oneCol = CoordGrid(
+      CoordAxis(Array(0.0), Array(-1.0, 1.0)),
+      CoordAxis(Array(-10.0, 10.0), Array(-20.0, 0.0, 20.0)))
+    val e = intercept[IllegalArgumentException] {
+      Weights.bilinearIrregular(oneCol, dstCells())
+    }
+    assert(e.getMessage.contains("at least 2x2"))
+  }
+
+  test("V1 lat-range warning fires automatically at weight build (backend.py:40-52)") {
+    val bad = RectGrid.of(-180, 180, 20, -102, 90, 12)   // top centers beyond 90
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(buf)) {
+      new Regridder(spark, RectDef(bad), RectDef(gridOut), RegridMethod.NearestS2D).weights
+      ()
+    }
+    assert(buf.toString.contains("latitude outside [-90, 90]"),
+      s"expected V1 warning, got: ${buf.toString}")
+    // mesh-backed grids go through the distributed check
+    val badCells = Grids.cells(spark, RectGrid.of(-180, 180, 20, -102, 90, 12))
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(buf2)) {
+      new Regridder(spark, CellsDef(badCells, 16, 18), RectDef(gridOut),
+        RegridMethod.NearestS2D).weights
+      ()
+    }
+    assert(buf2.toString.contains("latitude outside [-90, 90]"))
+  }
+
   test("periodic forced off for conservative (frontend.py:164-176)") {
     val r = new Regridder(spark, RectDef(gridIn), RectDef(gridOut),
       RegridMethod.Conservative, periodicRequested = true)
@@ -480,9 +544,14 @@ class RegridSpec extends AnyFunSuite {
         "lon_c2", "lat_c2", "lon_c3", "lat_c3")
     val src = Curvilinear.boundsToPolys(
       Grids.cells(spark, RectGrid.of(-20, 20, 10, -20, 20, 10), withBounds = true))
-    intercept[IllegalArgumentException] {
+    // the check runs lazily inside the clip kernel (no eager dst scan
+    // at plan time), so Spark surfaces it wrapped in a job failure
+    val e = intercept[Exception] {
       Weights.conservativeCurvilinear(src, concave).count()
     }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("; ")
+    assert(msgs.contains("non-convex"), s"unexpected failure: $msgs")
   }
 
   test("bilinearIrregular periodic: seam wrapped, every lat-hull destination mapped") {
