@@ -70,9 +70,11 @@ object Bench {
     // ---- reference-benchmark workload (grids from BASELINE.md) ----
     val gridIn = RectGrid.of(-120, 120, 0.4, -60, 60, 0.3)    // 400 x 600
     val gridOut = RectGrid.of(-120, 120, 0.6, -60, 60, 0.4)   // 300 x 400
-    val tBuild = time {
-      Weights.bilinear(gridIn, Grids.cells(spark, gridOut), periodic = false).count()
-    }
+    // best-of-3 like the baseline's %timeit (single runs swing ±0.5 s
+    // from collector pauses after the contract-query block)
+    val tBuild = timeBest(
+      Weights.bilinear(gridIn, Grids.cells(spark, gridOut), periodic = false).count(),
+      runs = 3)
     val weights = Weights.bilinear(gridIn, Grids.cells(spark, gridOut), periodic = false)
       .cache()
     weights.count()
@@ -119,10 +121,10 @@ object Bench {
         (col("time") * col("lev") * col("v0")).as("value"))
       .cache()
     field.count()
-    val tApplyRel = time {
+    val tApplyRel = timeBest(
       Apply.regrid(weights, field, Grids.cells(spark, gridOut),
-        extraDims = Seq("time", "lev"), roundDigits = 0).count()
-    }
+        extraDims = Seq("time", "lev"), roundDigits = 0).count(),
+      runs = 3)
     field.unpersist()
 
     val all = contract ++ Seq(

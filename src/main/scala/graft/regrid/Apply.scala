@@ -85,19 +85,18 @@ object Apply {
       coalesce(r, lit(0.0))
     }
 
-    // Slab locality: with broadcast W, repartitioning the field by the
-    // extra dims makes every (row, extraDims…) group partition-local —
-    // the groupBy then needs no second shuffle and partial aggregation
-    // combines fully, so the one shuffle moves |field| input rows
-    // instead of ~|field|·nnz-per-cell partially-aggregated rows.
-    // (Caveat: parallelism = #extra-dim combos; fields with fewer slabs
-    // than cores should take the dense slab path anyway.)
-    val f =
-      if (broadcastWeights && extraDims.nonEmpty) field.repartition(extraDims.map(col): _*)
-      else field
-
-    f
-      .join(w, f("cell_id") === w("col"))
+    // No pre-shuffle of the field: an earlier variant repartitioned by
+    // the extra dims so the groupBy's partial agg combined fully, but
+    // interleaved best-of-3 measurement at the bench workload (500
+    // slabs × 240k cells, local[32]) showed the extra full-field
+    // shuffle is a consistent ~40% net loss vs letting the partial agg
+    // under-combine (7.2 s vs 10.2 s) — the broadcast join itself needs
+    // no shuffle at all, so the repartition was pure added cost. For
+    // dense raster fields the slab path ([[regridSlabbed]]) remains the
+    // fast route (same workload: 1.0 s, +0.5 s to explode back to
+    // relational rows).
+    field
+      .join(w, field("cell_id") === w("col"))
       .groupBy(col("row") +: extraDims.map(col): _*)
       .agg(
         sum(col("s") * col(valueCols.head)).as(valueCols.head),

@@ -34,12 +34,28 @@ object ApplyProbe {
       println(f"$tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    // raw join-agg kernel, no padding, no rounding
-    time("raw join-agg") {
+    // Interleaved best-of-3 with a GC pass per run: the two plans under
+    // test differ by the 4a95c08 slab-locality repartition, and single
+    // runs at this scale swing ±3 s from collector pauses alone.
+    def noRepart(): Long =
       field.join(broadcast(weights), field("cell_id") === weights("col"))
         .groupBy("row", "time", "lev")
         .agg(sum(col("s") * col("value")).as("value")).count()
+    def withRepart(): Long =
+      field.repartition(col("time"), col("lev"))
+        .join(broadcast(weights), field("cell_id") === weights("col"))
+        .groupBy("row", "time", "lev")
+        .agg(sum(col("s") * col("value")).as("value")).count()
+    def best(tag: String, f: () => Long, runs: Int = 3): Double = {
+      val ts = (1 to runs).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$tag%-28s best ${ts.min}%6.2f s  all ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      ts.min
     }
+    best("join-agg no-repart", () => noRepart())
+    best("join-agg repart", () => withRepart())
     // current Apply.regrid (padded weights)
     time("Apply.regrid padded") {
       Apply.regrid(weights, field, Grids.cells(spark, gridOut),
