@@ -39,6 +39,16 @@ object RegridQueries {
   val rotPoleLon = -165.0
   val dstCurv: RectGrid = RectGrid.of(-25, 0, 2.5, 5, 30, 2.5)        // (10, 10)
 
+  /** Identity rotation: pole latitude 90° degenerates the rotated-pole
+    * transform to `lon = poleLon + 180 − λr`, `lat = θr` (to trig
+    * ULPs), so the same polygon-clip kernel that serves real
+    * curvilinear meshes becomes hash-comparable against the ANALYTIC
+    * rectilinear conservative oracle ([[idRotGridSql]]) — the
+    * independent value-level check of the geometry kernel. Geographic
+    * footprint: lon ∈ [−47, 13], lat ∈ [−30, 30] — covers [[dstCurv]]. */
+  val idPoleLat = 90.0
+  val idPoleLon = -165.0
+
   /** Non-uniform rectilinear fixture: stretched longitudes + smoothstep
     * latitudes (cells cluster toward the poles) — a Gaussian-grid
     * stand-in whose centers/bounds are computed once here and embedded
@@ -344,17 +354,40 @@ object RegridQueries {
   }
 
   /** Conservative weights CTE — mirrors [[Weights.conservative]]
-    * (plain theta join here; the Spark side band-buckets it). */
-  def conservativeSql(srcSql: String, dstSql: String): String = {
+    * (plain theta join here; the Spark side band-buckets it).
+    * `digits` = weight rounding: 12 for the closed-form builder; 9 when
+    * the Spark side is the polygon-clip kernel, whose trig-derived
+    * corners sit ~1e-13 off the analytic bounds. */
+  def conservativeSql(srcSql: String, dstSql: String, digits: Int = 12): String = {
     val num = "(least(s.lon_e, d.lon_e) - greatest(s.lon_w, d.lon_w)) * " +
       "(sin(radians(least(s.lat_n, d.lat_n))) - sin(radians(greatest(s.lat_s, d.lat_s))))"
     val den = "(d.lon_e - d.lon_w) * (sin(radians(d.lat_n)) - sin(radians(d.lat_s)))"
+    val rd = Rounding.sqlRoundN(s"($num) / ($den)", digits)
     s"""WITH src AS ($srcSql), dst AS ($dstSql)
-      SELECT d.cell_id AS "row", s.cell_id AS col, ${sqlR12(s"($num) / ($den)")} AS s
+      SELECT d.cell_id AS "row", s.cell_id AS col, $rd AS s
       FROM dst d JOIN src s
         ON s.lon_w < d.lon_e AND s.lon_e > d.lon_w
        AND s.lat_s < d.lat_n AND s.lat_n > d.lat_s
-      WHERE ${sqlR12(s"($num) / ($den)")} <> 0.0e0"""
+      WHERE $rd <> 0.0e0"""
+  }
+
+  /** The identity-rotation mesh (pole latitude 90°) as the rectilinear
+    * grid it geometrically coincides with: `lon = poleLon + 180 − λr`
+    * (mirrored x axis), `lat = θr`. Emitted with the SAME cell ids as
+    * [[Curvilinear.rotatedCells]]/[[Curvilinear.rotatedCorners]], so
+    * the polygon-clip kernel's output is directly comparable against
+    * the analytic conservative oracle over this relation. */
+  def idRotGridSql(rot: RectGrid, poleLon: Double): String = {
+    val c = L(poleLon + 180.0)
+    val lon = rot.lonAxis; val lat = rot.latAxis
+    s"""SELECT CAST(y * ${rot.nx} + x AS BIGINT) AS cell_id,
+      $c - (${L(lon.start)} + (CAST(x AS DOUBLE) + 0.5e0) * ${L(lon.step)}) AS lon,
+      ${L(lat.start)} + (CAST(y AS DOUBLE) + 0.5e0) * ${L(lat.step)} AS lat,
+      $c - (${L(lon.start)} + (CAST(x AS DOUBLE) + 1.0e0) * ${L(lon.step)}) AS lon_w,
+      $c - (${L(lon.start)} + CAST(x AS DOUBLE) * ${L(lon.step)}) AS lon_e,
+      ${L(lat.start)} + CAST(y AS DOUBLE) * ${L(lat.step)} AS lat_s,
+      ${L(lat.start)} + (CAST(y AS DOUBLE) + 1.0e0) * ${L(lat.step)} AS lat_n
+      FROM range(${rot.ny}) ty(y), range(${rot.nx}) tx(x)"""
   }
 
   /** SpMM apply CTE: weights × field → dest frame with unmapped → 0.
@@ -480,15 +513,48 @@ object RegridQueries {
           gridSql(dstCurv))}) a ORDER BY cell_id""")),
 
     QueryDef("q_w_conservative_curv",
-      // curvilinear conservative via exact polygon clipping — the
-      // geometry kernel is not SQL-expressible, so no DuckDB oracle
-      // (driver records rows-only); the conservation invariants are
-      // asserted to 1e-10 in RegridSpec.
+      // Polygon-clip conservative kernel, hash-checked end to end: the
+      // identity rotation (pole lat 90) makes the mesh coincide with a
+      // mirrored rectilinear grid, so the clip kernel's weights must
+      // match the analytic conservative formula. Weights rounded to 7
+      // decimals on both engines: the kernel's corners come through
+      // asin/atan2 and sit ~5e-14 off the oracle's exact bounds, so
+      // r7 leaves ~7 decimal digits of genuine agreement to check
+      // while keeping the rounding-boundary straddle risk ~1e-4 across
+      // the ~10^3 weights (a clipping bug perturbs weights by ≫1e-7).
+      // The truly-curved (pole 70) mesh keeps its 1e-10 conservation
+      // invariants in RegridSpec; this entry gives the kernel its
+      // value-level oracle.
       (s, _) => Weights.conservativeCurvilinear(
-        Curvilinear.rotatedCorners(s, rotGrid, rotPoleLat, rotPoleLon),
+        Curvilinear.rotatedCorners(s, rotGrid, idPoleLat, idPoleLon),
         Curvilinear.boundsToPolys(Grids.cells(s, dstCurv, withBounds = true)))
+        .select(col("row"), col("col"), Rounding.roundN(col("s"), 7).as("s"))
+        .filter(col("s") =!= 0.0)
         .orderBy("row", "col"),
-      None),
+      Some(s"""SELECT * FROM (${conservativeSql(
+          idRotGridSql(rotGrid, idPoleLon), gridSql(dstCurv, withBounds = true),
+          digits = 7)}) w ORDER BY "row", col""")),
+
+    QueryDef("q_regrid_conservative_curv",
+      // apply-level check of the same kernel: conservative regrid of
+      // the wave field on the identity-rotated mesh. Weights r7'd on
+      // both engines are bit-identical; the field is evaluated from the
+      // SAME trig expression text on both engines (rotatedCellsSql), so
+      // the r9'd apply output hash-matches like every other trig query.
+      (s, _) => Apply.regrid(
+        Weights.conservativeCurvilinear(
+          Curvilinear.rotatedCorners(s, rotGrid, idPoleLat, idPoleLon),
+          Curvilinear.boundsToPolys(Grids.cells(s, dstCurv, withBounds = true)))
+          .select(col("row"), col("col"), Rounding.roundN(col("s"), 7).as("s"))
+          .filter(col("s") =!= 0.0).cache(),
+        Curvilinear.rotatedCells(s, rotGrid, idPoleLat, idPoleLon)
+          .select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("value")),
+        Grids.cells(s, dstCurv)).orderBy("cell_id"),
+      Some(s"""SELECT * FROM (${applySql(
+          conservativeSql(idRotGridSql(rotGrid, idPoleLon),
+            gridSql(dstCurv, withBounds = true), digits = 7),
+          s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${rotatedCellsSql(rotGrid, idPoleLat, idPoleLon)}) g",
+          gridSql(dstCurv))}) a ORDER BY cell_id""")),
 
     QueryDef("q_w_bilinear_nonuniform_peri",
       // periodic longitude on the non-uniform grid: seam segment closes
