@@ -49,6 +49,15 @@ object RegridQueries {
   val idPoleLat = 90.0
   val idPoleLon = -165.0
 
+  /** Global rotated mesh for periodic curvilinear bilinear: λr spans
+    * the full circle, so geographic longitudes cross the antimeridian
+    * and the seam quads (mesh column nx−1 joined back to column 0)
+    * must map the destinations that fall between them. Destinations =
+    * centers of a finer rotated mesh strictly inside the source's
+    * rotated-latitude hull (so every one must be mapped). */
+  val rotGlobGrid: RectGrid = RectGrid.of(0, 360, 10, -60, 60, 10)    // (12, 36)
+  val dstRotGlob: RectGrid = RectGrid.of(0, 360, 7.5, -55, 55, 10)    // (11, 48)
+
   /** Non-uniform rectilinear fixture: stretched longitudes + smoothstep
     * latitudes (cells cluster toward the poles) — a Gaussian-grid
     * stand-in whose centers/bounds are computed once here and embedded
@@ -279,6 +288,56 @@ object RegridQueries {
       FROM triplets GROUP BY 1, 2 HAVING ${sqlR12("sum(w)")} <> 0.0e0"""
   }
 
+  /** Non-uniform patch weights CTE — mirrors [[Weights.patchIrregular]]
+    * (segments + clamped stencil indices/node positions as a VALUES
+    * literal; the oracle states the interval containment as a plain
+    * theta join, the Spark side band-buckets it; cubic-Lagrange
+    * product text identical, same multiplication order). */
+  def patchIrregularSql(g: CoordGrid, dstSql: String): String = {
+    def segsSql(ax: CoordAxis): String = {
+      val rows = (0 until ax.n - 1).map { i =>
+        val a = math.min(math.max(i, 1), ax.n - 3)
+        s"(${a - 1}, $a, ${a + 1}, ${a + 2}, " +
+          s"${L(ax.centers(a - 1))}, ${L(ax.centers(a))}, ${L(ax.centers(a + 1))}, ${L(ax.centers(a + 2))}, " +
+          s"${L(ax.centers(i))}, ${L(ax.centers(i + 1))}, ${i == ax.n - 2})"
+      }
+      s"SELECT * FROM (VALUES ${rows.mkString(", ")}) " +
+        "t(i0, i1, i2, i3, p0, p1, p2, p3, c_lo, c_hi, is_last)"
+    }
+    // Lagrange basis L_j over nodes p0..p3, ascending other-node order
+    def lg(x: String, p: String, j: Int): String = {
+      val others = (0 to 3).filter(_ != j)
+      val num = others.map(m => s"($x - $p$m)").mkString(" * ")
+      val den = others.map(m => s"($p$j - $p$m)").mkString(" * ")
+      s"($num) / ($den)"
+    }
+    def lgCase(x: String, p: String, o: String): String =
+      s"""CASE $o WHEN -1 THEN ${lg(x, p, 0)} WHEN 0 THEN ${lg(x, p, 1)}
+         WHEN 1 THEN ${lg(x, p, 2)} ELSE ${lg(x, p, 3)} END"""
+    s"""WITH dst AS ($dstSql),
+      xs AS (${segsSql(g.lonAxis)}),
+      ys AS (${segsSql(g.latAxis)}),
+      dx AS (SELECT cell_id AS drow, lon, i0 AS x0, i1 AS x1, i2 AS x2, i3 AS x3,
+               p0 AS px0, p1 AS px1, p2 AS px2, p3 AS px3
+             FROM dst JOIN xs ON lon >= c_lo AND (lon < c_hi OR (is_last AND lon <= c_hi))),
+      dy AS (SELECT cell_id AS drow, lat, i0 AS y0, i1 AS y1, i2 AS y2, i3 AS y3,
+               p0 AS py0, p1 AS py1, p2 AS py2, p3 AS py3
+             FROM dst JOIN ys ON lat >= c_lo AND (lat < c_hi OR (is_last AND lat <= c_hi))),
+      idx AS (SELECT dx.drow, lon, x0, x1, x2, x3, px0, px1, px2, px3,
+                lat, y0, y1, y2, y3, py0, py1, py2, py3
+              FROM dx JOIN dy ON dx.drow = dy.drow),
+      off AS (SELECT * FROM (VALUES (-1), (0), (1), (2)) t(o)),
+      triplets AS (
+        SELECT drow,
+          CAST((CASE oy.o WHEN -1 THEN y0 WHEN 0 THEN y1 WHEN 1 THEN y2 ELSE y3 END) AS BIGINT) * ${g.nx}
+            + (CASE ox.o WHEN -1 THEN x0 WHEN 0 THEN x1 WHEN 1 THEN x2 ELSE x3 END) AS scol,
+          (${lgCase("lon", "px", "ox.o")}) * (${lgCase("lat", "py", "oy.o")}) AS w
+        FROM idx, off ox, off oy
+      )
+      SELECT drow AS "row", CAST(scol AS BIGINT) AS col, ${sqlR12("sum(w)")} AS s
+      FROM triplets GROUP BY 1, 2 HAVING ${sqlR12("sum(w)")} <> 0.0e0"""
+  }
+
   /** Rotated-pole mesh cell CTE — mirrors [[Curvilinear.rotatedCells]]. */
   def rotatedCellsSql(rot: RectGrid, poleLat: Double, poleLon: Double): String = {
     val lamr = s"(${L(rot.lonAxis.start)} + (CAST(x AS DOUBLE) + 0.5e0) * ${L(rot.lonAxis.step)})"
@@ -295,20 +354,45 @@ object RegridQueries {
     * self-joins, bbox candidates, inverse-bilinear quadratic, r9'd
     * (u,v), deterministic first-quad pick). */
   def bilinearCurvSql(rot: RectGrid, poleLat: Double, poleLon: Double,
-                      dstSql: String): String = {
+                      dstSql: String, periodic: Boolean = false): String = {
     import graft.regrid.Weights.{linEps, rootLo, rootHi}
+    // x+1 neighbor wraps modulo nx when periodic (seam quads)
+    val xp1 = if (periodic) s"(c00.x + 1) % ${rot.nx}" else "c00.x + 1"
+    // unwrap: bring each vertex lon within ±180° of lon00 (no-op for
+    // seam-free quads) — mirrors Weights.bilinearCurvilinear
+    def uw(c: String): String =
+      s"""CASE WHEN $c - lon00 > 180.0e0 THEN $c - 360.0e0
+         WHEN $c - lon00 < -180.0e0 THEN $c + 360.0e0 ELSE $c END"""
     s"""WITH cells AS (${rotatedCellsSql(rot, poleLat, poleLon)}),
       dst AS ($dstSql),
-      quads AS (
+      quads0 AS (
         SELECT c00.y AS qy, c00.x AS qx,
           c00.cell_id AS id00, c00.lon AS lon00, c00.lat AS lat00,
           c10.cell_id AS id10, c10.lon AS lon10, c10.lat AS lat10,
           c01.cell_id AS id01, c01.lon AS lon01, c01.lat AS lat01,
           c11.cell_id AS id11, c11.lon AS lon11, c11.lat AS lat11
         FROM cells c00
-        JOIN cells c10 ON c10.y = c00.y AND c10.x = c00.x + 1
+        JOIN cells c10 ON c10.y = c00.y AND c10.x = $xp1
         JOIN cells c01 ON c01.y = c00.y + 1 AND c01.x = c00.x
-        JOIN cells c11 ON c11.y = c00.y + 1 AND c11.x = c00.x + 1
+        JOIN cells c11 ON c11.y = c00.y + 1 AND c11.x = $xp1
+      ),
+      quadsu AS MATERIALIZED (
+        -- MATERIALIZED: DuckDB 1.0.0 hits an internal "flat vector"
+        -- assertion when this CASE-heavy CTE is inlined into the
+        -- downstream bbox join; forcing materialization sidesteps the
+        -- bug without changing any value
+        SELECT qy, qx, id00, lon00, lat00,
+          id10, ${uw("lon10")} AS lon10, lat10,
+          id01, ${uw("lon01")} AS lon01, lat01,
+          id11, ${uw("lon11")} AS lon11, lat11
+        FROM quads0
+      ),
+      quads AS (
+        SELECT qy, qx, id00, lon00 + shift AS lon00, lat00,
+          id10, lon10 + shift AS lon10, lat10,
+          id01, lon01 + shift AS lon01, lat01,
+          id11, lon11 + shift AS lon11, lat11
+        FROM quadsu CROSS JOIN (VALUES (-360.0e0), (0.0e0), (360.0e0)) ts(shift)
       ),
       cand AS (
         SELECT dst.cell_id AS drow, dst.lon AS plon, dst.lat AS plat, q.*
@@ -488,6 +572,15 @@ object RegridQueries {
       Some(s"""SELECT * FROM (${bilinearIrregularSql(gridInNonuni, gridSql(gridOut))}) w
         ORDER BY "row", col""")),
 
+    QueryDef("q_w_patch_nonuniform",
+      // W5 on the non-uniform ingestion path (method matrix,
+      // frontend.py:123-131: patch wherever bilinear works): Keys
+      // stencil located by the banded segment join, t normalized
+      // against the clamped anchor segment
+      (s, _) => Weights.patchIrregular(gridInNonuni, dstCells(s)).orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${patchIrregularSql(gridInNonuni, gridSql(gridOut))}) w
+        ORDER BY "row", col""")),
+
     QueryDef("q_w_bilinear_curv",
       // G5/G7 curvilinear ingestion: bilinear on a rotated-pole 2-D
       // mesh via point-in-quad + inverse bilinear (frontend.py:21-30)
@@ -555,6 +648,22 @@ object RegridQueries {
             gridSql(dstCurv, withBounds = true), digits = 7),
           s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${rotatedCellsSql(rotGrid, idPoleLat, idPoleLon)}) g",
           gridSql(dstCurv))}) a ORDER BY cell_id""")),
+
+    QueryDef("q_w_bilinear_curv_peri",
+      // P4 on a CURVILINEAR mesh (backend.py:92-95 applies
+      // num_peri_dims=1 to any grid): global rotated-pole source whose
+      // geographic lons cross the antimeridian; every destination lies
+      // inside the rotated hull, so seam-quad failures would surface
+      // as missing rows here (and as unmapped-destination asserts in
+      // RegridSpec)
+      (s, _) => Weights.bilinearCurvilinear(
+        Curvilinear.rotatedCells(s, rotGlobGrid, rotPoleLat, rotPoleLon),
+        Curvilinear.rotatedCells(s, dstRotGlob, rotPoleLat, rotPoleLon)
+          .select("cell_id", "lon", "lat"),
+        periodicNx = Some(rotGlobGrid.nx)).orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${bilinearCurvSql(rotGlobGrid, rotPoleLat, rotPoleLon,
+          rotatedCellsSql(dstRotGlob, rotPoleLat, rotPoleLon), periodic = true)}) w
+        ORDER BY "row", col""")),
 
     QueryDef("q_w_bilinear_nonuniform_peri",
       // periodic longitude on the non-uniform grid: seam segment closes

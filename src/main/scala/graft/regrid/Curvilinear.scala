@@ -95,15 +95,28 @@ object Curvilinear {
     * (j, i) with the 4 surrounding CENTERS as vertices — the bilinear
     * interpolation quads. Built from the tidy cell relation with three
     * shifted equi-joins on (y, x); runs as hash joins, weight-build-once
-    * cost. */
-  def centerQuads(cells: DataFrame): DataFrame = {
+    * cost.
+    *
+    * P4 for curvilinear meshes (reference `backend.py:92-95` applies
+    * `num_peri_dims=1` to any grid): with `periodicNx = Some(nx)` the
+    * x+1 neighbor wraps modulo nx, adding one seam-quad column that
+    * joins x = nx−1 back to x = 0 — the quads a global ocean mesh needs
+    * so destinations between the last and first mesh columns are
+    * mapped. The wrapped neighbors' longitudes are brought into the
+    * quad's local frame downstream (see
+    * [[Weights.bilinearCurvilinear]]'s unwrap step). */
+  def centerQuads(cells: DataFrame, periodicNx: Option[Int] = None): DataFrame = {
     def c(as: String) = cells.select(
       col("y").as(s"${as}_y"), col("x").as(s"${as}_x"),
       col("cell_id").as(s"id$as"), col("lon").as(s"lon$as"), col("lat").as(s"lat$as"))
+    def xp1: Column = periodicNx match {
+      case Some(nx) => pmod(col("00_x") + 1, lit(nx))
+      case None => col("00_x") + 1
+    }
     c("00")
-      .join(c("10"), col("10_y") === col("00_y") && col("10_x") === col("00_x") + 1)
+      .join(c("10"), col("10_y") === col("00_y") && col("10_x") === xp1)
       .join(c("01"), col("01_y") === col("00_y") + 1 && col("01_x") === col("00_x"))
-      .join(c("11"), col("11_y") === col("00_y") + 1 && col("11_x") === col("00_x") + 1)
+      .join(c("11"), col("11_y") === col("00_y") + 1 && col("11_x") === xp1)
       .select(
         col("00_y").as("qy"), col("00_x").as("qx"),
         col("id00"), col("lon00"), col("lat00"),

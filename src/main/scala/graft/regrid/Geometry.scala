@@ -10,6 +10,16 @@ package graft.regrid
   * segments, so `Σ_s A(s∩d) = A(d)` holds to FP precision and the
   * conservation invariant survives (verified to 1e-10 in RegridSpec).
   *
+  * Deviation bound, MEASURED against exact great-circle clipping
+  * (gnomonic-projection clip + spherical-excess areas; see the
+  * RegridSpec test "straight-edge deviation ... bounded"): on the 4°
+  * rotated-pole fixture at |lat| ≤ 60 the max per-weight difference is
+  * 0.0047 (asserted < 0.012). The deviation scales ~quadratically with
+  * cell size (edge sagitta ∝ Δ²), so 1° cells sit near 3e-4. Note the
+  * comparison itself is a modeling choice: for lat-lon cells the true
+  * boundary is the parallel, which great-circle edges also only
+  * approximate.
+  *
   * Polygons are flat vertex arrays `[x0, y0, x1, y1, …]`.
   */
 object Geometry {

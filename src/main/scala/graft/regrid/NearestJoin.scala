@@ -70,31 +70,100 @@ object NearestJoin {
       val w = 360.0 / nLon
       val sinHalfR = math.sin(math.toRadians(r / 2.0))
 
-      // lon reach of a point, in tiles: how far (wrapped) a probe within
-      // angle r can sit; widens toward the poles. Points whose lat + r
-      // reaches the pole cap get the FULL ring — clamping the cosine
-      // argument there would under-cover when r is tiny (a sub-0.02°
-      // radius at lat 89.999 still spans all longitudes).
-      val reach = least(
-        when(abs(col("p_lat")) + lit(r) >= 89.99, lit((nLon / 2 + 1).toDouble))
-          .otherwise(ceil(degrees(lit(2.0) * asin(least(lit(1.0),
-            lit(sinHalfR) / cos(radians(abs(col("p_lat")) + lit(r)))))) / lit(w)))
-          .cast("long"),
-        lit(nLon / 2 + 1))
-      val ptsBanded = pts
-        .withColumn("k", reach)
-        .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .withColumn("band", (floor(col("p_lat") / lit(r)) + col("db")).cast("long"))
-        .withColumn("dl", explode(sequence(-col("k"), col("k"))))
-        .withColumn("lonb", pmod(
-          floor(pmod(col("p_lon"), lit(360.0)) / lit(w)).cast("long") + col("dl"),
-          lit(nLon)))
-        .drop("db", "dl", "k")
-      val probesBanded = remaining
-        .withColumn("band", floor(col("q_lat") / lit(r)).cast("long"))
-        .withColumn("lonb", floor(pmod(col("q_lon"), lit(360.0)) / lit(w)).cast("long"))
+      // Pole handling. Lat-lon tiles degenerate at the poles (a tiny
+      // great-circle radius spans every longitude), so for r ≤ 15° the
+      // caps switch to azimuthal-equidistant PLANAR tiles: project
+      // (x, y) = ρ·(cos λ, sin λ) with ρ = colatitude in degrees.
+      // Toponogov's comparison theorem (curvature > 0) gives
+      // d_planar ≥ d_sphere, and the projection's tangential stretch
+      // bounds d_planar ≤ d_sphere · ρmax/sin ρmax ≤ 1.112·d_sphere
+      // for ρmax = 45°, so a probe exploding to its 3×3 planar tile
+      // neighborhood (tile width 1.25·r) sees every point within
+      // great-circle angle r. Membership: cap points ρ ≤ 3r, cap
+      // probes ρ ≤ 2r — a cap probe's whole radius-r disk lies inside
+      // the cap point set, so cap probes skip the lat-lon join
+      // entirely, and points with ρ ≤ r exist only in the cap. The
+      // remaining lat-lon reach is then evaluated against probes at
+      // |lat| ≤ 90 − 2r, so its cosine never degenerates (≥ sin r) —
+      // the former full-ring explode (441 copies/point at r = 2°) is
+      // gone. For r > 15° the ring is ≤ 20 tiles and the old full-ring
+      // fallback is cheaper than the cap machinery.
+      val useCap = r <= 15.0
+      val capW = 1.25 * r
 
-      val cand = probesBanded.join(ptsBanded, Seq("band", "lonb"))
+      val (ptsKeyed, probesKeyed) =
+        if (!useCap) {
+          val reach = least(
+            when(abs(col("p_lat")) + lit(r) >= 89.99, lit((nLon / 2 + 1).toDouble))
+              .otherwise(ceil(degrees(lit(2.0) * asin(least(lit(1.0),
+                lit(sinHalfR) / cos(radians(abs(col("p_lat")) + lit(r)))))) / lit(w)))
+              .cast("long"),
+            lit(nLon / 2 + 1))
+          val p = pts
+            .withColumn("k", reach)
+            .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
+            .withColumn("band", (floor(col("p_lat") / lit(r)) + col("db")).cast("long"))
+            .withColumn("dl", explode(sequence(-col("k"), col("k"))))
+            .withColumn("lonb", pmod(
+              floor(pmod(col("p_lon"), lit(360.0)) / lit(w)).cast("long") + col("dl"),
+              lit(nLon)))
+            .drop("db", "dl", "k")
+          val q = remaining
+            .withColumn("band", floor(col("q_lat") / lit(r)).cast("long"))
+            .withColumn("lonb", floor(pmod(col("q_lon"), lit(360.0)) / lit(w)).cast("long"))
+          (p, q)
+        } else {
+          // ---- lat-lon part (probes with ρ > 2r on both poles) ----
+          // reach bound: the served probes have |q_lat| ≤ 90 − 2r, so
+          // max|φ| ≤ min(|p_lat| + r, max(|p_lat|, 90 − 2r)) ≤ 90 − r
+          val maxPhi = least(abs(col("p_lat")) + lit(r),
+            greatest(abs(col("p_lat")), lit(90.0 - 2.0 * r)))
+          val reach = least(
+            ceil(degrees(lit(2.0) * asin(least(lit(1.0),
+              lit(sinHalfR) / cos(radians(maxPhi))))) / lit(w)).cast("long"),
+            lit(nLon / 2 + 1))
+          val pNormal = pts
+            .filter(abs(col("p_lat")) <= 90.0 - r)   // ρ ≤ r lives in the cap only
+            .withColumn("k", reach)
+            .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
+            .withColumn("band", (floor(col("p_lat") / lit(r)) + col("db")).cast("long"))
+            .withColumn("dl", explode(sequence(-col("k"), col("k"))))
+            .withColumn("lonb", pmod(
+              floor(pmod(col("p_lon"), lit(360.0)) / lit(w)).cast("long") + col("dl"),
+              lit(nLon)))
+            .drop("db", "dl", "k")
+          val qNormal = remaining
+            .filter(abs(col("q_lat")) < 90.0 - 2.0 * r)
+            .withColumn("band", floor(col("q_lat") / lit(r)).cast("long"))
+            .withColumn("lonb", floor(pmod(col("q_lon"), lit(360.0)) / lit(w)).cast("long"))
+          // ---- planar cap tiles (band codes disjoint from lat-lon
+          // bands, which stay within ±(90/r + 1) ≪ 10^9) ----
+          def capSide(code: Long, north: Boolean) = {
+            def rho(lat: Column) = if (north) lit(90.0) - lat else lit(90.0) + lat
+            val pc = pts.filter(rho(col("p_lat")) <= 3.0 * r)
+              .withColumn("cx", rho(col("p_lat")) * cos(radians(col("p_lon"))))
+              .withColumn("cy", rho(col("p_lat")) * sin(radians(col("p_lon"))))
+              .withColumn("band", lit(code) + floor(col("cy") / lit(capW)).cast("long"))
+              .withColumn("lonb", floor(col("cx") / lit(capW)).cast("long"))
+              .drop("cx", "cy")
+            val qc = remaining.filter(rho(col("q_lat")) <= 2.0 * r)
+              .withColumn("cx", rho(col("q_lat")) * cos(radians(col("q_lon"))))
+              .withColumn("cy", rho(col("q_lat")) * sin(radians(col("q_lon"))))
+              .withColumn("dbx", explode(array(lit(-1L), lit(0L), lit(1L))))
+              .withColumn("dby", explode(array(lit(-1L), lit(0L), lit(1L))))
+              .withColumn("band",
+                lit(code) + floor(col("cy") / lit(capW)).cast("long") + col("dby"))
+              .withColumn("lonb", floor(col("cx") / lit(capW)).cast("long") + col("dbx"))
+              .drop("cx", "cy", "dbx", "dby")
+            (pc, qc)
+          }
+          val (pN, qN) = capSide(1000000000L, north = true)
+          val (pS, qS) = capSide(2000000000L, north = false)
+          (pNormal.unionByName(pN).unionByName(pS),
+            qNormal.unionByName(qN).unionByName(qS))
+        }
+
+      val cand = probesKeyed.join(ptsKeyed, Seq("band", "lonb"))
         .withColumn("dist",
           Rounding.r9(sqChord(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat"))))
       // argmin as a hash aggregate: lexicographic struct-min on

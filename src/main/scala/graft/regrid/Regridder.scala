@@ -198,11 +198,10 @@ final class Regridder(
           case RectDef(r, _) => Weights.bilinear(r, dstB, periodic)
           case CoordDef(cg, _) => Weights.bilinearIrregular(cg, dstB, periodic)
           case c: CurvDef =>
-            // fail loudly rather than silently building non-periodic
-            // weights under a filename that claims periodicity
-            require(!periodic,
-              "periodic bilinear is not implemented for curvilinear meshes")
-            Weights.bilinearCurvilinear(c.centerCells, dstB)
+            // P4 on curvilinear meshes (reference backend.py:92-95):
+            // seam quads close the x ring
+            Weights.bilinearCurvilinear(c.centerCells, dstB,
+              periodicNx = if (periodic) Some(c.nx) else None)
           case _ => throw new IllegalArgumentException(
             "bilinear needs a rectilinear or curvilinear source grid")
         }
@@ -239,8 +238,16 @@ final class Regridder(
       case RegridMethod.Patch =>
         gridIn match {
           case RectDef(r, _) => Weights.patch(r, dstB, periodic)
+          case CoordDef(cg, _) =>
+            // method matrix frontend.py:123-131: patch wherever
+            // bilinear works; periodic non-uniform patch would need a
+            // seam stencil — fail loudly rather than build mislabeled
+            // weights
+            require(!periodic,
+              "periodic patch on a non-uniform grid is not supported")
+            Weights.patchIrregular(cg, dstB)
           case _ => throw new IllegalArgumentException(
-            "patch needs a uniform rectilinear source grid")
+            "patch needs a rectilinear source grid")
         }
     }
   }

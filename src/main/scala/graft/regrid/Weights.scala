@@ -233,6 +233,84 @@ object Weights {
       .filter(col("s") =!= 0.0)
   }
 
+  /** `patch` over an arbitrary NON-UNIFORM rectilinear source grid —
+    * completes the reference's method matrix (`frontend.py:123-131`
+    * allows patch wherever bilinear works).
+    *
+    * Kernel (documented deviation from ESMF's internal patch recovery,
+    * like [[patch]]): separable CUBIC LAGRANGE on the actual 4×4
+    * center positions around the destination — the natural
+    * generalization of a 4-point stencil to non-uniform spacing
+    * (normalizing Keys to a local t would silently assume uniform
+    * spacing and lose the higher-order accuracy that is patch's whole
+    * point; Lagrange is 4th-order on any spacing). The Lagrange basis
+    * sums to 1 identically, so weights per destination sum to 1 like
+    * every other method.
+    *
+    * Plan: the bracketing segment is located with the same banded
+    * interval equi-join as [[bilinearIrregular]]; stencil indices and
+    * node positions are precomputed driver-side per segment (edge
+    * segments clamp the anchor to keep the stencil on-grid, the
+    * Lagrange products extrapolate there). Destinations outside the
+    * source center hull stay unmapped → 0.
+    */
+  def patchIrregular(src: CoordGrid, dstPoints: DataFrame): DataFrame = {
+    require(src.nx >= 4 && src.ny >= 4,
+      s"patch needs at least 4x4 source centers, got ${src.ny}x${src.nx}")
+    val spark = dstPoints.sparkSession
+    import spark.implicits._
+
+    // per-axis: (row, coord, i0..i3 stencil indices, n0..n3 node
+    // positions) — segments are driver-side arrays, the location join
+    // is a banded hash equi-join (no theta join)
+    def axisStencil(ax: CoordAxis, d: DataFrame, coordCol: String,
+                    ip: String, np: String): DataFrame = {
+      val segsSeq = (0 until ax.n - 1).map { i =>
+        val a = math.min(math.max(i, 1), ax.n - 3)
+        (a.toLong - 1, a.toLong, a.toLong + 1, a.toLong + 2,
+          ax.centers(a - 1), ax.centers(a), ax.centers(a + 1), ax.centers(a + 2),
+          ax.centers(i), ax.centers(i + 1), i == ax.n - 2)
+      }
+      val maxW = math.max(segsSeq.map(s => s._10 - s._9).max, 1e-12)
+      val segs = segsSeq
+        .toDF(s"${ip}0", s"${ip}1", s"${ip}2", s"${ip}3",
+          s"${np}0", s"${np}1", s"${np}2", s"${np}3", "c_lo", "c_hi", "is_last")
+        .withColumn("band", explode(sequence(
+          floor(col("c_lo") / lit(maxW)).cast("long"),
+          floor(col("c_hi") / lit(maxW)).cast("long"))))
+      d.withColumn("band", floor(col(coordCol) / lit(maxW)).cast("long"))
+        .join(segs, Seq("band"))
+        .filter(col(coordCol) >= col("c_lo") &&
+          (col(coordCol) < col("c_hi") || (col("is_last") && col(coordCol) <= col("c_hi"))))
+        .drop("band", "c_lo", "c_hi", "is_last")
+    }
+
+    // Lagrange basis L_j(x) over nodes n0..n3; multiplication order
+    // (ascending other-node index) mirrored textually in the oracle
+    def lag(x: Column, np: String, j: Int): Column = {
+      val others = (0 to 3).filter(_ != j)
+      val num = others.map(m => x - col(s"$np$m")).reduce(_ * _)
+      val den = others.map(m => col(s"$np$j") - col(s"$np$m")).reduce(_ * _)
+      num / den
+    }
+
+    val d = dstPoints.select(col("cell_id").as("row"), col("lon"), col("lat"))
+    val dx = axisStencil(src.lonAxis, d.select("row", "lon"), "lon", "ix", "nx")
+    val dy = axisStencil(src.latAxis, d.select("row", "lat"), "lat", "iy", "ny")
+    val nCols = src.nx
+
+    val stencil = for (oy <- 0 to 3; ox <- 0 to 3) yield
+      struct((col(s"iy$oy") * lit(nCols.toLong) + col(s"ix$ox")).cast("long").as("col"),
+        (lag(col("lon"), "nx", ox) * lag(col("lat"), "ny", oy)).as("s"))
+
+    dx.join(dy, "row")
+      .select(col("row"), explode(array(stencil: _*)).as("e"))
+      .select(col("row"), col("e.col").as("col"), col("e.s").as("s"))
+      .groupBy(col("row"), col("col"))
+      .agg(r12(sum(col("s"))).as("s"))
+      .filter(col("s") =!= 0.0)
+  }
+
   /** `bilinear` over an arbitrary NON-UNIFORM rectilinear source grid
     * (Gaussian latitudes etc. — the coordinate-array ingestion path of
     * reference `frontend.py:59-69`, which the closed-form [[bilinear]]
@@ -350,8 +428,31 @@ object Weights {
   val rootHi: Double = 1.0 + 1e-9
 
   def bilinearCurvilinear(srcCells: DataFrame, dstPoints: DataFrame,
-                          bandDeg: Double = 5.0): DataFrame = {
-    val quads = Curvilinear.centerQuads(srcCells)
+                          bandDeg: Double = 5.0,
+                          periodicNx: Option[Int] = None): DataFrame = {
+    // Longitude-frame handling (the conservative kernel's ±360 bridge,
+    // adapted to quads): (1) UNWRAP — a quad whose vertices straddle
+    // the antimeridian / the mesh's lon seam has vertex lons ~360°
+    // apart; bring each vertex within ±180° of lon00 so the quad is
+    // locally contiguous (a no-op, bit-for-bit, for seam-free quads —
+    // the guard condition keeps the original value); (2) SHIFT — try
+    // each quad at {−360, 0, +360} so destinations in any lon
+    // convention ([0,360) vs [−180,180)) find it; the tile equi-join
+    // discards copies that land outside the destination frame.
+    def unwrap(c: Column): Column =
+      when(c - col("lon00") > 180.0, c - lit(360.0))
+        .when(c - col("lon00") < -180.0, c + lit(360.0))
+        .otherwise(c)
+    val quads = Curvilinear.centerQuads(srcCells, periodicNx)
+      .withColumn("lon10", unwrap(col("lon10")))
+      .withColumn("lon01", unwrap(col("lon01")))
+      .withColumn("lon11", unwrap(col("lon11")))
+      .withColumn("shift", explode(array(lit(-360.0), lit(0.0), lit(360.0))))
+      .withColumn("lon00", col("lon00") + col("shift"))
+      .withColumn("lon10", col("lon10") + col("shift"))
+      .withColumn("lon01", col("lon01") + col("shift"))
+      .withColumn("lon11", col("lon11") + col("shift"))
+      .drop("shift")
       .withColumn("lat_min", least(col("lat00"), col("lat10"), col("lat01"), col("lat11")))
       .withColumn("lat_max", greatest(col("lat00"), col("lat10"), col("lat01"), col("lat11")))
       .withColumn("lon_min", least(col("lon00"), col("lon10"), col("lon01"), col("lon11")))

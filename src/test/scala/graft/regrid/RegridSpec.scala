@@ -363,6 +363,58 @@ class RegridSpec extends AnyFunSuite {
       .filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
   }
 
+  test("patchIrregular: cubic Lagrange reproduces cubic fields exactly, same support as uniform patch") {
+    val cg = CoordGrid(
+      CoordAxis.fromUniform(gridIn.lonAxis), CoordAxis.fromUniform(gridIn.latAxis))
+    val wI = Weights.patchIrregular(cg, dstCells())
+    val wU = Weights.patch(gridIn, dstCells(), periodic = false)
+    // same mapped destinations and stencil shape as the uniform Keys
+    // builder (the kernels differ: Lagrange vs Keys — both documented
+    // deviations from ESMF's internal patch recovery)
+    assert(wI.select("row").distinct().count() === wU.select("row").distinct().count())
+    assert(wI.groupBy("row").agg(sum("s").as("t"), count("*").as("n"))
+      .filter(abs(col("t") - 1.0) > 1e-9 || col("n") > 16).count() === 0)
+    // 4th-order check: a separable cubic (incl. cross terms) must be
+    // interpolated exactly up to weight-rounding noise
+    def cubic(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
+      pow(lon / 90.0, 3) + pow(lat / 45.0, 3) + (lon / 100.0) * (lat / 50.0)
+    val f = srcCells().select(col("cell_id"), cubic(col("lon"), col("lat")).as("value"))
+    val ref = dstCells().select(col("cell_id"), cubic(col("lon"), col("lat")).as("ref"))
+    val mapped = wI.select(col("row").as("cell_id")).distinct()
+    val e = Apply.regrid(wI, f, dstCells(), roundDigits = 0)
+      .join(mapped, "cell_id").join(ref, "cell_id")
+      .select(max(abs(col("ref") - col("value"))).as("e")).head().getDouble(0)
+    assert(e < 1e-9, s"cubic field must be reproduced exactly, err $e")
+  }
+
+  test("patchIrregular: non-uniform grid, weights sum to 1, ≤16 entries, bounded error") {
+    val g = graft.RegridQueries.gridInNonuni
+    val w = Weights.patchIrregular(g, dstCells())
+    val per = w.groupBy("row").agg(sum("s").as("t"), count("*").as("n"))
+    assert(per.filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    assert(per.filter(col("n") > 16).count() === 0)
+    // smooth-field accuracy on the mapped cells
+    val f = CoordGrid.cells(spark, g).select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+    val ref = dstCells().select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("ref"))
+    def errOn(weights: DataFrame): Double = {
+      val mapped = weights.select(col("row").as("cell_id")).distinct()
+      Apply.regrid(weights, f, dstCells()).join(mapped, "cell_id").join(ref, "cell_id")
+        .select(max(abs((col("ref") - col("value")) / col("ref"))).as("e")).head().getDouble(0)
+    }
+    // same bar as bilinear on this deliberately stretched fixture
+    // (~22°-tall equatorial cells), and the higher-order stencil must
+    // still beat bilinear on the smooth field
+    val e = errOn(w)
+    val eB = errOn(Weights.bilinearIrregular(g, dstCells()))
+    assert(e < 0.15, s"non-uniform patch max rel err $e")
+    assert(e < eB, s"patch err $e !< bilinear err $eB on the same grid")
+    // facade dispatch
+    val r = new Regridder(spark, CoordDef(g, bounds = true), RectDef(gridOut), RegridMethod.Patch)
+    assert(r.weights.count() === w.count())
+  }
+
   test("bilinearIrregular on uniform coord arrays == closed-form bilinear") {
     val cg = CoordGrid(CoordAxis.fromUniform(gridIn.lonAxis), CoordAxis.fromUniform(gridIn.latAxis))
     val wi = Weights.bilinearIrregular(cg, dstCells()).withColumnRenamed("s", "si")
@@ -405,6 +457,139 @@ class RegridSpec extends AnyFunSuite {
     val e = Apply.regrid(w, f, dst).join(ref, "cell_id")
       .select(max(abs((col("ref") - col("value")) / col("ref"))).as("e")).head().getDouble(0)
     assert(e < 0.02, s"curvilinear bilinear max rel err $e")
+  }
+
+  test("curvilinear bilinear PERIODIC: global mesh, seam + antimeridian destinations mapped") {
+    // global rotated mesh: lamr spans 360°, geographic lons cross ±180
+    val rot = graft.RegridQueries.rotGlobGrid
+    val src = Curvilinear.rotatedCells(spark, rot, poleLat = 70.0, poleLon = -165.0)
+    // destinations = centers of a finer rotated mesh strictly inside
+    // the source's rotated-lat hull: every one must be mapped, and the
+    // ones between mesh columns nx-1 and 0 only via the seam quads
+    val dst = Curvilinear.rotatedCells(spark, graft.RegridQueries.dstRotGlob,
+      poleLat = 70.0, poleLon = -165.0).select("cell_id", "lon", "lat")
+    val w = Weights.bilinearCurvilinear(src, dst, periodicNx = Some(rot.nx))
+    assert(w.select("row").distinct().count() === graft.RegridQueries.dstRotGlob.nCells,
+      "every interior destination of the global periodic mesh must be mapped")
+    assert(w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    // without the seam quads, the destinations between columns nx-1
+    // and 0 stay unmapped — pin the non-periodic gap so this test
+    // proves the seam actually did the mapping
+    val w0 = Weights.bilinearCurvilinear(src, dst)
+    assert(w0.select("row").distinct().count() < graft.RegridQueries.dstRotGlob.nCells)
+    // smooth-field accuracy through the seam
+    val f = src.select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+    val ref = dst.select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("ref"))
+    val e = Apply.regrid(w, f, dst).join(ref, "cell_id")
+      .select(max(abs((col("ref") - col("value")) / col("ref"))).as("e")).head().getDouble(0)
+    assert(e < 0.05, s"periodic curvilinear bilinear max rel err $e")
+  }
+
+  test("curvilinear bilinear: lon-seam-crossing mesh maps seam-straddling destinations") {
+    // rotLon's atan2 branch cut sits at lamr ≈ 0 for this pole, so a
+    // mesh spanning lamr = 0 gets stored lons that jump ~360° between
+    // adjacent columns (≈195 to ≈−165 here) — the quad-unwrap case the
+    // round-2 review flagged as silently unmapped
+    val rot = RectGrid.of(-30, 30, 4, -30, 30, 4)
+    val src = Curvilinear.rotatedCells(spark, rot, poleLat = 70.0, poleLon = 15.0)
+    val lonRange = src.select(min("lon"), max("lon")).head()
+    assert(lonRange.getDouble(1) - lonRange.getDouble(0) > 300,
+      s"fixture must straddle the stored-lon seam, got $lonRange")
+    val dst = Curvilinear.rotatedCells(spark, RectGrid.of(-12, 12, 3, -16, 16, 4),
+      poleLat = 70.0, poleLon = 15.0).select("cell_id", "lon", "lat")
+    val w = Weights.bilinearCurvilinear(src, dst)
+    assert(w.select("row").distinct().count() === 8L * 8,
+      "all interior destinations must be mapped across the stored-lon seam")
+    assert(w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    // destinations re-expressed in the standard [-180, 180) frame find
+    // the same mesh via the ±360 shift copies
+    val dstStd = dst.withColumn("lon",
+      pmod(col("lon") + 180.0, lit(360.0)) - 180.0)
+    val wStd = Weights.bilinearCurvilinear(src, dstStd)
+    assert(wStd.select("row").distinct().count() === 8L * 8)
+  }
+
+  test("curvilinear conservative: straight-edge deviation vs exact great-circle clipping is bounded") {
+    // The clip kernel treats cell edges as straight in (lon°, lat°);
+    // ESMF clips along great circles. Quantify the deviation on the
+    // coarsest rotated fixture (4° cells) by recomputing every weight
+    // with EXACT gc clipping: project both cells gnomonically about
+    // the destination centroid (great circles are straight lines in a
+    // gnomonic projection, so planar clipping there IS gc clipping),
+    // then take areas via spherical-triangle excess (l'Huilier).
+    type V = Array[Double]
+    def xyz(lonDeg: Double, latDeg: Double): V = {
+      val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
+      Array(math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon), math.sin(lat))
+    }
+    def dot(a: V, b: V) = a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
+    def cross(a: V, b: V): V = Array(
+      a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2), a(0) * b(1) - a(1) * b(0))
+    def norm(a: V) = math.sqrt(dot(a, a))
+    def unit(a: V): V = { val n = norm(a); Array(a(0) / n, a(1) / n, a(2) / n) }
+    def sphTriArea(a: V, b: V, c: V): Double = {
+      def side(u: V, v: V) = math.atan2(norm(cross(u, v)), dot(u, v))
+      val sa = side(b, c); val sb = side(a, c); val sc = side(a, b)
+      val s = (sa + sb + sc) / 2
+      val t = math.tan(s / 2) * math.tan((s - sa) / 2) *
+        math.tan((s - sb) / 2) * math.tan((s - sc) / 2)
+      4.0 * math.atan(math.sqrt(math.max(0.0, t)))
+    }
+    // gc-polygon area (steradians) by fan triangulation of a convex poly
+    def gcArea(vs: IndexedSeq[V]): Double =
+      (1 until vs.length - 1).map(i => sphTriArea(vs(0), vs(i), vs(i + 1))).sum
+    // flat (lon,lat) quad -> exact gc weight against clip quad
+    def gcWeight(subj: Array[Double], clip: Array[Double]): Double = {
+      val cs = (0 until 4).map(i => xyz(clip(2 * i), clip(2 * i + 1)))
+      val ctr = unit(Array(cs.map(_(0)).sum, cs.map(_(1)).sum, cs.map(_(2)).sum))
+      // gnomonic basis at ctr
+      val e1 = unit(cross(Array(0.0, 0.0, 1.0), ctr))
+      val e2 = cross(ctr, e1)
+      def proj(p: V): (Double, Double) = {
+        val d = dot(p, ctr); (dot(p, e1) / d, dot(p, e2) / d)
+      }
+      def unproj(u: Double, v: Double): V =
+        unit(Array(ctr(0) + u * e1(0) + v * e2(0), ctr(1) + u * e1(1) + v * e2(1),
+          ctr(2) + u * e1(2) + v * e2(2)))
+      def flat(q: Array[Double]): Array[Double] = {
+        val b = new Array[Double](8)
+        for (i <- 0 until 4) {
+          val (u, v) = proj(xyz(q(2 * i), q(2 * i + 1))); b(2 * i) = u; b(2 * i + 1) = v
+        }
+        b
+      }
+      val inter = Geometry.clipConvex(Geometry.ccw(flat(subj)), Geometry.ccw(flat(clip)))
+      if (inter.isEmpty) 0.0
+      else {
+        val vs = (0 until inter.length / 2).map(i => unproj(inter(2 * i), inter(2 * i + 1)))
+        val ds = (0 until 4).map(i => xyz(clip(2 * i), clip(2 * i + 1)))
+        gcArea(vs) / gcArea(Geometry.ccw(clip).grouped(2).map(p => xyz(p(0), p(1))).toIndexedSeq)
+      }
+    }
+    val rot = graft.RegridQueries.rotGrid
+    val srcPolys = Curvilinear.rotatedCorners(spark, rot, 70.0, -165.0)
+      .collect().map(r => (0 until 4).flatMap(k =>
+        Seq(r.getAs[Double](s"lon_c$k"), r.getAs[Double](s"lat_c$k"))).toArray)
+    val dstPolys = Grids.cells(spark, graft.RegridQueries.dstCurv, withBounds = true)
+      .collect().map { r =>
+        val (w, e) = (r.getAs[Double]("lon_w"), r.getAs[Double]("lon_e"))
+        val (s0, n) = (r.getAs[Double]("lat_s"), r.getAs[Double]("lat_n"))
+        Array(w, s0, e, s0, e, n, w, n)
+      }
+    var maxDev = 0.0
+    for (dp <- dstPolys; sp <- srcPolys) {
+      val wStraight = Geometry.overlapWeight(sp, dp)
+      val wGc = gcWeight(sp, dp)
+      if (wStraight > 0 || wGc > 0)
+        maxDev = math.max(maxDev, math.abs(wStraight - wGc))
+    }
+    // pins the documented deviation (Geometry.scala scaladoc): straight
+    // (lon°, lat°) edges vs exact great-circle edges on 4° cells
+    info(f"measured max straight-vs-gc weight deviation: $maxDev%.6f")
+    assert(maxDev < 0.012, s"straight-edge weight deviation $maxDev exceeds documented bound")
+    assert(maxDev > 1e-6, s"deviation measurement degenerate ($maxDev) — fixture not curved?")
   }
 
   test("Geometry kernel: clip + spherical area closed forms") {
