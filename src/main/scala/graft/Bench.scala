@@ -56,6 +56,21 @@ object Bench {
     // JVM/Spark warm-up so the first measured query doesn't absorb
     // classloading + codegen compilation
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // ... and the regrid code paths: the first conservative-weights
+    // query otherwise pays several seconds of codegen/JIT that the
+    // later ones don't (observed as q_attach_coords — alphabetically
+    // the first such query — at 6.2 s for 480 rows). Deliberately
+    // DIFFERENT grid sizes than any contract fixture and nothing
+    // cached, so no contract result is precomputed.
+    locally {
+      val wg = RectGrid.of(-40, 40, 10, -40, 40, 10)
+      val wd = RectGrid.of(-30, 30, 15, -30, 30, 15)
+      val w = Weights.conservative(Grids.cells(spark, wg, withBounds = true),
+        Grids.cells(spark, wd, withBounds = true))
+      Apply.regrid(w, Grids.cells(spark, wg).select(col("cell_id"), lit(1.0).as("value")),
+        Grids.cells(spark, wd)).count()
+      ()
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val contract = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

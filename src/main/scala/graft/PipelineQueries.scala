@@ -321,6 +321,41 @@ object PipelineQueries {
           CAST((h % 16777216) % 256 AS DOUBLE) AS mean_b
         FROM h ORDER BY doc_id""")),
 
+    QueryDef("q_multimodal_gradient",
+      // gradient fixture: pixel (x,y) = (x, y, (x+y) mod 256), means in
+      // closed form — catches pixel-order/stride/transpose faults the
+      // solid-color fixture is blind to (a transposed decode swaps
+      // mean_r/mean_g; a stride fault smears the ramp)
+      (s, dir) => Multimodal.decodePng(s, Multimodal.withGradientPngPayload(s, docs(s, dir)))
+        .select("doc_id", "img_w", "img_h", "mean_r", "mean_g", "mean_b")
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+        d AS (SELECT doc_id,
+          CAST(16 + h % 48 AS INTEGER) AS img_w,
+          CAST(16 + (h // 48) % 48 AS INTEGER) AS img_h FROM h)
+        SELECT doc_id, img_w, img_h,
+          (CAST(img_w AS DOUBLE) - 1.0e0) / 2.0e0 AS mean_r,
+          (CAST(img_h AS DOUBLE) - 1.0e0) / 2.0e0 AS mean_g,
+          (CAST(img_w AS DOUBLE) - 1.0e0) / 2.0e0
+            + (CAST(img_h AS DOUBLE) - 1.0e0) / 2.0e0 AS mean_b
+        FROM d ORDER BY doc_id""")),
+
+    QueryDef("q_multimodal_gradient_resize",
+      // decode -> 2x NN downscale of the gradient: sampled values are
+      // 2x', 2y', so the resized means are rw-1, rh-1, rw+rh-2 — a
+      // sampling-offset fault (in(2x+1) etc.) shifts them
+      (s, dir) => Multimodal.resizePng(s, Multimodal.withGradientPngPayload(s, docs(s, dir)))
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+        d AS (SELECT doc_id,
+          CAST((16 + h % 48) // 2 AS INTEGER) AS rw,
+          CAST((16 + (h // 48) % 48) // 2 AS INTEGER) AS rh FROM h)
+        SELECT doc_id, rw, rh,
+          CAST(rw AS DOUBLE) - 1.0e0 AS mean_r,
+          CAST(rh AS DOUBLE) - 1.0e0 AS mean_g,
+          (CAST(rw AS DOUBLE) - 1.0e0) + (CAST(rh AS DOUBLE) - 1.0e0) AS mean_b
+        FROM d ORDER BY doc_id""")),
+
     QueryDef("q_multimodal_frames",
       // video column (ARRAY<BINARY> of real PNG frames) → sample every
       // 2nd frame → decode → per-frame channel means; oracle derives

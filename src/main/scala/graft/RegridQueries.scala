@@ -349,12 +349,11 @@ object RegridQueries {
       FROM range(${rot.ny}) ty(y), range(${rot.nx}) tx(x)"""
   }
 
-  /** Curvilinear bilinear weights CTE — mirrors
-    * [[Weights.bilinearCurvilinear]] step for step (quads from shifted
-    * self-joins, bbox candidates, inverse-bilinear quadratic, r9'd
-    * (u,v), deterministic first-quad pick). */
-  def bilinearCurvSql(rot: RectGrid, poleLat: Double, poleLon: Double,
-                      dstSql: String, periodic: Boolean = false): String = {
+  /** Quad-location CTE chain (everything through `ok` = one resolved
+    * quad + (u, v) per destination) — shared by [[bilinearCurvSql]]
+    * and [[patchCurvSql]], mirroring [[Weights.locateQuads]]. */
+  def curvLocSql(rot: RectGrid, poleLat: Double, poleLon: Double,
+                 dstSql: String, periodic: Boolean = false): String = {
     import graft.regrid.Weights.{linEps, rootLo, rootHi}
     // x+1 neighbor wraps modulo nx when periodic (seam quads)
     val xp1 = if (periodic) s"(c00.x + 1) % ${rot.nx}" else "c00.x + 1"
@@ -426,12 +425,58 @@ object RegridQueries {
             "ELSE (hy - fy * v) / dny END")} AS u FROM c6),
       ok AS (SELECT * FROM c7
         WHERE u >= 0.0e0 AND u <= 1.0e0 AND v >= 0.0e0 AND v <= 1.0e0
-        QUALIFY row_number() OVER (PARTITION BY drow ORDER BY qy, qx) = 1),
+        QUALIFY row_number() OVER (PARTITION BY drow ORDER BY qy, qx) = 1)"""
+  }
+
+  /** Curvilinear bilinear weights CTE — mirrors
+    * [[Weights.bilinearCurvilinear]] step for step (quads from shifted
+    * self-joins, bbox candidates, inverse-bilinear quadratic, r9'd
+    * (u,v), deterministic first-quad pick). */
+  def bilinearCurvSql(rot: RectGrid, poleLat: Double, poleLon: Double,
+                      dstSql: String, periodic: Boolean = false): String =
+    s"""${curvLocSql(rot, poleLat, poleLon, dstSql, periodic)},
       triplets AS (
         SELECT drow, id00 AS scol, (1.0e0 - u) * (1.0e0 - v) AS w FROM ok
         UNION ALL SELECT drow, id10, u * (1.0e0 - v) FROM ok
         UNION ALL SELECT drow, id01, (1.0e0 - u) * v FROM ok
         UNION ALL SELECT drow, id11, u * v FROM ok
+      )
+      SELECT drow AS "row", CAST(scol AS BIGINT) AS col, ${sqlR12("sum(w)")} AS s
+      FROM triplets GROUP BY 1, 2 HAVING ${sqlR12("sum(w)")} <> 0.0e0"""
+
+  /** Curvilinear patch weights CTE — mirrors [[Weights.patchCurvilinear]]
+    * (Keys stencil in mesh-index space around the located quad). */
+  def patchCurvSql(rot: RectGrid, poleLat: Double, poleLon: Double,
+                   dstSql: String, periodic: Boolean = false): String = {
+    val nx = rot.nx; val ny = rot.ny
+    def kc(f: String, o: String): String =
+      s"""CASE $o WHEN -1 THEN ((-0.5e0 * $f + 1.0e0) * $f - 0.5e0) * $f
+         WHEN 0 THEN (1.5e0 * $f - 2.5e0) * $f * $f + 1.0e0
+         WHEN 1 THEN ((-1.5e0 * $f + 2.0e0) * $f + 0.5e0) * $f
+         ELSE (0.5e0 * $f - 0.5e0) * $f * $f END"""
+    val axExpr =
+      if (periodic) "CAST(qx AS BIGINT)"
+      else s"least(greatest(CAST(qx AS BIGINT), 1), ${nx - 3})"
+    val ixExpr =
+      if (periodic) s"((ax + ox.o) % $nx + $nx) % $nx"
+      else "ax + ox.o"
+    s"""${curvLocSql(rot, poleLat, poleLon, dstSql, periodic)},
+      anch AS (
+        SELECT drow, $axExpr AS ax,
+          least(greatest(CAST(qy AS BIGINT), 1), ${ny - 3}) AS ay, u, v, qx, qy
+        FROM ok
+      ),
+      frac AS (
+        SELECT drow, ax, ay,
+          CAST(qx AS DOUBLE) + u - CAST(ax AS DOUBLE) AS fx,
+          CAST(qy AS DOUBLE) + v - CAST(ay AS DOUBLE) AS fy
+        FROM anch
+      ),
+      off AS (SELECT * FROM (VALUES (-1), (0), (1), (2)) t(o)),
+      triplets AS (
+        SELECT drow, (ay + oy.o) * $nx + ($ixExpr) AS scol,
+          (${kc("fx", "ox.o")}) * (${kc("fy", "oy.o")}) AS w
+        FROM frac, off ox, off oy
       )
       SELECT drow AS "row", CAST(scol AS BIGINT) AS col, ${sqlR12("sum(w)")} AS s
       FROM triplets GROUP BY 1, 2 HAVING ${sqlR12("sum(w)")} <> 0.0e0"""
@@ -588,6 +633,16 @@ object RegridQueries {
         Curvilinear.rotatedCells(s, rotGrid, rotPoleLat, rotPoleLon),
         Grids.cells(s, dstCurv)).orderBy("row", "col"),
       Some(s"""SELECT * FROM (${bilinearCurvSql(rotGrid, rotPoleLat, rotPoleLon,
+          gridSql(dstCurv))}) w ORDER BY "row", col""")),
+
+    QueryDef("q_w_patch_curv",
+      // W5 on the curvilinear ingestion path (method matrix,
+      // frontend.py:123-131: patch wherever bilinear works): Keys
+      // stencil in mesh-index space around the located quad
+      (s, _) => Weights.patchCurvilinear(
+        Curvilinear.rotatedCells(s, rotGrid, rotPoleLat, rotPoleLon),
+        Grids.cells(s, dstCurv), rotGrid.ny, rotGrid.nx).orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${patchCurvSql(rotGrid, rotPoleLat, rotPoleLon,
           gridSql(dstCurv))}) w ORDER BY "row", col""")),
 
     QueryDef("q_regrid_curv",

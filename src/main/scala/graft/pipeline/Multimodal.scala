@@ -234,6 +234,55 @@ object Multimodal {
       .toDF("doc_id", "rw", "rh", "mean_r", "mean_g", "mean_b")
   }
 
+  /** Per-partition gradient-PNG encoder: pixel (x, y) carries
+    * (r = x, g = y, b = (x + y) mod 256). With the hash-derived dims
+    * capped below 64, x and y never wrap, so the channel means have
+    * closed forms — mean_r = (w−1)/2, mean_g = (h−1)/2,
+    * mean_b = (w−1)/2 + (h−1)/2 — and after the 2× nearest-neighbor
+    * downscale the sampled values are 2x′, 2y′, giving rw−1, rh−1,
+    * rw+rh−2. Unlike the solid-color fixture, ANY pixel-order, stride,
+    * or sampling-offset fault shifts these means and breaks the hash
+    * (a transposed decode swaps mean_r/mean_g, an off-by-one stride
+    * smears the ramp). */
+  def mkGradientEncoder(): (Int, Int) => Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    (w: Int, h: Int) => {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = (x << 16) | (y << 8) | ((x + y) & 0xff); x += 1 }
+        y += 1
+      }
+      img.setRGB(0, 0, w, h, px, 0, w)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.close()
+      baos.toByteArray
+    }
+  }
+
+  /** Documents with a gradient PNG payload (dims from the content
+    * hash, same as [[pngSpec]]; fill ramp instead of solid color). */
+  def withGradientPngPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val enc = mkGradientEncoder()
+        it.map { case (id, text) =>
+          val (w, hgt, _) = pngSpec(textHash60(text))
+          (id, enc(w, hgt))
+        }
+      }
+      .toDF("doc_id", "png")
+  }
+
   /** Per-frame fill color of the synthesized "video" (Knuth-hash frame
     * mixing, mirrored literally by the SQL oracle). */
   def frameRgb(h: Long, i: Long): Int = ((h + i * 2654435761L) % 16777216L).toInt

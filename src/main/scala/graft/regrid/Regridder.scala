@@ -246,8 +246,11 @@ final class Regridder(
             require(!periodic,
               "periodic patch on a non-uniform grid is not supported")
             Weights.patchIrregular(cg, dstB)
+          case c: CurvDef =>
+            Weights.patchCurvilinear(c.centerCells, dstB, c.ny, c.nx,
+              periodicNx = if (periodic) Some(c.nx) else None)
           case _ => throw new IllegalArgumentException(
-            "patch needs a rectilinear source grid")
+            "patch needs a rectilinear or curvilinear source grid")
         }
     }
   }

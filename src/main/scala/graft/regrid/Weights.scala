@@ -427,9 +427,15 @@ object Weights {
   val rootLo: Double = -1e-9
   val rootHi: Double = 1.0 + 1e-9
 
-  def bilinearCurvilinear(srcCells: DataFrame, dstPoints: DataFrame,
-                          bandDeg: Double = 5.0,
-                          periodicNx: Option[Int] = None): DataFrame = {
+  /** Locate the enclosing center-quad per destination and solve the
+    * inverse bilinear map: `(row, qy, qx, id00, id10, id01, id11, u, v)`
+    * with (u, v) ∈ [0, 1]² the quad coordinates. Shared by
+    * [[bilinearCurvilinear]] (weights directly from (u, v)) and
+    * [[patchCurvilinear]] (4×4 stencil in mesh-index space around the
+    * quad). Checkpointed: downstream plans reference it repeatedly. */
+  def locateQuads(srcCells: DataFrame, dstPoints: DataFrame,
+                  bandDeg: Double = 5.0,
+                  periodicNx: Option[Int] = None): DataFrame = {
     // Longitude-frame handling (the conservative kernel's ±360 bridge,
     // adapted to quads): (1) UNWRAP — a quad whose vertices straddle
     // the antimeridian / the mesh's lon seam has vertex lons ~360°
@@ -524,20 +530,72 @@ object Weights {
 
     import org.apache.spark.sql.expressions.Window
     // one quad per destination, lowest (qy, qx) — deterministic on both
-    // engines; checkpointed so Apply.regrid's two references to the
-    // weights relation don't re-run the candidate join
-    val first = cand
+    // engines; checkpointed so downstream plans' repeated references
+    // don't re-run the candidate join
+    cand
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("row")).orderBy(col("qy"), col("qx"))))
       .filter(col("rn") === 1)
-      .select("row", "id00", "id10", "id01", "id11", "u", "v")
+      .select("row", "qy", "qx", "id00", "id10", "id01", "id11", "u", "v")
       .localCheckpoint()
+  }
 
-    first.select(col("row"), explode(array(
-      struct(col("id00").as("col"), ((lit(1.0) - col("u")) * (lit(1.0) - col("v"))).as("s")),
-      struct(col("id10").as("col"), (col("u") * (lit(1.0) - col("v"))).as("s")),
-      struct(col("id01").as("col"), ((lit(1.0) - col("u")) * col("v")).as("s")),
-      struct(col("id11").as("col"), (col("u") * col("v")).as("s")))).as("e"))
+  def bilinearCurvilinear(srcCells: DataFrame, dstPoints: DataFrame,
+                          bandDeg: Double = 5.0,
+                          periodicNx: Option[Int] = None): DataFrame =
+    locateQuads(srcCells, dstPoints, bandDeg, periodicNx)
+      .select(col("row"), explode(array(
+        struct(col("id00").as("col"), ((lit(1.0) - col("u")) * (lit(1.0) - col("v"))).as("s")),
+        struct(col("id10").as("col"), (col("u") * (lit(1.0) - col("v"))).as("s")),
+        struct(col("id01").as("col"), ((lit(1.0) - col("u")) * col("v")).as("s")),
+        struct(col("id11").as("col"), (col("u") * col("v")).as("s")))).as("e"))
+      .select(col("row"), col("e.col").as("col"), col("e.s").as("s"))
+      .groupBy(col("row"), col("col"))
+      .agg(r12(sum(col("s"))).as("s"))
+      .filter(col("s") =!= 0.0)
+
+  /** `patch` over a CURVILINEAR mesh — the last cell of the reference's
+    * method matrix (`frontend.py:123-131`: patch wherever bilinear
+    * works). The located quad gives mesh-index coordinates
+    * `(qx + u, qy + v)`; in index space the mesh is uniform by
+    * construction, so the SAME Keys bicubic kernel as the uniform
+    * [[patch]] applies over the 4×4 stencil of mesh cells around the
+    * quad, with the anchor clamped at mesh edges exactly like the
+    * uniform builder (x wraps instead when `periodicNx` is set).
+    * Weights sum to 1; destinations outside the mesh stay unmapped. */
+  def patchCurvilinear(srcCells: DataFrame, dstPoints: DataFrame,
+                       ny: Int, nx: Int,
+                       bandDeg: Double = 5.0,
+                       periodicNx: Option[Int] = None): DataFrame = {
+    require(nx >= 4 && ny >= 4, s"patch needs at least 4x4 mesh cells, got ${ny}x$nx")
+    val q = locateQuads(srcCells, dstPoints, bandDeg, periodicNx)
+      .withColumn("ax",
+        periodicNx match {
+          case Some(_) => col("qx").cast("long")
+          case None => least(greatest(col("qx").cast("long"), lit(1L)), lit((nx - 3).toLong))
+        })
+      .withColumn("ay", least(greatest(col("qy").cast("long"), lit(1L)), lit((ny - 3).toLong)))
+      .withColumn("fx", col("qx").cast("double") + col("u") - col("ax").cast("double"))
+      .withColumn("fy", col("qy").cast("double") + col("v") - col("ay").cast("double"))
+
+    // Keys bicubic kernel, a = -1/2 — Horner text identical to patchSql
+    def k(t: Column, off: Int): Column = off match {
+      case -1 => ((lit(-0.5) * t + lit(1.0)) * t - lit(0.5)) * t
+      case 0  => (lit(1.5) * t - lit(2.5)) * t * t + lit(1.0)
+      case 1  => ((lit(-1.5) * t + lit(2.0)) * t + lit(0.5)) * t
+      case 2  => (lit(0.5) * t - lit(0.5)) * t * t
+    }
+    def colOf(dy: Int, dx: Int): Column = {
+      val ix = periodicNx match {
+        case Some(n) => pmod(col("ax") + dx, lit(n.toLong))
+        case None => col("ax") + dx
+      }
+      ((col("ay") + dy) * lit(nx.toLong) + ix).cast("long")
+    }
+    val stencil = for (dy <- -1 to 2; dx <- -1 to 2) yield
+      struct(colOf(dy, dx).as("col"), (k(col("fx"), dx) * k(col("fy"), dy)).as("s"))
+
+    q.select(col("row"), explode(array(stencil: _*)).as("e"))
       .select(col("row"), col("e.col").as("col"), col("e.s").as("s"))
       .groupBy(col("row"), col("col"))
       .agg(r12(sum(col("s"))).as("s"))

@@ -459,6 +459,30 @@ class RegridSpec extends AnyFunSuite {
     assert(e < 0.02, s"curvilinear bilinear max rel err $e")
   }
 
+  test("patchCurvilinear: rotated mesh, sums to 1, ≤16 entries, beats curvilinear bilinear") {
+    val rot = graft.RegridQueries.rotGrid
+    val src = Curvilinear.rotatedCells(spark, rot, poleLat = 70.0, poleLon = -165.0)
+    val dst = Grids.cells(spark, graft.RegridQueries.dstCurv)
+    val w = Weights.patchCurvilinear(src, dst, rot.ny, rot.nx)
+    assert(w.select("row").distinct().count() === graft.RegridQueries.dstCurv.nCells)
+    val per = w.groupBy("row").agg(sum("s").as("t"), count("*").as("n"))
+    assert(per.filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    assert(per.filter(col("n") > 16).count() === 0)
+    val f = src.select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+    val ref = dst.select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("ref"))
+    def errOn(weights: DataFrame): Double =
+      Apply.regrid(weights, f, dst).join(ref, "cell_id")
+        .select(max(abs((col("ref") - col("value")) / col("ref"))).as("e")).head().getDouble(0)
+    val eP = errOn(w)
+    val eB = errOn(Weights.bilinearCurvilinear(src, dst))
+    assert(eP < eB, s"curvilinear patch err $eP !< bilinear err $eB")
+    // facade dispatch (periodic seam path shares the located quads)
+    val r = new Regridder(spark,
+      CurvDef(src, None, rot.ny, rot.nx), RectDef(graft.RegridQueries.dstCurv),
+      RegridMethod.Patch)
+    assert(r.weights.count() === w.count())
+  }
+
   test("curvilinear bilinear PERIODIC: global mesh, seam + antimeridian destinations mapped") {
     // global rotated mesh: lamr spans 360°, geographic lons cross ±180
     val rot = graft.RegridQueries.rotGlobGrid
