@@ -251,6 +251,34 @@ object PipelineQueries {
         SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
       }),
 
+    QueryDef("q_ann_ivf_mp",
+      // multi-probe IVF: each query scans its bucket + every Hamming-1
+      // neighbor bucket — the recall lever beyond nprobe=1 (neighbors
+      // that land just across one sign boundary are recovered at
+      // (bits+1)x candidate volume); still a pure bucket equi-join
+      (s, dir) => Similarity.ivfTopK(emb(s, dir), "vec_id % 50 = 0", 5,
+        hammingProbes = true)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank"),
+      Some {
+        val bucket = (v: String) => (0 until 6).map(i =>
+          s"CASE WHEN $v[${i + 1}] > 0.0e0 THEN ${1L << i} ELSE 0 END").mkString("(", " + ", ")")
+        val flips = (0L +: (0 until 6).map(i => 1L << i)).map(f => s"($f)").mkString(", ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        eb AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM e),
+        qp AS (SELECT vec_id, v, xor(CAST(bucket AS BIGINT), f) AS bucket
+               FROM eb CROSS JOIN (VALUES $flips) t(f)
+               WHERE vec_id % 50 = 0),
+        c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                ${cosSql("q.v", "n.v")} AS cos
+              FROM qp q JOIN eb n ON q.bucket = CAST(n.bucket AS BIGINT)
+                AND q.vec_id <> n.vec_id),
+        r AS (SELECT *, CAST(row_number() OVER
+                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              FROM c)
+        SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+      }),
+
     // ---- events / time series ----
 
     QueryDef("q_events_window",

@@ -293,14 +293,26 @@ object RegridQueries {
     * literal; the oracle states the interval containment as a plain
     * theta join, the Spark side band-buckets it; cubic-Lagrange
     * product text identical, same multiplication order). */
-  def patchIrregularSql(g: CoordGrid, dstSql: String): String = {
-    def segsSql(ax: CoordAxis): String = {
-      val rows = (0 until ax.n - 1).map { i =>
-        val a = math.min(math.max(i, 1), ax.n - 3)
-        s"(${a - 1}, $a, ${a + 1}, ${a + 2}, " +
-          s"${L(ax.centers(a - 1))}, ${L(ax.centers(a))}, ${L(ax.centers(a + 1))}, ${L(ax.centers(a + 2))}, " +
-          s"${L(ax.centers(i))}, ${L(ax.centers(i + 1))}, ${i == ax.n - 2})"
-      }
+  def patchIrregularSql(g: CoordGrid, dstSql: String,
+                        periodic: Boolean = false): String = {
+    def segsSql(ax: CoordAxis, wrap: Boolean): String = {
+      def ext(j: Int): Double =
+        if (j < 0) ax.centers(j + ax.n) - 360.0
+        else if (j >= ax.n) ax.centers(j - ax.n) + 360.0
+        else ax.centers(j)
+      val rows =
+        if (wrap) (0 until ax.n).map { i =>
+          def m(j: Int) = ((j % ax.n) + ax.n) % ax.n
+          s"(${m(i - 1)}, $i, ${m(i + 1)}, ${m(i + 2)}, " +
+            s"${L(ext(i - 1))}, ${L(ext(i))}, ${L(ext(i + 1))}, ${L(ext(i + 2))}, " +
+            s"${L(ext(i))}, ${L(ext(i + 1))}, false)"
+        }
+        else (0 until ax.n - 1).map { i =>
+          val a = math.min(math.max(i, 1), ax.n - 3)
+          s"(${a - 1}, $a, ${a + 1}, ${a + 2}, " +
+            s"${L(ax.centers(a - 1))}, ${L(ax.centers(a))}, ${L(ax.centers(a + 1))}, ${L(ax.centers(a + 2))}, " +
+            s"${L(ax.centers(i))}, ${L(ax.centers(i + 1))}, ${i == ax.n - 2})"
+        }
       s"SELECT * FROM (VALUES ${rows.mkString(", ")}) " +
         "t(i0, i1, i2, i3, p0, p1, p2, p3, c_lo, c_hi, is_last)"
     }
@@ -314,12 +326,17 @@ object RegridQueries {
     def lgCase(x: String, p: String, o: String): String =
       s"""CASE $o WHEN -1 THEN ${lg(x, p, 0)} WHEN 0 THEN ${lg(x, p, 1)}
          WHEN 1 THEN ${lg(x, p, 2)} ELSE ${lg(x, p, 3)} END"""
+    val c0 = L(g.lonAxis.centers(0))
+    val lonExpr =
+      if (periodic) s"(((lon - $c0) % 360.0e0 + 360.0e0) % 360.0e0 + $c0)"
+      else "lon"
     s"""WITH dst AS ($dstSql),
-      xs AS (${segsSql(g.lonAxis)}),
-      ys AS (${segsSql(g.latAxis)}),
-      dx AS (SELECT cell_id AS drow, lon, i0 AS x0, i1 AS x1, i2 AS x2, i3 AS x3,
+      xs AS (${segsSql(g.lonAxis, periodic)}),
+      ys AS (${segsSql(g.latAxis, wrap = false)}),
+      dx AS (SELECT cell_id AS drow, $lonExpr AS lon, i0 AS x0, i1 AS x1, i2 AS x2, i3 AS x3,
                p0 AS px0, p1 AS px1, p2 AS px2, p3 AS px3
-             FROM dst JOIN xs ON lon >= c_lo AND (lon < c_hi OR (is_last AND lon <= c_hi))),
+             FROM dst JOIN xs ON $lonExpr >= c_lo
+               AND ($lonExpr < c_hi OR (is_last AND $lonExpr <= c_hi))),
       dy AS (SELECT cell_id AS drow, lat, i0 AS y0, i1 AS y1, i2 AS y2, i3 AS y3,
                p0 AS py0, p1 AS py1, p2 AS py2, p3 AS py3
              FROM dst JOIN ys ON lat >= c_lo AND (lat < c_hi OR (is_last AND lat <= c_hi))),
@@ -625,6 +642,14 @@ object RegridQueries {
       (s, _) => Weights.patchIrregular(gridInNonuni, dstCells(s)).orderBy("row", "col"),
       Some(s"""SELECT * FROM (${patchIrregularSql(gridInNonuni, gridSql(gridOut))}) w
         ORDER BY "row", col""")),
+
+    QueryDef("q_w_patch_nonuniform_peri",
+      // periodic longitude on the non-uniform patch: seam segments
+      // close the stencil ring with ±360-extended node positions
+      (s, _) => Weights.patchIrregular(gridInNonuni, dstCells(s), periodic = true)
+        .orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${patchIrregularSql(gridInNonuni, gridSql(gridOut),
+          periodic = true)}) w ORDER BY "row", col""")),
 
     QueryDef("q_w_bilinear_curv",
       // G5/G7 curvilinear ingestion: bilinear on a rotated-pole 2-D

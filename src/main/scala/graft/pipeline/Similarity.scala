@@ -183,13 +183,27 @@ object Similarity {
       s"CASE WHEN element_at($v, ${i + 1}) > 0.0 THEN ${1L << i} ELSE 0 END")
       .mkString("(", " + ", ")")
 
-  /** Approximate top-k: probes only scan their own sign bucket.
-    * Equi-join on the bucket id → shuffle-partitioned, corpus-scale.
-    * Recall loss is the standard IVF nprobe=1 tradeoff. */
-  def ivfTopK(emb: DataFrame, probeFilter: String, k: Int, bits: Int = 6): DataFrame = {
+  /** Approximate top-k: probes only scan their own sign bucket
+    * (nprobe=1), or — with `hammingProbes = true` — their bucket plus
+    * every Hamming-1 neighbor bucket (the multi-probe IVF recall
+    * lever: `bits + 1` buckets per query instead of 1, recovering the
+    * neighbors that land just across one sign boundary at `(bits+1)×`
+    * the candidate volume). Equi-join on the bucket id either way →
+    * shuffle-partitioned, corpus-scale, and each (query, neighbor)
+    * pair matches at most one probe (bucket XOR is unique), so no
+    * dedup pass is needed. */
+  def ivfTopK(emb: DataFrame, probeFilter: String, k: Int, bits: Int = 6,
+              hammingProbes: Boolean = false): DataFrame = {
     val withB = (as: String) => vecs(emb, as)
-      .withColumn("bucket", expr(bucketExpr(s"${as}_v", bits)))
-    val pairs = withB("q").filter(expr(probeFilter.replace("vec_id", "q_id")))
+      .withColumn("bucket", expr(bucketExpr(s"${as}_v", bits)).cast("long"))
+    val q0 = withB("q").filter(expr(probeFilter.replace("vec_id", "q_id")))
+    val q =
+      if (!hammingProbes) q0
+      else q0
+        .withColumn("probe", explode(array(lit(0L) +: (0 until bits).map(i => lit(1L << i)): _*)))
+        .withColumn("bucket", col("bucket").bitwiseXOR(col("probe")))
+        .drop("probe")
+    val pairs = q
       .join(withB("n").withColumnRenamed("bucket", "n_bucket"),
         col("bucket") === col("n_bucket") && col("q_id") =!= col("n_id"))
       .selectExpr("q_id AS id1", "n_id AS id2",

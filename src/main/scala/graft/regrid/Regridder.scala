@@ -240,12 +240,8 @@ final class Regridder(
           case RectDef(r, _) => Weights.patch(r, dstB, periodic)
           case CoordDef(cg, _) =>
             // method matrix frontend.py:123-131: patch wherever
-            // bilinear works; periodic non-uniform patch would need a
-            // seam stencil — fail loudly rather than build mislabeled
-            // weights
-            require(!periodic,
-              "periodic patch on a non-uniform grid is not supported")
-            Weights.patchIrregular(cg, dstB)
+            // bilinear works (periodic closes the seam stencil ring)
+            Weights.patchIrregular(cg, dstB, periodic)
           case c: CurvDef =>
             Weights.patchCurvilinear(c.centerCells, dstB, c.ny, c.nx,
               periodicNx = if (periodic) Some(c.nx) else None)

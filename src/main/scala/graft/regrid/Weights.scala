@@ -254,23 +254,45 @@ object Weights {
     * Lagrange products extrapolate there). Destinations outside the
     * source center hull stay unmapped → 0.
     */
-  def patchIrregular(src: CoordGrid, dstPoints: DataFrame): DataFrame = {
+  def patchIrregular(src: CoordGrid, dstPoints: DataFrame,
+                     periodic: Boolean = false): DataFrame = {
     require(src.nx >= 4 && src.ny >= 4,
       s"patch needs at least 4x4 source centers, got ${src.ny}x${src.nx}")
+    if (periodic) {
+      val span = src.lonAxis.bounds(src.nx) - src.lonAxis.bounds(0)
+      require(math.abs(span - 360.0) < 1e-6,
+        s"periodic longitude needs bounds spanning 360°, got $span")
+    }
     val spark = dstPoints.sparkSession
     import spark.implicits._
 
     // per-axis: (row, coord, i0..i3 stencil indices, n0..n3 node
     // positions) — segments are driver-side arrays, the location join
-    // is a banded hash equi-join (no theta join)
+    // is a banded hash equi-join (no theta join). With `wrap` the ring
+    // closes: the seam segment [c(n−1), c(0)+360) joins the last
+    // center to the first, stencil indices go modulo n, and node
+    // positions use ±360-extended centers so the Lagrange products see
+    // locally monotonic nodes.
     def axisStencil(ax: CoordAxis, d: DataFrame, coordCol: String,
-                    ip: String, np: String): DataFrame = {
-      val segsSeq = (0 until ax.n - 1).map { i =>
-        val a = math.min(math.max(i, 1), ax.n - 3)
-        (a.toLong - 1, a.toLong, a.toLong + 1, a.toLong + 2,
-          ax.centers(a - 1), ax.centers(a), ax.centers(a + 1), ax.centers(a + 2),
-          ax.centers(i), ax.centers(i + 1), i == ax.n - 2)
-      }
+                    ip: String, np: String, wrap: Boolean): DataFrame = {
+      // centers extended one period either side for seam stencils
+      def ext(j: Int): Double =
+        if (j < 0) ax.centers(j + ax.n) - 360.0
+        else if (j >= ax.n) ax.centers(j - ax.n) + 360.0
+        else ax.centers(j)
+      val segsSeq =
+        if (wrap) (0 until ax.n).map { i =>
+          def m(j: Int) = ((j % ax.n) + ax.n) % ax.n
+          (m(i - 1).toLong, i.toLong, m(i + 1).toLong, m(i + 2).toLong,
+            ext(i - 1), ext(i), ext(i + 1), ext(i + 2),
+            ext(i), ext(i + 1), false)
+        }
+        else (0 until ax.n - 1).map { i =>
+          val a = math.min(math.max(i, 1), ax.n - 3)
+          (a.toLong - 1, a.toLong, a.toLong + 1, a.toLong + 2,
+            ax.centers(a - 1), ax.centers(a), ax.centers(a + 1), ax.centers(a + 2),
+            ax.centers(i), ax.centers(i + 1), i == ax.n - 2)
+        }
       val maxW = math.max(segsSeq.map(s => s._10 - s._9).max, 1e-12)
       val segs = segsSeq
         .toDF(s"${ip}0", s"${ip}1", s"${ip}2", s"${ip}3",
@@ -278,7 +300,16 @@ object Weights {
         .withColumn("band", explode(sequence(
           floor(col("c_lo") / lit(maxW)).cast("long"),
           floor(col("c_hi") / lit(maxW)).cast("long"))))
-      d.withColumn("band", floor(col(coordCol) / lit(maxW)).cast("long"))
+      val dIn =
+        if (!wrap) d
+        else {
+          // wrap into [centers(0), centers(0)+360) — same op chain as
+          // the SQL oracle text (and bilinearIrregular's)
+          val c0 = ax.centers(0)
+          d.withColumn(coordCol,
+            ((col(coordCol) - lit(c0)) % lit(360.0) + lit(360.0)) % lit(360.0) + lit(c0))
+        }
+      dIn.withColumn("band", floor(col(coordCol) / lit(maxW)).cast("long"))
         .join(segs, Seq("band"))
         .filter(col(coordCol) >= col("c_lo") &&
           (col(coordCol) < col("c_hi") || (col("is_last") && col(coordCol) <= col("c_hi"))))
@@ -295,8 +326,8 @@ object Weights {
     }
 
     val d = dstPoints.select(col("cell_id").as("row"), col("lon"), col("lat"))
-    val dx = axisStencil(src.lonAxis, d.select("row", "lon"), "lon", "ix", "nx")
-    val dy = axisStencil(src.latAxis, d.select("row", "lat"), "lat", "iy", "ny")
+    val dx = axisStencil(src.lonAxis, d.select("row", "lon"), "lon", "ix", "nx", periodic)
+    val dy = axisStencil(src.latAxis, d.select("row", "lat"), "lat", "iy", "ny", wrap = false)
     val nCols = src.nx
 
     val stencil = for (oy <- 0 to 3; ox <- 0 to 3) yield

@@ -148,6 +148,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.filter(col("bcos").isNull || col("bcos") =!= col("cos")).count() === 0)
   }
 
+  test("multi-probe IVF: recall dominates single-probe, still exact-cos subset of brute") {
+    val sp = Similarity.ivfTopK(emb, "vec_id % 50 = 0", 5)
+      .select(col("query_id"), col("rank"), col("cos").as("sp_cos"))
+    val mp = Similarity.ivfTopK(emb, "vec_id % 50 = 0", 5, hammingProbes = true)
+      .select(col("query_id"), col("rank"), col("cos").as("mp_cos"),
+        col("neighbor_id"))
+    // per (query, rank): the multi-probe candidate pool is a superset,
+    // so its k-th best cosine can never be worse
+    val j = mp.join(sp, Seq("query_id", "rank"))
+    assert(j.filter(col("mp_cos") < col("sp_cos")).count() === 0,
+      "multi-probe rank-wise cosine must dominate single-probe")
+    // and it actually finds MORE (the fixture has cross-boundary
+    // neighbors, otherwise the probe would be pointless)
+    assert(mp.count() >= sp.select(count(lit(1))).head().getLong(0))
+    assert(j.filter(col("mp_cos") > col("sp_cos")).count() > 0,
+      "fixture should contain neighbors across one sign boundary")
+    // cosines remain exact (same kernel): every hit appears in brute
+    val brute = Similarity.bruteTopK(emb, "vec_id % 50 = 0", 100000)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("bcos"))
+    val chk = mp.join(brute, Seq("query_id", "neighbor_id"), "left")
+    assert(chk.filter(col("bcos").isNull || col("bcos") =!= col("mp_cos")).count() === 0)
+  }
+
   test("sessions partition the event stream: counts add up, gaps split") {
     val s = Events.sessions(events, 30)
     assert(s.agg(sum("n_events")).head().getLong(0) === events.count())

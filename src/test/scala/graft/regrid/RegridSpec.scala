@@ -243,6 +243,57 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  test("locstream OUTPUT works from non-uniform and curvilinear sources too (method matrix)") {
+    val locs4: Seq[(Double, Double)] = graft.RegridQueries.locs4
+    val locDef = LocDef(locs4)
+    def checkOut(r: Regridder, f: DataFrame): Unit = {
+      val out = r.apply(f).orderBy("cell_id").collect()
+      assert(out.length === 4)
+      locs4.zip(out).foreach { case ((lon, lat), row) =>
+        val ref = 2.0 + math.pow(math.cos(math.toRadians(lat)), 2) *
+          math.cos(2.0 * math.toRadians(lon))
+        assert(math.abs(row.getAs[Double]("value") - ref) / ref < 0.2,
+          s"at ($lon,$lat): ${row.getAs[Double]("value")} vs $ref")
+      }
+    }
+    // non-uniform rectilinear source (coarse stretched fixture → loose bar)
+    val cg = graft.RegridQueries.gridInNonuni
+    val fNon = CoordGrid.cells(spark, cg).select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+    Seq(RegridMethod.Bilinear, RegridMethod.Patch).foreach { m =>
+      checkOut(new Regridder(spark, CoordDef(cg), locDef, m), fNon)
+    }
+    // curvilinear source: probe points constructed INSIDE the mesh via
+    // the rotation transform itself (interior rotated coordinates)
+    val rot = graft.RegridQueries.rotGrid
+    val (pLat, pLon) = (graft.RegridQueries.rotPoleLat, graft.RegridQueries.rotPoleLon)
+    def geo(lamr: Double, thr: Double): (Double, Double) = {
+      val (lr, tr, pl) = (math.toRadians(lamr), math.toRadians(thr), math.toRadians(pLat))
+      val lat = math.toDegrees(math.asin(
+        math.sin(tr) * math.sin(pl) + math.cos(tr) * math.cos(lr) * math.cos(pl)))
+      val lon = pLon + math.toDegrees(math.atan2(
+        math.cos(tr) * math.sin(lr),
+        math.sin(tr) * math.cos(pl) - math.cos(tr) * math.cos(lr) * math.sin(pl)))
+      (lon, lat)
+    }
+    val locsCurv = Seq(geo(20, -10), geo(30, 0), geo(40, 10), geo(50, 5))
+    val locCurvDef = LocDef(locsCurv)
+    val src = Curvilinear.rotatedCells(spark, rot, pLat, pLon)
+    val fCurv = src.select(col("cell_id"),
+      TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+    Seq(RegridMethod.Bilinear, RegridMethod.Patch).foreach { m =>
+      val r = new Regridder(spark, CurvDef(src, None, rot.ny, rot.nx), locCurvDef, m)
+      val out = r.apply(fCurv).orderBy("cell_id").collect()
+      assert(out.length === 4, s"curv ${m.name}")
+      locsCurv.zip(out).foreach { case ((lon, lat), row) =>
+        val ref = 2.0 + math.pow(math.cos(math.toRadians(lat)), 2) *
+          math.cos(2.0 * math.toRadians(lon))
+        assert(math.abs(row.getAs[Double]("value") - ref) / ref < 0.2,
+          s"curv ${m.name} at ($lon,$lat): ${row.getAs[Double]("value")} vs $ref")
+      }
+    }
+  }
+
   test("SlabApplier.close releases the broadcast (finalize analog, backend.py:333-357)") {
     val r = new Regridder(spark, RectDef(gridIn), RectDef(gridOut), RegridMethod.Conservative)
     val slabs = Apply.toSlabs(
@@ -413,6 +464,20 @@ class RegridSpec extends AnyFunSuite {
     // facade dispatch
     val r = new Regridder(spark, CoordDef(g, bounds = true), RectDef(gridOut), RegridMethod.Patch)
     assert(r.weights.count() === w.count())
+  }
+
+  test("patchIrregular periodic: seam stencils wrap, every lat-hull destination mapped") {
+    val g = graft.RegridQueries.gridInNonuni
+    val w = Weights.patchIrregular(g, dstCells(), periodic = true)
+    assert(w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-9).count() === 0)
+    // periodic lon ⟹ mapped set limited only by the lat hull
+    val la = g.latAxis
+    val nInHull = dstCells().filter(
+      col("lat") >= la.centers(0) && col("lat") <= la.centers(la.n - 1)).count()
+    assert(w.select("row").distinct().count() === nInHull)
+    // seam stencil indices stay on-grid
+    assert(w.filter(col("col") < 0 || col("col") >= g.nCells).count() === 0)
   }
 
   test("bilinearIrregular on uniform coord arrays == closed-form bilinear") {
