@@ -89,16 +89,18 @@ object Multimodal {
     java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16)
   }
 
-  /** Per-partition PNG encoder factory: ONE ImageIO writer reused for
-    * every image the task encodes (the service lookup + stream setup in
-    * `ImageIO.write` costs ~1 ms per call — ruinous per record). */
-  def mkEncoder(): (Int, Int, Int) => Array[Byte] = {
+  /** Per-partition PNG encoder over a caller-supplied pixel fill: ONE
+    * ImageIO writer reused for every image the task encodes (the
+    * service lookup + stream setup in `ImageIO.write` costs ~1 ms per
+    * call — ruinous per record). The fill writes row-major into the
+    * provided buffer. */
+  def mkPixelEncoder(): (Int, Int, Array[Int] => Unit) => Array[Byte] = {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
-    (w: Int, h: Int, rgb: Int) => {
+    (w: Int, h: Int, fill: Array[Int] => Unit) => {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val px = new Array[Int](w * h)
-      java.util.Arrays.fill(px, rgb)
+      fill(px)
       img.setRGB(0, 0, w, h, px, 0, w)    // bulk transfer — per-pixel setRGB is ~10× slower
       val baos = new java.io.ByteArrayOutputStream()
       val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
@@ -107,6 +109,12 @@ object Multimodal {
       ios.close()
       baos.toByteArray
     }
+  }
+
+  /** Solid-fill specialization of [[mkPixelEncoder]]. */
+  def mkEncoder(): (Int, Int, Int) => Array[Byte] = {
+    val enc = mkPixelEncoder()
+    (w: Int, h: Int, rgb: Int) => enc(w, h, px => java.util.Arrays.fill(px, rgb))
   }
 
   /** Per-partition PNG decoder factory: one reused ImageIO reader;
@@ -245,25 +253,15 @@ object Multimodal {
     * (a transposed decode swaps mean_r/mean_g, an off-by-one stride
     * smears the ramp). */
   def mkGradientEncoder(): (Int, Int) => Array[Byte] = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
-    (w: Int, h: Int) => {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val px = new Array[Int](w * h)
+    val enc = mkPixelEncoder()
+    (w: Int, h: Int) => enc(w, h, { px =>
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) { px(y * w + x) = (x << 16) | (y << 8) | ((x + y) & 0xff); x += 1 }
         y += 1
       }
-      img.setRGB(0, 0, w, h, px, 0, w)
-      val baos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-      writer.setOutput(ios)
-      writer.write(img)
-      ios.close()
-      baos.toByteArray
-    }
+    })
   }
 
   /** Documents with a gradient PNG payload (dims from the content

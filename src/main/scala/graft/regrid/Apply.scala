@@ -181,8 +181,8 @@ final class SlabApplier(weights: DataFrame, val nOut: Int,
     // scatter kernel would either throw a bare ArrayIndexOutOfBounds or
     // write the wrong destination cell
     val st = weights.agg(
-      count(lit(1)), min(col("row")), max(col("row")),
-      min(col("col")), max(col("col"))).head()
+      count(lit(1)), min(col("row").cast("long")), max(col("row").cast("long")),
+      min(col("col").cast("long")), max(col("col").cast("long"))).head()
     val nW = st.getLong(0)
     require(nW <= math.min(maxTriplets, Int.MaxValue.toLong),
       s"weights relation has $nW triplets > replicate-W ceiling $maxTriplets " +
@@ -224,11 +224,14 @@ final class SlabApplier(weights: DataFrame, val nOut: Int,
     spark.sparkContext.broadcast((rowA, colA, sA))
   }
 
+  private var closed = false
+
   /** Release the broadcast weight arrays (the analog of the reference's
     * `esmf_regrid_finalize`, `backend.py:333-357` — it too frees the
     * native regrid object once the weights are extracted). The applier
-    * is unusable afterwards. */
-  def close(): Unit = bw.destroy()
+    * is unusable afterwards; closing twice is a no-op (Closeable
+    * convention) rather than a broadcast-validity error. */
+  def close(): Unit = if (!closed) { closed = true; bw.destroy() }
 
   /** @param slabs (slab_id LONG, values ARRAY<DOUBLE>)
     * @return (slab_id, values) on the destination grid; unmapped 0.0 */

@@ -108,6 +108,24 @@ object NearestJoin {
       val useCap = r <= 15.0
       val capW = 1.25 * r
 
+      // shared lat-lon band/tile keying; branches differ only in the
+      // point reach expression and an optional pre-filter
+      def bandTiled(p: DataFrame, q: DataFrame, reach: Column) = {
+        val pk = p
+          .withColumn("k", reach)
+          .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("band", (floor(col("p_lat") / lit(r)) + col("db")).cast("long"))
+          .withColumn("dl", explode(sequence(-col("k"), col("k"))))
+          .withColumn("lonb", pmod(
+            floor(pmod(col("p_lon"), lit(360.0)) / lit(w)).cast("long") + col("dl"),
+            lit(nLon)))
+          .drop("db", "dl", "k")
+        val qk = q
+          .withColumn("band", floor(col("q_lat") / lit(r)).cast("long"))
+          .withColumn("lonb", floor(pmod(col("q_lon"), lit(360.0)) / lit(w)).cast("long"))
+        (pk, qk)
+      }
+
       val (ptsKeyed, probesKeyed) =
         if (!useCap) {
           val reach = least(
@@ -116,19 +134,7 @@ object NearestJoin {
                 lit(sinHalfR) / cos(radians(abs(col("p_lat")) + lit(r)))))) / lit(w)))
               .cast("long"),
             lit(nLon / 2 + 1))
-          val p = pts
-            .withColumn("k", reach)
-            .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
-            .withColumn("band", (floor(col("p_lat") / lit(r)) + col("db")).cast("long"))
-            .withColumn("dl", explode(sequence(-col("k"), col("k"))))
-            .withColumn("lonb", pmod(
-              floor(pmod(col("p_lon"), lit(360.0)) / lit(w)).cast("long") + col("dl"),
-              lit(nLon)))
-            .drop("db", "dl", "k")
-          val q = remaining
-            .withColumn("band", floor(col("q_lat") / lit(r)).cast("long"))
-            .withColumn("lonb", floor(pmod(col("q_lon"), lit(360.0)) / lit(w)).cast("long"))
-          (p, q)
+          bandTiled(pts, remaining, reach)
         } else {
           // ---- lat-lon part (probes with ρ > 2r on both poles) ----
           // reach bound: the served probes have |q_lat| ≤ 90 − 2r, so
@@ -139,20 +145,10 @@ object NearestJoin {
             ceil(degrees(lit(2.0) * asin(least(lit(1.0),
               lit(sinHalfR) / cos(radians(maxPhi))))) / lit(w)).cast("long"),
             lit(nLon / 2 + 1))
-          val pNormal = pts
-            .filter(abs(col("p_lat")) <= 90.0 - r)   // ρ ≤ r lives in the cap only
-            .withColumn("k", reach)
-            .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
-            .withColumn("band", (floor(col("p_lat") / lit(r)) + col("db")).cast("long"))
-            .withColumn("dl", explode(sequence(-col("k"), col("k"))))
-            .withColumn("lonb", pmod(
-              floor(pmod(col("p_lon"), lit(360.0)) / lit(w)).cast("long") + col("dl"),
-              lit(nLon)))
-            .drop("db", "dl", "k")
-          val qNormal = remaining
-            .filter(abs(col("q_lat")) < 90.0 - 2.0 * r)
-            .withColumn("band", floor(col("q_lat") / lit(r)).cast("long"))
-            .withColumn("lonb", floor(pmod(col("q_lon"), lit(360.0)) / lit(w)).cast("long"))
+          val (pNormal, qNormal) = bandTiled(
+            pts.filter(abs(col("p_lat")) <= 90.0 - r),   // ρ ≤ r lives in the cap only
+            remaining.filter(abs(col("q_lat")) < 90.0 - 2.0 * r),
+            reach)
           // ---- planar cap tiles (band codes disjoint from lat-lon
           // bands, which stay within ±(90/r + 1) ≪ 10^9) ----
           def capSide(code: Long, north: Boolean) = {

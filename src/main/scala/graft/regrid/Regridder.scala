@@ -261,7 +261,7 @@ final class Regridder(
     * the native regrid object. No-op for parts never built; the
     * regridder is unusable afterwards ([[apply]] errors instead of
     * silently recomputing freed state). */
-  def close(): Unit = {
+  def close(): Unit = if (!closed) {
     if (weightsInit) { weights.unpersist(); () }
     if (slabApplierInit) slabApplier.close()
     closed = true

@@ -315,10 +315,19 @@ class RegridSpec extends AnyFunSuite {
       .select(col("time").as("slab_id"), col("values"))
     assert(r.apply(slabs).count() === 2)
     r.close()
+    r.close()   // idempotent — second close must not throw on the destroyed broadcast
     // broadcast COO arrays destroyed — the dense path cannot silently
     // reuse freed state
     val e = intercept[Exception] { r.apply(slabs).count() }
     assert(e.getMessage.contains("closed"))
+  }
+
+  test("SlabApplier accepts integer-typed weight columns (stats pass casts)") {
+    import spark.implicits._
+    val intW = Seq((0, 0, 1.0), (1, 0, 0.5)).toDF("row", "col", "s")   // IntegerType ids
+    val slabs = Seq((0L, Array(2.0))).toDF("slab_id", "values")
+    val out = new SlabApplier(intW, 2).apply(slabs).head()
+    assert(out.getAs[Seq[Double]]("values") === Seq(2.0, 1.0))
   }
 
   test("SlabApplier rejects weights whose rows/cols break the index contract") {
