@@ -480,6 +480,13 @@ object Weights {
       when(c - col("lon00") > 180.0, c - lit(360.0))
         .when(c - col("lon00") < -180.0, c + lit(360.0))
         .otherwise(c)
+    // dst lon hull (tiny agg): shifted quad copies that cannot contain
+    // any destination are pruned before the tile explode (same
+    // result-neutral pruning as the conservative builder)
+    val hull = dstPoints.agg(min(col("lon")), max(col("lon"))).head()
+    val (dLonMin, dLonMax) =
+      if (hull.isNullAt(0)) (Double.NegativeInfinity, Double.PositiveInfinity)
+      else (hull.getDouble(0), hull.getDouble(1))
     val quads = Curvilinear.centerQuads(srcCells, periodicNx)
       .withColumn("lon10", unwrap(col("lon10")))
       .withColumn("lon01", unwrap(col("lon01")))
@@ -494,6 +501,7 @@ object Weights {
       .withColumn("lat_max", greatest(col("lat00"), col("lat10"), col("lat01"), col("lat11")))
       .withColumn("lon_min", least(col("lon00"), col("lon10"), col("lon01"), col("lon11")))
       .withColumn("lon_max", greatest(col("lon00"), col("lon10"), col("lon01"), col("lon11")))
+      .filter(col("lon_max") >= dLonMin && col("lon_min") <= dLonMax)
       .withColumn("band", explode(sequence(
         floor(col("lat_min") / lit(bandDeg)).cast("long"),
         floor(col("lat_max") / lit(bandDeg)).cast("long"))))
@@ -727,7 +735,19 @@ object Weights {
     * wrap arithmetic.
     */
   def conservative(srcCells: DataFrame, dstCells: DataFrame,
-                   bandDeg: Double = 15.0): DataFrame = {
+                   bandDeg: Double = 0.0): DataFrame = {
+    // Auto tile width (bandDeg ≤ 0): ~2.5× the coarser side's typical
+    // cell spacing. Tile choice never affects RESULTS (the overlap
+    // predicate is exact and the SW-corner rule dedups per tile) —
+    // only the candidate volume, which scales with (tile/cell)² on the
+    // finer side: the old fixed 15° default evaluated ~30× more pairs
+    // than needed on a 0.5° grid. Two count() actions at build time.
+    val band =
+      if (bandDeg > 0) bandDeg
+      else {
+        val n = math.max(1L, math.min(srcCells.count(), dstCells.count()))
+        math.min(90.0, math.max(0.1, 2.5 * math.sqrt(41253.0 / n)))
+      }
     // Longitude-convention bridge: a [0,360) source grid must still
     // overlap a [-180,180) destination (ESMF handles this natively in
     // spherical coords). Each source cell is tried at shifts
@@ -737,6 +757,15 @@ object Weights {
     // results are bit-identical. A cell can match the same destination
     // through two shifts only if the destination is wider than
     // 360° − src-width — not a meaningful grid.
+    // Destination lon hull (one tiny agg at build time): shifted source
+    // copies that cannot overlap it are pruned BEFORE the tile explode
+    // — result-neutral (the join predicate would reject them anyway),
+    // but it keeps the explode at ~1× instead of 3× when both grids
+    // share a lon convention.
+    val hull = dstCells.agg(min(col("lon_w")), max(col("lon_e"))).head()
+    val (dLonMin, dLonMax) =
+      if (hull.isNullAt(0)) (Double.NegativeInfinity, Double.PositiveInfinity)
+      else (hull.getDouble(0), hull.getDouble(1))
     val s = srcCells.select(
       col("cell_id").as("s_id"), col("lon_w"), col("lon_e"),
       col("lat_s").as("s_lat_s"), col("lat_n").as("s_lat_n"))
@@ -745,21 +774,22 @@ object Weights {
         (col("lon_w") + col("lon_shift")).as("s_lon_w"),
         (col("lon_e") + col("lon_shift")).as("s_lon_e"),
         col("s_lat_s"), col("s_lat_n"))
+      .filter(col("s_lon_e") > dLonMin && col("s_lon_w") < dLonMax)
       .withColumn("band", explode(sequence(
-        floor(col("s_lat_s") / lit(bandDeg)).cast("long"),
-        floor(col("s_lat_n") / lit(bandDeg)).cast("long"))))
+        floor(col("s_lat_s") / lit(band)).cast("long"),
+        floor(col("s_lat_n") / lit(band)).cast("long"))))
       .withColumn("ltile", explode(sequence(
-        floor(col("s_lon_w") / lit(bandDeg)).cast("long"),
-        floor(col("s_lon_e") / lit(bandDeg)).cast("long"))))
+        floor(col("s_lon_w") / lit(band)).cast("long"),
+        floor(col("s_lon_e") / lit(band)).cast("long"))))
     val d = dstCells.select(
       col("cell_id").as("d_id"), col("lon_w").as("d_lon_w"), col("lon_e").as("d_lon_e"),
       col("lat_s").as("d_lat_s"), col("lat_n").as("d_lat_n"))
       .withColumn("band", explode(sequence(
-        floor(col("d_lat_s") / lit(bandDeg)).cast("long"),
-        floor(col("d_lat_n") / lit(bandDeg)).cast("long"))))
+        floor(col("d_lat_s") / lit(band)).cast("long"),
+        floor(col("d_lat_n") / lit(band)).cast("long"))))
       .withColumn("ltile", explode(sequence(
-        floor(col("d_lon_w") / lit(bandDeg)).cast("long"),
-        floor(col("d_lon_e") / lit(bandDeg)).cast("long"))))
+        floor(col("d_lon_w") / lit(band)).cast("long"),
+        floor(col("d_lon_e") / lit(band)).cast("long"))))
 
     d.join(s,
       d("band") === s("band") && d("ltile") === s("ltile") &&
@@ -767,8 +797,8 @@ object Weights {
         col("s_lat_s") < col("d_lat_n") && col("s_lat_n") > col("d_lat_s") &&
         // each overlapping pair matches in exactly one tile: the one
         // containing the overlap's south-west corner
-        d("band") === floor(greatest(col("s_lat_s"), col("d_lat_s")) / lit(bandDeg)).cast("long") &&
-        d("ltile") === floor(greatest(col("s_lon_w"), col("d_lon_w")) / lit(bandDeg)).cast("long"))
+        d("band") === floor(greatest(col("s_lat_s"), col("d_lat_s")) / lit(band)).cast("long") &&
+        d("ltile") === floor(greatest(col("s_lon_w"), col("d_lon_w")) / lit(band)).cast("long"))
       .select(
         col("d_id").as("row"),
         col("s_id").as("col"),

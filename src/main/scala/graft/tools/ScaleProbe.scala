@@ -32,6 +32,17 @@ object ScaleProbe {
     val gOne = RectGrid.of(-180, 180, 1.0, -90, 90, 1.0)    // 360x180 = 65k
     val gTenth = RectGrid.of(-180, 180, 0.1, -90, 90, 0.1)  // 3600x1800 = 6.48M
 
+    // same codegen/JIT warmup as Bench: the first timed probe otherwise
+    // absorbs several seconds of one-time compilation
+    locally {
+      val wg = RectGrid.of(-40, 40, 10, -40, 40, 10)
+      val wd = RectGrid.of(-30, 30, 15, -30, 30, 15)
+      Weights.conservative(Grids.cells(spark, wg, withBounds = true),
+        Grids.cells(spark, wd, withBounds = true)).count()
+      Weights.nearestS2D(Grids.cells(spark, wg), Grids.cells(spark, wd)).count()
+      ()
+    }
+
     time("conservative 0.5deg->1deg (259k->65k)") {
       Weights.conservative(
         Grids.cells(spark, gHalf, withBounds = true),
