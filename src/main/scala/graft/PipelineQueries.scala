@@ -54,6 +54,29 @@ object PipelineQueries {
 
   private def r9(e: String) = s"floor(($e) * 1.0e9 + 0.5e0) / 1.0e9"
 
+  /** Shared MinHash-LSH CTE chain (tok → shingles → minhash → bands →
+    * candidates → intersection sizes), used by q_dedup_minhash and
+    * q_dedup_clusters. */
+  private lazy val minhashCtes =
+    s"""tok AS ($tokCte), sh5 AS (${sh(5)}),
+        hm AS (SELECT doc_id, ${h60("s")} % ${TextOps.minhashM} AS m FROM sh5),
+        perm AS (SELECT * FROM (VALUES ${(0 until 16).map(i =>
+          s"(${i}, ${TextOps.minhashA(i)}, ${TextOps.minhashB(i)})").mkString(", ")})
+          t(seed, a, b)),
+        mh AS (SELECT doc_id, seed, min((a * m + b) % ${TextOps.minhashP}) AS m
+               FROM hm, perm GROUP BY 1, 2),
+        bands AS (SELECT doc_id, seed // 4 AS band,
+                    md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY seed)) AS sig
+                  FROM mh GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+                 WHERE x.doc_id < y.doc_id),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
+        inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+                  FROM sh5 sa JOIN sh5 sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+                  JOIN cand ON cand.a = sa.doc_id AND cand.b = sb.doc_id
+                  GROUP BY 1, 2)"""
+
   private val jaccardSelect =
     s"""SELECT inter.a, inter.b, ${r9("CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)")} AS jaccard
       FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id"""
@@ -156,25 +179,31 @@ object PipelineQueries {
 
     QueryDef("q_dedup_minhash",
       (s, dir) => Dedup.minhashLsh(docs(s, dir)).orderBy("a", "b"),
-      Some(s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
-        hm AS (SELECT doc_id, ${h60("s")} % ${TextOps.minhashM} AS m FROM sh5),
-        perm AS (SELECT * FROM (VALUES ${(0 until 16).map(i =>
-          s"(${i}, ${TextOps.minhashA(i)}, ${TextOps.minhashB(i)})").mkString(", ")})
-          t(seed, a, b)),
-        mh AS (SELECT doc_id, seed, min((a * m + b) % ${TextOps.minhashP}) AS m
-               FROM hm, perm GROUP BY 1, 2),
-        bands AS (SELECT doc_id, seed // 4 AS band,
-                    md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY seed)) AS sig
-                  FROM mh GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                 FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
-                 WHERE x.doc_id < y.doc_id),
-        sz AS (SELECT doc_id, count(*) AS n FROM sh5 GROUP BY 1),
-        inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
-                  FROM sh5 sa JOIN sh5 sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
-                  JOIN cand ON cand.a = sa.doc_id AND cand.b = sb.doc_id
-                  GROUP BY 1, 2)
+      Some(s"""WITH $minhashCtes
         $jaccardSelect ORDER BY a, b""")),
+
+    QueryDef("q_dedup_clusters",
+      // duplicate-CLUSTER resolution: connected components over the
+      // LSH near-dup pairs (jaccard >= 0.5), every clustered doc
+      // labeled with its component's min doc_id — the canonical-keeper
+      // step a training pipeline runs after pair generation. Spark:
+      // min-label propagation with pointer jumping (O(log diameter)
+      // equi-join rounds); oracle: recursive transitive closure.
+      (s, dir) => Dedup.clusters(
+        Dedup.minhashLsh(docs(s, dir)).filter(col("jaccard") >= 0.5))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $minhashCtes,
+        j AS ($jaccardSelect),
+        ed AS (SELECT a AS x, b AS y FROM j WHERE jaccard >= 0.5e0
+               UNION SELECT b AS x, a AS y FROM j WHERE jaccard >= 0.5e0),
+        nodes AS (SELECT DISTINCT x AS id FROM ed),
+        reach(id, r) AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, ed.y AS r FROM reach JOIN ed ON ed.x = reach.r
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+        GROUP BY id ORDER BY doc_id""")),
 
     QueryDef("q_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardBlocked(docs(s, dir), 3, 0.3).orderBy("a", "b"),

@@ -58,6 +58,49 @@ object Dedup {
     jaccardFor(sh, candidates)
   }
 
+  /** Duplicate-CLUSTER resolution: connected components over a
+    * near-dup pair relation, labeling every clustered document with
+    * its component's minimum doc_id (the canonical keeper a training
+    * pipeline retains). Pairs only tell you edges; picking one
+    * survivor per transitive group needs the components.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING — each
+    * round first takes the min label over graph neighbors (one hash
+    * equi-join + agg), then short-circuits chains with
+    * `label := label(label)` (a self equi-join), so convergence is
+    * O(log diameter) rounds instead of O(diameter): a 10^6-long
+    * duplicate chain resolves in ~20 rounds. Every round is
+    * shuffle-partitioned on id and `localCheckpoint`ed, so round k
+    * never recomputes rounds 1..k−1 (the NearestJoin discipline).
+    * Documents appearing in no pair are absent from the output —
+    * they are their own cluster. */
+  def clusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      val viaEdge = edges
+        .join(labels.select(col("id").as("y"), col("lbl").as("ylbl")), "y")
+        .groupBy(col("x").as("id")).agg(min("ylbl").as("nlbl"))
+      val stepped = labels.join(viaEdge, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val jumped = stepped
+        .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = jumped
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = jumped
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** All same-group pairs with n-gram Jaccard ≥ threshold, via the
     * inverted index restricted to a blocking column (here: `source`).
     * The blocking key keeps the shingle self-join an equi-join on

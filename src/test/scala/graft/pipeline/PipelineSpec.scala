@@ -171,6 +171,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(chk.filter(col("bcos").isNull || col("bcos") =!= col("mp_cos")).count() === 0)
   }
 
+  test("dedup clusters: components resolve transitively, min-id canonical, log-round chains") {
+    import spark.implicits._
+    // synthetic 61-node chain + a separate triangle: pointer jumping
+    // must collapse the chain well inside maxRounds (log2(61) ≈ 6)
+    val chain = (0 until 60).map(i => (i.toLong, i.toLong + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val cl = Dedup.clusters((chain ++ tri).toDF("a", "b"), maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 to 60).forall(i => cl(i.toLong) == 0L), "chain must collapse to min id 0")
+    assert(Seq(100L, 101L, 102L).forall(cl(_) == 100L))
+    // real pipeline: LSH pairs → clusters; every edge must land inside
+    // one cluster and each cluster's id is its min member
+    val pairs = Dedup.minhashLsh(docs).filter(col("jaccard") >= 0.5).cache()
+    val c = Dedup.clusters(pairs)
+    val lbl = c.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.select("a", "b").collect().foreach { r =>
+      assert(lbl(r.getLong(0)) == lbl(r.getLong(1)), s"edge $r split across clusters")
+    }
+    c.groupBy("cluster_id").agg(min("doc_id").as("m")).collect().foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), "cluster_id must equal its min member")
+    }
+    pairs.unpersist()
+  }
+
   test("sessions partition the event stream: counts add up, gaps split") {
     val s = Events.sessions(events, 30)
     assert(s.agg(sum("n_events")).head().getLong(0) === events.count())
