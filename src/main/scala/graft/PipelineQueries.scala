@@ -125,6 +125,36 @@ object PipelineQueries {
           FROM h ORDER BY doc_id"""
       }),
 
+    QueryDef("q_repetition",
+      // Gopher/C4 repetition filters: duplicate-line and duplicate-char
+      // ratios over non-empty trimmed lines (boilerplate/templated-spam
+      // signal that token stats miss)
+      (s, dir) => TextOps.repetitionStats(docs(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH l AS (
+          SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+              l -> l <> '') AS lines
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+            len(lines) AS n_lines,
+            len(list_distinct(lines)) AS n_distinct_lines,
+            coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS tot_chars,
+            coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) AS dist_chars
+          FROM l
+        )
+        SELECT doc_id,
+          CAST(n_lines AS INTEGER) AS n_lines,
+          CAST(n_distinct_lines AS INTEGER) AS n_distinct_lines,
+          CASE WHEN n_lines = 0 THEN 0.0e0 ELSE
+            floor((1.0e0 - CAST(n_distinct_lines AS DOUBLE) / CAST(n_lines AS DOUBLE))
+            * 1.0e9 + 0.5e0) / 1.0e9 END AS dup_line_ratio,
+          CASE WHEN tot_chars = 0 THEN 0.0e0 ELSE
+            floor((1.0e0 - CAST(dist_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE))
+            * 1.0e9 + 0.5e0) / 1.0e9 END AS dup_char_ratio
+        FROM c ORDER BY doc_id""")),
+
     QueryDef("q_quality_score",
       (s, dir) => TextOps.qualityScore(docs(s, dir)).orderBy("doc_id"),
       Some(s"""WITH tok AS ($tokCte),

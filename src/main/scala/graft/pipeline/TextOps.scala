@@ -103,6 +103,30 @@ object TextOps {
         "floor((0.3e0 * stop_ratio + 0.4e0 * alpha_ratio + " +
           "0.3e0 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0)) * 1.0e9 + 0.5e0) / 1.0e9 AS score")
 
+  /** Gopher/C4-style repetition signals: duplicate-LINE ratios catch
+    * boilerplate and templated spam that per-token statistics miss
+    * (a page of one sentence repeated 40× has perfect stop-word and
+    * alpha ratios). Narrow codegen'd projection — split, distinct,
+    * integer sums — no shuffle, no explode. `dup_line_ratio` is the
+    * fraction of non-empty lines that are repeats of an earlier line;
+    * `dup_char_ratio` weighs the repeats by length. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id",
+        raw"filter(transform(split(text, '\n'), l -> trim(l)), l -> l != '') AS lines")
+      .selectExpr("doc_id",
+        "size(lines) AS n_lines",
+        "size(array_distinct(lines)) AS n_distinct_lines",
+        "aggregate(lines, 0L, (a, l) -> a + length(l)) AS tot_chars",
+        "aggregate(array_distinct(lines), 0L, (a, l) -> a + length(l)) AS dist_chars")
+      .selectExpr("doc_id", "n_lines", "n_distinct_lines",
+        "CASE WHEN n_lines = 0 THEN 0.0e0 ELSE " +
+          "floor((1.0e0 - CAST(n_distinct_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)) " +
+          "* 1.0e9 + 0.5e0) / 1.0e9 END AS dup_line_ratio",
+        "CASE WHEN tot_chars = 0 THEN 0.0e0 ELSE " +
+          "floor((1.0e0 - CAST(dist_chars AS DOUBLE) / CAST(tot_chars AS DOUBLE)) " +
+          "* 1.0e9 + 0.5e0) / 1.0e9 END AS dup_char_ratio")
+
   /** Content fingerprint: lexicographic min of md5 over 5-token
     * shingles — one stable 32-hex-char id per document. */
   def fingerprint(docs: DataFrame): DataFrame =

@@ -171,6 +171,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(chk.filter(col("bcos").isNull || col("bcos") =!= col("mp_cos")).count() === 0)
   }
 
+  test("repetition stats: duplicate lines surface, clean docs score zero") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "unique one\nunique two\nunique three"),
+      (2L, "spam line\nspam line\nspam line\nspam line"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(d).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("dup_line_ratio") === 0.0)
+    assert(r(2L).getAs[Double]("dup_line_ratio") === 0.75)
+    assert(r(2L).getAs[Double]("dup_char_ratio") === 0.75)
+    assert(r(3L).getAs[Int]("n_lines") === 0)
+    assert(r(3L).getAs[Double]("dup_char_ratio") === 0.0)
+  }
+
   test("dedup clusters: components resolve transitively, min-id canonical, log-round chains") {
     import spark.implicits._
     // synthetic 61-node chain + a separate triangle: pointer jumping
