@@ -75,8 +75,12 @@ object Dedup {
     * Documents appearing in no pair are absent from the output —
     * they are their own cluster. */
   def clusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+    // materialize the pair input once — the symmetric edge union below
+    // references it twice, and the upstream is typically a full LSH
+    // pipeline that must not run twice
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val edges = p.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(p.select(col("b").as("x"), col("a").as("y")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
