@@ -81,6 +81,15 @@ object PipelineQueries {
     s"""SELECT inter.a, inter.b, ${r9("CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)")} AS jaccard
       FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id"""
 
+  /** DuckDB 6-bit sign-bucket expression + the shared embeddings CTE
+    * prefix — must stay literal-identical between q_ann_ivf and
+    * q_ann_ivf_mp, so both oracles use this single definition. */
+  private def bucketSql(v: String) = (0 until 6).map(i =>
+    s"CASE WHEN $v[${i + 1}] > 0.0e0 THEN ${1L << i} ELSE 0 END").mkString("(", " + ", ")")
+  private lazy val ivfCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        eb AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e)"""
+
   // DuckDB cosine between two DOUBLE[] (fold order = Spark's aggregate)
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, v) -> acc + v)"
@@ -295,11 +304,7 @@ object PipelineQueries {
       (s, dir) => Similarity.ivfTopK(emb(s, dir), "vec_id % 50 = 0", 5)
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank"),
-      Some {
-        val bucket = (v: String) => (0 until 6).map(i =>
-          s"CASE WHEN $v[${i + 1}] > 0.0e0 THEN ${1L << i} ELSE 0 END").mkString("(", " + ", ")")
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        eb AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM e),
+      Some(s"""WITH $ivfCtes,
         c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                 ${cosSql("q.v", "n.v")} AS cos
               FROM eb q JOIN eb n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
@@ -307,8 +312,7 @@ object PipelineQueries {
         r AS (SELECT *, CAST(row_number() OVER
                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
               FROM c)
-        SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
-      }),
+        SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     QueryDef("q_ann_ivf_mp",
       // multi-probe IVF: each query scans its bucket + every Hamming-1
@@ -320,11 +324,8 @@ object PipelineQueries {
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank"),
       Some {
-        val bucket = (v: String) => (0 until 6).map(i =>
-          s"CASE WHEN $v[${i + 1}] > 0.0e0 THEN ${1L << i} ELSE 0 END").mkString("(", " + ", ")")
         val flips = (0L +: (0 until 6).map(i => 1L << i)).map(f => s"($f)").mkString(", ")
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        eb AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM e),
+        s"""WITH $ivfCtes,
         qp AS (SELECT vec_id, v, xor(CAST(bucket AS BIGINT), f) AS bucket
                FROM eb CROSS JOIN (VALUES $flips) t(f)
                WHERE vec_id % 50 = 0),

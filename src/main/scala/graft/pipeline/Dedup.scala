@@ -90,8 +90,12 @@ object Dedup {
       val viaEdge = edges
         .join(labels.select(col("id").as("y"), col("lbl").as("ylbl")), "y")
         .groupBy(col("x").as("id")).agg(min("ylbl").as("nlbl"))
+      // checkpoint before the pointer-jump self-join — it references
+      // `stepped` twice, and without materialization each round would
+      // evaluate the propagation join twice
       val stepped = labels.join(viaEdge, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       val jumped = stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
         .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
@@ -102,6 +106,11 @@ object Dedup {
       labels = jumped
       round += 1
     }
+    // partial labels would silently keep several "canonical" docs from
+    // ONE duplicate cluster — refuse to return them
+    require(changed == 0,
+      s"duplicate-cluster labeling did not converge in $maxRounds rounds " +
+        "(component deeper than 2^maxRounds?); raise maxRounds")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

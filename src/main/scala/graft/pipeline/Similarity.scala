@@ -149,13 +149,19 @@ object Similarity {
     * shuffle-partitioned on bucket id, no nested loop, corpus-scale.
     * Each qualifying pair matches exactly one probe (the XOR of two
     * buckets is unique), so no dedup pass is needed. */
+  /** Explode `df` to its own bucket plus every Hamming-1 flip of it —
+    * the multi-probe expansion shared by the near-dup and IVF paths.
+    * Each qualifying pair meets exactly one probe (bucket XOR is
+    * unique), so consumers need no dedup pass. */
+  private def hammingProbed(df: DataFrame, bits: Int): DataFrame = df
+    .withColumn("probe", explode(array(lit(0L) +: (0 until bits).map(i => lit(1L << i)): _*)))
+    .withColumn("bucket", col("bucket").bitwiseXOR(col("probe")))
+    .drop("probe")
+
   def nearDupPairsBucketed(emb: DataFrame, minCos: Double, bits: Int = 16): DataFrame = {
     val a = vecs(emb, "a").withColumn("bucket", expr(bucketExpr("a_v", bits)).cast("long"))
     val b = vecs(emb, "b").withColumn("b_bucket", expr(bucketExpr("b_v", bits)).cast("long"))
-    val flips = array(lit(0L) +: (0 until bits).map(i => lit(1L << i)): _*)
-    val aProbed = a
-      .withColumn("probe", explode(flips))
-      .withColumn("bucket", col("bucket").bitwiseXOR(col("probe")))
+    val aProbed = hammingProbed(a, bits)
     val pairs = aProbed
       .join(b, aProbed("bucket") === b("b_bucket") && col("a_id") < col("b_id"))
       .selectExpr("a_id AS id1", "b_id AS id2",
@@ -197,12 +203,7 @@ object Similarity {
     val withB = (as: String) => vecs(emb, as)
       .withColumn("bucket", expr(bucketExpr(s"${as}_v", bits)).cast("long"))
     val q0 = withB("q").filter(expr(probeFilter.replace("vec_id", "q_id")))
-    val q =
-      if (!hammingProbes) q0
-      else q0
-        .withColumn("probe", explode(array(lit(0L) +: (0 until bits).map(i => lit(1L << i)): _*)))
-        .withColumn("bucket", col("bucket").bitwiseXOR(col("probe")))
-        .drop("probe")
+    val q = if (hammingProbes) hammingProbed(q0, bits) else q0
     val pairs = q
       .join(withB("n").withColumnRenamed("bucket", "n_bucket"),
         col("bucket") === col("n_bucket") && col("q_id") =!= col("n_id"))

@@ -480,9 +480,11 @@ object Weights {
       when(c - col("lon00") > 180.0, c - lit(360.0))
         .when(c - col("lon00") < -180.0, c + lit(360.0))
         .otherwise(c)
-    // dst lon hull (tiny agg): shifted quad copies that cannot contain
-    // any destination are pruned before the tile explode (same
-    // result-neutral pruning as the conservative builder)
+    // dst lon hull: shifted quad copies that cannot contain any
+    // destination are pruned before the tile explode (same
+    // result-neutral pruning as the conservative builder). This is one
+    // extra pass over dstPoints at plan time — build-once cost; pass a
+    // cached dst relation if its pipeline is expensive.
     val hull = dstPoints.agg(min(col("lon")), max(col("lon"))).head()
     val (dLonMin, dLonMax) =
       if (hull.isNullAt(0)) (Double.NegativeInfinity, Double.PositiveInfinity)
@@ -741,11 +743,15 @@ object Weights {
     // predicate is exact and the SW-corner rule dedups per tile) —
     // only the candidate volume, which scales with (tile/cell)² on the
     // finer side: the old fixed 15° default evaluated ~30× more pairs
-    // than needed on a 0.5° grid. Two count() actions at build time.
+    // than needed on a 0.5° grid. The dst count and lon hull share ONE
+    // aggregate pass; the src count (auto band only) is a second.
+    val dstStats = dstCells
+      .agg(count(lit(1)), min(col("lon_w")), max(col("lon_e"))).head()
+    val nDst = dstStats.getLong(0)
     val band =
       if (bandDeg > 0) bandDeg
       else {
-        val n = math.max(1L, math.min(srcCells.count(), dstCells.count()))
+        val n = math.max(1L, math.min(srcCells.count(), nDst))
         math.min(90.0, math.max(0.1, 2.5 * math.sqrt(41253.0 / n)))
       }
     // Longitude-convention bridge: a [0,360) source grid must still
@@ -757,15 +763,14 @@ object Weights {
     // results are bit-identical. A cell can match the same destination
     // through two shifts only if the destination is wider than
     // 360° − src-width — not a meaningful grid.
-    // Destination lon hull (one tiny agg at build time): shifted source
+    // Destination lon hull (from the same aggregate): shifted source
     // copies that cannot overlap it are pruned BEFORE the tile explode
     // — result-neutral (the join predicate would reject them anyway),
     // but it keeps the explode at ~1× instead of 3× when both grids
     // share a lon convention.
-    val hull = dstCells.agg(min(col("lon_w")), max(col("lon_e"))).head()
     val (dLonMin, dLonMax) =
-      if (hull.isNullAt(0)) (Double.NegativeInfinity, Double.PositiveInfinity)
-      else (hull.getDouble(0), hull.getDouble(1))
+      if (nDst == 0) (Double.NegativeInfinity, Double.PositiveInfinity)
+      else (dstStats.getDouble(1), dstStats.getDouble(2))
     val s = srcCells.select(
       col("cell_id").as("s_id"), col("lon_w"), col("lon_e"),
       col("lat_s").as("s_lat_s"), col("lat_n").as("s_lat_n"))

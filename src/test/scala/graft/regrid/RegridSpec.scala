@@ -244,24 +244,25 @@ class RegridSpec extends AnyFunSuite {
   }
 
   test("locstream OUTPUT works from non-uniform and curvilinear sources too (method matrix)") {
-    val locs4: Seq[(Double, Double)] = graft.RegridQueries.locs4
-    val locDef = LocDef(locs4)
-    def checkOut(r: Regridder, f: DataFrame): Unit = {
+    def checkOut(r: Regridder, f: DataFrame, locs: Seq[(Double, Double)],
+                 tag: String): Unit = {
       val out = r.apply(f).orderBy("cell_id").collect()
-      assert(out.length === 4)
-      locs4.zip(out).foreach { case ((lon, lat), row) =>
+      assert(out.length === locs.length, tag)
+      locs.zip(out).foreach { case ((lon, lat), row) =>
         val ref = 2.0 + math.pow(math.cos(math.toRadians(lat)), 2) *
           math.cos(2.0 * math.toRadians(lon))
         assert(math.abs(row.getAs[Double]("value") - ref) / ref < 0.2,
-          s"at ($lon,$lat): ${row.getAs[Double]("value")} vs $ref")
+          s"$tag at ($lon,$lat): ${row.getAs[Double]("value")} vs $ref")
       }
     }
     // non-uniform rectilinear source (coarse stretched fixture → loose bar)
+    val locs4: Seq[(Double, Double)] = graft.RegridQueries.locs4
     val cg = graft.RegridQueries.gridInNonuni
     val fNon = CoordGrid.cells(spark, cg).select(col("cell_id"),
       TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
     Seq(RegridMethod.Bilinear, RegridMethod.Patch).foreach { m =>
-      checkOut(new Regridder(spark, CoordDef(cg), locDef, m), fNon)
+      checkOut(new Regridder(spark, CoordDef(cg), LocDef(locs4), m),
+        fNon, locs4, s"nonuniform ${m.name}")
     }
     // curvilinear source: probe points constructed INSIDE the mesh via
     // the rotation transform itself (interior rotated coordinates)
@@ -277,20 +278,12 @@ class RegridSpec extends AnyFunSuite {
       (lon, lat)
     }
     val locsCurv = Seq(geo(20, -10), geo(30, 0), geo(40, 10), geo(50, 5))
-    val locCurvDef = LocDef(locsCurv)
     val src = Curvilinear.rotatedCells(spark, rot, pLat, pLon)
     val fCurv = src.select(col("cell_id"),
       TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
     Seq(RegridMethod.Bilinear, RegridMethod.Patch).foreach { m =>
-      val r = new Regridder(spark, CurvDef(src, None, rot.ny, rot.nx), locCurvDef, m)
-      val out = r.apply(fCurv).orderBy("cell_id").collect()
-      assert(out.length === 4, s"curv ${m.name}")
-      locsCurv.zip(out).foreach { case ((lon, lat), row) =>
-        val ref = 2.0 + math.pow(math.cos(math.toRadians(lat)), 2) *
-          math.cos(2.0 * math.toRadians(lon))
-        assert(math.abs(row.getAs[Double]("value") - ref) / ref < 0.2,
-          s"curv ${m.name} at ($lon,$lat): ${row.getAs[Double]("value")} vs $ref")
-      }
+      checkOut(new Regridder(spark, CurvDef(src, None, rot.ny, rot.nx), LocDef(locsCurv), m),
+        fCurv, locsCurv, s"curv ${m.name}")
     }
   }
 
