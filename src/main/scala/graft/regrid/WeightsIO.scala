@@ -24,6 +24,26 @@ object WeightsIO {
       (col("col") - 1).cast("long").as("col"),
       col("S").cast("double").as("s"))
 
+  /** Persist weights BUCKETED on the source-cell key `col` — the
+    * huge-W scale path. When W is too large to broadcast, the
+    * relational apply becomes a shuffled join on `col`; a W persisted
+    * with matching buckets is read pre-partitioned, so EVERY
+    * subsequent apply skips the weights-side shuffle entirely (the
+    * plan shows no Exchange above the weights scan — asserted in
+    * RegridSpec) and only the field side moves. Precompute-once /
+    * apply-many is the reference's whole design (`frontend.py:144-146`
+    * weight reuse); bucketing is its cluster-scale form. Sorted within
+    * buckets so the sort-merge join needs no per-task sort on W. */
+  def writeBucketed(weights: DataFrame, table: String, buckets: Int = 64): Unit =
+    weights.select(col("row").cast("long"), col("col").cast("long"), col("s"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "col").sortBy("col")
+      .format("parquet").saveAsTable(table)
+
+  /** Read a bucketed weights table (see [[writeBucketed]]). */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Write a native weights relation as an ESMF-convention file
     * (1-based, capital `S`). Refuses to clobber an existing file — the
     * reference's V8 contract (`backend.py:269-272`). */

@@ -924,6 +924,43 @@ class RegridSpec extends AnyFunSuite {
     intercept[IllegalStateException] { WeightsIO.writeEsmf(w, p) }
   }
 
+  test("bucketed weights: apply join reads W with NO weights-side shuffle") {
+    // the huge-W path: W persisted bucketed on the join key `col`
+    // must join the field without an Exchange above the weights scan
+    spark.sql("DROP TABLE IF EXISTS w_bucketed_test")
+    // a previously-failed run can leave an orphaned managed-table
+    // location behind (DROP TABLE doesn't clean a location with no
+    // table) — remove it so the CTAS doesn't refuse
+    locally {
+      val loc = new org.apache.hadoop.fs.Path("spark-warehouse/w_bucketed_test")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
+    val w = Weights.conservative(srcCells(b = true), dstCells(b = true))
+    WeightsIO.writeBucketed(w, "w_bucketed_test", buckets = 8)
+    val wb = WeightsIO.readBucketed(spark, "w_bucketed_test")
+    val f = waveIn
+    val joined = f.join(wb.hint("shuffle_merge"), f("cell_id") === wb("col"))
+      .groupBy("row").agg(sum(col("s") * col("value")).as("value"))
+    // same numbers as the in-memory weights
+    val direct = f.join(w, f("cell_id") === w("col"))
+      .groupBy("row").agg(sum(col("s") * col("value")).as("value"))
+    assert(joined.join(direct.withColumnRenamed("value", "v2"), "row")
+      .filter(abs(col("value") - col("v2")) > 1e-9).count() === 0)
+    // plan shape: the bucketed variant must have strictly fewer
+    // Exchanges than the same join over plain (unbucketed) weights —
+    // the weights-side shuffle is gone
+    def nExchanges(df: DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val directShuffled = f.join(w.hint("shuffle_merge"), f("cell_id") === w("col"))
+      .groupBy("row").agg(sum(col("s") * col("value")).as("value"))
+    val (nB, nD) = (nExchanges(joined), nExchanges(directShuffled))
+    assert(nB < nD, s"bucketed plan has $nB exchanges, unbucketed $nD — " +
+      s"expected the weights-side shuffle to disappear:\n" +
+      joined.queryExecution.executedPlan.toString)
+    spark.sql("DROP TABLE IF EXISTS w_bucketed_test")
+  }
+
   test("conservative bridges longitude conventions ([0,360) src vs [-180,180] dst)") {
     val src360 = RectGrid.of(0, 360, 20, -90, 90, 12)
     val w = Weights.conservative(Grids.cells(spark, src360, withBounds = true),
