@@ -302,6 +302,13 @@ final class Regridder(
   @deprecated("use weights", "0.1.0")
   def A: DataFrame = weights
 
+  /** Persist this regridder's weights bucketed on the source-cell join
+    * key (see [[WeightsIO.writeBucketed]]) — the precompute-once /
+    * apply-many form for weights too large to broadcast: subsequent
+    * applies join the bucketed table without a weights-side shuffle. */
+  def saveBucketedWeights(table: String, buckets: Int = 64): Unit =
+    WeightsIO.writeBucketed(weights, table, buckets)
+
   /** Delete the persisted weight file (reference `frontend.py:282-293`). */
   def cleanWeightFile(): Unit = weightsPath.foreach { p =>
     val path = new org.apache.hadoop.fs.Path(p)
