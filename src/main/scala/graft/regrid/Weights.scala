@@ -667,10 +667,24 @@ object Weights {
     import spark.implicits._
 
     def prep(df: DataFrame, role: String): DataFrame = {
-      val lons = (0 to 3).map(k => col(s"lon_c$k"))
+      // Vertex unwrap (the quad-unwrap of bilinearCurvilinear, applied
+      // to corner polygons): a cell whose corners straddle the stored-
+      // longitude seam of a global mesh (lon jumping ~360° across the
+      // atan2 branch) would otherwise clip as a garbage ~359°-wide
+      // polygon. Bring each vertex within ±180° of vertex 0 — a
+      // bit-exact no-op for seam-free cells — and let the ±360 shift
+      // copies below handle frame matching.
+      def uw(k: Int): Column = {
+        val c = col(s"lon_c$k")
+        when(c - col("lon_c0") > 180.0, c - lit(360.0))
+          .when(c - col("lon_c0") < -180.0, c + lit(360.0))
+          .otherwise(c)
+      }
+      val lons = col("lon_c0") +: (1 to 3).map(uw)
       val lats = (0 to 3).map(k => col(s"lat_c$k"))
       df.select(col("cell_id").as(s"${role}_id"),
-        array((0 to 3).flatMap(k => Seq(col(s"lon_c$k"), col(s"lat_c$k"))): _*).as(s"${role}_p"),
+        array((0 to 3).flatMap(k =>
+          Seq(if (k == 0) col("lon_c0") else uw(k), col(s"lat_c$k"))): _*).as(s"${role}_p"),
         least(lons: _*).as(s"${role}_lon_min"), greatest(lons: _*).as(s"${role}_lon_max"),
         least(lats: _*).as(s"${role}_lat_min"), greatest(lats: _*).as(s"${role}_lat_max"))
     }

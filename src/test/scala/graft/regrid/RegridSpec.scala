@@ -683,6 +683,42 @@ class RegridSpec extends AnyFunSuite {
     assert(maxDev > 1e-6, s"deviation measurement degenerate ($maxDev) — fixture not curved?")
   }
 
+  test("curvilinear conservative: GLOBAL mesh tiles exactly; dateline-straddling cells clip correctly") {
+    // (a) global rotated mesh: the cross-frame seam between mesh
+    // columns 35 and 0 must be bridged (±360 shift copies), every
+    // interior destination fully tiled
+    val srcRot = RectGrid.of(0, 360, 10, -60, 60, 10)      // (12, 36)
+    val dstRot = RectGrid.of(0, 360, 7.5, -50, 50, 10)     // (10, 48), interior lat hull
+    val w = Weights.conservativeCurvilinear(
+      Curvilinear.rotatedCorners(spark, srcRot, 70.0, -165.0),
+      Curvilinear.rotatedCorners(spark, dstRot, 70.0, -165.0), bandDeg = 5.0)
+    assert(w.groupBy("row").agg(sum("s").as("t"))
+      .filter(abs(col("t") - 1.0) > 1e-10).count() === 0,
+      "global-mesh conservation broken on some destinations")
+    assert(w.select("row").distinct().count() === dstRot.nCells)
+
+    // (b) a user-supplied mesh stored in [-180,180] with a cell that
+    // CROSSES the dateline (corner lons 172 and -176): without the
+    // vertex unwrap it clips as a garbage ~348°-wide polygon
+    import spark.implicits._
+    def cell(id: Long, w0: Double, e0: Double, s0: Double, n0: Double) =
+      (id, w0, s0, e0, s0, e0, n0, w0, n0)
+    val src = Seq(
+      cell(0L, 160.0, 172.0, 0.0, 10.0),
+      cell(1L, 172.0, -176.0, 0.0, 10.0),   // stored straddling: 172..184
+      cell(2L, -176.0, -164.0, 0.0, 10.0))
+      .toDF("cell_id", "lon_c0", "lat_c0", "lon_c1", "lat_c1",
+        "lon_c2", "lat_c2", "lon_c3", "lat_c3")
+    val dst = Seq(cell(0L, 170.0, 190.0, 2.0, 8.0))
+      .toDF("cell_id", "lon_c0", "lat_c0", "lon_c1", "lat_c1",
+        "lon_c2", "lat_c2", "lon_c3", "lat_c3")
+    val ws = Weights.conservativeCurvilinear(src, dst, bandDeg = 5.0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(math.abs(ws(0L) - 2.0 / 20.0) < 1e-12, s"cell0 weight ${ws.get(0L)}")
+    assert(math.abs(ws(1L) - 12.0 / 20.0) < 1e-12, s"straddling cell weight ${ws.get(1L)}")
+    assert(math.abs(ws(2L) - 6.0 / 20.0) < 1e-12, s"cell2 weight ${ws.get(2L)}")
+  }
+
   test("Geometry kernel: clip + spherical area closed forms") {
     // axis box area equals the rectilinear closed form
     val box = Array(0.0, 0.0, 10.0, 0.0, 10.0, 20.0, 0.0, 20.0)
