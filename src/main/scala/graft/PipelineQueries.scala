@@ -267,21 +267,39 @@ object PipelineQueries {
         SELECT * FROM p WHERE cos >= 0.45e0 ORDER BY a, b""")),
 
     QueryDef("q_embedding_cosine_lsh",
-      // the true corpus-scale path: sign-bucket LSH candidates
-      // (Hamming ≤ 1 on 8 sign bits — part of the operator contract,
-      // mirrored by the oracle), exact cosine verify on candidates
-      // only. Standard LSH recall tradeoff vs q_embedding_cosine.
-      (s, dir) => Similarity.nearDupPairsBucketed(emb(s, dir), 0.45, bits = 8)
+      // the true corpus-scale path: BANDED random-hyperplane LSH
+      // (24 bands × 4 deterministic ±1-hyperplane sign bits; candidates
+      // = pairs agreeing on all bits of ANY band — part of the operator
+      // contract, mirrored by the oracle), exact cosine verify on
+      // candidates only. The banded shape holds recall ≥ 0.99 at the
+      // 0.45 threshold (14/14 exact pairs recovered at sf0.01, asserted
+      // ≥ 0.9 in PipelineSpec), unlike the Hamming-≤1 single-code probe
+      // it replaced (3/14). Plan: band-signature equi-join, no BNLJ.
+      (s, dir) => Similarity.nearDupPairsBanded(emb(s, dir), 0.45)
         .orderBy("a", "b"),
       Some {
-        val bucket = (v: String) => (0 until 8).map(i =>
-          s"CASE WHEN $v[${i + 1}] > 0.0e0 THEN ${1L << i} ELSE 0 END")
-          .mkString("(", " + ", ")")
+        val bands = 24; val rpb = 4; val dim = 64
+        def arr(c: Array[Double]) =
+          c.map(x => if (x > 0) "1.0e0" else "-1.0e0").mkString("[", ", ", "]")
+        // one UNION ALL branch per band: sig packs the band's sign bits
+        // (dot > 0), dots left-folded exactly like the Spark kernel
+        val branches = (0 until bands).map { b =>
+          val bits = (0 until rpb).map { j =>
+            val c = Similarity.planeCoeffs(b * rpb + j, dim)
+            s"CASE WHEN ${dotSql("v", arr(c))} > 0.0e0 THEN ${1L << j} ELSE 0 END"
+          }.mkString("(", " + ", ")")
+          s"SELECT vec_id, $b AS band, $bits AS sig FROM e"
+        }.mkString("\n        UNION ALL ")
+        // MATERIALIZED: keeps the CASE-heavy signature CTE out of the
+        // join inlining path (DuckDB 1.0.0 flat-vector bug)
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        eb AS (SELECT vec_id, v, CAST(${bucket("v")} AS BIGINT) AS bucket FROM e),
-        p AS (SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a.v", "b.v")} AS cos
-              FROM eb a JOIN eb b ON a.vec_id < b.vec_id
-                AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+        sigs AS MATERIALIZED ($branches),
+        cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                 FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+                 WHERE x.vec_id < y.vec_id),
+        p AS (SELECT cand.a, cand.b, ${cosSql("ea.v", "eb.v")} AS cos
+              FROM cand JOIN e ea ON ea.vec_id = cand.a
+                        JOIN e eb ON eb.vec_id = cand.b)
         SELECT * FROM p WHERE cos >= 0.45e0 ORDER BY a, b"""
       }),
 

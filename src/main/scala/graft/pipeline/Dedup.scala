@@ -92,18 +92,21 @@ object Dedup {
         .groupBy(col("x").as("id")).agg(min("ylbl").as("nlbl"))
       // checkpoint before the pointer-jump self-join — it references
       // `stepped` twice, and without materialization each round would
-      // evaluate the propagation join twice
+      // evaluate the propagation join twice. The round's PREVIOUS label
+      // rides along as `old`, so convergence needs no join back against
+      // the prior labels relation (that join was ~+50% of the round's
+      // shuffle work): the check is a shuffle-free scan-count over the
+      // already-checkpointed partitions.
       val stepped = labels.join(viaEdge, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       val jumped = stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .select(col("id"), col("old"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
         .localCheckpoint()
-      changed = jumped
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = jumped
+      changed = jumped.filter(col("lbl") =!= col("old")).count()
+      labels = jumped.select("id", "lbl")
       round += 1
     }
     // partial labels would silently keep several "canonical" docs from

@@ -7,8 +7,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Input row for stateful sessionization. */
 final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
-/** Open-session state kept per user between micro-batches. */
-final case class SessState(startMs: Long, endMs: Long, n: Long, sum: Double)
+/** Open-session state kept per user between micro-batches. Times are
+  * epoch MICROS (the events tables carry sub-millisecond timestamps —
+  * ms state would shift session bounds); the value sum is exact scaled
+  * micros through DECIMAL(18,6)-equivalent rounding, so the streamed
+  * sums equal [[graft.pipeline.Events.sessions]]' decimal sums
+  * bit-for-bit regardless of event arrival order. */
+final case class SessState(startUs: Long, endUs: Long, n: Long, sumMicros: Long)
 
 /** Closed session emitted once the gap (or watermark timeout) passes. */
 final case class SessOut(user_id: Long, session_start: java.sql.Timestamp,
@@ -51,39 +56,55 @@ object StreamingOps {
   def sessionizeStream(spark: SparkSession, events: DataFrame,
                        gapMinutes: Int = 30): Dataset[SessOut] = {
     import spark.implicits._
-    val gapMs = gapMinutes.toLong * 60 * 1000
+    val gapUs = gapMinutes.toLong * 60 * 1000000L
+
+    // epoch-micros view of a java.sql.Timestamp (getTime alone floors
+    // to ms; the sub-ms part lives in the nanos field)
+    def toUs(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromUs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    // the exact cast chain of Events.sessions' CAST(value AS
+    // DECIMAL(18,6)): HALF_UP at 6 decimals, summed exactly as a long
+    def valueMicros(v: Double): Long =
+      new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .scaleByPowerOfTen(6).longValueExact
 
     def run(userId: Long, evs: Iterator[SessEvent],
             state: GroupState[SessState]): Iterator[SessOut] = {
       def toOut(s: SessState) = SessOut(userId,
-        new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n, s.sum)
+        fromUs(s.startUs), fromUs(s.endUs), s.n, s.sumMicros / 1.0e6)
       if (state.hasTimedOut) {
         val out = state.getOption.map(toOut).iterator
         state.remove()
         out
       } else {
-        val sorted = evs.toIndexedSeq.sortBy(e => (e.ts.getTime, e.value))
+        val sorted = evs.toIndexedSeq.sortBy(e => (toUs(e.ts), e.value))
         var open = state.getOption
         val closed = IndexedSeq.newBuilder[SessOut]
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = toUs(e.ts)
           open match {
-            case Some(s) if t - s.endMs <= gapMs =>
+            case Some(s) if t - s.endUs <= gapUs =>
               // min on start too: a late-but-within-watermark event can
               // precede the open session's first event
-              open = Some(SessState(math.min(s.startMs, t), math.max(s.endMs, t),
-                s.n + 1, s.sum + e.value))
+              open = Some(SessState(math.min(s.startUs, t), math.max(s.endUs, t),
+                s.n + 1, s.sumMicros + valueMicros(e.value)))
             case Some(s) =>
               closed += toOut(s)
-              open = Some(SessState(t, t, 1, e.value))
+              open = Some(SessState(t, t, 1, valueMicros(e.value)))
             case None =>
-              open = Some(SessState(t, t, 1, e.value))
+              open = Some(SessState(t, t, 1, valueMicros(e.value)))
           }
         }
         open.foreach { s =>
           state.update(s)
           // close when the watermark passes the session end + gap
-          state.setTimeoutTimestamp(s.endMs + gapMs)
+          state.setTimeoutTimestamp(s.endUs / 1000L + gapUs / 1000L)
         }
         closed.result().iterator
       }

@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** LLM-pipeline scale probe — the pipeline counterpart of
+  * [[ScaleProbe]] (which covers regrid only): drive the dedup /
+  * clustering / ANN operators at 10³–10⁴× the contract fixtures to
+  * show the bucketed equi-join plans hold their shape as the corpus
+  * grows. Corpora are synthesized in-Spark (deterministic hash
+  * expressions — no driver-side materialization), with planted
+  * near-duplicates so recall is checkable, not just throughput.
+  *
+  * Sections (all run by default; pass section names to restrict):
+  *  - `minhash`:  1M-doc corpus → MinHash-LSH → exact-Jaccard verify →
+  *                duplicate-cluster resolution, end to end;
+  *  - `clusters`: duplicate-cluster resolution alone on a synthetic
+  *                10⁶-edge graph (random giant component + a 100k-long
+  *                chain that exercises pointer jumping);
+  *  - `ann`:      multi-probe IVF top-k at 1M × 64-dim vectors;
+  *  - `banded`:   banded random-hyperplane near-dup at 300k vectors in
+  *                the high-cos regime (12 bands × 16 bits).
+  *
+  * Each probe's physical plan is scanned for
+  * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
+  * loudly (exit 1), the same standard [[PlanAudit]] applies to the
+  * contract queries.
+  *
+  * Not part of Bench (keeps BENCH totals comparable round to round);
+  * run manually: SPARK_DRIVER_MEM=64g sbt "runMain graft.tools.PipelineScaleProbe"
+  */
+object PipelineScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sections = if (args.isEmpty) Set("minhash", "clusters", "ann", "banded")
+                   else args.toSet
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/root/repo/target/spark-tmp")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var planFailures = 0
+    def auditPlan(tag: String, df: DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      def n(p: String) = p.r.findAllIn(plan).length
+      val bad = n("BroadcastNestedLoopJoin") + n("CartesianProduct")
+      if (bad > 0) { planFailures += 1; println(s"$tag  <-- BNLJ/CARTESIAN IN PLAN") }
+    }
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$tag%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    // ---- synthetic corpora (hash-derived, fully distributed) ----
+
+    /** nDocs documents of 20 vocab-1000 tokens; ids ≡ 0 (mod 10) get a
+      * near-dup partner at id+1 (same 20 tokens + one appended →
+      * 5-gram Jaccard 16/17 ≈ 0.94). */
+    def corpus(nDocs: Long): DataFrame =
+      spark.range(nDocs)
+        .withColumn("gid", when(col("id") % 10 === 1, col("id") - 1).otherwise(col("id")))
+        .selectExpr("id AS doc_id",
+          """concat(
+               array_join(transform(sequence(0, 19),
+                 t -> concat('w', pmod(hash(gid, t), 1000))), ' '),
+               CASE WHEN id % 10 = 1 THEN ' dupmarker' ELSE '' END) AS text""",
+          "'syn' AS source")
+
+    /** nVecs 64-dim vectors, uniform(-1,1) per component; ids ≡ 0
+      * (mod 20) get a planted partner at id+1 (component noise 0.1 →
+      * cos ≈ 0.99). */
+    def vectors(nVecs: Long): DataFrame =
+      spark.range(nVecs)
+        .withColumn("gid", when(col("id") % 20 === 1, col("id") - 1).otherwise(col("id")))
+        .selectExpr("id AS vec_id",
+          """transform(sequence(0, 63), j -> CAST(
+               CAST(hash(gid, j) AS DOUBLE) / 2.147483647e9 +
+               CASE WHEN id % 20 = 1
+                    THEN 0.1e0 * CAST(hash(id, j, 7) AS DOUBLE) / 2.147483647e9
+                    ELSE 0.0e0 END AS FLOAT)) AS embedding""")
+
+    if (sections("minhash")) {
+      val docs = corpus(1000000L)
+      val pairs = Dedup.minhashLsh(docs).filter(col("jaccard") >= 0.5)
+      auditPlan("minhash-lsh 1M docs", pairs)
+      var found = 0L
+      time("minhash-LSH near-dup, 1M docs (100k planted)") {
+        found = pairs.filter(col("b") === col("a") + 1 && col("a") % 10 === 0).count()
+        pairs.count()
+      }
+      println(s"  planted-pair recall: $found/100000")
+      require(found >= 99000L, s"minhash planted recall $found/100000")
+      time("  + duplicate-cluster resolution") {
+        Dedup.clusters(pairs, maxRounds = 25).count()
+      }
+    }
+
+    if (sections("clusters")) {
+      // 900k random edges over 450k nodes (giant component, short
+      // diameter) + a 100 001-node chain (ids offset by 10^7): the
+      // chain collapses only via pointer jumping (log2(1e5) ≈ 17)
+      val rand = spark.range(900000L)
+        .selectExpr("pmod(hash(id, 1), 450000) AS a", "pmod(hash(id, 2), 450000) AS b")
+        .filter(col("a") =!= col("b"))
+      val chain = spark.range(100000L)
+        .selectExpr("id + 10000000 AS a", "id + 10000001 AS b")
+      val edges = rand.unionByName(chain)
+      time("clusters on 10^6-edge synthetic graph") {
+        val lbl = Dedup.clusters(edges, maxRounds = 25)
+        // the chain must have fully collapsed to its min id
+        val chainOk = lbl.filter(col("doc_id") >= 10000000L)
+          .filter(col("cluster_id") =!= 10000000L).count()
+        require(chainOk == 0, s"$chainOk chain nodes not collapsed")
+        lbl.count()
+      }
+    }
+
+    if (sections("ann")) {
+      val emb = vectors(1000000L)
+      val ann = Similarity.ivfTopK(emb, "vec_id % 1000 = 0", 5, bits = 8,
+        hammingProbes = true)
+      auditPlan("multi-probe IVF 1M vectors", ann)
+      time("multi-probe IVF top-5, 1M x 64-dim, 1000 probes") {
+        ann.count()
+      }
+    }
+
+    if (sections("banded")) {
+      val emb = vectors(300000L)
+      // high-cos regime config: 12 bands x 16 bits — random pairs
+      // collide at 0.5^16 per band, planted cos~0.99 pairs at ~0.85
+      val banded = Similarity.nearDupPairsBanded(emb, 0.9, bands = 12,
+        rowsPerBand = 16)
+      auditPlan("banded near-dup 300k vectors", banded)
+      var found = 0L
+      time("banded hyperplane near-dup, 300k x 64-dim (15k planted)") {
+        found = banded.filter(col("b") === col("a") + 1 && col("a") % 20 === 0).count()
+        banded.count()
+      }
+      println(s"  planted-pair recall: $found/15000")
+      require(found >= 13500L, s"banded planted recall $found/15000")
+    }
+
+    println(s"== plan failures: $planFailures")
+    if (planFailures > 0) sys.exit(1)
+    spark.stop()
+  }
+}

@@ -138,6 +138,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.groupBy("a", "b").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("banded LSH near-dup: recall >= 0.9 vs exact all-pairs, identical cosines") {
+    val exact = Similarity.nearDupPairs(emb, 0.45)
+      .select(col("a"), col("b"), col("cos").as("ecos"))
+    val banded = Similarity.nearDupPairsBanded(emb, 0.45)
+    // subset with the same exact cosine (the verify kernel is shared)
+    val j = banded.join(exact, Seq("a", "b"), "left")
+    assert(j.filter(col("ecos").isNull || col("ecos") =!= col("cos")).count() === 0)
+    assert(banded.groupBy("a", "b").count().filter(col("count") > 1).count() === 0)
+    // the round-3 weakness: the Hamming-<=1 probe recovered 3/14 pairs;
+    // the banded contract must recover >= 0.9 of the exact pair set
+    val nExact = exact.count()
+    val nFound = banded.count()
+    assert(nExact > 0, "fixture must contain near-dup pairs")
+    assert(nFound.toDouble / nExact >= 0.9,
+      s"banded LSH recall $nFound/$nExact below 0.9")
+  }
+
+  test("banded LSH prunes hard in the real near-dup regime (planted cos~0.95 pairs)") {
+    import spark.implicits._
+    // deterministic synthetic corpus: 1000 random 64-d vectors plus 25
+    // planted near-dup partners (v + 0.2*noise => cos ~ 0.98). At this
+    // cosine the per-hyperplane agreement is ~0.94, so 8 bands x 8 bits
+    // keep recall while random pairs (p = 0.5) collapse to ~3% of
+    // all-pairs -- the selectivity sign-LSH cannot deliver at 0.45.
+    val rnd = new scala.util.Random(7)
+    def gauss() = rnd.nextGaussian()
+    val base = Array.tabulate(1000)(i => (i.toLong, Array.fill(64)(gauss().toFloat)))
+    val planted = base.take(25).map { case (id, v) =>
+      (id + 10000L, v.map(x => x + 0.2f * gauss().toFloat))
+    }
+    val embSyn = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val found = Similarity.nearDupPairsBanded(embSyn, 0.9, bands = 8, rowsPerBand = 8)
+      .filter(col("b") === col("a") + 10000L).count()
+    assert(found >= 23, s"planted-pair recall $found/25 below 0.9")
+    // candidate volume: distinct pairs sharing any band signature
+    val sigs = Similarity.bandSignatures(embSyn, 8, 8, 64)
+    val nCand = sigs.select(col("band"), col("sig"), col("vec_id").as("id1"))
+      .join(sigs.select(col("band"), col("sig"), col("vec_id").as("id2")), Seq("band", "sig"))
+      .filter(col("id1") < col("id2")).select("id1", "id2").distinct().count()
+    val n = 1025L
+    val allPairs = n * (n - 1) / 2
+    assert(nCand.toDouble / allPairs <= 0.10,
+      s"candidate fraction ${nCand.toDouble / allPairs} — LSH not pruning")
+  }
+
   test("IVF top-k is the bucket-restricted subset of brute force") {
     val ivf = Similarity.ivfTopK(emb, "vec_id % 50 = 0", 5)
       .select("query_id", "neighbor_id", "cos")
@@ -312,6 +357,45 @@ class PipelineSpec extends AnyFunSuite {
     q.stop()
     assert(got.contains((1L, ts(0), ts(10), 2L, 3.0)))     // closed by gap
     assert(got.contains((1L, ts(55), ts(60), 2L, 5.5)))    // closed by event-time timeout
+  }
+
+  test("streaming sessionization == static q_events_sessions on the sf0.01 events table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the contract-query input: real sub-millisecond timestamps, 10k
+    // events — the DuckDB oracle then covers the streaming path
+    // transitively through this row-for-row equality
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val static = Events.sessions(ev, 30)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    val rows = ev.select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+    val maxTs = rows.map(_._2.getTime).max
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingOps.sessionizeStream(spark,
+      stream.toDF().toDF("user_id", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("sess_equiv")
+      .outputMode("append").start()
+    stream.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    // sentinel user far past every real session pushes the watermark
+    // beyond end+gap for all of them; the second batch fires the
+    // event-time timeouts that close the still-open sessions
+    def sentinel(offsetH: Long) =
+      (-1L, new java.sql.Timestamp(maxTs + offsetH * 3600 * 1000), 0.0)
+    stream.addData(Seq(sentinel(2)))
+    q.processAllAvailable()
+    stream.addData(Seq(sentinel(3)))
+    q.processAllAvailable()
+    val streamed = spark.table("sess_equiv")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    assert(streamed.count() === static.count())
+    assert(streamed.exceptAll(static).count() === 0, "streamed rows not in static")
+    assert(static.exceptAll(streamed).count() === 0, "static rows not in streamed")
+    q.stop()
   }
 
   test("streaming: watermarked exact dedup keeps first occurrence per content hash") {

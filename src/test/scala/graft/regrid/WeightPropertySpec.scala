@@ -66,6 +66,71 @@ class WeightPropertySpec extends AnyFunSuite {
     }
   }
 
+  // shared brute-force argmin oracle for the nearest-join properties
+  private def bruteNearest(pts: DataFrame, probes: DataFrame): DataFrame =
+    probes.select(col("id").as("probe_id"),
+        col("lon").as("qlon"), col("lat").as("qlat"))
+      .crossJoin(pts.select(col("id").as("pid"), col("lon").as("plon"), col("lat").as("plat")))
+      .withColumn("dist", Rounding.r9(
+        NearestJoin.sqChord(col("qlon"), col("qlat"), col("plon"), col("plat"))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(col("dist"), col("pid"))))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("pid").as("want"), col("dist").as("wdist"))
+
+  test("property: AUTO-radius nearest equals brute argmin on 10^4-point pole/antimeridian clusters") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(400 + seed)
+      // adversarial density mix: both pole caps (exercises the planar
+      // cap tiles — auto radius here is ~5°, well under the 15° cap
+      // switch), an antimeridian band (seam-wrapped lon tiles), and a
+      // uniform background; clustered sets also under-estimate the
+      // density-derived radius, forcing the 4x widening round
+      def cloud(k: Int, tag: Long): Seq[(Long, Double, Double)] =
+        Seq.tabulate(k) { i =>
+          val u = rnd.nextDouble()
+          val (lon, lat) =
+            if (u < 0.3) (rnd.nextDouble() * 360.0 - 180.0, 87.0 + rnd.nextDouble() * 3.0)
+            else if (u < 0.5) (rnd.nextDouble() * 360.0 - 180.0, -90.0 + rnd.nextDouble() * 3.0)
+            else if (u < 0.7) (175.0 + rnd.nextDouble() * 10.0 - (if (rnd.nextBoolean()) 360.0 else 0.0),
+              rnd.nextDouble() * 170.0 - 85.0)
+            else (rnd.nextDouble() * 360.0 - 180.0, rnd.nextDouble() * 180.0 - 90.0)
+          (tag + i, lon, lat)
+        }
+      val pts = cloud(10000, 0L).toDF("id", "lon", "lat")
+      val probes = cloud(500, 100000L).toDF("id", "lon", "lat")
+      // initBandDeg = 0 → the density-derived auto radius under test
+      val got = NearestJoin.nearest(pts, probes)
+        .select(col("probe_id"), col("point_id").as("got"), col("dist"))
+      val j = got.join(bruteNearest(pts, probes), "probe_id")
+      assert(j.count() === 500, s"seed $seed: probe lost or duplicated")
+      assert(j.filter(col("got") =!= col("want") || col("dist") =!= col("wdist"))
+        .count() === 0, s"seed $seed: argmin mismatch vs brute force")
+    }
+  }
+
+  test("property: escape-hatch residual path equals brute argmin (tight cluster, antipodal probes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // every point inside a 1-degree disk; half the probes antipodal, so
+    // with maxRounds = 1 at a 0.5-degree radius most probes CANNOT
+    // resolve in the tiled rounds and must take the residual exact path
+    val pts = Seq.tabulate(200)(i =>
+      (i.toLong, rnd.nextDouble() - 0.5, rnd.nextDouble() - 0.5)).toDF("id", "lon", "lat")
+    val probes = Seq.tabulate(60) { i =>
+      if (i % 2 == 0) (1000L + i, 179.0 + rnd.nextDouble(), rnd.nextDouble() * 20 - 10)
+      else (1000L + i, rnd.nextDouble() * 4 - 2, rnd.nextDouble() * 4 - 2)
+    }.toDF("id", "lon", "lat")
+    val got = NearestJoin.nearest(pts, probes, initBandDeg = 0.5, maxRounds = 1)
+      .select(col("probe_id"), col("point_id").as("got"), col("dist"))
+    val j = got.join(bruteNearest(pts, probes), "probe_id")
+    assert(j.count() === 60)
+    assert(j.filter(col("got") =!= col("want") || col("dist") =!= col("wdist"))
+      .count() === 0, "escape-hatch argmin mismatch vs brute force")
+  }
+
   test("property: banded nearest join equals brute-force argmin on random point sets") {
     import spark.implicits._
     (1 to cases).foreach { seed =>
