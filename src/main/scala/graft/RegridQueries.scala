@@ -689,43 +689,47 @@ object RegridQueries {
       // Polygon-clip conservative kernel, hash-checked end to end: the
       // identity rotation (pole lat 90) makes the mesh coincide with a
       // mirrored rectilinear grid, so the clip kernel's weights must
-      // match the analytic conservative formula. Weights rounded to 7
-      // decimals on both engines: the kernel's corners come through
-      // asin/atan2 and sit ~5e-14 off the oracle's exact bounds, so
-      // r7 leaves ~7 decimal digits of genuine agreement to check
-      // while keeping the rounding-boundary straddle risk ~1e-4 across
-      // the ~10^3 weights (a clipping bug perturbs weights by ≫1e-7).
-      // The truly-curved (pole 70) mesh keeps its 1e-10 conservation
-      // invariants in RegridSpec; this entry gives the kernel its
-      // value-level oracle.
+      // match the analytic conservative formula. Weights rounded to 9
+      // decimals on both engines. This is deterministically safe, not
+      // probabilistic: the measured kernel-vs-analytic gap on this
+      // fixture is ≤ 1.04e-14 (trig-corner noise through asin/atan2)
+      // while the closest any weight value sits to an r9 rounding
+      // boundary is 2.2e-11 — three orders of headroom, asserted
+      // durable by RegridSpec "conservative-curv oracle headroom".
+      // (r12 would NOT be safe: boundary margin 6e-15 < the gap.)
+      // Corner-noise sliver intersections (weights ~1e-15) round to 0
+      // and are filtered on both engines. The truly-curved (pole 70)
+      // mesh keeps its 1e-10 conservation invariants in RegridSpec;
+      // this entry gives the kernel its value-level oracle.
       (s, _) => Weights.conservativeCurvilinear(
         Curvilinear.rotatedCorners(s, rotGrid, idPoleLat, idPoleLon),
         Curvilinear.boundsToPolys(Grids.cells(s, dstCurv, withBounds = true)))
-        .select(col("row"), col("col"), Rounding.roundN(col("s"), 7).as("s"))
+        .select(col("row"), col("col"), Rounding.roundN(col("s"), 9).as("s"))
         .filter(col("s") =!= 0.0)
         .orderBy("row", "col"),
       Some(s"""SELECT * FROM (${conservativeSql(
           idRotGridSql(rotGrid, idPoleLon), gridSql(dstCurv, withBounds = true),
-          digits = 7)}) w ORDER BY "row", col""")),
+          digits = 9)}) w ORDER BY "row", col""")),
 
     QueryDef("q_regrid_conservative_curv",
       // apply-level check of the same kernel: conservative regrid of
-      // the wave field on the identity-rotated mesh. Weights r7'd on
-      // both engines are bit-identical; the field is evaluated from the
-      // SAME trig expression text on both engines (rotatedCellsSql), so
-      // the r9'd apply output hash-matches like every other trig query.
+      // the wave field on the identity-rotated mesh. Weights r9'd on
+      // both engines are bit-identical (see q_w_conservative_curv's
+      // headroom note); the field is evaluated from the SAME trig
+      // expression text on both engines (rotatedCellsSql), so the r9'd
+      // apply output hash-matches like every other trig query.
       (s, _) => Apply.regrid(
         Weights.conservativeCurvilinear(
           Curvilinear.rotatedCorners(s, rotGrid, idPoleLat, idPoleLon),
           Curvilinear.boundsToPolys(Grids.cells(s, dstCurv, withBounds = true)))
-          .select(col("row"), col("col"), Rounding.roundN(col("s"), 7).as("s"))
+          .select(col("row"), col("col"), Rounding.roundN(col("s"), 9).as("s"))
           .filter(col("s") =!= 0.0).cache(),
         Curvilinear.rotatedCells(s, rotGrid, idPoleLat, idPoleLon)
           .select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("value")),
         Grids.cells(s, dstCurv)).orderBy("cell_id"),
       Some(s"""SELECT * FROM (${applySql(
           conservativeSql(idRotGridSql(rotGrid, idPoleLon),
-            gridSql(dstCurv, withBounds = true), digits = 7),
+            gridSql(dstCurv, withBounds = true), digits = 9),
           s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${rotatedCellsSql(rotGrid, idPoleLat, idPoleLon)}) g",
           gridSql(dstCurv))}) a ORDER BY cell_id""")),
 

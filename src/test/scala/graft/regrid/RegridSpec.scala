@@ -760,6 +760,53 @@ class RegridSpec extends AnyFunSuite {
     assert(e < 0.02, s"curvilinear conservative max rel err $e")
   }
 
+  test("conservative-curv oracle headroom: kernel-vs-analytic gap clears the r9 boundary by 100x+") {
+    // the q_w_conservative_curv contract rounds at 9 decimals; this
+    // pins WHY that is deterministically safe: on the identity-rotation
+    // fixture the clip kernel's weights sit within ~1e-14 of the
+    // analytic conservative formula (trig-corner noise), while no
+    // weight value comes near an r9 rounding boundary — so both engines
+    // round every weight identically, forever, unless the kernel
+    // regresses by orders of magnitude (which this test then catches).
+    val rot = graft.RegridQueries.rotGrid
+    val dstG = graft.RegridQueries.dstCurv
+    val w = Weights.conservativeCurvilinear(
+      Curvilinear.rotatedCorners(spark, rot, poleLat = 90.0, poleLon = -165.0),
+      Curvilinear.boundsToPolys(Grids.cells(spark, dstG, withBounds = true)))
+      .select(col("row"), col("col"), col("s"))
+    // analytic weights of the coincident mirrored rect grid (the
+    // idRotGridSql relation, evaluated here in Scala)
+    val c = -165.0 + 180.0
+    val sCells = Grids.cells(spark, rot, withBounds = true)
+      .select(col("cell_id").as("col"),
+        (lit(c) - col("lon_e")).as("s_lon_w"), (lit(c) - col("lon_w")).as("s_lon_e"),
+        col("lat_s").as("s_lat_s"), col("lat_n").as("s_lat_n"))
+    val dCells = Grids.cells(spark, dstG, withBounds = true)
+      .select(col("cell_id").as("row"), col("lon_w"), col("lon_e"), col("lat_s"), col("lat_n"))
+    val analytic = dCells.join(sCells,
+        col("s_lon_w") < col("lon_e") && col("s_lon_e") > col("lon_w") &&
+        col("s_lat_s") < col("lat_n") && col("s_lat_n") > col("lat_s"))
+      .select(col("row"), col("col"),
+        ((least(col("s_lon_e"), col("lon_e")) - greatest(col("s_lon_w"), col("lon_w"))) *
+          (sin(radians(least(col("s_lat_n"), col("lat_n")))) -
+           sin(radians(greatest(col("s_lat_s"), col("lat_s"))))) /
+         ((col("lon_e") - col("lon_w")) *
+          (sin(radians(col("lat_n"))) - sin(radians(col("lat_s")))))).as("sa"))
+    val j = w.join(analytic, Seq("row", "col"), "full")
+    // overlap pairs agree to ~1e-14; kernel-only slivers are < 1e-13
+    val gap = j.select(max(abs(coalesce(col("s"), lit(0.0)) -
+      coalesce(col("sa"), lit(0.0)))).as("g")).head().getDouble(0)
+    assert(gap < 1e-13, s"kernel-vs-analytic gap $gap")
+    // min distance of any analytic weight to an r9 rounding boundary:
+    // boundaries are where sa*1e9 + 0.5 is an integer, so the distance
+    // is 0.5 - |frac - 0.5| (in 1e-9 units)
+    val margin = analytic
+      .select(min(lit(0.5) - abs(((col("sa") * 1e9 + 0.5) % 1.0) - 0.5)).as("m"))
+      .head().getDouble(0) / 1e9
+    assert(margin > 100 * math.max(gap, 1e-16),
+      s"r9 boundary margin $margin vs gap $gap — rounding no longer deterministic")
+  }
+
   test("Regridder with CoordDef: conservative on a non-uniform grid preserves the global mean") {
     val g = graft.RegridQueries.gridInNonuni       // tiles [-180,180]x[-90,90]
     val r = new Regridder(spark, CoordDef(g), RectDef(gridOut), RegridMethod.Conservative)
