@@ -783,6 +783,23 @@ object RegridQueries {
           gridSql(gridIn, withBounds = true), gridSql(gridOut, withBounds = true))}) w
         ORDER BY "row", col""")),
 
+    QueryDef("q_weights_read_nc",
+      // G8 in the reference's PHYSICAL format: round-trip the same
+      // conservative weights through an actual NetCDF-3 file (the
+      // format frontend.py:264-280 writes and smm.py:10-41 reads),
+      // via the in-repo classic-format codec. Doubles survive
+      // bit-exactly, so the direct-build oracle applies unchanged.
+      (s, _) => {
+        val p = "/root/repo/target/weights_io/esmf_conservative.nc"
+        new java.io.File(p).delete()
+        WeightsIO.writeEsmfNc(
+          Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)), p)
+        WeightsIO.readEsmfNc(s, p).orderBy("row", "col")
+      },
+      Some(s"""SELECT * FROM (${conservativeSql(
+          gridSql(gridIn, withBounds = true), gridSql(gridOut, withBounds = true))}) w
+        ORDER BY "row", col""")),
+
     QueryDef("q_spmm_apply",
       (s, _) => Apply.regrid(
         Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)).cache(),

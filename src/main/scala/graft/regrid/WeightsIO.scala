@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * ESMF weight files are COO triplet tables with variables
   * `(col, row, S)` in **1-based** indexing; the reference shifts them to
   * 0-based on read (`xesmf/smm.py:10-41`: `col = ds['col'].values - 1`)
-  * and persists files in that convention (`frontend.py:264-280`). The
-  * container has no NetCDF codec, so the same triplet relation is
-  * carried as Parquet — the format hop changes nothing about the
-  * convention: `readEsmf` ingests 1-based `(col, row, S)` and returns
-  * the engine-native 0-based `(row, col, s)`.
+  * and persists files in that convention (`frontend.py:264-280`). Two
+  * physical carriers, one convention: the reference's actual NetCDF-3
+  * format via the in-repo [[NetCDF3]] codec (`readEsmfNc`/
+  * `writeEsmfNc` — real `.nc` interop with existing xESMF weight
+  * files), and Parquet (`readEsmf`/`writeEsmf`) for engine-native and
+  * cluster-scale persistence. Both ingest 1-based `(col, row, S)` and
+  * return the engine-native 0-based `(row, col, s)`.
   */
 object WeightsIO {
 
@@ -43,6 +45,47 @@ object WeightsIO {
   /** Read a bucketed weights table (see [[writeBucketed]]). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Read an ESMF/xESMF NetCDF weight file (the reference's actual
+    * on-disk format, `frontend.py:264-280` / `smm.py:10-41`): classic
+    * NetCDF-3 parsed by the in-repo [[NetCDF3]] codec, 1-based
+    * `col`/`row` shifted to the native 0-based relation. Weight files
+    * are driver-RAM-sized by the reference's own design (it loads the
+    * scipy COO in full); cluster-scale weights live in (bucketed)
+    * Parquet instead. */
+  def readEsmfNc(spark: SparkSession, path: String): DataFrame = {
+    val (c, r, s) = NetCDF3.readTriplets(path)
+    import spark.implicits._
+    spark.sparkContext
+      .parallelize(r.indices.map(i => (r(i) - 1, c(i) - 1, s(i))).toSeq,
+        math.max(1, math.min(32, r.length / 65536)))
+      .toDF("row", "col", "s")
+  }
+
+  /** Write a native weights relation as an ESMF-convention NetCDF-3
+    * file readable by xESMF/scipy (1-based `col`/`row`, capital `S`,
+    * dimension `n_s`). Same no-clobber contract as [[writeEsmf]]. */
+  def writeEsmfNc(weights: DataFrame, path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.exists())
+      throw new IllegalStateException(
+        s"Weight file $path already exists! Please delete it or pass reuse semantics " +
+          "(reference backend.py:269-272)")
+    val spark = weights.sparkSession
+    import spark.implicits._
+    val rows = weights.select(col("row").cast("long"), col("col").cast("long"), col("s"))
+      .as[(Long, Long, Double)].collect()
+    require(rows.length.toLong <= SlabApplier.defaultMaxTriplets,
+      s"${rows.length} triplets exceed the driver-side weight-file ceiling; " +
+        "persist cluster-scale weights as Parquet (writeBucketed) instead")
+    rows.foreach { case (r, c, _) =>
+      require(r >= 0 && r < Int.MaxValue && c >= 0 && c < Int.MaxValue,
+        s"cell ids ($r, $c) do not fit the NetCDF int col/row convention") }
+    Option(f.getParentFile).foreach(_.mkdirs())
+    NetCDF3.writeTriplets(path,
+      rows.map(t => (t._2 + 1).toInt), rows.map(t => (t._1 + 1).toInt),
+      rows.map(_._3))
+  }
 
   /** Write a native weights relation as an ESMF-convention file
     * (1-based, capital `S`). Refuses to clobber an existing file — the

@@ -807,6 +807,90 @@ class RegridSpec extends AnyFunSuite {
       s"r9 boundary margin $margin vs gap $gap — rounding no longer deterministic")
   }
 
+  test("NetCDF-3 weight file: round-trips the ESMF convention bit-exactly") {
+    val w = Weights.conservative(srcCells(b = true), dstCells(b = true))
+    val path = "/root/repo/target/weights_io/roundtrip.nc"
+    new java.io.File(path).delete()
+    WeightsIO.writeEsmfNc(w, path)
+    val back = WeightsIO.readEsmfNc(spark, path)
+    assert(back.count() === w.count())
+    val j = w.select(col("row"), col("col"), col("s").as("orig"))
+      .join(back, Seq("row", "col"), "full")
+    assert(j.filter(col("orig").isNull || col("s").isNull ||
+      col("orig") =!= col("s")).count() === 0, "NetCDF round-trip altered weights")
+    // V8 no-clobber contract applies to the .nc path too
+    val e = intercept[IllegalStateException](WeightsIO.writeEsmfNc(w, path))
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("NetCDF-3 writer emits the exact classic-format bytes (spec-derived golden file)") {
+    val path = "/root/repo/target/weights_io/golden.nc"
+    new java.io.File(path).delete()
+    new java.io.File(path).getParentFile.mkdirs()
+    NetCDF3.writeTriplets(path, Array(1, 2), Array(3, 4), Array(0.5, 1.5))
+    // expected bytes built HERE from the NetCDF classic spec, not from
+    // the writer: magic CDF\x01, numrecs, dim_list [n_s=2], no gatts,
+    // var_list [col int, row int, S double], data big-endian
+    val b = java.nio.ByteBuffer.allocate(152 + 8 + 8 + 16)
+    b.put("CDF".getBytes).put(1.toByte).putInt(0)
+    b.putInt(0x0A).putInt(1)                                  // NC_DIMENSION, 1 dim
+    b.putInt(3).put("n_s".getBytes).put(0.toByte).putInt(2)   // "n_s" (pad 4), len 2
+    b.putInt(0).putInt(0)                                     // gatt_list ABSENT
+    b.putInt(0x0B).putInt(3)                                  // NC_VARIABLE, 3 vars
+    def putName(name: String): Unit = {
+      b.putInt(name.length).put(name.getBytes)                // true length prefix
+      (name.length until (name.length + 3) / 4 * 4).foreach(_ => b.put(0.toByte))
+    }
+    def varEntry(name: String, tpe: Int, begin: Int, vsize: Int): Unit = {
+      putName(name)                                           // padded to 4 bytes
+      b.putInt(1).putInt(0)                                   // 1 dim, dimid 0
+      b.putInt(0).putInt(0)                                   // vatt_list ABSENT
+      b.putInt(tpe).putInt(vsize).putInt(begin)
+    }
+    varEntry("col", 4, 152, 8)
+    varEntry("row", 4, 160, 8)
+    varEntry("S", 6, 168, 16)
+    b.putInt(1).putInt(2)                                     // col data
+    b.putInt(3).putInt(4)                                     // row data
+    b.putDouble(0.5).putDouble(1.5)                           // S data
+    val got = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(got.toSeq === b.array().toSeq, "writer bytes differ from spec-derived golden")
+  }
+
+  test("NetCDF-3 reader handles the CDF2 64-bit-offset variant and rejects HDF5") {
+    // hand-crafted CDF2 file (version byte 2, 8-byte begin offsets):
+    // n_s=1, col=[7] int, row=[9] int, S=[2.25] double
+    val hdr = 8 + 20 + 8 + 8 + 40 * 3                          // = 164
+    val b = java.nio.ByteBuffer.allocate(hdr + 4 + 4 + 8)
+    b.put("CDF".getBytes).put(2.toByte).putInt(0)
+    b.putInt(0x0A).putInt(1)
+    b.putInt(3).put("n_s".getBytes).put(0.toByte).putInt(1)
+    b.putInt(0).putInt(0)
+    b.putInt(0x0B).putInt(3)
+    def varEntry(name: String, tpe: Int, begin: Long, vsize: Int): Unit = {
+      b.putInt(name.length).put(name.getBytes)                 // length + pad to 4
+      (name.length until (name.length + 3) / 4 * 4).foreach(_ => b.put(0.toByte))
+      b.putInt(1).putInt(0).putInt(0).putInt(0)
+      b.putInt(tpe).putInt(vsize).putLong(begin)               // 64-bit begin
+    }
+    varEntry("col", 4, 164L, 4)
+    varEntry("row", 4, 168L, 4)
+    varEntry("S", 6, 172L, 8)
+    b.putInt(7).putInt(9).putDouble(2.25)
+    val path = "/root/repo/target/weights_io/cdf2.nc"
+    new java.io.File(path).getParentFile.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), b.array())
+    val (c, r, s) = NetCDF3.readTriplets(path)
+    assert(c.toSeq === Seq(7L) && r.toSeq === Seq(9L) && s.toSeq === Seq(2.25))
+    // an HDF5 container (NetCDF-4) must be rejected with a clear scope
+    // message, not a parse crash
+    val h5 = "/root/repo/target/weights_io/fake_h5.nc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(h5),
+      Array[Byte](0x89.toByte, 'H', 'D', 'F', 0x0D, 0x0A, 0x1A, 0x0A))
+    val e = intercept[IllegalArgumentException](NetCDF3.readTriplets(h5))
+    assert(e.getMessage.contains("HDF5"))
+  }
+
   test("Regridder with CoordDef: conservative on a non-uniform grid preserves the global mean") {
     val g = graft.RegridQueries.gridInNonuni       // tiles [-180,180]x[-90,90]
     val r = new Regridder(spark, CoordDef(g), RectDef(gridOut), RegridMethod.Conservative)
