@@ -96,6 +96,48 @@ object PipelineQueries {
   private def cosSql(a: String, b: String) =
     r9(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))")
 
+  // ---- decontamination / PII / sampling shared fragments ----
+
+  /** Eval split for the decontamination contract: every 20th doc plays
+    * the benchmark corpus, the rest are training docs. */
+  private val evalPred = "doc_id % 20 = 0"
+
+  /** DuckDB mirror of [[Sampling.uExpr]] (same salt). */
+  private def uSql(salt: String) =
+    s"${h60(s"concat('$salt:', CAST(doc_id AS VARCHAR))")} % 1000000"
+
+  /** Per-source Bernoulli rates for the stratified-sample contract:
+    * five rate tiers cycling over the 20 sources. */
+  private val sampleRates: Map[String, Double] =
+    (0 to 19).map(i => s"src$i" -> (i % 5 + 1) * 0.15).toMap
+
+  /** DuckDB threshold CASE — same `round(rate·10⁶)` integers the Spark
+    * side builds in [[Sampling.stratified]]. */
+  private val thrSql = sampleRates.toSeq.sortBy(_._1)
+    .map { case (s, r) => s"WHEN '$s' THEN ${math.round(r * 1e6)}" }
+    .mkString("CASE source ", " ", " ELSE 0 END")
+
+  /** DuckDB single-quoted literal for a portable regex (RE2 strings
+    * take backslashes verbatim — no doubling, unlike Spark literals). */
+  private def rx(p: String) = s"'$p'"
+
+  private val redactSql = Pii.masks.foldLeft("text") { case (e, (p, m)) =>
+    s"regexp_replace($e, ${rx(p)}, '$m', 'g')"
+  }
+
+  /** Deterministic PII injection — the synthetic texts carry no PII, so
+    * both engines append hash-free, doc_id-derived emails / phones /
+    * IPs to two thirds of the docs (the remaining third is the
+    * negative control). Spark and DuckDB texts are byte-identical. */
+  private def piiInject(castStr: String) =
+    s"""CASE CAST(doc_id % 3 AS INTEGER)
+       WHEN 0 THEN concat(text, ' contact user', CAST(doc_id AS $castStr),
+         '@example.com or node 10.', CAST(doc_id % 200 AS $castStr), '.',
+         CAST((doc_id * 7) % 256 AS $castStr), '.', CAST(doc_id % 250 AS $castStr))
+       WHEN 1 THEN concat('call +1-555-', lpad(CAST(doc_id % 10000 AS $castStr), 4, '0'),
+         ' ', text)
+       ELSE text END"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis ----
@@ -476,6 +518,90 @@ object PipelineQueries {
           CAST((((h + i * 2654435761) % 16777216) // 256) % 256 AS DOUBLE) AS mean_g,
           CAST(((h + i * 2654435761) % 16777216) % 256 AS DOUBLE) AS mean_b
         FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""")),
+
+    // ---- decontamination / PII / sampling ----
+
+    QueryDef("q_decontam",
+      // benchmark decontamination: training docs sharing any 5-token
+      // shingle with the eval split, with overlap evidence. Plan: eval
+      // shingles broadcast, train side scanned once (never shuffled
+      // before the match), per-doc distinct counts on the survivors.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Decontam.contamination(
+          d.filter(s"NOT ($evalPred)"), d.filter(evalPred), 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
+        ev AS (SELECT doc_id AS eval_id, s FROM sh5 WHERE $evalPred),
+        tr AS (SELECT doc_id, s FROM sh5 WHERE NOT ($evalPred))
+        SELECT tr.doc_id, count(DISTINCT tr.s) AS n_shared,
+          count(DISTINCT ev.eval_id) AS n_eval_docs
+        FROM tr JOIN ev ON tr.s = ev.s
+        GROUP BY 1 ORDER BY doc_id""")),
+
+    QueryDef("q_decontam_keep",
+      // the surviving corpus after "any overlap → drop": left-anti join
+      // against the contaminated ids, per-source survivor counts
+      (s, dir) => {
+        val d = docs(s, dir)
+        Decontam.decontaminate(
+          d.filter(s"NOT ($evalPred)"), d.filter(evalPred), 5)
+          .groupBy("source").agg(count("*").as("n_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
+        ev AS (SELECT doc_id AS eval_id, s FROM sh5 WHERE $evalPred),
+        bad AS (SELECT DISTINCT tr.doc_id FROM sh5 tr JOIN ev ON tr.s = ev.s
+                WHERE NOT (tr.$evalPred))
+        SELECT source, count(*) AS n_kept FROM documents
+        WHERE NOT ($evalPred) AND doc_id NOT IN (SELECT doc_id FROM bad)
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q_pii_redact",
+      // PII scrub: count + mask emails/phones/IPv4s injected
+      // deterministically from doc_id (the synthetic corpus carries
+      // none). Codegen'd regexp projection, no shuffle; identical
+      // pattern strings run on both engines (Java regex ∩ RE2).
+      (s, dir) => Pii.redact(
+        docs(s, dir).selectExpr("doc_id", s"${piiInject("STRING")} AS text"))
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, ${piiInject("VARCHAR")} AS text FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, ${rx(Pii.emailPattern)})) AS INTEGER) AS n_email,
+          CAST(len(regexp_extract_all(text, ${rx(Pii.phonePattern)})) AS INTEGER) AS n_phone,
+          CAST(len(regexp_extract_all(text, ${rx(Pii.ipv4Pattern)})) AS INTEGER) AS n_ip,
+          $redactSql AS redacted
+        FROM d ORDER BY doc_id""")),
+
+    QueryDef("q_sample_stratified",
+      // deterministic per-source Bernoulli sample (corpus mixing):
+      // hash-derived keep decision, pure codegen'd filter — zero
+      // shuffles before the audit aggregate. Checksum pins exact
+      // membership, not just counts.
+      (s, dir) => Sampling.stratified(docs(s, dir), sampleRates, "r4")
+        .groupBy("source")
+        .agg(count("*").as("n_kept"), sum("doc_id").as("checksum"))
+        .orderBy("source"),
+      Some(s"""WITH u AS (SELECT source, doc_id, ${uSql("r4")} AS u FROM documents)
+        SELECT source, count(*) AS n_kept,
+          CAST(sum(doc_id) AS BIGINT) AS checksum
+        FROM u WHERE u < $thrSql GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q_sample_stratum_topk",
+      // exactly-10-per-source deterministic draw (eval-split carving).
+      // Spark runs the two-level exact top-k (per-(partition, source)
+      // pre-top-k bounds every sort group; a single stratum never lands
+      // in one task); the oracle states the equivalent one-level rank.
+      (s, dir) => Sampling.perStratumTopK(docs(s, dir), 10, "r4")
+        .select("doc_id", "source", "rank")
+        .orderBy("source", "rank"),
+      Some(s"""WITH u AS (SELECT doc_id, source, ${uSql("r4")} AS u FROM documents),
+        r AS (SELECT doc_id, source, CAST(row_number() OVER
+                (PARTITION BY source ORDER BY u, doc_id) AS INTEGER) AS rank
+              FROM u)
+        SELECT doc_id, source, rank FROM r WHERE rank <= 10
+        ORDER BY source, rank""")),
 
     // ---- relational breadth on the star schema ----
 

@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find (and drop) training documents that
+  * share n-token shingles with an evaluation corpus — the standard
+  * contamination filter a training-data pipeline runs before any eval
+  * set is trusted (GPT-3 appendix C / Llama-style n-gram overlap).
+  *
+  * Scale shape: the eval corpus is small relative to training data
+  * (10³–10⁶ benchmark docs vs ~10¹⁰ training docs), so its shingle set
+  * is broadcast and the training side is scanned ONCE with a map-side
+  * hash join — the 100 TB side is never shuffled; only the matched
+  * survivors (a tiny fraction) reach the per-doc aggregate. If the
+  * eval shingle set ever outgrows the broadcast threshold Spark falls
+  * back to a shuffled hash join on the shingle key, which remains an
+  * equi-join — no plan cliff.
+  */
+object Decontam {
+
+  /** Contaminated training docs with overlap evidence:
+    * `(doc_id, n_shared, n_eval_docs)` — distinct shared n-gram count
+    * and the number of distinct eval documents hit. Inputs follow the
+    * `documents` schema (`doc_id`, `text`). */
+  def contamination(train: DataFrame, eval: DataFrame, n: Int = 5): DataFrame = {
+    val ts = TextOps.shingleSet(train, n)
+    val es = TextOps.shingleSet(eval, n)
+      .select(col("s"), col("doc_id").as("eval_id"))
+    ts.join(broadcast(es), "s")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** The decontaminated corpus: training docs with NO shared n-gram
+    * against the eval corpus (left-anti join on the flagged ids — the
+    * usual "any overlap → drop" policy; threshold policies filter
+    * [[contamination]] first instead). */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 5): DataFrame =
+    train.join(contamination(train, eval, n).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+}

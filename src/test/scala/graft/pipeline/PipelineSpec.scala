@@ -433,4 +433,111 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("value") =!= 0.0)
     assert(streamed.count() === batch.count())
   }
+
+  // ---- decontamination / PII / sampling ----
+
+  test("decontamination: flags exactly the overlap set incl. a planted eval copy; keep+flag partition train") {
+    val eval = docs.filter("doc_id % 20 = 0")
+    val train = docs.filter("doc_id % 20 <> 0")
+    // plant a train doc that verbatim-copies an eval doc's text
+    val planted = eval.orderBy("doc_id").limit(1)
+      .select(lit(999983L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val train2 = train.unionByName(planted)
+
+    val flagged = Decontam.contamination(train2, eval, 5)
+    val ids = flagged.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(999983L), "verbatim eval copy must be flagged")
+
+    // brute-force reference: plain distinct shingle-join, no broadcast
+    val brute = TextOps.shingleSet(train2, 5)
+      .join(TextOps.shingleSet(eval, 5).select("s"), "s")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids === brute)
+
+    // the verbatim copy shares its ENTIRE shingle set
+    val nsh = TextOps.shingleSet(planted, 5).count()
+    val row = flagged.filter(col("doc_id") === 999983L).head()
+    assert(row.getLong(1) === nsh && row.getLong(2) >= 1L)
+
+    // decontaminate == train minus flagged (partition, no overlap)
+    val kept = Decontam.decontaminate(train2, eval, 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(ids).isEmpty)
+    assert(kept.size + ids.size === train2.count())
+  }
+
+  test("PII redaction: fixture counts and masks exact, clean text untouched, idempotent") {
+    val fx = Seq(
+      (1L, "mail a.b_c%x+1@ex-ample.co.uk or q@y.io thanks"),
+      (2L, "call +1-555-0042 or +49-30-1234567 now"),
+      (3L, "from 192.168.3.17 to 10.0.255.1."),
+      (4L, "no pii here, just words 12.5 and 3.4"),
+      (5L, "mixed: u@v.org +1-555-0199 10.1.2.3")
+    ).toDF("doc_id", "text")
+    val r = Pii.redact(fx).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) === 2 &&
+      r(1L).getString(4) === "mail <EMAIL> or <EMAIL> thanks")
+    assert(r(2L).getInt(2) === 2 &&
+      r(2L).getString(4) === "call <PHONE> or <PHONE> now")
+    assert(r(3L).getInt(3) === 2 &&
+      r(3L).getString(4) === "from <IP> to <IP>.")
+    assert((1 to 3).forall(i => r(4L).getInt(i) === 0) &&
+      r(4L).getString(4) === "no pii here, just words 12.5 and 3.4")
+    assert(r(5L).getInt(1) === 1 && r(5L).getInt(2) === 1 && r(5L).getInt(3) === 1 &&
+      r(5L).getString(4) === "mixed: <EMAIL> <PHONE> <IP>")
+    // a second pass over redacted output finds nothing and changes nothing
+    val again = Pii.redact(Pii.redact(fx)
+      .select(col("doc_id"), col("redacted").as("text"))).collect()
+    assert(again.forall(x => x.getInt(1) + x.getInt(2) + x.getInt(3) === 0))
+    assert(again.map(x => x.getLong(0) -> x.getString(4)).toMap ===
+      r.map { case (k, v) => k -> v.getString(4) })
+  }
+
+  /** Test-side replica of TextOps.hash60 (md5, first 15 hex chars). */
+  private def h60t(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  test("stratified sample: exact hash membership, rate-monotone, shuffle-free plan") {
+    val rates03 = (0 to 19).map(i => s"src$i" -> 0.3).toMap
+    val got = Sampling.stratified(docs, rates03, "t")
+      .select("doc_id").as[Long].collect().toSet
+    val expect = docs.select("doc_id").as[Long].collect()
+      .filter(id => h60t(s"t:$id") % 1000000 < 300000).toSet
+    assert(got === expect)
+    // monotone: raising every rate only adds rows
+    val bigger = Sampling.stratified(docs, rates03.map { case (k, _) => k -> 0.6 }, "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.subsetOf(bigger))
+    // the sample decision is a scan-stage filter: no exchange in the plan
+    val plan = Sampling.stratified(docs, rates03, "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample plan must not shuffle:\n$plan")
+  }
+
+  test("perStratumTopK: exactly k per source, equals one-level rank, partition-invariant") {
+    val k = 7
+    def key(df: DataFrame) = df.select("doc_id", "source", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val t1 = key(Sampling.perStratumTopK(docs, k, "t"))
+    // every source contributes exactly k rows with ranks 1..k
+    val bySrc = t1.groupBy(_._2)
+    assert(bySrc.forall { case (_, rs) => rs.map(_._3).toSeq.sorted == (1 to k) })
+    // reference: one-level rank computed driver-side
+    val ref = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.toSeq.sortBy { case (id, _) => (h60t(s"t:$id") % 1000000, id) }
+          .take(k).zipWithIndex
+          .map { case ((id, _), i) => (id, src, i + 1) }
+      }.toSet
+    assert(t1 === ref)
+    // the two-level draw is exact under any input partitioning
+    val t2 = key(Sampling.perStratumTopK(docs.repartition(13), k, "t"))
+    assert(t2 === t1)
+  }
 }
