@@ -117,6 +117,40 @@ object PipelineQueries {
     .map { case (s, r) => s"WHEN '$s' THEN ${math.round(r * 1e6)}" }
     .mkString("CASE source ", " ", " ELSE 0 END")
 
+  /** Sequence-packing contract constants: 256-token bins over 8 shards
+    * (avg doc ≈ 54 tokens → ~4 docs/bin; 8 sequential chains keep the
+    * recursive oracle's depth at ~60 rows/shard at sf0.01). */
+  private val packCap = 256L
+  private val packShards = 8
+
+  /** DuckDB replay of [[Packing.packGreedy]]'s next-fit recurrence:
+    * rank docs per shard, then walk rn = 1, 2, … carrying (bin, fill)
+    * — the recursive CTE states sequentially what the Spark side
+    * computes in one streaming mapPartitions pass. Used by
+    * q_pack_greedy (assignments) and q_pack_stats (per-shard audit). */
+  private lazy val packCtes =
+    s"""d AS (SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+          CAST(${h60("concat('r4:', CAST(doc_id AS VARCHAR))")} % $packShards AS INTEGER) AS shard
+        FROM documents),
+        r AS (SELECT doc_id, n_tok, shard,
+                row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              FROM d),
+        rec AS (
+          SELECT shard, rn, doc_id, n_tok,
+            CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_offset,
+            n_tok AS fill
+          FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.shard, r.rn, r.doc_id, r.n_tok,
+            CASE WHEN rec.fill + r.n_tok > $packCap
+                 THEN rec.bin_id + 1 ELSE rec.bin_id END,
+            CASE WHEN rec.fill + r.n_tok > $packCap
+                 THEN CAST(0 AS BIGINT) ELSE rec.fill END,
+            CASE WHEN rec.fill + r.n_tok > $packCap
+                 THEN r.n_tok ELSE rec.fill + r.n_tok END
+          FROM rec JOIN r ON r.shard = rec.shard AND r.rn = rec.rn + 1)"""
+
   /** DuckDB single-quoted literal for a portable regex (RE2 strings
     * take backslashes verbatim — no doubling, unlike Spark literals). */
   private def rx(p: String) = s"'$p'"
@@ -602,6 +636,30 @@ object PipelineQueries {
               FROM u)
         SELECT doc_id, source, rank FROM r WHERE rank <= 10
         ORDER BY source, rank""")),
+
+    QueryDef("q_pack_greedy",
+      // sequence packing: docs → fixed-capacity training windows via
+      // sharded greedy next-fit (one exchange on shard, then a
+      // streaming O(1)-memory pass; shard count = parallelism knob).
+      // The oracle replays the same sequential recurrence as a
+      // recursive CTE.
+      (s, dir) => Packing.packGreedy(docs(s, dir), packCap, packShards, "r4")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $packCtes
+        SELECT doc_id, shard, n_tok, bin_id, bin_offset FROM rec
+        ORDER BY doc_id""")),
+
+    QueryDef("q_pack_stats",
+      // packing audit: bins, docs, tokens, and capacity utilization per
+      // shard — the number that sizes `capacity` for a corpus
+      (s, dir) => Packing.packStats(
+        Packing.packGreedy(docs(s, dir), packCap, packShards, "r4"), packCap)
+        .orderBy("shard"),
+      Some(s"""WITH RECURSIVE $packCtes
+        SELECT shard, max(bin_id) + 1 AS n_bins, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tok,
+          ${r9(s"CAST(sum(n_tok) AS DOUBLE) / (CAST(max(bin_id) + 1 AS DOUBLE) * ${packCap}.0e0)")} AS utilization
+        FROM rec GROUP BY 1 ORDER BY shard""")),
 
     // ---- relational breadth on the star schema ----
 

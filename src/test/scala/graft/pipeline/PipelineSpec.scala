@@ -540,4 +540,46 @@ class PipelineSpec extends AnyFunSuite {
     val t2 = key(Sampling.perStratumTopK(docs.repartition(13), k, "t"))
     assert(t2 === t1)
   }
+
+  test("packGreedy: next-fit invariants, oversize isolation, partition-invariant") {
+    val cap = 64L
+    // plant one doc longer than the capacity among real docs
+    val oversize = Seq((900001L, ("tok " * 100).trim)).toDF("doc_id", "text")
+    val in = docs.select("doc_id", "text").unionByName(oversize)
+    val p = Packing.packGreedy(in, cap, 4, "t")
+    val rows = p.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === in.count())
+    val byBin = rows.groupBy(r => (r._2, r._4))
+    byBin.foreach { case ((shard, bin), ds) =>
+      val sorted = ds.sortBy(_._1)
+      // offsets are the exact running token sum, in doc_id order
+      var fill = 0L
+      sorted.foreach { case (id, _, n, _, off) =>
+        assert(off === fill, s"doc $id in ($shard, $bin): offset $off != fill $fill")
+        fill += n
+      }
+      // a bin only exceeds capacity when it holds a single oversize doc
+      assert(fill <= cap || (ds.length == 1 && ds.head._3 > cap),
+        s"bin ($shard, $bin) overfilled to $fill with ${ds.length} docs")
+    }
+    // the planted oversize doc sits alone in its bin
+    val big = rows.find(_._1 == 900001L).get
+    assert(big._3 === 100 && big._5 === 0L &&
+      byBin((big._2, big._4)).length === 1)
+    // bin ids are dense 0..max per shard
+    rows.groupBy(_._2).foreach { case (_, ds) =>
+      val bins = ds.map(_._4).distinct.sorted
+      assert(bins === (0L until bins.length).toArray)
+    }
+    // deterministic under input partitioning (shuffle + sort fixes order)
+    val p13 = Packing.packGreedy(in.repartition(13), cap, 4, "t")
+    assert(p13.collect().toSet === p.collect().toSet)
+    // audit math: utilization consistent with assignments
+    val st = Packing.packStats(p, cap).collect()
+    st.foreach { r =>
+      val (nBins, nTok) = (r.getLong(1), r.getLong(3))
+      assert(math.abs(r.getDouble(4) - nTok.toDouble / (nBins * cap)) < 1e-9)
+    }
+  }
 }
