@@ -32,7 +32,8 @@ import graft.pipeline._
   */
 object PipelineScaleProbe {
   def main(args: Array[String]): Unit = {
-    val sections = if (args.isEmpty) Set("minhash", "clusters", "ann", "banded")
+    val sections = if (args.isEmpty)
+                     Set("minhash", "clusters", "ann", "banded", "packing", "decontam")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -143,6 +144,48 @@ object PipelineScaleProbe {
       }
       println(s"  planted-pair recall: $found/15000")
       require(found >= 13500L, s"banded planted recall $found/15000")
+    }
+
+    if (sections("packing")) {
+      // 30M docs over 1024 shards — parallelism comes from the shard
+      // count, not doc count; n_tok provided directly (packGreedy's
+      // fast path), mimicking a pipeline where token counts are a
+      // materialized upstream column
+      val docs30m = spark.range(30000000L)
+        .selectExpr("id AS doc_id", "20L + pmod(hash(id, 3), 200) AS n_tok")
+      val packed = Packing.packGreedy(docs30m, 2048L, 1024)
+      auditPlan("greedy packing 30M docs", packed)
+      time("greedy next-fit packing, 30M docs, 1024 shards") {
+        packed.count()
+      }
+      // capacity invariant holds at scale (no oversize docs planted:
+      // every bin fill must be <= capacity)
+      time("  + bin-fill audit (max fill over all bins)") {
+        val over = packed.groupBy("shard", "bin_id")
+          .agg(sum("n_tok").as("fill"))
+          .filter(col("fill") > 2048L).count()
+        require(over == 0L, s"$over bins overfilled")
+        over
+      }
+    }
+
+    if (sections("decontam")) {
+      // 3M train docs vs a 3k-doc eval split whose members are planted
+      // near-dups of train docs (ids ≡ 1 mod 10 share 16 of 17
+      // 5-shingles with id−1) — eval shingles broadcast, train side
+      // scanned once, never shuffled before the match
+      val all = corpus(3000000L)
+      val evalDocs = all.filter("doc_id % 10 = 1 AND doc_id % 1000 = 1")
+      val train = all.filter("doc_id % 10 != 1")
+      val contaminated = Decontam.contamination(train, evalDocs, 5)
+      auditPlan("decontam 3M train vs 3k eval", contaminated)
+      var hit = 0L
+      time("decontamination, 3M train docs vs 3k eval docs") {
+        hit = contaminated.filter(col("doc_id") % 1000 === 0).count()
+        contaminated.count()
+      }
+      println(s"  planted-partner detection: $hit/3000")
+      require(hit >= 2970L, s"decontam planted detection $hit/3000")
     }
 
     println(s"== plan failures: $planFailures")
