@@ -637,6 +637,15 @@ object PipelineQueries {
         SELECT doc_id, source, rank FROM r WHERE rank <= 10
         ORDER BY source, rank""")),
 
+    QueryDef("q_ngram_topk",
+      // corpus-wide heavy-hitter 3-grams (boilerplate detector): per-doc
+      // distinct shingles -> doc-frequency count (map-side partial agg)
+      // -> top-50 via TakeOrdered, total-ordered so the cut is exact
+      (s, dir) => TextOps.topShingles(docs(s, dir), 3, 50),
+      Some(s"""WITH tok AS ($tokCte), sh3 AS (${sh(3)})
+        SELECT s, count(*) AS n_docs FROM sh3 GROUP BY 1
+        ORDER BY n_docs DESC, s LIMIT 50""")),
+
     QueryDef("q_pack_greedy",
       // sequence packing: docs → fixed-capacity training windows via
       // sharded greedy next-fit (one exchange on shard, then a

@@ -201,4 +201,20 @@ object TextOps {
       .filter(expr(s"size(tokens) >= $n"))
       .selectExpr(("doc_id" +: carry) :+ s"explode(${shinglesExpr(n)}) AS s": _*)
       .distinct()
+
+  /** Corpus-wide heavy-hitter n-grams: the k shingles present in the
+    * most distinct documents — the boilerplate detector (headers,
+    * license blurbs, navigation chrome) that per-document repetition
+    * stats cannot see. Scale shape: per-doc distinct shingles →
+    * count per shingle (map-side partial aggregation halves the
+    * exchange) → global top-k via TakeOrderedAndProject, never a full
+    * sort; `(n_docs DESC, s ASC)` is a total order, so the cut is
+    * deterministic on both engines. */
+  def topShingles(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    shingleSet(docs, n)
+      .groupBy("s").agg(count("*").as("n_docs"))
+      .orderBy(col("n_docs").desc, col("s"))
+      .limit(k)
+  }
 }
