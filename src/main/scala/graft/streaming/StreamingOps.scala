@@ -118,6 +118,28 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(run)
   }
 
+  /** Streaming decontamination: flag training documents that share any
+    * n-token shingle with a STATIC eval corpus as they stream in — the
+    * in-flight form of [[graft.pipeline.Decontam.contamination]] for
+    * pipelines that filter during ingest rather than in a later batch
+    * pass. Stream-static left-semi join against the broadcast eval
+    * shingle set (stateless, the 100 TB stream side never shuffles),
+    * then `dropDuplicates` so each contaminated doc is flagged once.
+    * State is one entry per FLAGGED doc — a tiny fraction of the
+    * stream; production runs bound it further with a watermark on an
+    * ingest-time column (`dropDuplicatesWithinWatermark`). */
+  def decontamFlagsStream(train: DataFrame, evalDocs: DataFrame,
+                          n: Int = 5): DataFrame = {
+    import graft.pipeline.TextOps
+    val es = TextOps.shingleSet(evalDocs, n).select("s").distinct()
+    TextOps.withTokens(train)
+      .filter(expr(s"size(tokens) >= $n"))
+      .selectExpr("doc_id", s"explode(${TextOps.shinglesExpr(n)}) AS s")
+      .join(broadcast(es), Seq("s"), "left_semi")
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+  }
+
   /** Streaming regrid: the K1 join-agg kernel applied per micro-batch.
     * Weights are a static broadcast side (the exact analog of the
     * reference's dask strategy — every chunk sees the full W,

@@ -541,6 +541,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(t2 === t1)
   }
 
+  test("streaming decontamination flags the same docs as the static pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = docs.filter("doc_id % 20 = 0")
+    val train = docs.filter("doc_id % 20 != 0")
+    val staticFlags = Decontam.contamination(train, evalDocs, 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(staticFlags.nonEmpty)
+    // stream the training docs in two micro-batches
+    val rows = train.select("doc_id", "text").as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingOps.decontamFlagsStream(
+      stream.toDF().toDF("doc_id", "text"), evalDocs)
+    val q = out.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    stream.addData(b1.toSeq); q.processAllAvailable()
+    stream.addData(b2.toSeq); q.processAllAvailable()
+    val got = spark.table("decontam_stream").as[Long].collect().toSet
+    q.stop()
+    assert(got === staticFlags)
+  }
+
   test("packGreedy: next-fit invariants, oversize isolation, partition-invariant") {
     val cap = 64L
     // plant one doc longer than the capacity among real docs
