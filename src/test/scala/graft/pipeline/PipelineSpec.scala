@@ -541,6 +541,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(t2 === t1)
   }
 
+  test("property: packGreedy equals a straight-line next-fit reference on random corpora") {
+    val cap = 100L
+    for (seed <- 1 to 5) {
+      val r = new scala.util.Random(seed)
+      // token counts hit the boundaries on purpose: exactly-capacity
+      // docs, capacity+1 (oversize), tiny docs
+      val nToks = Array.fill(400)(r.nextInt(120) match {
+        case x if x >= 115 => cap            // == capacity: fits alone exactly
+        case x if x >= 110 => cap + 1 + x    // oversize
+        case x             => x + 1L
+      })
+      val in = nToks.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("doc_id", "n_tok")
+      val got = Packing.packGreedy(in, cap, 3, s"seed$seed").collect()
+        .map(x => (x.getLong(0), (x.getInt(1), x.getLong(3), x.getLong(4)))).toMap
+      // driver-side reference: group by the same hash shard, walk in
+      // doc_id order carrying (bin, fill)
+      val ref = scala.collection.mutable.Map[Long, (Int, Long, Long)]()
+      (0 until 3).foreach { shard =>
+        val mine = nToks.indices.map(_.toLong)
+          .filter(id => (h60t(s"seed$seed:$id") % 3).toInt == shard)
+        var bin = 0L; var fill = 0L
+        mine.foreach { id =>
+          val n = nToks(id.toInt)
+          val off = if (fill > 0 && fill + n > cap) { bin += 1; fill = 0L; 0L }
+                    else fill
+          fill = off + n
+          ref(id) = (shard, bin, off)
+        }
+      }
+      assert(got === ref.toMap, s"seed $seed mismatch")
+    }
+  }
+
   test("streaming decontamination flags the same docs as the static pass") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
