@@ -233,7 +233,11 @@ object Similarity {
     * exposed for exactly that tuning. */
   def nearDupPairsBanded(emb: DataFrame, minCos: Double, bands: Int = 24,
                          rowsPerBand: Int = 4, dim: Int = 64): DataFrame = {
-    val sigs = bandSignatures(emb, bands, rowsPerBand, dim)
+    // checkpoint before the self-join: both join sides would otherwise
+    // re-run the signature kernel (bands×rowsPerBand dot products per
+    // vector — the dominant compute of the candidate stage); same
+    // discipline as Dedup.clusters, and the oracle's AS MATERIALIZED
+    val sigs = bandSignatures(emb, bands, rowsPerBand, dim).localCheckpoint()
     val candidates = sigs.select(col("band"), col("sig"), col("vec_id").as("id1"))
       .join(sigs.select(col("band"), col("sig"), col("vec_id").as("id2")), Seq("band", "sig"))
       .filter(col("id1") < col("id2"))

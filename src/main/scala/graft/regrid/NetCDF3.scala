@@ -152,6 +152,13 @@ object NetCDF3 {
                     sV: Array[Double]): Unit = {
     require(colV.length == rowV.length && rowV.length == sV.length,
       s"col/row/S lengths differ: ${colV.length}/${rowV.length}/${sV.length}")
+    // a fixed dimension of length 0 is indistinguishable from the
+    // record dimension in the classic format — an empty weight set is
+    // unrepresentable, and a 0-length n_s would make this codec's own
+    // reader (and external NetCDF readers) treat n_s as unlimited
+    require(colV.nonEmpty,
+      "cannot write an empty weight set as NetCDF-3: dimension length 0 " +
+        "denotes the record dimension in the classic format")
     val n = colV.length
 
     def nameBytes(s: String): Array[Byte] = {

@@ -68,9 +68,12 @@ object StreamingOps {
       t
     }
     // the exact cast chain of Events.sessions' CAST(value AS
-    // DECIMAL(18,6)): HALF_UP at 6 decimals, summed exactly as a long
+    // DECIMAL(18,6)): Spark's Decimal(double) parses the SHORTEST
+    // decimal repr (BigDecimal.valueOf), not the exact binary
+    // expansion — new BigDecimal(7.8872335) would round the ...49999
+    // expansion DOWN where Spark rounds the literal HALF_UP
     def valueMicros(v: Double): Long =
-      new java.math.BigDecimal(v)
+      java.math.BigDecimal.valueOf(v)
         .setScale(6, java.math.RoundingMode.HALF_UP)
         .scaleByPowerOfTen(6).longValueExact
 

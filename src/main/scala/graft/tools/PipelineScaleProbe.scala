@@ -20,7 +20,11 @@ import graft.pipeline._
   *                chain that exercises pointer jumping);
   *  - `ann`:      multi-probe IVF top-k at 1M × 64-dim vectors;
   *  - `banded`:   banded random-hyperplane near-dup at 300k vectors in
-  *                the high-cos regime (12 bands × 16 bits).
+  *                the high-cos regime (12 bands × 16 bits);
+  *  - `packing`:  greedy next-fit sequence packing at 30M docs over
+  *                1024 shards, with a bin-fill capacity audit;
+  *  - `decontam`: 3M train docs against a 3k-doc broadcast eval split
+  *                with planted eval partners.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -44,12 +48,10 @@ object PipelineScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     var planFailures = 0
-    def auditPlan(tag: String, df: DataFrame): Unit = {
-      val plan = df.queryExecution.executedPlan.toString
-      def n(p: String) = p.r.findAllIn(plan).length
-      val bad = n("BroadcastNestedLoopJoin") + n("CartesianProduct")
-      if (bad > 0) { planFailures += 1; println(s"$tag  <-- BNLJ/CARTESIAN IN PLAN") }
-    }
+    def auditPlan(tag: String, df: DataFrame): Unit =
+      if (PlanScan.badJoinCount(df) > 0) {
+        planFailures += 1; println(s"$tag  <-- BNLJ/CARTESIAN IN PLAN")
+      }
     def time(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f

@@ -36,8 +36,8 @@ object PlanAudit {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        def n(p: String) = p.r.findAllIn(plan).length
-        val bad = n("BroadcastNestedLoopJoin") + n("CartesianProduct")
+        def n(p: String) = PlanScan.opCount(plan, p)
+        val bad = PlanScan.forbiddenOps.map(n).sum
         val summary = Seq(
           "BHJ" -> n("BroadcastHashJoin"), "SMJ" -> n("SortMergeJoin"),
           "SHJ" -> n("ShuffledHashJoin"), "BNLJ" -> n("BroadcastNestedLoopJoin"),

@@ -366,8 +366,20 @@ class PipelineSpec extends AnyFunSuite {
     // the contract-query input: real sub-millisecond timestamps, 10k
     // events — the DuckDB oracle then covers the streaming path
     // transitively through this row-for-row equality
+    // adversarial decimal-cast boundaries: Spark casts the SHORTEST
+    // repr of the double (7.8872335 -> 7.887234 HALF_UP) while the
+    // exact binary expansion (...7334999...) would round DOWN — these
+    // rows catch any drift between the two in the streaming kernel
+    val boundary = Seq(
+      (9000001L, "2027-03-01 00:00:00", 88888888L, "b", 7.8872335, ""),
+      (9000002L, "2027-03-01 00:05:00", 88888888L, "b", 2.3308445, ""),
+      (9000003L, "2027-03-01 00:40:00", 88888888L, "b", 0.0210605, ""))
+      .map { case (e, t, u, et, v, p) =>
+        (e, java.sql.Timestamp.valueOf(t), u, et, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .unionByName(boundary)
     val static = Events.sessions(ev, 30)
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     val rows = ev.select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))

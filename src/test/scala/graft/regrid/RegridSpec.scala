@@ -823,6 +823,14 @@ class RegridSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("NetCDF-3 writer rejects an empty weight set loudly (0-length n_s would read as the record dimension)") {
+    val path = "/root/repo/target/weights_io/empty.nc"
+    new java.io.File(path).getParentFile.mkdirs()
+    val e = intercept[IllegalArgumentException](
+      NetCDF3.writeTriplets(path, Array.empty, Array.empty, Array.empty))
+    assert(e.getMessage.contains("empty weight set"))
+  }
+
   test("NetCDF-3 writer emits the exact classic-format bytes (spec-derived golden file)") {
     val path = "/root/repo/target/weights_io/golden.nc"
     new java.io.File(path).delete()
