@@ -151,6 +151,40 @@ object PipelineQueries {
                  THEN r.n_tok ELSE rec.fill + r.n_tok END
           FROM rec JOIN r ON r.shard = rec.shard AND r.rn = rec.rn + 1)"""
 
+  /** k-means contract constants and the unrolled-Lloyd oracle chain.
+    * Parity is engineered to be bit-exact (quantized integer-valued
+    * doubles → exact order-independent sums; one IEEE division per
+    * centroid component; fixed-order distance folds — see
+    * [[graft.pipeline.Clustering]]), so the oracle needs no tolerance. */
+  private val kmK = 8
+  private val kmIters = 3
+  private lazy val kmeansCtes: String = {
+    def dist(v: String, c: String) =
+      s"""list_reduce(list_transform(list_zip($v, $c),
+          p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)"""
+    val init =
+      s"""e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+            x -> round(x * 10000.0e0)) AS v FROM embeddings),
+          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v AS c
+                 FROM (SELECT * FROM e ORDER BY vec_id LIMIT $kmK))"""
+    val rounds = (1 to kmIters).map { i =>
+      val assign =
+        s"""a$i AS (SELECT vec_id, v, cl, d FROM (
+              SELECT vec_id, v, cl, d,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+              FROM (SELECT e.vec_id, e.v, c${i - 1}.cl,
+                      ${dist("e.v", s"c${i - 1}.c")} AS d
+                    FROM e CROSS JOIN c${i - 1}))
+            WHERE rn = 1)"""
+      val update = if (i == kmIters) "" else
+        s""", u$i AS (SELECT cl, j, sum(v[j]) AS s, count(*) AS n
+              FROM a$i CROSS JOIN generate_series(1, 64) t(j) GROUP BY 1, 2),
+            c$i AS (SELECT cl, list(s / n ORDER BY j) AS c FROM u$i GROUP BY 1)"""
+      assign + update
+    }
+    (init +: rounds).mkString(", ")
+  }
+
   /** DuckDB single-quoted literal for a portable regex (RE2 strings
     * take backslashes verbatim — no doubling, unlike Spark literals). */
   private def rx(p: String) = s"'$p'"
@@ -636,6 +670,20 @@ object PipelineQueries {
               FROM u)
         SELECT doc_id, source, rank FROM r WHERE rank <= 10
         ORDER BY source, rank""")),
+
+    QueryDef("q_kmeans",
+      // distributed Lloyd's k-means (fixed 3 iterations, deterministic
+      // init) — the semantic-dedup / learned-IVF backbone. Assignment
+      // is a stateless map against broadcast centroids; the update
+      // shuffles only per-partition dense accumulators. Bit-exact
+      // cross-engine parity by construction (see kmeansCtes scaladoc).
+      (s, dir) => Clustering.kmeans(emb(s, dir), kmK, kmIters)
+        .select(col("vec_id"), col("cluster"),
+          graft.regrid.Rounding.r9(col("dist2")).as("dist2"))
+        .orderBy("vec_id"),
+      Some(s"""WITH $kmeansCtes
+        SELECT vec_id, cl AS cluster, ${r9("d")} AS dist2 FROM a$kmIters
+        ORDER BY vec_id""")),
 
     QueryDef("q_ngram_topk",
       // corpus-wide heavy-hitter 3-grams (boilerplate detector): per-doc

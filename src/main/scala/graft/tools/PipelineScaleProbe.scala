@@ -24,7 +24,8 @@ import graft.pipeline._
   *  - `packing`:  greedy next-fit sequence packing at 30M docs over
   *                1024 shards, with a bin-fill capacity audit;
   *  - `decontam`: 3M train docs against a 3k-doc broadcast eval split
-  *                with planted eval partners.
+  *                with planted eval partners;
+  *  - `kmeans`:   Lloyd's k-means at 1M × 64-dim, k=16, 3 rounds.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -37,7 +38,7 @@ import graft.pipeline._
 object PipelineScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections = if (args.isEmpty)
-                     Set("minhash", "clusters", "ann", "banded", "packing", "decontam")
+                     Set("minhash", "clusters", "ann", "banded", "packing", "decontam", "kmeans")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -146,6 +147,16 @@ object PipelineScaleProbe {
       }
       println(s"  planted-pair recall: $found/15000")
       require(found >= 13500L, s"banded planted recall $found/15000")
+    }
+
+    if (sections("kmeans")) {
+      // 1M × 64-dim, k=16, 3 Lloyd rounds: assignment is a stateless
+      // broadcast map; each update shuffles only partitions × k dense
+      // accumulators — the corpus itself never moves
+      val emb = vectors(1000000L)
+      time("k-means 1M x 64-dim, k=16, 3 iterations") {
+        Clustering.kmeans(emb, 16, 3).count()
+      }
     }
 
     if (sections("packing")) {

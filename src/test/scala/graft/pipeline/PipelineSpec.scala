@@ -587,6 +587,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans: SSE non-increasing over iterations, partition-invariant, k covers") {
+    def run(df: org.apache.spark.sql.DataFrame, iters: Int) =
+      Clustering.kmeans(df, 4, iters)
+    val sse = (1 to 3).map(i =>
+      run(emb, i).agg(sum("dist2")).as[Double].head())
+    assert(sse.sliding(2).forall(w => w(1) <= w(0) * (1 + 1e-12)),
+      s"SSE increased across Lloyd iterations: $sse")
+    val base = run(emb, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    // exact under any input partitioning (quantized sums are exact,
+    // so no float-order drift between 4 and 13 partitions)
+    val reparted = run(emb.repartition(13), 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(reparted === base)
+    // every vector assigned, clusters within [0, k)
+    assert(base.size === emb.count())
+    assert(base.map(_._2).forall(c => c >= 0 && c < 4))
+  }
+
   test("streaming decontamination flags the same docs as the static pass") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
