@@ -685,6 +685,33 @@ object PipelineQueries {
         SELECT vec_id, cl AS cluster, ${r9("d")} AS dist2 FROM a$kmIters
         ORDER BY vec_id""")),
 
+    QueryDef("q_semantic_dedup",
+      // SemDeDup composition: k-means cells -> within-cell exact cosine
+      // pairs (equi-join on the cell id) -> connected components ->
+      // min-id representative per near-dup group. Oracle: the unrolled
+      // Lloyd chain + within-cell pair join + recursive closure.
+      (s, dir) => Clustering.semanticDedup(emb(s, dir), kmK, kmIters, 0.45)
+        .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE $kmeansCtes,
+        g AS (SELECT vec_id, cl FROM a$kmIters),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pr AS (SELECT x.vec_id AS a, y.vec_id AS b FROM g x
+               JOIN g y ON x.cl = y.cl AND x.vec_id < y.vec_id
+               JOIN ev xv ON xv.vec_id = x.vec_id
+               JOIN ev yv ON yv.vec_id = y.vec_id
+               WHERE ${cosSql("xv.v", "yv.v")} >= 0.45e0),
+        ed AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+        nodes AS (SELECT DISTINCT x AS id FROM ed),
+        reach(id, r) AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, ed.y AS r FROM reach JOIN ed ON ed.x = reach.r),
+        rep AS (SELECT id AS vec_id, min(r) AS rep_id FROM reach GROUP BY id)
+        SELECT e2.vec_id, coalesce(rep.rep_id, e2.vec_id) AS rep_id,
+          coalesce(rep.rep_id, e2.vec_id) = e2.vec_id AS keep
+        FROM embeddings e2 LEFT JOIN rep ON rep.vec_id = e2.vec_id
+        ORDER BY e2.vec_id""")),
+
     QueryDef("q_ngram_topk",
       // corpus-wide heavy-hitter 3-grams (boilerplate detector): per-doc
       // distinct shingles -> doc-frequency count (map-side partial agg)

@@ -101,4 +101,28 @@ object Clustering {
   }
 
   private def dimOf(m: scala.collection.Map[Int, Double]): Int = m.keys.max + 1
+
+  /** SemDeDup-style semantic dedup: k-means partitions the corpus into
+    * k cells, exact cosine pairs are computed WITHIN cells only (a
+    * pure equi-join on the cell id — the O(n²) work becomes k
+    * independent O((n/k)²) blocks), near-dup groups are resolved by
+    * connected components, and each group keeps its min-id
+    * representative. Returns one row per vector:
+    * `(vec_id, rep_id, keep)` — `keep` marks the representative (and
+    * every vector with no near-dup). Cross-cell near-dups are out of
+    * scope by the algorithm's construction, not approximation error.
+    */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int,
+                    minCos: Double): DataFrame = {
+    // checkpoint: the assignment feeds both sides of the pair join and
+    // would otherwise re-run the full Lloyd chain twice
+    val asg = kmeans(emb, k, iters)
+      .select(col("vec_id"), col("cluster").as("g")).localCheckpoint()
+    val pairs = Similarity.withinGroupPairs(emb, asg, minCos)
+    val comp = Dedup.clusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))
+    emb.select("vec_id").join(comp, Seq("vec_id"), "left")
+      .selectExpr("vec_id", "coalesce(rep_id, vec_id) AS rep_id",
+        "coalesce(rep_id, vec_id) = vec_id AS keep")
+  }
 }

@@ -252,6 +252,27 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Within-group exact cosine pairs — the SemDeDup shape: a prior
+    * clustering (`groups` = `(vec_id, g)`) partitions the O(n²) pair
+    * work into independent per-group blocks, and candidates become a
+    * pure equi-join on the group id. Cross-group pairs are OUT OF
+    * SCOPE by construction (that is the algorithm's stated recall
+    * trade, not an approximation of all-pairs). */
+  def withinGroupPairs(emb: DataFrame, groups: DataFrame,
+                       minCos: Double): DataFrame = {
+    val a = vecs(emb, "a").join(
+      groups.select(col("vec_id").as("a_id"), col("g")), "a_id")
+    val b = vecs(emb, "b").join(
+      groups.select(col("vec_id").as("b_id"), col("g")), "b_id")
+    val pairs = a.join(b, Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .selectExpr("a_id AS id1", "b_id AS id2",
+        "a_v AS v1", "a_nrm AS n1", "b_v AS v2", "b_nrm AS n2")
+    cosKernel(pairs)
+      .toDF("a", "b", "cos")
+      .filter(col("cos") >= minCos)
+  }
+
   def nearDupPairsBucketed(emb: DataFrame, minCos: Double, bits: Int = 16): DataFrame = {
     val a = vecs(emb, "a").withColumn("bucket", expr(bucketExpr("a_v", bits)).cast("long"))
     val b = vecs(emb, "b").withColumn("b_bucket", expr(bucketExpr("b_v", bits)).cast("long"))

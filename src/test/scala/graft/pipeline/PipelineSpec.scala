@@ -606,6 +606,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(base.map(_._2).forall(c => c >= 0 && c < 4))
   }
 
+  test("semanticDedup: rep is the min id of its group, pairs share a rep, keeps partition") {
+    val out = Clustering.semanticDedup(emb, 4, 2, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === emb.count())
+    out.foreach { case (id, rep, keep) =>
+      assert(keep === (rep == id))
+      assert(rep <= id, s"rep $rep > member $id (min-label violated)")
+    }
+    // every assigned rep is itself a kept row
+    val reps = out.filter(_._3).map(_._1).toSet
+    out.foreach { case (_, rep, _) => assert(reps.contains(rep)) }
+    // every within-cell near-dup pair landed in one group (kmeans is
+    // deterministic, so recomputing the cells reproduces them exactly)
+    val asg = Clustering.kmeans(emb, 4, 2)
+      .select(col("vec_id"), col("cluster").as("g"))
+    val repOf = out.map(x => x._1 -> x._2).toMap
+    val pairs = Similarity.withinGroupPairs(emb, asg, 0.45)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(repOf(a) === repOf(b), s"pair ($a, $b) split across groups")
+    }
+  }
+
   test("streaming decontamination flags the same docs as the static pass") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
