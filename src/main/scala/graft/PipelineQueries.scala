@@ -685,6 +685,29 @@ object PipelineQueries {
         SELECT vec_id, cl AS cluster, ${r9("d")} AS dist2 FROM a$kmIters
         ORDER BY vec_id""")),
 
+    QueryDef("q_ann_ivf_learned",
+      // IVF with LEARNED cells: nearest-k-means-centroid replaces the
+      // sign bucket — data-adaptive cells, same one-equi-join plan
+      // shape as q_ann_ivf. Probe set matches q_ann_ivf for direct
+      // comparability.
+      (s, dir) => Clustering.ivfLearnedTopK(emb(s, dir), "vec_id % 50 = 0", 5,
+          kmK, kmIters)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH $kmeansCtes,
+        g AS (SELECT vec_id, cl FROM a$kmIters),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                ${cosSql("qv.v", "nv.v")} AS cos
+              FROM g q JOIN g n ON q.cl = n.cl AND q.vec_id <> n.vec_id
+              JOIN ev qv ON qv.vec_id = q.vec_id
+              JOIN ev nv ON nv.vec_id = n.vec_id
+              WHERE q.vec_id % 50 = 0),
+        r AS (SELECT *, CAST(row_number() OVER
+                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              FROM c)
+        SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     QueryDef("q_semantic_dedup",
       // SemDeDup composition: k-means cells -> within-cell exact cosine
       // pairs (equi-join on the cell id) -> connected components ->

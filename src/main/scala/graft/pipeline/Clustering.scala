@@ -102,6 +102,19 @@ object Clustering {
 
   private def dimOf(m: scala.collection.Map[Int, Double]): Int = m.keys.max + 1
 
+  /** ANN top-k over LEARNED cells: corpus and queries land in their
+    * k-means cell (data-adaptive — cells follow the embedding density,
+    * where the fixed sign-hyperplane buckets of
+    * [[Similarity.ivfTopK]] split dense regions arbitrarily), and
+    * exact cosine rank runs within the cell. Same plan shape as the
+    * sign-bucket IVF: one equi-join on the cell id, top-k window. */
+  def ivfLearnedTopK(emb: DataFrame, probeFilter: String, k: Int,
+                     cells: Int, iters: Int): DataFrame = {
+    val asg = kmeans(emb, cells, iters)
+      .select(col("vec_id"), col("cluster").as("g")).localCheckpoint()
+    Similarity.topKWithinGroups(emb, asg, probeFilter, k)
+  }
+
   /** SemDeDup-style semantic dedup: k-means partitions the corpus into
     * k cells, exact cosine pairs are computed WITHIN cells only (a
     * pure equi-join on the cell id — the O(n²) work becomes k

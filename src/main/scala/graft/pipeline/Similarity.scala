@@ -252,6 +252,28 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Exact cosine top-k restricted to same-group candidates — IVF with
+    * an EXTERNALLY supplied cell assignment (`groups` = `(vec_id, g)`,
+    * e.g. learned k-means cells from
+    * [[Clustering.kmeans]]), candidates a pure equi-join on the cell
+    * id, exact rank within. nprobe = 1 by construction; callers widen
+    * recall by passing a multi-cell assignment (one row per probed
+    * cell). */
+  def topKWithinGroups(emb: DataFrame, groups: DataFrame,
+                       probeFilter: String, k: Int): DataFrame = {
+    val withG = (as: String) => vecs(emb, as).join(
+      groups.select(col("vec_id").as(s"${as}_id"), col("g").as(s"${as}_g")),
+      s"${as}_id")
+    val pairs = withG("q")
+      .filter(expr(probeFilter.replace("vec_id", "q_id")))
+      .join(withG("n"), col("q_g") === col("n_g") && col("q_id") =!= col("n_id"))
+      .selectExpr("q_id AS id1", "n_id AS id2",
+        "q_v AS v1", "q_nrm AS n1", "n_v AS v2", "n_nrm AS n2")
+    val cand = cosKernel(pairs).toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Within-group exact cosine pairs — the SemDeDup shape: a prior
     * clustering (`groups` = `(vec_id, g)`) partitions the O(n²) pair
     * work into independent per-group blocks, and candidates become a

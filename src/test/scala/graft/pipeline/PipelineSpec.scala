@@ -216,6 +216,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(chk.filter(col("bcos").isNull || col("bcos") =!= col("mp_cos")).count() === 0)
   }
 
+  test("learned-IVF: recall vs brute dominates sign-bucket IVF at the same nprobe=1") {
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val brute = hits(Similarity.bruteTopK(emb, "vec_id % 50 = 0", 5))
+    val sign = hits(Similarity.ivfTopK(emb, "vec_id % 50 = 0", 5))
+    val learned = hits(Clustering.ivfLearnedTopK(emb, "vec_id % 50 = 0", 5, 4, 2))
+    assert(brute.nonEmpty)
+    val rl = (brute & learned).size.toDouble / brute.size
+    val rs = (brute & sign).size.toDouble / brute.size
+    assert(rl >= rs,
+      s"learned cells should not lose to sign buckets: learned=$rl sign=$rs")
+    // cosines remain exact: every learned hit appears in the full
+    // brute ranking with the same cosine
+    val bruteAll = Similarity.bruteTopK(emb, "vec_id % 50 = 0", 100000)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("bcos"))
+    val l = Clustering.ivfLearnedTopK(emb, "vec_id % 50 = 0", 5, 4, 2)
+      .join(bruteAll, Seq("query_id", "neighbor_id"), "left")
+    assert(l.filter(col("bcos").isNull || col("bcos") =!= col("cos")).count() === 0)
+  }
+
   test("repetition stats: duplicate lines surface, clean docs score zero") {
     import spark.implicits._
     val d = Seq(
