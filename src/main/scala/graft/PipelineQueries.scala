@@ -185,6 +185,39 @@ object PipelineQueries {
     (init +: rounds).mkString(", ")
   }
 
+  /** Duplicate-span contract constants (Lee-et-al-style substring
+    * dedup): 5-token shingles, duplicated = ≥ 2 occurrences corpus-wide
+    * (multiplicity counted). The islands chain below mirrors
+    * [[Spans.duplicateSpans]]: positioned shingles → occurrence counts
+    * → join back → per-doc merge of overlapping/adjacent spans via the
+    * classic gaps-and-islands window recurrence. */
+  private val spanN = 5
+  private lazy val spanCtes =
+    s"""tok AS ($tokCte),
+        pos AS (SELECT doc_id, tokens,
+                  unnest(generate_series(0, len(tokens) - $spanN)) AS st
+                FROM tok WHERE len(tokens) >= $spanN),
+        shp AS (SELECT doc_id, st, st + ${spanN - 1} AS en,
+                  ${h60(s"array_to_string(list_slice(tokens, st + 1, st + $spanN), ' ')")} AS h
+                FROM pos),
+        dup AS (SELECT h FROM shp GROUP BY h HAVING count(*) >= 2),
+        sp AS (SELECT shp.doc_id, shp.st, shp.en FROM shp JOIN dup USING (h)),
+        mx AS (SELECT doc_id, st, en,
+                 max(en) OVER (PARTITION BY doc_id ORDER BY st
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+               FROM sp),
+        fl AS (SELECT *, CASE WHEN prev_max IS NULL OR st > prev_max + 1
+                 THEN 1 ELSE 0 END AS is_new FROM mx),
+        gr AS (SELECT *, sum(is_new) OVER (PARTITION BY doc_id ORDER BY st
+                 ROWS UNBOUNDED PRECEDING) AS grp FROM fl),
+        isl AS (SELECT doc_id, min(st) AS t0, max(en) AS t1
+                FROM gr GROUP BY doc_id, grp)"""
+
+  /** BM25 contract constants: fixed query terms with spread document
+    * frequencies in the synthetic vocabulary, top-20 cut. */
+  private val bm25Terms = Seq("spark", "vector", "merge")
+  private val bm25K = 20
+
   /** DuckDB single-quoted literal for a portable regex (RE2 strings
     * take backslashes verbatim — no doubling, unlike Spark literals). */
   private def rx(p: String) = s"'$p'"
@@ -767,6 +800,108 @@ object PipelineQueries {
           CAST(sum(n_tok) AS BIGINT) AS n_tok,
           ${r9(s"CAST(sum(n_tok) AS DOUBLE) / (CAST(max(bin_id) + 1 AS DOUBLE) * ${packCap}.0e0)")} AS utilization
         FROM rec GROUP BY 1 ORDER BY shard""")),
+
+    QueryDef("q_dupspan",
+      // duplicate-SPAN detection (substring-level dedup, Lee et al.
+      // 2021 re-expressed shingle-granular): maximal token runs covered
+      // by 5-gram shingles occurring >= 2 times corpus-wide. Plan:
+      // positioned-shingle scan -> hash-agg occurrence counts ->
+      // equi-join back -> per-doc gaps-and-islands window (span counts
+      // per doc are small, so the doc_id window never sees a large
+      // partition).
+      (s, dir) => Spans.duplicateSpans(docs(s, dir), spanN)
+        .orderBy("doc_id", "tok_start"),
+      Some(s"""WITH $spanCtes
+        SELECT doc_id, CAST(t0 AS INTEGER) AS tok_start,
+          CAST(t1 AS INTEGER) AS tok_end,
+          CAST(t1 - t0 + 1 AS INTEGER) AS span_toks
+        FROM isl ORDER BY doc_id, tok_start""")),
+
+    QueryDef("q_dupspan_scrub",
+      // the scrubbed corpus: duplicated spans removed, unique remainder
+      // kept for EVERY doc (n_removed = 0 where nothing matched).
+      // Spark removes via a codegen'd indexed filter over the token
+      // array; the oracle re-derives the same text from a zipped unnest
+      // anti-joined against the span intervals.
+      (s, dir) => Spans.scrub(docs(s, dir), spanN).orderBy("doc_id"),
+      Some(s"""WITH $spanCtes,
+        tk AS (SELECT doc_id, unnest(tokens) AS t,
+                 unnest(generate_series(1, len(tokens))) AS idx
+               FROM tok),
+        keep AS (SELECT tk.doc_id, tk.t, tk.idx
+                 FROM tk LEFT JOIN isl ON tk.doc_id = isl.doc_id
+                   AND tk.idx - 1 >= isl.t0 AND tk.idx - 1 <= isl.t1
+                 WHERE isl.doc_id IS NULL),
+        ag AS (SELECT doc_id, count(*) AS n_kept,
+                 string_agg(t, ' ' ORDER BY idx) AS clean_text
+               FROM keep GROUP BY doc_id)
+        SELECT tok.doc_id, CAST(len(tokens) AS INTEGER) AS n_tokens,
+          CAST(len(tokens) - coalesce(ag.n_kept, 0) AS INTEGER) AS n_removed,
+          coalesce(ag.clean_text, '') AS clean_text
+        FROM tok LEFT JOIN ag USING (doc_id) ORDER BY doc_id""")),
+
+    QueryDef("q_bm25_topk",
+      // Okapi BM25 keyword retrieval, exact top-20: query-term filter
+      // inside the scan projection, tiny per-term df aggregate
+      // broadcast back, global cut via TakeOrdered. Per-(doc, term)
+      // scores are quantized to integer micro-units and summed as
+      // BIGINTs (order-independent exact sums), so the oracle
+      // hash-matches without tolerance.
+      (s, dir) => Search.bm25TopK(docs(s, dir), bm25Terms, bm25K),
+      Some {
+        import Search.{dlit, k1, b, k1p1}
+        val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+        s"""WITH tok AS ($tokCte),
+        d AS (SELECT doc_id, tokens, len(tokens) AS dl FROM tok),
+        st AS (SELECT count(*) AS n, sum(dl) AS tot FROM d),
+        tf0 AS (SELECT doc_id, dl,
+                  unnest(list_filter(tokens, t -> t IN ($termList))) AS term
+                FROM d),
+        tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM tf0 GROUP BY 1, 2, 3),
+        dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        sc AS (SELECT doc_id, CAST(floor((ln(1.0e0 + (CAST(st.n AS DOUBLE) - df + 0.5e0) / (df + 0.5e0))
+                 * (tf * ${dlit(k1p1)})
+                 / (tf + ${dlit(k1)} * (1.0e0 - ${dlit(b)} + ${dlit(b)} * dl / (CAST(st.tot AS DOUBLE) / CAST(st.n AS DOUBLE)))))
+                 * 1.0e6 + 0.5e0) AS BIGINT) AS sq
+               FROM tfc CROSS JOIN st JOIN dfc USING (term)),
+        g AS (SELECT doc_id, sum(sq) AS score_u FROM sc GROUP BY 1),
+        r AS (SELECT doc_id, CAST(score_u AS DOUBLE) / 1.0e6 AS score,
+                CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS INTEGER) AS rank
+              FROM g)
+        SELECT doc_id, score, rank FROM r WHERE rank <= $bm25K ORDER BY rank"""
+      }),
+
+    QueryDef("q_quality_classifier",
+      // hashed-feature linear classifier (fastText-shape cheap filter):
+      // integer feature fold over the token array, one division, a
+      // rational sigmoid — basic IEEE ops only, bit-exact cross-engine.
+      // Pure codegen'd projection, zero shuffles.
+      (s, dir) => TextOps.hashedClassifier(docs(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH tok AS ($tokCte),
+        m AS (SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tokens,
+                CAST(list_sum(list_transform(tokens, t -> ${h60("t")} % 2001 - 1000)) AS BIGINT) AS w_sum
+              FROM tok),
+        z AS (SELECT doc_id, n_tokens, w_sum,
+                CAST(w_sum AS DOUBLE) / (1000.0e0 * CAST(n_tokens AS DOUBLE)) AS z
+              FROM m),
+        p AS (SELECT doc_id, n_tokens, w_sum,
+                floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob
+              FROM z)
+        SELECT doc_id, n_tokens, w_sum, prob, prob >= 0.5e0 AS keep
+        FROM p ORDER BY doc_id""")),
+
+    QueryDef("q_split_assign",
+      // deterministic train/val/test assignment: stateless hash draw
+      // cut at 98%/1%/1% — stable under re-runs and corpus growth
+      // (adding docs never reassigns an existing one). Zero shuffles.
+      (s, dir) => Sampling.splitAssign(docs(s, dir), "r4")
+        .select("doc_id", "source", "u", "split")
+        .orderBy("doc_id"),
+      Some(s"""WITH u AS (SELECT doc_id, source, ${uSql("r4")} AS u FROM documents)
+        SELECT doc_id, source, u,
+          CASE WHEN u < 980000 THEN 'train'
+               WHEN u < 990000 THEN 'val' ELSE 'test' END AS split
+        FROM u ORDER BY doc_id""")),
 
     // ---- relational breadth on the star schema ----
 

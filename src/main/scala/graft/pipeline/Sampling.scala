@@ -61,4 +61,25 @@ object Sampling {
       .where(col("rank") <= k)
       .drop("u", "pid", "lrank")
   }
+
+  /** Deterministic train/val/test split assignment: the same stateless
+    * hash draw as [[stratified]], cut at per-mille thresholds —
+    * `(…, u, split)` with split ∈ {train, val, test}. Assignment is a
+    * pure projection (zero shuffles, the decision never leaves the scan
+    * stage) and is stable under re-runs and corpus growth: adding docs
+    * never reassigns an existing one, the property that keeps eval
+    * sets uncontaminated across corpus versions. */
+  def splitAssign(docs: DataFrame, salt: String = "graft",
+                  trainPermille: Int = 980, valPermille: Int = 10): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      s"per-mille cuts must be non-negative and sum <= 1000, " +
+        s"got train=$trainPermille val=$valPermille")
+    docs
+      .withColumn("u", expr(uExpr(salt)))
+      .withColumn("split",
+        when(col("u") < trainPermille * 1000L, "train")
+          .when(col("u") < (trainPermille + valPermille) * 1000L, "val")
+          .otherwise("test"))
+  }
 }

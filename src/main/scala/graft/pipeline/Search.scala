@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus keyword search: Okapi BM25 scoring with an exact top-k cut —
+  * the retrieval primitive behind quality-by-example mining and
+  * targeted corpus inspection at training-data scale.
+  *
+  * Scale shape: the query-term filter runs inside the scan projection
+  * (a codegen'd `filter` over the token array — the 100 TB corpus is
+  * scanned once and only matching docs survive), document frequencies
+  * are a tiny per-term aggregate broadcast back onto the matches, and
+  * the global top-k is a `TakeOrdered` (never a full sort).
+  *
+  * Cross-engine parity is by construction: per-(doc, term) scores are
+  * quantized to integer micro-units (`floor(x·10⁶ + 0.5)`) and summed
+  * as BIGINTs — order-independent exact sums, the same trick as
+  * [[Clustering]] — so the oracle hash-matches without tolerance. The
+  * only transcendental is `ln` on identical double inputs.
+  */
+object Search {
+
+  /** Render a Scala double as a DuckDB DOUBLE literal (decimal literals
+    * without an exponent parse as DECIMAL there and change arithmetic). */
+  def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.contains("e") || s.contains("E")) s else s + "e0"
+  }
+
+  /** BM25 constants of the contract query — shared with the SQL oracle
+    * builder so both engines fold the identical doubles. */
+  val k1: Double = 1.2
+  val b: Double = 0.75
+  val k1p1: Double = k1 + 1.0
+
+  /** Top-`k` documents by BM25 score over `terms`:
+    * `(doc_id, score, rank)`, rank 1..k by exact integer-quantized
+    * score, ties broken by doc_id — a total order, so both engines pick
+    * identical rows. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = TextOps.withTokens(docs)
+      .selectExpr("doc_id", "tokens", "size(tokens) AS dl")
+    // corpus scalars (N, total tokens): one tiny plan-time aggregate.
+    // avgdl is ratio-of-exact-integers on both engines — identical
+    // IEEE division, so the data-dependent constant needs no rounding.
+    val g = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val nDocs = g.getLong(0)
+    val avgdl = g.getLong(1).toDouble / nDocs.toDouble
+
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val tf = toks
+      .selectExpr("doc_id", "dl", s"filter(tokens, t -> t IN ($termList)) AS qt")
+      .where("size(qt) > 0")
+      .selectExpr("doc_id", "dl", "explode(qt) AS term")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val scored = tf.join(broadcast(df), "term")
+      .withColumn("sq", expr(
+        s"""CAST(floor((ln(1.0e0 + (${dlit(nDocs.toDouble)} - df + 0.5e0) / (df + 0.5e0))
+            * (tf * ${dlit(k1p1)})
+            / (tf + ${dlit(k1)} * (1.0e0 - ${dlit(b)} + ${dlit(b)} * dl / ${dlit(avgdl)})))
+            * 1.0e6 + 0.5e0) AS BIGINT)"""))
+      .groupBy("doc_id").agg(sum(col("sq")).as("score_u"))
+
+    scored
+      .orderBy(col("score_u").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_u").desc, col("doc_id"))).cast("int"))
+      .selectExpr("doc_id", "CAST(score_u AS DOUBLE) / 1.0e6 AS score", "rank")
+  }
+}

@@ -217,4 +217,28 @@ object TextOps {
       .orderBy(col("n_docs").desc, col("s"))
       .limit(k)
   }
+
+  /** Hashed-feature linear quality classifier — the fastText-style
+    * "cheap model" filter shape (score = σ(Σ w[h(token) mod D] / n)):
+    * per-token weights are drawn deterministically from the token's own
+    * 60-bit hash (the contract is the distributed scoring plumbing, not
+    * a particular trained weight vector — swap `hash60(t) % 2001 − 1000`
+    * for a lookup into a broadcast weight array to serve a real model).
+    *
+    * Scale/parity shape: the feature sum is an INTEGER fold over the
+    * token array (exact, order-independent — no float accumulation
+    * drift), one division produces the mean activation, and the
+    * sigmoid is the rational `0.5 + 0.5·z/(1+|z|)` — basic IEEE ops
+    * only, so both engines agree bit-for-bit with no transcendental
+    * ULP risk. Pure codegen'd projection, zero shuffles. */
+  def hashedClassifier(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .selectExpr("doc_id",
+        "size(tokens) AS n_tokens",
+        s"aggregate(tokens, 0L, (a, t) -> a + ${hash60("t")} % 2001 - 1000) AS w_sum")
+      .selectExpr("doc_id", "n_tokens", "w_sum",
+        "CAST(w_sum AS DOUBLE) / (1000.0e0 * CAST(n_tokens AS DOUBLE)) AS z")
+      .selectExpr("doc_id", "n_tokens", "w_sum",
+        "floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob")
+      .withColumn("keep", col("prob") >= 0.5)
 }

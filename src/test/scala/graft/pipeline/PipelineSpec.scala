@@ -715,4 +715,140 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(4) - nTok.toDouble / (nBins * cap)) < 1e-9)
     }
   }
+
+  test("duplicateSpans: planted cross-doc + within-doc spans located exactly, islands disjoint") {
+    // A and B share an 8-token phrase at different offsets; C repeats a
+    // 5-token phrase internally; all other tokens are globally unique.
+    val phrase = (1 to 8).map(i => s"P$i").mkString(" ")
+    val rep = (1 to 5).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"u1 u2 u3 $phrase u4 u5 u6"),  // phrase at tokens 3..10
+      (2L, s"v1 v2 $phrase v3 v4 v5 v6"),  // phrase at tokens 2..9
+      (3L, s"w1 $rep w2 $rep w3"),         // rep at 1..5 and 7..11
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")
+    ).toDF("doc_id", "text")
+    val spans = Spans.duplicateSpans(corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(spans.toSet === Set(
+      (1L, 3, 10, 8), (2L, 2, 9, 8), (3L, 1, 5, 5), (3L, 7, 11, 5)))
+    // islands on the real corpus: disjoint with >= 1 unique token between
+    val real = Spans.duplicateSpans(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(real.nonEmpty, "expected duplicated spans in the near-dup corpus")
+    real.groupBy(_._1).foreach { case (id, ss) =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) =>
+          assert(s2 > e1 + 1, s"doc $id: spans not merged ($e1, $s2)")
+        case _ =>
+      }
+    }
+  }
+
+  test("scrub removes exactly the span tokens and keeps every doc") {
+    val sc = Spans.scrub(docs, 5)
+    assert(sc.count() === docs.count())
+    val spanSum = Spans.duplicateSpans(docs, 5)
+      .groupBy("doc_id").agg(sum("span_toks").as("st"))
+    val joined = sc.join(spanSum, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_tokens", "n_removed",
+        "coalesce(st, 0L) AS st",
+        "size(split(clean_text, ' ')) AS n_clean")
+      .collect()
+    joined.foreach { r =>
+      assert(r.getInt(2) === r.getLong(3).toInt,
+        s"doc ${r.getLong(0)}: n_removed != span token sum")
+      // split('') gives one empty token; fully-scrubbed docs excepted
+      if (r.getInt(1) > r.getInt(2))
+        assert(r.getInt(4) === r.getInt(1) - r.getInt(2),
+          s"doc ${r.getLong(0)}: clean_text token count")
+    }
+    // scrubbing a span-free corpus is the identity (modulo whitespace norm)
+    val clean = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    assert(Spans.scrub(clean, 5).select("doc_id", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a b c"), (2L, "d e f")))
+  }
+
+  test("bm25TopK equals a straight-line reference implementation, ranks rare terms up") {
+    // reference BM25 on the collected corpus, same micro-unit quantization
+    val terms = Seq("spark", "vector", "merge")
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val n = corpus.length
+    val avgdl = corpus.map(_._2.length.toLong).sum.toDouble / n.toDouble
+    val dfm = terms.map(t => t -> corpus.count(_._2.contains(t))).toMap
+    val expected = corpus.flatMap { case (id, toks) =>
+      val dl = toks.length
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) 0L
+        else {
+          val idf = math.log(1.0 + (n.toDouble - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          math.floor(idf * (tf * Search.k1p1) /
+            (tf + Search.k1 * (1.0 - Search.b + Search.b * dl / avgdl)) * 1e6 + 0.5).toLong
+        }
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = Search.bm25TopK(docs, terms, 20).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6), r.getInt(2)))
+    assert(got.map(_._3).toSeq === (1 to 20))
+    assert(got.map(g => (g._1, g._2)).toSeq === expected.toSeq)
+    // a rare term outranks a flood of a common one
+    val synth = Seq(
+      (1L, "zebra crossing here"),
+      (2L, "the the the the the the the the"),
+      (3L, "the zebra runs"),
+      (4L, "the quick fox"), (5L, "the slow fox"), (6L, "the red fox")
+    ).toDF("doc_id", "text")
+    val top = Search.bm25TopK(synth, Seq("zebra", "the"), 6).collect()
+    assert(Set(1L, 3L).contains(top.head.getLong(0)),
+      s"rare-term doc should rank first, got ${top.head.getLong(0)}")
+  }
+
+  test("hashedClassifier: integer fold matches md5 reference, prob bounded and monotone in z") {
+    val got = TextOps.hashedClassifier(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def h60ref(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    got.take(20).foreach { case (id, nTok, wSum, _, _) =>
+      val toks = texts(id).trim.split("\\s+").toSeq
+      assert(nTok === toks.length)
+      assert(wSum === toks.map(t => h60ref(t) % 2001 - 1000).sum,
+        s"doc $id: hashed-feature sum mismatch")
+    }
+    got.foreach { case (id, _, _, p, keep) =>
+      assert(p > 0.0 && p < 1.0, s"doc $id prob $p outside (0,1)")
+      assert(keep === (p >= 0.5))
+    }
+    // prob strictly increases with the mean activation
+    val byZ = got.map(g => (g._3.toDouble / (1000.0 * g._2), g._4)).sortBy(_._1)
+    byZ.sliding(2).foreach {
+      case Array((z1, p1), (z2, p2)) =>
+        if (z2 > z1) assert(p2 >= p1, s"prob not monotone at z=$z1..$z2")
+      case _ =>
+    }
+  }
+
+  test("splitAssign: total partition, stable under corpus growth, proportions near cuts") {
+    val s1 = Sampling.splitAssign(docs, "t").select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.size === docs.count())
+    // growth stability: assignments on a prefix agree with the full corpus
+    val s2 = Sampling.splitAssign(docs.limit(100), "t").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    s2.foreach { case (id, sp) => assert(s1(id) === sp) }
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size.toDouble / s1.size).toMap
+    assert(frac("train") > 0.94 && frac("train") < 1.0)
+    assert(frac.getOrElse("val", 0.0) < 0.05 && frac.getOrElse("test", 0.0) < 0.05)
+    // different salt reshuffles membership
+    val s3 = Sampling.splitAssign(docs, "other").select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.exists { case (id, sp) => s3(id) != sp })
+  }
 }
