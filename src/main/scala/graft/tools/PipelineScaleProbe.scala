@@ -25,7 +25,10 @@ import graft.pipeline._
   *                1024 shards, with a bin-fill capacity audit;
   *  - `decontam`: 3M train docs against a 3k-doc broadcast eval split
   *                with planted eval partners;
-  *  - `kmeans`:   Lloyd's k-means at 1M × 64-dim, k=16, 3 rounds.
+  *  - `kmeans`:   Lloyd's k-means at 1M × 64-dim, k=16, 3 rounds;
+  *  - `spans`:    duplicate-span removal at 1M docs (200k docs carry a
+  *                planted 20-token duplicated span) + the scrub pass;
+  *  - `bm25`:     BM25 top-100 retrieval over 3M docs.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -38,7 +41,8 @@ import graft.pipeline._
 object PipelineScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections = if (args.isEmpty)
-                     Set("minhash", "clusters", "ann", "banded", "packing", "decontam", "kmeans")
+                     Set("minhash", "clusters", "ann", "banded", "packing", "decontam",
+                       "kmeans", "spans", "bm25")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -199,6 +203,42 @@ object PipelineScaleProbe {
       }
       println(s"  planted-partner detection: $hit/3000")
       require(hit >= 2970L, s"decontam planted detection $hit/3000")
+    }
+
+    if (sections("spans")) {
+      // every planted pair shares its 20 gid-derived tokens, so both
+      // members carry one merged duplicated span covering tokens 0..19
+      // (the partner's trailing ' dupmarker' shingles stay unique);
+      // random 5-gram collisions at vocab 1000 are negligible
+      val docs = corpus(1000000L)
+      val spans = Spans.duplicateSpans(docs, 5)
+      auditPlan("duplicate spans 1M docs", spans)
+      var full = 0L
+      time("duplicate-span removal, 1M docs (200k planted spans)") {
+        full = spans.filter(col("tok_start") === 0 && col("tok_end") === 19).count()
+        spans.count()
+      }
+      println(s"  full planted spans found: $full/200000")
+      require(full >= 199000L, s"planted span recovery $full/200000")
+      val scrubbed = Spans.scrub(docs, 5)
+      auditPlan("span scrub 1M docs", scrubbed)
+      time("  + scrub pass (unique remainder per doc)") {
+        // planted docs keep only 'dupmarker' (partner) or nothing (base)
+        val kept = scrubbed.agg(sum("n_removed")).head().getLong(0)
+        require(kept >= 199000L * 20, s"scrub removed only $kept tokens")
+        scrubbed.count()
+      }
+    }
+
+    if (sections("bm25")) {
+      val docs = corpus(3000000L)
+      val top = Search.bm25TopK(docs, Seq("w1", "w17", "w303"), 100)
+      auditPlan("bm25 top-100 3M docs", top)
+      time("BM25 top-100, 3M docs, 3 query terms") {
+        val n = top.count()
+        require(n == 100L, s"expected 100 rows, got $n")
+        n
+      }
     }
 
     println(s"== plan failures: $planFailures")
