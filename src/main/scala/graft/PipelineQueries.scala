@@ -54,10 +54,10 @@ object PipelineQueries {
 
   private def r9(e: String) = s"floor(($e) * 1.0e9 + 0.5e0) / 1.0e9"
 
-  /** Shared MinHash-LSH CTE chain (tok → shingles → minhash → bands →
-    * candidates → intersection sizes), used by q_dedup_minhash and
-    * q_dedup_clusters. */
-  private lazy val minhashCtes =
+  /** MinHash band-signature CTE prefix (tok → shingles → minhash →
+    * bands) — shared by the in-corpus LSH chain below and the fuzzy
+    * decontamination oracle. */
+  private lazy val minhashBandCtes =
     s"""tok AS ($tokCte), sh5 AS (${sh(5)}),
         hm AS (SELECT doc_id, ${h60("s")} % ${TextOps.minhashM} AS m FROM sh5),
         perm AS (SELECT * FROM (VALUES ${(0 until 16).map(i =>
@@ -67,7 +67,13 @@ object PipelineQueries {
                FROM hm, perm GROUP BY 1, 2),
         bands AS (SELECT doc_id, seed // 4 AS band,
                     md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY seed)) AS sig
-                  FROM mh GROUP BY 1, 2),
+                  FROM mh GROUP BY 1, 2)"""
+
+  /** Full MinHash-LSH CTE chain ([[minhashBandCtes]] → candidates →
+    * intersection sizes), used by q_dedup_minhash and
+    * q_dedup_clusters. */
+  private lazy val minhashCtes =
+    s"""$minhashBandCtes,
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
                  WHERE x.doc_id < y.doc_id),
@@ -116,6 +122,32 @@ object PipelineQueries {
   private val thrSql = sampleRates.toSeq.sortBy(_._1)
     .map { case (s, r) => s"WHEN '$s' THEN ${math.round(r * 1e6)}" }
     .mkString("CASE source ", " ", " ELSE 0 END")
+
+  /** Temperature-mix contract constants + the DuckDB mixture-recipe CTE
+    * chain (per-source exact token counts → micro-unit √ weights →
+    * one-row totals → r9 shares → budgeted per-source rates) — the
+    * literal-identical mirror of [[Sampling.temperatureMixRates]].
+    * Ends in a `rates` CTE. */
+  private val mixBudgetPermille = 250
+  private lazy val mixCtes: String = {
+    val bf = graft.regrid.Rounding.sqlLit(mixBudgetPermille / 1000.0)
+    s"""tok AS ($tokCte),
+        per AS (SELECT source, count(*) AS n_docs,
+                  CAST(sum(len(tokens)) AS BIGINT) AS n_tokens
+                FROM tok GROUP BY 1),
+        wgt AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT) AS w_u
+                FROM per),
+        tw AS (SELECT CAST(sum(w_u) AS BIGINT) AS tot_w,
+                 CAST(sum(n_tokens) AS BIGINT) AS tot_tok FROM wgt),
+        pm AS (SELECT source, n_docs, n_tokens, w_u, tot_tok,
+                 floor((CAST(w_u AS DOUBLE) / CAST(tot_w AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9 AS p_mix
+               FROM wgt CROSS JOIN tw),
+        rates AS (SELECT source, n_docs, n_tokens, w_u, p_mix,
+                    LEAST(CAST(1000000 AS BIGINT), CAST(floor(
+                      (($bf * CAST(tot_tok AS DOUBLE)) * p_mix / CAST(n_tokens AS DOUBLE))
+                      * 1.0e6 + 0.5e0) AS BIGINT)) AS rate_u
+                  FROM pm)"""
+  }
 
   /** Sequence-packing contract constants: 256-token bins over 8 shards
     * (avg doc ≈ 54 tokens → ~4 docs/bin; 8 sequential chains keep the
@@ -902,6 +934,101 @@ object PipelineQueries {
           CASE WHEN u < 980000 THEN 'train'
                WHEN u < 990000 THEN 'val' ELSE 'test' END AS split
         FROM u ORDER BY doc_id""")),
+
+    QueryDef("q_shuffle_order",
+      // deterministic global shuffle (training order): hash draw →
+      // range-bucket two-level rank — bucket order ≡ global order, so
+      // ord = bucket offset + within-bucket rank with NO single-task
+      // global sort window. Oracle states the equivalent one-level rank.
+      (s, dir) => Sampling.shuffleOrder(docs(s, dir), "r4", 100)
+        .select("doc_id", "u", "ord")
+        .orderBy("ord"),
+      Some(s"""WITH u AS (SELECT doc_id, ${uSql("r4")} AS u FROM documents)
+        SELECT doc_id, u,
+          CAST(row_number() OVER (ORDER BY u, doc_id) - 1 AS BIGINT) AS ord
+        FROM u ORDER BY ord""")),
+
+    QueryDef("q_mix_weights",
+      // temperature-weighted source-mixing recipe (τ = 0.5 via IEEE
+      // sqrt): per-source mixture shares and the per-source Bernoulli
+      // rate that spends 25% of the corpus token budget at those
+      // shares. One agg-only scan + a one-row totals broadcast.
+      (s, dir) => Sampling.temperatureMixRates(docs(s, dir), mixBudgetPermille)
+        .orderBy("source"),
+      Some(s"""WITH $mixCtes
+        SELECT source, n_docs, n_tokens, w_u, p_mix, rate_u
+        FROM rates ORDER BY source""")),
+
+    QueryDef("q_mix_apply",
+      // the recipe applied: broadcast the rates table, keep docs whose
+      // hash draw clears their source's threshold — the keep decision
+      // never shuffles the corpus side. Checksum pins exact membership.
+      (s, dir) => Sampling.temperatureMixSample(
+          docs(s, dir), mixBudgetPermille, "r4mix")
+        .groupBy("source")
+        .agg(count("*").as("n_kept"), sum("doc_id").as("checksum"))
+        .orderBy("source"),
+      Some(s"""WITH $mixCtes,
+        u AS (SELECT source, doc_id, ${uSql("r4mix")} AS u FROM documents)
+        SELECT u.source, count(*) AS n_kept,
+          CAST(sum(u.doc_id) AS BIGINT) AS checksum
+        FROM u JOIN rates r ON u.source = r.source
+        WHERE u.u < r.rate_u GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q_decontam_fuzzy",
+      // FUZZY decontamination: training docs whose MinHash-LSH band
+      // signatures collide with any eval doc's — the whole-document
+      // near-duplicate contamination signal complementing q_decontam's
+      // any-shared-n-gram filter. Eval bands broadcast; per-doc
+      // signatures are identical whether computed before or after the
+      // corpus split, so the oracle filters the shared bands CTE.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Decontam.fuzzyContamination(
+          d.filter(s"NOT ($evalPred)"), d.filter(evalPred))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $minhashBandCtes,
+        tr AS (SELECT doc_id, band, sig FROM bands WHERE NOT ($evalPred)),
+        ev AS (SELECT doc_id AS eval_id, band, sig FROM bands WHERE $evalPred)
+        SELECT tr.doc_id, count(DISTINCT tr.band) AS n_bands,
+          count(DISTINCT ev.eval_id) AS n_eval_docs
+        FROM tr JOIN ev ON tr.band = ev.band AND tr.sig = ev.sig
+        GROUP BY 1 ORDER BY doc_id""")),
+
+    QueryDef("q_vocab_topk",
+      // corpus-induced vocabulary: top-50 tokens by total occurrences —
+      // explode → map-side-combined count → TakeOrdered (never a full
+      // sort); (n_occ DESC, token) is a total order so the cut is exact.
+      (s, dir) => TextOps.vocabTopV(docs(s, dir), 50)
+        .orderBy("rank"),
+      Some(s"""WITH tok AS ($tokCte),
+        x AS (SELECT unnest(tokens) AS token FROM tok),
+        c AS (SELECT token, count(*) AS n_occ FROM x GROUP BY 1),
+        r AS (SELECT token, n_occ, CAST(row_number() OVER
+                (ORDER BY n_occ DESC, token) AS INTEGER) AS rank FROM c)
+        SELECT token, n_occ, rank FROM r WHERE rank <= 50 ORDER BY rank""")),
+
+    QueryDef("q_oov_rate",
+      // per-document OOV stats vs the induced top-50 vocabulary: the
+      // tokenizer-coverage signal. Vocabulary broadcast; corpus side is
+      // explode → broadcast left join → per-doc count-agg.
+      (s, dir) => TextOps.oovStats(
+          docs(s, dir), TextOps.vocabTopV(docs(s, dir), 50))
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS ($tokCte),
+        x AS (SELECT unnest(tokens) AS token FROM tok),
+        c AS (SELECT token, count(*) AS n_occ FROM x GROUP BY 1),
+        r AS (SELECT token, n_occ, row_number() OVER
+                (ORDER BY n_occ DESC, token) AS rank FROM c),
+        v AS (SELECT token FROM r WHERE rank <= 50),
+        e AS (SELECT doc_id, unnest(tokens) AS token FROM tok),
+        o AS (SELECT e.doc_id, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+              FROM e LEFT JOIN v ON e.token = v.token GROUP BY 1)
+        SELECT doc_id, n_tokens, n_oov,
+          floor((CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9 AS oov_rate
+        FROM o ORDER BY doc_id""")),
 
     // ---- relational breadth on the star schema ----
 

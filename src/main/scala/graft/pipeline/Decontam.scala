@@ -40,4 +40,34 @@ object Decontam {
   def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 5): DataFrame =
     train.join(contamination(train, eval, n).select("doc_id"),
       Seq("doc_id"), "left_anti")
+
+  /** FUZZY (near-duplicate) decontamination: training docs whose
+    * MinHash-LSH band signature collides with any eval doc's. A band
+    * collision indicates high *estimated whole-document Jaccard* — the
+    * "training doc IS a benchmark copy" signal — complementing
+    * [[contamination]]'s any-shared-n-gram filter, which is more
+    * sensitive but fires on a single common phrase (and whose eval
+    * shingle set can be too large to broadcast; signatures are
+    * constant-size per doc). The standard report runs both
+    * (GPT-3/Llama n-gram overlap + near-dup pass). Returns
+    * `(doc_id, n_bands, n_eval_docs)`: distinct colliding bands (of
+    * k/rowsPerBand total — collision strength) and distinct eval
+    * partners.
+    *
+    * Scale shape: both sides run the one-pass signature aggregate
+    * ([[TextOps.minhashFromShingles]] — the train side's only shuffle,
+    * map-side combined from the shingle scan); the eval band relation
+    * is tiny and broadcast, so candidates are a map-side equi-join on
+    * `(band, sig)` exactly like [[Dedup.minhashLsh]]'s in-corpus
+    * variant. */
+  def fuzzyContamination(train: DataFrame, eval: DataFrame, k: Int = 16,
+                         rowsPerBand: Int = 4): DataFrame = {
+    val tb = TextOps.lshBands(TextOps.minhash(train, k), rowsPerBand)
+    val eb = TextOps.lshBands(TextOps.minhash(eval, k), rowsPerBand)
+      .select(col("band"), col("sig"), col("doc_id").as("eval_id"))
+    tb.join(broadcast(eb), Seq("band", "sig"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("band")).as("n_bands"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
 }

@@ -62,6 +62,97 @@ object Sampling {
       .drop("u", "pid", "lrank")
   }
 
+  /** Deterministic global shuffle order — the training-order permutation
+    * every data loader wants: `(…, u, ord)` with `ord` = 0-based rank of
+    * the document under the hash draw (ties broken by doc_id — a total
+    * order, so the permutation is unique and re-run-stable).
+    *
+    * Scale shape: a global `row_number()` window is a single-task sort
+    * of the whole corpus, so the rank is computed in two exact levels
+    * over RANGE buckets of the draw: `bucket = u div (10⁶/nBuckets)`
+    * makes bucket order ≡ global order, so
+    * `ord = (docs in earlier buckets) + (rank within bucket) − 1`.
+    * One hash exchange on the bucket key + a per-bucket sort (task size
+    * ≈ corpus/nBuckets under the uniform hash) + a broadcast of the
+    * nBuckets-row offset table. nBuckets is the straggler knob — set it
+    * ≥ cluster cores at 100 TB. */
+  def shuffleOrder(docs: DataFrame, salt: String = "graft",
+                   nBuckets: Int = 100): DataFrame = {
+    require(nBuckets >= 1 && 1000000 % nBuckets == 0,
+      s"nBuckets must divide 1e6, got $nBuckets")
+    val w = 1000000L / nBuckets
+    val withU = docs
+      .withColumn("u", expr(uExpr(salt)))
+      .withColumn("bucket", expr(s"CAST(u DIV $w AS INT)"))
+    val local = Window.partitionBy(col("bucket"))
+      .orderBy(col("u"), col("doc_id"))
+    // offsets: nBuckets rows — the unpartitioned window runs over the
+    // already-aggregated tiny relation, not the corpus
+    val offsets = withU.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    withU
+      .withColumn("rank", row_number().over(local))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("ord", col("off") + col("rank") - 1)
+      .drop("bucket", "rank", "off")
+  }
+
+  /** Temperature-weighted source-mixing recipe (the UniMax / multilingual
+    *-sampling convention at τ = 0.5): per-source mixture shares
+    * `p_s ∝ √tokens_s` — up-weighting small sources relative to
+    * proportional mixing — and the per-source Bernoulli threshold that
+    * spends `budgetPermille`/1000 of the corpus token budget at those
+    * shares: `rate_s = min(1, budget · total_tokens · p_s / tokens_s)`.
+    *
+    * τ is fixed at 0.5 because √ is correctly-rounded IEEE on every
+    * engine; a general τ needs `pow`, whose last-ULP varies by libm and
+    * would break bit-exact cross-engine parity. Intermediate sums are
+    * exact BIGINTs (token counts, micro-unit √ weights), `p_mix` is
+    * rounded to r9 before the rate arithmetic, so both engines fold
+    * identical doubles.
+    *
+    * Scale shape: one agg-only scan of the corpus (map-side combined to
+    * a #sources-row relation), a one-row broadcast for the totals, then
+    * pure scalar arithmetic. Returns
+    * `(source, n_docs, n_tokens, w_u, p_mix, rate_u)`. */
+  def temperatureMixRates(docs: DataFrame, budgetPermille: Int): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      s"budgetPermille outside [0, 1000]: $budgetPermille")
+    val bf = graft.regrid.Rounding.sqlLit(budgetPermille / 1000.0)
+    val per = TextOps.withTokens(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(size(tokens) AS BIGINT)")).as("n_tokens"))
+      .withColumn("w_u", expr(
+        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT)"))
+    val tot = per.agg(sum(col("w_u")).as("tot_w"),
+      sum(col("n_tokens")).as("tot_tok"))
+    per.crossJoin(broadcast(tot))   // one-row totals broadcast
+      .withColumn("p_mix", expr(
+        "floor((CAST(w_u AS DOUBLE) / CAST(tot_w AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9"))
+      .withColumn("rate_u", expr(
+        s"""LEAST(CAST(1000000 AS BIGINT), CAST(floor(
+            (($bf * CAST(tot_tok AS DOUBLE)) * p_mix / CAST(n_tokens AS DOUBLE))
+            * 1.0e6 + 0.5e0) AS BIGINT))"""))
+      .select("source", "n_docs", "n_tokens", "w_u", "p_mix", "rate_u")
+  }
+
+  /** Apply a [[temperatureMixRates]] recipe: the same zero-state hash
+    * draw as [[stratified]], thresholded at the recipe's per-source
+    * `rate_u`. The recipe side is a broadcast (#sources rows); the
+    * corpus side stays a scan-stage filter — the keep decision never
+    * shuffles the 100 TB side. */
+  def temperatureMixSample(docs: DataFrame, budgetPermille: Int,
+                           salt: String = "graft"): DataFrame =
+    docs.join(broadcast(
+        temperatureMixRates(docs, budgetPermille).select("source", "rate_u")),
+      Seq("source"))
+      .where(expr(s"${uExpr(salt)} < rate_u"))
+      .drop("rate_u")
+
   /** Deterministic train/val/test split assignment: the same stateless
     * hash draw as [[stratified]], cut at per-mille thresholds —
     * `(…, u, split)` with split ∈ {train, val, test}. Assignment is a

@@ -241,4 +241,41 @@ object TextOps {
       .selectExpr("doc_id", "n_tokens", "w_sum",
         "floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob")
       .withColumn("keep", col("prob") >= 0.5)
+
+  /** Corpus-induced vocabulary: the `v` tokens with the most total
+    * occurrences — `(token, n_occ, rank)`, rank 1..v. Scale shape:
+    * explode → count (map-side partial agg collapses each scan task to
+    * its distinct tokens) → TakeOrderedAndProject, never a full sort;
+    * `(n_occ DESC, token ASC)` is a total order so the cut is exact. */
+  def vocabTopV(docs: DataFrame, v: Int): DataFrame = {
+    require(v >= 1, s"v must be >= 1, got $v")
+    withTokens(docs)
+      .selectExpr("explode(tokens) AS token")
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(v)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occ").desc, col("token"))).cast("int"))
+  }
+
+  /** Per-document out-of-vocabulary stats against a vocabulary relation
+    * (typically [[vocabTopV]]'s output): `(doc_id, n_tokens, n_oov,
+    * oov_rate)` — the coverage signal that decides whether a tokenizer
+    * vocabulary fits a corpus (and a cheap quality/language filter).
+    *
+    * Scale shape: the vocabulary is broadcast (it is vocabulary-sized,
+    * not corpus-sized), the corpus side is explode → broadcast left
+    * join → per-doc count-agg; the only exchange is the map-side
+    * combined per-doc aggregate. */
+  def oovStats(docs: DataFrame, vocab: DataFrame): DataFrame =
+    withTokens(docs)
+      .selectExpr("doc_id", "explode(tokens) AS token")
+      .join(broadcast(vocab.select(col("token"), lit(1).as("in_v"))),
+        Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", expr(
+        "floor((CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9"))
 }

@@ -851,4 +851,102 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(s1.exists { case (id, sp) => s3(id) != sp })
   }
+
+  test("shuffleOrder: exact permutation equal to the one-level rank, invariant to partitioning and bucket count") {
+    def key(df: DataFrame) = df.select("doc_id", "ord").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = key(Sampling.shuffleOrder(docs, "t", 100))
+    val n = docs.count()
+    // a permutation: every ord in [0, n) exactly once
+    assert(got.values.toSeq.sorted === (0L until n))
+    // equals the driver-side global sort by (u, doc_id)
+    val ref = docs.select("doc_id").as[Long].collect()
+      .sortBy(id => (h60t(s"t:$id") % 1000000, id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(got === ref)
+    // two-level rank is exact under any partitioning / bucket width
+    assert(key(Sampling.shuffleOrder(docs.repartition(13), "t", 100)) === got)
+    assert(key(Sampling.shuffleOrder(docs, "t", 8)) === got)
+    // a different salt is a different permutation
+    assert(key(Sampling.shuffleOrder(docs, "u", 100)) !== got)
+  }
+
+  test("temperatureMixRates: sqrt shares sum to 1, up-weight small sources, spend the budget") {
+    val r = Sampling.temperatureMixRates(docs, 250)
+      .select("source", "n_tokens", "p_mix", "rate_u").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getLong(3)))
+    assert(math.abs(r.map(_._3).sum - 1.0) < 1e-6)
+    val totTok = r.map(_._2).sum.toDouble
+    // τ=0.5 up-weights small sources: rate ordering is inverse to size
+    val bySize = r.sortBy(_._2)
+    assert(bySize.head._4 >= bySize.last._4)
+    // expected kept tokens ≈ budget (within rounding; no source capped here)
+    val spent = r.map(x => x._4 / 1e6 * x._2).sum
+    assert(math.abs(spent - 0.25 * totTok) / totTok < 0.01)
+    // rates monotone in budget, capped at 1e6
+    val r2 = Sampling.temperatureMixRates(docs, 1000)
+      .select("source", "rate_u").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.foreach { case (s, _, _, u) => assert(r2(s) >= u && r2(s) <= 1000000L) }
+    // the sampled membership is the exact hash filter at those rates
+    val rateBySrc = r.map(x => x._1 -> x._4).toMap
+    val got = Sampling.temperatureMixSample(docs, 250, "t")
+      .select("doc_id").as[Long].collect().toSet
+    val expect = docs.select("doc_id", "source").collect()
+      .filter(x => h60t(s"t:${x.getLong(0)}") % 1000000 < rateBySrc(x.getString(1)))
+      .map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
+
+  test("fuzzyContamination: planted eval near-copy flagged, clean corpus silent, partition-invariant") {
+    // eval doc 0's text with one appended token — shingle Jaccard ≈
+    // (L−4)/(L−3) ≈ 0.98, not identical (the near-dup contamination
+    // case); with fixed md5-derived hashes the collision is
+    // deterministic, not probabilistic
+    val evalDocs = docs.limit(5)
+    val base = evalDocs.select("text").as[String].head()
+    val perturbed = base.trim + " xqzt"
+    val train = docs.filter(col("doc_id") >= 200).limit(40)
+      .unionByName(spark.createDataset(Seq((900001L, perturbed)))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(docs.columns.map(col): _*))
+    val flagged = Decontam.fuzzyContamination(train, evalDocs)
+    val byId = flagged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.contains(900001L), s"planted near-copy not flagged: $byId")
+    assert(byId(900001L) >= 1 && byId(900001L) <= 4) // k/rowsPerBand = 4 bands
+    // unrelated synthetic docs never collide on a full band
+    assert(!byId.keys.exists(_ != 900001L))
+    val again = Decontam.fuzzyContamination(train.repartition(7), evalDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === byId)
+  }
+
+  test("vocabTopV + oovStats: exact cut, full coverage is oov 0, nonsense is oov 1") {
+    val v = TextOps.vocabTopV(docs, 10)
+    val vs = v.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // exact cut vs driver-side occurrence counts, total tie order
+    val ref = docs.select("text").as[String].collect()
+      .flatMap(_.trim.split("\\s+")).groupBy(identity)
+      .map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(10)
+    assert(vs.map(x => (x._1, x._2)).toSeq === ref)
+    assert(vs.map(_._3).toSeq === (1 to vs.length))
+    // oov: a doc of only the top token scores 0, nonsense scores 1
+    val top = vs.head._1
+    val probe = spark.createDataset(Seq(
+        (1L, s"$top $top $top"), (2L, "zzq1 zzq2 zzq3 zzq4")))
+      .toDF("doc_id", "text")
+    val o = TextOps.oovStats(probe, v).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(o(1L) === ((3L, 0L, 0.0)))
+    assert(o(2L) === ((4L, 4L, 1.0)))
+    // corpus-wide: rates in [0,1], token counts match size(tokens)
+    val all = TextOps.oovStats(docs, v)
+    assert(all.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() === 0)
+    val nTok = docs.selectExpr("doc_id", s"size(${TextOps.tokensExpr}) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    all.select("doc_id", "n_tokens").collect()
+      .foreach(r => assert(r.getLong(1) === nTok(r.getLong(0))))
+  }
 }
