@@ -115,8 +115,10 @@ object Sampling {
     * identical doubles.
     *
     * Scale shape: one agg-only scan of the corpus (map-side combined to
-    * a #sources-row relation), a one-row broadcast for the totals, then
-    * pure scalar arithmetic. Returns
+    * a #sources-row relation); the corpus-wide totals are a
+    * whole-relation window over that tiny relation (a single-partition
+    * exchange of #sources rows, not a join), then pure scalar
+    * arithmetic. Returns
     * `(source, n_docs, n_tokens, w_u, p_mix, rate_u)`. */
   def temperatureMixRates(docs: DataFrame, budgetPermille: Int): DataFrame = {
     require(budgetPermille >= 0 && budgetPermille <= 1000,
@@ -128,9 +130,10 @@ object Sampling {
         sum(expr("CAST(size(tokens) AS BIGINT)")).as("n_tokens"))
       .withColumn("w_u", expr(
         "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT)"))
-    val tot = per.agg(sum(col("w_u")).as("tot_w"),
-      sum(col("n_tokens")).as("tot_tok"))
-    per.crossJoin(broadcast(tot))   // one-row totals broadcast
+    val whole = Window.partitionBy()   // #sources rows — tiny by contract
+    per
+      .withColumn("tot_w", sum(col("w_u")).over(whole))
+      .withColumn("tot_tok", sum(col("n_tokens")).over(whole))
       .withColumn("p_mix", expr(
         "floor((CAST(w_u AS DOUBLE) / CAST(tot_w AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9"))
       .withColumn("rate_u", expr(
