@@ -28,7 +28,15 @@ import graft.pipeline._
   *  - `kmeans`:   Lloyd's k-means at 1M × 64-dim, k=16, 3 rounds;
   *  - `spans`:    duplicate-span removal at 1M docs (200k docs carry a
   *                planted 20-token duplicated span) + the scrub pass;
-  *  - `bm25`:     BM25 top-100 retrieval over 3M docs.
+  *  - `bm25`:     BM25 top-100 retrieval over 3M docs;
+  *  - `shuffle`:  deterministic global shuffle order at 30M docs, with
+  *                an exact permutation check (distinct ords = n);
+  *  - `mix`:      temperature mixture recipe + application at 3M docs
+  *                over 16 synthetic sources, token-budget audit;
+  *  - `fuzzydecontam`: MinHash band collisions of 1M train docs vs a
+  *                3k-doc eval split of planted near-dups (J ≈ 0.94);
+  *  - `vocab`:    top-100 vocabulary induction + per-doc OOV at 3M
+  *                docs (60M token occurrences).
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -42,7 +50,8 @@ object PipelineScaleProbe {
   def main(args: Array[String]): Unit = {
     val sections = if (args.isEmpty)
                      Set("minhash", "clusters", "ann", "banded", "packing", "decontam",
-                       "kmeans", "spans", "bm25")
+                       "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
+                       "vocab")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -238,6 +247,82 @@ object PipelineScaleProbe {
         val n = top.count()
         require(n == 100L, s"expected 100 rows, got $n")
         n
+      }
+    }
+
+    if (sections("shuffle")) {
+      // 30M docs — the two-level rank's exchange is on the 100 range
+      // buckets; the permutation check is exact (distinct ords = n)
+      val docs30m = spark.range(30000000L).selectExpr("id AS doc_id")
+      val ord = Sampling.shuffleOrder(docs30m, "probe", 100)
+      auditPlan("shuffle order 30M docs", ord)
+      time("global shuffle order, 30M docs, 100 buckets") {
+        val st = ord.agg(countDistinct("ord").as("d"),
+          min("ord").as("lo"), max("ord").as("hi")).head()
+        require(st.getLong(0) == 30000000L && st.getLong(1) == 0L &&
+          st.getLong(2) == 29999999L,
+          s"not a permutation: distinct=${st.getLong(0)} range=[${st.getLong(1)},${st.getLong(2)}]")
+        st.getLong(0)
+      }
+    }
+
+    if (sections("mix")) {
+      // 3M docs over 16 sources of wildly different sizes (source j has
+      // ~2^j/2^16 of the corpus) — the τ=0.5 recipe must spend the
+      // token budget and up-weight the small sources
+      val docs3m = corpus(3000000L)
+        .withColumn("source", expr("concat('s', CAST(floor(log2(1 + pmod(hash(doc_id, 9), 65536))) AS INT))"))
+      val rates = Sampling.temperatureMixRates(docs3m, 250)
+      auditPlan("mix rates 3M docs", rates)
+      time("temperature mix recipe, 3M docs, 16 sources") {
+        rates.count()
+      }
+      val sampled = Sampling.temperatureMixSample(docs3m, 250, "probe")
+      auditPlan("mix apply 3M docs", sampled)
+      time("  + applied sample (scan-stage filter)") {
+        val kept = sampled.selectExpr(s"sum(size(${TextOps.tokensExpr}))")
+          .head().getLong(0)
+        val tot = docs3m.selectExpr(s"sum(size(${TextOps.tokensExpr}))")
+          .head().getLong(0)
+        val frac = kept.toDouble / tot
+        require(frac > 0.2 && frac < 0.3, s"budget spend off: $frac vs 0.25")
+        kept
+      }
+    }
+
+    if (sections("fuzzydecontam")) {
+      // same corpus/eval split as `decontam`, but 1M docs and the
+      // signature-level near-dup detector: planted partners have
+      // J ≈ 16/17, so ≥1 of the 4 bands collides for ~99.8% of them
+      val all = corpus(1000000L)
+      val evalDocs = all.filter("doc_id % 10 = 1 AND doc_id % 1000 = 1")
+      val train = all.filter("doc_id % 10 != 1")
+      val fuzzy = Decontam.fuzzyContamination(train, evalDocs)
+      auditPlan("fuzzy decontam 1M train vs 1k eval", fuzzy)
+      var hit = 0L
+      time("fuzzy decontamination, 1M train docs, banded signatures") {
+        hit = fuzzy.filter(col("doc_id") % 1000 === 0).count()
+        fuzzy.count()
+      }
+      println(s"  planted near-dup partners flagged: $hit/1000")
+      require(hit >= 980L, s"fuzzy planted detection $hit/1000")
+    }
+
+    if (sections("vocab")) {
+      // 60M token occurrences → top-100 vocabulary → per-doc OOV; at
+      // vocab 1000 uniform the expected OOV rate is ≈ 0.9
+      val docs3m = corpus(3000000L)
+      val vocab = TextOps.vocabTopV(docs3m, 100)
+      auditPlan("vocab top-100 3M docs", vocab)
+      time("vocabulary induction top-100, 3M docs (60M tokens)") {
+        vocab.count()
+      }
+      val oov = TextOps.oovStats(docs3m, vocab)
+      auditPlan("oov stats 3M docs", oov)
+      time("  + per-doc OOV stats vs broadcast vocab") {
+        val mean = oov.agg(avg("oov_rate")).head().getDouble(0)
+        require(mean > 0.8 && mean < 0.95, s"OOV mean off: $mean")
+        oov.count()
       }
     }
 
