@@ -996,6 +996,23 @@ object PipelineQueries {
         FROM tr JOIN ev ON tr.band = ev.band AND tr.sig = ev.sig
         GROUP BY 1 ORDER BY doc_id""")),
 
+    QueryDef("q_chunk_docs",
+      // long-document chunking: overlapping 32-token windows at stride
+      // 16 — pure codegen'd explode(sequence) projection, no shuffle,
+      // the step before packing/embedding. Tail windows truncate at
+      // the doc end.
+      (s, dir) => TextOps.chunkDocs(docs(s, dir), 32, 16)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH tok AS ($tokCte),
+        t AS (SELECT doc_id, tokens, CAST(len(tokens) AS INTEGER) AS n_tok FROM tok),
+        st AS (SELECT doc_id, tokens, n_tok,
+                 CAST(unnest(generate_series(0, n_tok - 1, 16)) AS INTEGER) AS tok_start
+               FROM t)
+        SELECT doc_id, CAST(tok_start // 16 AS INTEGER) AS chunk_id, tok_start,
+          CAST(least(32, n_tok - tok_start) AS INTEGER) AS chunk_len,
+          array_to_string(list_slice(tokens, tok_start + 1, tok_start + 32), ' ') AS chunk_text
+        FROM st ORDER BY doc_id, chunk_id""")),
+
     QueryDef("q_vocab_topk",
       // corpus-induced vocabulary: top-50 tokens by total occurrences —
       // explode → map-side-combined count → TakeOrdered (never a full

@@ -242,6 +242,31 @@ object TextOps {
         "floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob")
       .withColumn("keep", col("prob") >= 0.5)
 
+  /** Split documents into overlapping fixed-size token windows — the
+    * long-document chunking step before sequence packing / embedding:
+    * `(doc_id, chunk_id, tok_start, chunk_len, chunk_text)` with
+    * windows starting at 0, stride, 2·stride … < n_tokens and the tail
+    * window truncated to the document end. `stride < maxTok` gives
+    * overlapping windows (context preservation); `stride = maxTok`
+    * gives a partition.
+    *
+    * Scale shape: a pure codegen'd `explode(sequence(...))` projection
+    * over the scan — no shuffle, no UDF; output size is
+    * n_tokens/stride rows per doc by construction. */
+  def chunkDocs(docs: DataFrame, maxTok: Int, stride: Int): DataFrame = {
+    require(maxTok >= 1 && stride >= 1 && stride <= maxTok,
+      s"need 1 <= stride <= maxTok, got stride=$stride maxTok=$maxTok")
+    withTokens(docs)
+      .selectExpr("doc_id", "tokens", "size(tokens) AS n_tok")
+      .selectExpr("doc_id", "tokens", "n_tok",
+        s"explode(sequence(0, n_tok - 1, $stride)) AS tok_start")
+      .selectExpr("doc_id",
+        s"CAST(tok_start DIV $stride AS INT) AS chunk_id",
+        "tok_start",
+        s"least($maxTok, n_tok - tok_start) AS chunk_len",
+        s"array_join(slice(tokens, tok_start + 1, $maxTok), ' ') AS chunk_text")
+  }
+
   /** Corpus-induced vocabulary: the `v` tokens with the most total
     * occurrences — `(token, n_occ, rank)`, rank 1..v. Scale shape:
     * explode → count (map-side partial agg collapses each scan task to

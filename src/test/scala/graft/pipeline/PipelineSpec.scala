@@ -922,6 +922,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === byId)
   }
 
+  test("chunkDocs: windows tile with stride, tail truncates, reconstruction at stride=maxTok") {
+    val probe = spark.createDataset(Seq(
+        (1L, (1 to 75).map(i => s"t$i").mkString(" ")),  // 75 tokens
+        (2L, "a b c")))                                   // shorter than one window
+      .toDF("doc_id", "text")
+    val c = TextOps.chunkDocs(probe, 32, 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = c.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,16,32,48,64; lengths 32,32,32,27,11
+    assert(d1.map(_._3).toSeq === Seq(0, 16, 32, 48, 64))
+    assert(d1.map(_._4).toSeq === Seq(32, 32, 32, 27, 11))
+    assert(d1.forall(x => x._5.split(" ").length == x._4))
+    // overlap: each window starts mid-previous
+    assert(d1(1)._5.startsWith("t17 t18"))
+    // short doc: one truncated window
+    val d2 = c.filter(_._1 == 2L)
+    assert(d2.toSeq === Seq((2L, 0, 0, 3, "a b c")))
+    // stride = maxTok partitions exactly: concatenation reconstructs
+    val part = TextOps.chunkDocs(probe.filter(col("doc_id") === 1), 32, 32)
+      .orderBy("chunk_id").select("chunk_text").as[String].collect()
+    assert(part.mkString(" ") === (1 to 75).map(i => s"t$i").mkString(" "))
+    // plan: no exchange — chunking is a scan-stage projection
+    val plan = TextOps.chunkDocs(probe, 32, 16).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("vocabTopV + oovStats: exact cut, full coverage is oov 0, nonsense is oov 1") {
     val v = TextOps.vocabTopV(docs, 10)
     val vs = v.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
