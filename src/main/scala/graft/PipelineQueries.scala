@@ -217,6 +217,44 @@ object PipelineQueries {
     (init +: rounds).mkString(", ")
   }
 
+  /** Product-quantization contract constants and the per-subspace
+    * unrolled-Lloyd CTE builder (the [[kmeansCtes]] chain generalized
+    * to a vector slice and a name tag so two codebooks coexist in one
+    * query). Parity inherits q_kmeans' engineering: quantized exact
+    * sums, fixed-order folds, tie-break on ids. */
+  private val pqM = 2
+  private val pqK = 8
+  private val pqIters = 2
+  private val pqCells = 4
+  private def pqDist(v: String, c: String) =
+    s"""list_reduce(list_transform(list_zip($v, $c),
+        p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)"""
+  private def kmeansSubCtes(tag: String, lo: Int, len: Int,
+                            k: Int, iters: Int): String = {
+    val init =
+      s"""e$tag AS (SELECT vec_id, list_transform(
+            list_slice(CAST(embedding AS DOUBLE[]), $lo, ${lo + len - 1}),
+            x -> round(x * 10000.0e0)) AS v FROM embeddings),
+          c0$tag AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v AS c
+                     FROM (SELECT * FROM e$tag ORDER BY vec_id LIMIT $k))"""
+    val rounds = (1 to iters).map { i =>
+      val assign =
+        s"""a$i$tag AS (SELECT vec_id, v, cl, d FROM (
+              SELECT vec_id, v, cl, d,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+              FROM (SELECT e$tag.vec_id, e$tag.v, c${i - 1}$tag.cl,
+                      ${pqDist(s"e$tag.v", s"c${i - 1}$tag.c")} AS d
+                    FROM e$tag CROSS JOIN c${i - 1}$tag))
+            WHERE rn = 1)"""
+      val update = if (i == iters) "" else
+        s""", u$i$tag AS (SELECT cl, j, sum(v[j]) AS s, count(*) AS n
+              FROM a$i$tag CROSS JOIN generate_series(1, $len) t(j) GROUP BY 1, 2),
+            c$i$tag AS (SELECT cl, list(s / n ORDER BY j) AS c FROM u$i$tag GROUP BY 1)"""
+      assign + update
+    }
+    (init +: rounds).mkString(", ")
+  }
+
   /** Duplicate-span contract constants (Lee-et-al-style substring
     * dedup): 5-token shingles, duplicated = ≥ 2 occurrences corpus-wide
     * (multiplicity counted). The islands chain below mirrors
@@ -772,6 +810,41 @@ object PipelineQueries {
                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
               FROM c)
         SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    QueryDef("q_ann_pq",
+      // IVF-PQ ANN: 4 coarse k-means cells restrict each query's scan
+      // to its own cell, and within it distance is the asymmetric (ADC)
+      // sum of per-subspace LUT entries over two 32-dim codebook codes
+      // (k=8, 2 Lloyd rounds) — the corpus-side scan never touches raw
+      // vectors. Oracle: three unrolled Lloyd chains (coarse + two
+      // slices) + the same LUT join, bit-exact by construction.
+      (s, dir) => Clustering.pqTopK(emb(s, dir), "vec_id % 50 = 0", 5,
+          pqM, pqK, pqIters, coarseCells = pqCells)
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH ${kmeansSubCtes("pa", 1, 32, pqK, pqIters)},
+        ${kmeansSubCtes("pb", 33, 32, pqK, pqIters)},
+        ${kmeansSubCtes("pc", 1, 64, pqCells, pqIters)},
+        luta AS (SELECT q.vec_id AS query_id, c.cl AS code,
+                   ${pqDist("q.v", "c.c")} AS d
+                 FROM epa q CROSS JOIN c${pqIters - 1}pa c WHERE q.vec_id % 50 = 0),
+        lutb AS (SELECT q.vec_id AS query_id, c.cl AS code,
+                   ${pqDist("q.v", "c.c")} AS d
+                 FROM epb q CROSS JOIN c${pqIters - 1}pb c WHERE q.vec_id % 50 = 0),
+        cells AS (SELECT vec_id, cl AS cell FROM a${pqIters}pc),
+        qc AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id % 50 = 0),
+        cd AS (SELECT a.vec_id, a.cl AS ca, b.cl AS cb, cells.cell
+               FROM a${pqIters}pa a JOIN a${pqIters}pb b USING (vec_id)
+               JOIN cells USING (vec_id)),
+        sc AS (SELECT qc.query_id, cd.vec_id AS neighbor_id, la.d + lb.d AS adist
+               FROM cd JOIN qc ON qc.cell = cd.cell
+                       JOIN luta la ON la.query_id = qc.query_id AND la.code = cd.ca
+                       JOIN lutb lb ON lb.query_id = qc.query_id AND lb.code = cd.cb
+               WHERE cd.vec_id <> qc.query_id),
+        rr AS (SELECT *, CAST(row_number() OVER
+                 (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+               FROM sc)
+        SELECT query_id, neighbor_id, adist, rank FROM rr WHERE rank <= 5
+        ORDER BY query_id, rank""")),
 
     QueryDef("q_semantic_dedup",
       // SemDeDup composition: k-means cells -> within-cell exact cosine

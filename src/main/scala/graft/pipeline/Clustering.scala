@@ -40,7 +40,13 @@ object Clustering {
   /** Assignments `(vec_id, cluster, dist2)` after `iters` Lloyd
     * rounds; `dist2` is the squared distance to the final centroid
     * (bit-exact, so callers may hash it after shared rounding). */
-  def kmeans(emb: DataFrame, k: Int, iters: Int, dim: Int = 64): DataFrame = {
+  def kmeans(emb: DataFrame, k: Int, iters: Int, dim: Int = 64): DataFrame =
+    kmeansFull(emb, k, iters, dim)._1
+
+  /** [[kmeans]] plus the final centroids (quantized-space doubles) —
+    * the codebook consumers ([[pqTopK]]'s ADC lookup tables) need. */
+  def kmeansFull(emb: DataFrame, k: Int, iters: Int,
+                 dim: Int = 64): (DataFrame, Array[(Int, Array[Double])]) = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
     val spark = emb.sparkSession
     import spark.implicits._
@@ -96,8 +102,8 @@ object Clustering {
         (cl, Array.tabulate(dimOf(sm))(j => sm(j) / n))
       }.sortBy(_._1)
     }
-    assigned(cents).map { case (id, cl, d, _) => (id, cl, d) }
-      .toDF("vec_id", "cluster", "dist2")
+    (assigned(cents).map { case (id, cl, d, _) => (id, cl, d) }
+      .toDF("vec_id", "cluster", "dist2"), cents)
   }
 
   private def dimOf(m: scala.collection.Map[Int, Double]): Int = m.keys.max + 1
@@ -113,6 +119,112 @@ object Clustering {
     val asg = kmeans(emb, cells, iters)
       .select(col("vec_id"), col("cluster").as("g")).localCheckpoint()
     Similarity.topKWithinGroups(emb, asg, probeFilter, k)
+  }
+
+  /** Product-quantization ANN (the IVF-PQ compression path): each
+    * vector is encoded as `m` small codes — the nearest per-subspace
+    * k-means centroid of each of its `m` dim/m-dim slices — and query
+    * distance is the asymmetric-distance (ADC) sum of per-subspace
+    * lookup-table entries, computed over the CODES, never the raw
+    * vectors. At 100 TB this is what makes an embedding corpus
+    * scannable: m bytes/vector (m·k centroid doubles broadcast) instead
+    * of dim floats, with the corpus-side scan a stack of broadcast
+    * equi-joins on the code columns.
+    *
+    * Plan shape: m per-subspace Lloyd runs (each the [[kmeans]] shape:
+    * broadcast assignment + accumulator-only update shuffle), an m−1
+    * equi-join pivot of the code columns (vec_id-keyed, co-partitioned
+    * by AQE), then per query: a broadcast LUT equi-join per subspace
+    * and a fixed-order `d_0 + d_1 + …` sum — no BNLJ anywhere.
+    * With `coarseCells > 0` (IVF-PQ proper, the 100 TB configuration) a
+    * coarse full-vector k-means keys the first LUT join by the
+    * query's cell, so the ADC fan-out is corpus/cells per query
+    * instead of the whole corpus — `coarseCells = 0` is the exhaustive
+    * ADC scan (exact PQ ranking, the small-corpus baseline). Exact
+    * re-ranking of the ADC top-k (the standard refinement step) is
+    * [[Similarity.topKWithinGroups]] over the returned candidates.
+    *
+    * Parity: codebooks inherit [[kmeans]]'s bit-exactness; LUT entries
+    * are fixed-index-order folds of identical doubles; per-pair sums
+    * add the per-subspace terms in subspace order. `adist` is the
+    * squared distance in the quantized (×10⁴) input space.
+    * Ranks tie-break on neighbor_id — a total order, so both engines
+    * cut identically. */
+  def pqTopK(emb: DataFrame, probeFilter: String, kNN: Int, m: Int,
+             codebookK: Int, iters: Int, dim: Int = 64,
+             coarseCells: Int = 0, coarseIters: Int = 2): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(kNN >= 1, s"kNN must be >= 1, got $kNN")
+    val spark = emb.sparkSession
+    val subDim = dim / m
+
+    // per-subspace codebooks (Lloyd on each slice) + the code pivot.
+    // Codes are checkpointed: every downstream action would otherwise
+    // re-run the full Lloyd chain per subspace.
+    val subs = (0 until m).map { s0 =>
+      val sliced = emb.selectExpr("vec_id",
+        s"slice(embedding, ${s0 * subDim + 1}, $subDim) AS embedding")
+      val (asg, cents) = kmeansFull(sliced, codebookK, iters, subDim)
+      (s0,
+        asg.select(col("vec_id"), col("cluster").as(s"code_$s0")).localCheckpoint(),
+        cents)
+    }
+    var codes = subs.map(_._2).reduce((a, b) => a.join(b, "vec_id"))
+
+    // coarse IVF cells (the scale path): the ADC scan is restricted to
+    // the query's cell, so per-query work is corpus/cells, not corpus.
+    // coarseCells = 0 is the exhaustive ADC scan (exact PQ ranking).
+    val qcells = if (coarseCells > 0) {
+      val cells = kmeans(emb, coarseCells, coarseIters, dim)
+        .select(col("vec_id"), col("cluster").as("cell")).localCheckpoint()
+      codes = codes.join(cells, "vec_id")
+      Some(emb.filter(probeFilter).select("vec_id").join(cells, "vec_id"))
+    } else None
+
+    // ADC lookup tables: per (query, subspace, code) the exact squared
+    // distance from the query's quantized slice to that centroid —
+    // an equi-join of the probe slices against the m·k-row broadcast
+    // codebook relation, fixed-index-order fold
+    import spark.implicits._
+    val cents = subs.flatMap { case (s0, _, cs) =>
+      cs.map { case (code, c) => (s0, code, c) }
+    }.toDF("sub", "code", "cv")
+    val qslices = quantized(emb.filter(probeFilter), dim)
+      .select(col("vec_id").as("query_id"),
+        explode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"s -> named_struct('sub', s, 'qv', slice(v, s * $subDim + 1, $subDim)))")).as("sl"))
+      .select(col("query_id"), col("sl.sub").as("sub"), col("sl.qv").as("qv"))
+    val lut = qslices.join(broadcast(cents), "sub")
+      .withColumn("d", expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0.0D, (a, t) -> a + t)"))
+      .select("query_id", "sub", "code", "d")
+
+    // candidates: one broadcast LUT join per subspace — the FIRST join
+    // carries the coarse cell key when IVF is on, so the fan-out is
+    // (queries in this cell) per vector, not (all queries) per vector —
+    // then the fixed-order ADC sum and the per-query exact top-k cut
+    var cand = codes
+    for (s0 <- 0 until m) {
+      var l = lut.filter(col("sub") === s0)
+        .select(col("query_id"), col("code").as(s"code_$s0"), col("d").as(s"d_$s0"))
+      val keys = if (s0 == 0) qcells match {
+        case Some(qc) =>
+          l = l.join(qc.withColumnRenamed("vec_id", "query_id"), "query_id")
+          Seq("cell", s"code_$s0")
+        case None => Seq(s"code_$s0")
+      } else Seq("query_id", s"code_$s0")
+      cand = cand.join(broadcast(l), keys)
+    }
+    val adist = expr((0 until m).map(s0 => s"d_$s0").mkString(" + "))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist"), col("vec_id"))
+    cand
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= kNN)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rank"))
   }
 
   /** SemDeDup-style semantic dedup: k-means partitions the corpus into

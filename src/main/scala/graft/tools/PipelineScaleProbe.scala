@@ -36,7 +36,10 @@ import graft.pipeline._
   *  - `fuzzydecontam`: MinHash band collisions of 1M train docs vs a
   *                3k-doc eval split of planted near-dups (J ≈ 0.94);
   *  - `vocab`:    top-100 vocabulary induction + per-doc OOV at 3M
-  *                docs (60M token occurrences).
+  *                docs (60M token occurrences);
+  *  - `pq`:       product-quantization ANN at 1M × 64-dim — m=4 × k=16
+  *                codebooks, ADC top-5 for 1000 probes, planted-partner
+  *                recall.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -51,7 +54,7 @@ object PipelineScaleProbe {
     val sections = if (args.isEmpty)
                      Set("minhash", "clusters", "ann", "banded", "packing", "decontam",
                        "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
-                       "vocab")
+                       "vocab", "pq")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -324,6 +327,25 @@ object PipelineScaleProbe {
         require(mean > 0.8 && mean < 0.95, s"OOV mean off: $mean")
         oov.count()
       }
+    }
+
+    if (sections("pq")) {
+      // IVF-PQ at 1M × 64-dim: 64 coarse cells bound each query's ADC
+      // scan to ~1/64 of the corpus; m=4 × k=16 codebooks (65536
+      // combos) discriminate within the cell. The planted cos≈0.99
+      // partner is recalled when it lands in the query's coarse cell
+      // AND shares its codes — the standard nprobe=1 recall trade.
+      val emb = vectors(1000000L)
+      val top = Clustering.pqTopK(emb, "vec_id % 1000 = 0", 5, 4, 16, 2,
+        coarseCells = 64)
+      auditPlan("IVF-PQ top-5 1M vectors", top)
+      var hit = 0L
+      time("IVF-PQ (64 cells, m=4, k=16) top-5, 1M x 64-dim, 1000 probes") {
+        hit = top.filter(col("neighbor_id") === col("query_id") + 1).count()
+        top.count()
+      }
+      println(s"  planted-partner recall in top-5: $hit/1000")
+      require(hit >= 750L, s"IVF-PQ planted recall $hit/1000 (793 at probe authoring)")
     }
 
     println(s"== plan failures: $planFailures")

@@ -922,6 +922,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === byId)
   }
 
+  test("pqTopK: planted near-dup partners surface in ADC top-k, k per probe, partition-invariant") {
+    // 2000 synthetic 64-dim vectors; ids ≡ 0 (mod 20) get a planted
+    // partner at id+1 (small component noise → cos ≈ 0.99). With
+    // m=4 × k=16 codebooks (65536 combos ≫ 2000 vectors) the partner
+    // almost always shares the query's codes, making its ADC distance
+    // the attainable minimum.
+    val vecs = spark.range(2000L)
+      .withColumn("gid", when(col("id") % 20 === 1, col("id") - 1).otherwise(col("id")))
+      .selectExpr("id AS vec_id",
+        """transform(sequence(0, 63), j -> CAST(
+             CAST(hash(gid, j) AS DOUBLE) / 2.147483647e9 +
+             CASE WHEN id % 20 = 1
+                  THEN 0.1e0 * CAST(hash(id, j, 7) AS DOUBLE) / 2.147483647e9
+                  ELSE 0.0e0 END AS FLOAT)) AS embedding""")
+    val top = Clustering.pqTopK(vecs, "vec_id % 20 = 0", 3, 4, 16, 2)
+    val rows = top.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size === 100)
+    byQ.foreach { case (_, rs) => assert(rs.map(_._4).toSeq.sorted === (1 to 3)) }
+    // the planted partner lands in the top-3 for the vast majority
+    val hit = byQ.count { case (q, rs) => rs.exists(_._2 == q + 1) }
+    assert(hit >= 80, s"planted partner in ADC top-3 for only $hit/100 probes")
+    // adist non-decreasing in rank, no self matches
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+      assert(!rs.exists(_._2 == q))
+    }
+    // exact under repartitioning; equi-join-only plan
+    val again = Clustering.pqTopK(vecs.repartition(7), "vec_id % 20 = 0", 3, 4, 16, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(again.toSet === rows.toSet)
+    assert(graft.tools.PlanScan.badJoinCount(top) === 0)
+  }
+
   test("chunkDocs: windows tile with stride, tail truncates, reconstruction at stride=maxTok") {
     val probe = spark.createDataset(Seq(
         (1L, (1 to 75).map(i => s"t$i").mkString(" ")),  // 75 tokens
