@@ -1069,6 +1069,32 @@ object PipelineQueries {
         FROM tr JOIN ev ON tr.band = ev.band AND tr.sig = ev.sig
         GROUP BY 1 ORDER BY doc_id""")),
 
+    QueryDef("q_bigram_lm",
+      // corpus-learned bigram LM score (CCNet-style perplexity filter):
+      // add-1/2-smoothed bigram MLE, per-doc mean negative log-likelihood.
+      // Counts joined back by shingle key; log-probs quantized to
+      // integer micro-units and summed exactly (BM25's ln-parity
+      // rationale).
+      (s, dir) => TextOps.bigramLmScore(docs(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH tok AS ($tokCte),
+        bgx AS (SELECT doc_id, unnest(list_transform(
+                  generate_series(0, len(tokens) - 2),
+                  i -> array_to_string(list_slice(tokens, i + 1, i + 2), ' '))) AS s2
+                FROM tok WHERE len(tokens) >= 2),
+        bg AS (SELECT doc_id, s2, string_split(s2, ' ')[1] AS w1 FROM bgx),
+        bc AS (SELECT s2, count(*) AS cb FROM bg GROUP BY 1),
+        u AS (SELECT unnest(tokens) AS w1 FROM tok),
+        uc AS (SELECT w1, count(*) AS cu FROM u GROUP BY 1),
+        vv AS (SELECT count(*) AS v FROM uc),
+        sc AS (SELECT doc_id,
+                 CAST(floor(ln((cb + 0.5e0) / (cu + 0.5e0 * v)) * 1.0e6 + 0.5e0) AS BIGINT) AS lp_u
+               FROM bg JOIN bc USING (s2) JOIN uc USING (w1) CROSS JOIN vv),
+        g AS (SELECT doc_id, count(*) AS n_bigrams,
+                CAST(-sum(lp_u) AS BIGINT) AS nll_u FROM sc GROUP BY 1)
+        SELECT doc_id, n_bigrams, nll_u,
+          floor((CAST(nll_u AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1.0e6)) * 1.0e9 + 0.5e0) / 1.0e9 AS mean_nll
+        FROM g ORDER BY doc_id""")),
+
     QueryDef("q_chunk_docs",
       // long-document chunking: overlapping 32-token windows at stride
       // 16 — pure codegen'd explode(sequence) projection, no shuffle,

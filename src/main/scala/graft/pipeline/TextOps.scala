@@ -242,6 +242,43 @@ object TextOps {
         "floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob")
       .withColumn("keep", col("prob") >= 0.5)
 
+  /** Per-document bigram language-model score — the CCNet-style
+    * "perplexity against a reference LM" quality filter, with the LM
+    * learned FROM the corpus itself (add-½-smoothed bigram MLE):
+    * `mean_nll = −(1/n) Σ ln p(tᵢ | tᵢ₋₁)`, low = fluent/common,
+    * high = rare or garbled. Returns
+    * `(doc_id, n_bigrams, nll_u, mean_nll)`; docs shorter than one
+    * bigram are excluded (no defined score).
+    *
+    * Scale shape: bigram and unigram count relations are corpus-wide
+    * aggregates on the shingle key (map-side combined), joined back
+    * onto the exploded bigram stream by key — broadcast when they fit
+    * (the contract corpus), a plain shuffled equi-join when the
+    * vocabulary outgrows that (no plan cliff). The vocabulary size is
+    * one plan-time scalar, the [[Search]] BM25 precedent.
+    *
+    * Parity: per-bigram log-probs are quantized to integer micro-units
+    * and summed as BIGINTs — order-independent exact sums; `ln` runs on
+    * identical doubles on both engines (same rationale as BM25's idf;
+    * the 10⁻⁶ quantum absorbs last-ULP libm differences). */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val tok = withTokens(docs)
+    val bg = tok.filter(expr("size(tokens) >= 2"))
+      .selectExpr("doc_id", s"explode(${shinglesExpr(2)}) AS s2")
+      .withColumn("w1", expr("element_at(split(s2, ' '), 1)"))
+    val bc = bg.groupBy("s2").agg(count(lit(1)).as("cb"))
+    val uc = tok.selectExpr("explode(tokens) AS w1")
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val v = uc.count()   // vocabulary size: one plan-time scalar
+    bg.join(broadcast(bc), "s2").join(broadcast(uc), "w1")
+      .withColumn("lp_u", expr(
+        s"CAST(floor(ln((cb + 0.5e0) / (cu + 0.5e0 * $v)) * 1.0e6 + 0.5e0) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp_u"))).as("nll_u"))
+      .withColumn("mean_nll", expr(
+        "floor((CAST(nll_u AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1.0e6)) * 1.0e9 + 0.5e0) / 1.0e9"))
+  }
+
   /** Split documents into overlapping fixed-size token windows — the
     * long-document chunking step before sequence packing / embedding:
     * `(doc_id, chunk_id, tok_start, chunk_len, chunk_text)` with

@@ -922,6 +922,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === byId)
   }
 
+  test("bigramLmScore: docs following the corpus's bigram structure score below reversed ones") {
+    // a corpus WITH bigram structure: every doc cycles c0→c1→…→c4→c0,
+    // so the LM learns p(c_{i+1}|c_i) ≈ 1. The in-structure probe walks
+    // the cycle; the garbled probe walks it BACKWARDS (every bigram
+    // unseen, every prefix common — maximal surprise).
+    val cycle = (0 until 40).map(i => s"c${i % 5}").mkString(" ")
+    val corpus = spark.range(50)
+      .selectExpr("id AS doc_id", s"'$cycle' AS text")
+    val probe = corpus.unionByName(spark.createDataset(Seq(
+        (800001L, (0 until 20).map(i => s"c${i % 5}").mkString(" ")),
+        (800002L, (0 until 20).map(i => s"c${(20 - i) % 5}").mkString(" ")),
+        (800003L, "solo")))
+      .toDF("doc_id", "text"))
+    val scored = TextOps.bigramLmScore(probe)
+    val byId = scored.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // single-token doc has no bigram → excluded
+    assert(!byId.contains(800003L))
+    // n_bigrams = n_tokens − 1
+    assert(byId(800001L)._1 === 19L)
+    assert(byId(800002L)._1 === 19L)
+    // following the learned structure is far more probable than
+    // reversing it
+    assert(byId(800001L)._3 < byId(800002L)._3 - 1.0,
+      s"in-structure ${byId(800001L)._3} !< reversed ${byId(800002L)._3} - 1")
+    // deterministic under repartitioning (exact integer sums)
+    val again = TextOps.bigramLmScore(probe.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(again === byId)
+  }
+
   test("pqTopK: planted near-dup partners surface in ADC top-k, k per probe, partition-invariant") {
     // 2000 synthetic 64-dim vectors; ids ≡ 0 (mod 20) get a planted
     // partner at id+1 (small component noise → cos ≈ 0.99). With
