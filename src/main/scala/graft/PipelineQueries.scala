@@ -255,6 +255,36 @@ object PipelineQueries {
     (init +: rounds).mkString(", ")
   }
 
+  /** The full IVF-PQ oracle chain: three unrolled Lloyd runs (two
+    * 32-dim slice codebooks + the coarse full-vector cells), ADC LUTs,
+    * the cell-restricted candidate join, and the approximate ranking —
+    * ends in `rr (query_id, neighbor_id, adist, rank)`. Shared by
+    * q_ann_pq (the ADC cut) and q_ann_pq_rerank (exact refinement of
+    * the ADC top-20). */
+  private lazy val pqCtes: String =
+    s"""${kmeansSubCtes("pa", 1, 32, pqK, pqIters)},
+        ${kmeansSubCtes("pb", 33, 32, pqK, pqIters)},
+        ${kmeansSubCtes("pc", 1, 64, pqCells, pqIters)},
+        luta AS (SELECT q.vec_id AS query_id, c.cl AS code,
+                   ${pqDist("q.v", "c.c")} AS d
+                 FROM epa q CROSS JOIN c${pqIters - 1}pa c WHERE q.vec_id % 50 = 0),
+        lutb AS (SELECT q.vec_id AS query_id, c.cl AS code,
+                   ${pqDist("q.v", "c.c")} AS d
+                 FROM epb q CROSS JOIN c${pqIters - 1}pb c WHERE q.vec_id % 50 = 0),
+        cells AS (SELECT vec_id, cl AS cell FROM a${pqIters}pc),
+        qc AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id % 50 = 0),
+        cd AS (SELECT a.vec_id, a.cl AS ca, b.cl AS cb, cells.cell
+               FROM a${pqIters}pa a JOIN a${pqIters}pb b USING (vec_id)
+               JOIN cells USING (vec_id)),
+        sc AS (SELECT qc.query_id, cd.vec_id AS neighbor_id, la.d + lb.d AS adist
+               FROM cd JOIN qc ON qc.cell = cd.cell
+                       JOIN luta la ON la.query_id = qc.query_id AND la.code = cd.ca
+                       JOIN lutb lb ON lb.query_id = qc.query_id AND lb.code = cd.cb
+               WHERE cd.vec_id <> qc.query_id),
+        rr AS (SELECT *, CAST(row_number() OVER
+                 (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+               FROM sc)"""
+
   /** Duplicate-span contract constants (Lee-et-al-style substring
     * dedup): 5-token shingles, duplicated = ≥ 2 occurrences corpus-wide
     * (multiplicity counted). The islands chain below mirrors
@@ -821,29 +851,27 @@ object PipelineQueries {
       (s, dir) => Clustering.pqTopK(emb(s, dir), "vec_id % 50 = 0", 5,
           pqM, pqK, pqIters, coarseCells = pqCells)
         .orderBy("query_id", "rank"),
-      Some(s"""WITH ${kmeansSubCtes("pa", 1, 32, pqK, pqIters)},
-        ${kmeansSubCtes("pb", 33, 32, pqK, pqIters)},
-        ${kmeansSubCtes("pc", 1, 64, pqCells, pqIters)},
-        luta AS (SELECT q.vec_id AS query_id, c.cl AS code,
-                   ${pqDist("q.v", "c.c")} AS d
-                 FROM epa q CROSS JOIN c${pqIters - 1}pa c WHERE q.vec_id % 50 = 0),
-        lutb AS (SELECT q.vec_id AS query_id, c.cl AS code,
-                   ${pqDist("q.v", "c.c")} AS d
-                 FROM epb q CROSS JOIN c${pqIters - 1}pb c WHERE q.vec_id % 50 = 0),
-        cells AS (SELECT vec_id, cl AS cell FROM a${pqIters}pc),
-        qc AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id % 50 = 0),
-        cd AS (SELECT a.vec_id, a.cl AS ca, b.cl AS cb, cells.cell
-               FROM a${pqIters}pa a JOIN a${pqIters}pb b USING (vec_id)
-               JOIN cells USING (vec_id)),
-        sc AS (SELECT qc.query_id, cd.vec_id AS neighbor_id, la.d + lb.d AS adist
-               FROM cd JOIN qc ON qc.cell = cd.cell
-                       JOIN luta la ON la.query_id = qc.query_id AND la.code = cd.ca
-                       JOIN lutb lb ON lb.query_id = qc.query_id AND lb.code = cd.cb
-               WHERE cd.vec_id <> qc.query_id),
-        rr AS (SELECT *, CAST(row_number() OVER
-                 (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
-               FROM sc)
+      Some(s"""WITH $pqCtes
         SELECT query_id, neighbor_id, adist, rank FROM rr WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    QueryDef("q_ann_pq_rerank",
+      // the IVF-PQ refinement step: ADC top-20 candidates re-scored
+      // with the TRUE vectors (exact r9 cosine), cut to 5 — only
+      // probes × 20 vectors are read at full precision.
+      (s, dir) => Clustering.pqTopKRefined(emb(s, dir), "vec_id % 50 = 0",
+          5, 20, pqM, pqK, pqIters, coarseCells = pqCells)
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH $pqCtes,
+        cnd AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 20),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cs AS (SELECT c.query_id, c.neighbor_id, ${cosSql("qv.v", "nv.v")} AS cos
+               FROM cnd c JOIN ev qv ON qv.vec_id = c.query_id
+                          JOIN ev nv ON nv.vec_id = c.neighbor_id),
+        r2 AS (SELECT *, CAST(row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+               FROM cs)
+        SELECT query_id, neighbor_id, cos, rank FROM r2 WHERE rank <= 5
         ORDER BY query_id, rank""")),
 
     QueryDef("q_semantic_dedup",

@@ -227,6 +227,26 @@ object Clustering {
         col("adist"), col("rank"))
   }
 
+  /** Exact re-rank of [[pqTopK]]'s ADC candidates — the standard
+    * IVF-PQ refinement: the top `candK` by approximate (code-space)
+    * distance are re-scored with the TRUE vectors and cut to `kNN` by
+    * exact cosine. Only candK vectors per query are ever read at full
+    * precision, so the expensive exact kernel touches
+    * probes × candK rows, not the corpus. */
+  def pqTopKRefined(emb: DataFrame, probeFilter: String, kNN: Int,
+                    candK: Int, m: Int, codebookK: Int, iters: Int,
+                    dim: Int = 64, coarseCells: Int = 0,
+                    coarseIters: Int = 2): DataFrame = {
+    require(candK >= kNN, s"candK=$candK must be >= kNN=$kNN")
+    val cand = pqTopK(emb, probeFilter, candK, m, codebookK, iters, dim,
+      coarseCells, coarseIters).select("query_id", "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    Similarity.rescorePairs(emb, cand)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= kNN)
+  }
+
   /** SemDeDup-style semantic dedup: k-means partitions the corpus into
     * k cells, exact cosine pairs are computed WITHIN cells only (a
     * pure equi-join on the cell id — the O(n²) work becomes k

@@ -308,6 +308,19 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Exact r9 cosine for an id-pair relation `(query_id, neighbor_id)`
+    * — the re-scoring kernel behind ANN refinement (e.g.
+    * [[Clustering.pqTopKRefined]]): two equi-joins against the vector
+    * relation, then the shared fold kernel. */
+  def rescorePairs(emb: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(vecs(emb, "q"), col("query_id") === col("q_id"))
+      .join(vecs(emb, "n"), col("neighbor_id") === col("n_id"))
+      .selectExpr("q_id AS id1", "n_id AS id2",
+        "q_v AS v1", "q_nrm AS n1", "n_v AS v2", "n_nrm AS n2")
+      .transform(cosKernel)
+      .toDF("query_id", "neighbor_id", "cos")
+
   /** Exact cosine top-k for a probe subset against the full corpus. */
   def bruteTopK(emb: DataFrame, probeFilter: String, k: Int): DataFrame = {
     val pairs = vecs(emb.filter(expr(probeFilter)), "q")

@@ -987,6 +987,15 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(again.toSet === rows.toSet)
     assert(graft.tools.PlanScan.badJoinCount(top) === 0)
+    // exact refinement: the re-ranked top-1 is the planted partner at
+    // least as often as the raw ADC cut (re-scoring with true vectors
+    // can only sharpen the code-space ties)
+    val refined = Clustering.pqTopKRefined(vecs, "vec_id % 20 = 0", 3, 10, 4, 16, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val rHit = refined.filter(x => x._3 == 1 && x._2 == x._1 + 1).length
+    val aHit = rows.filter(x => x._4 == 1 && x._2 == x._1 + 1).length
+    assert(rHit >= aHit, s"refined top-1 recall $rHit < ADC top-1 recall $aHit")
+    assert(rHit >= 80, s"refined top-1 planted recall only $rHit/100")
   }
 
   test("chunkDocs: windows tile with stride, tail truncates, reconstruction at stride=maxTok") {
