@@ -922,6 +922,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === byId)
   }
 
+  test("end-to-end curation pipeline: dedup -> decontam -> filter -> mix -> split -> chunk -> pack composes") {
+    // the full corpus-curation chain over sf0.001 + planted artifacts:
+    // an exact duplicate (drops in dedup) and an eval copy (drops in
+    // decontamination); every stage's output feeds the next
+    val evalDocs = docs.filter(col("doc_id") % 20 === 0)
+    val trainRaw = docs.filter(col("doc_id") % 20 =!= 0)
+    val dupOfTrain = trainRaw.limit(1)
+      .select(lit(700000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val evalCopy = evalDocs.limit(1)
+      .select(lit(700001L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val corpus = trainRaw.unionByName(dupOfTrain).unionByName(evalCopy)
+
+    // 1. exact dedup keeps one of each duplicate group
+    val keep = Dedup.exact(corpus).select(col("keep_id").as("doc_id"))
+    val deduped = corpus.join(keep, "doc_id")
+    assert(deduped.count() === trainRaw.count() + 1)  // dup dropped, eval copy still here
+    assert(deduped.filter(col("doc_id") === lit(700000L)).count() === 0)
+
+    // 2. decontamination drops the planted eval copy (and any organic overlap)
+    val cleaned = Decontam.decontaminate(deduped, evalDocs, 5)
+    assert(cleaned.filter(col("doc_id") === lit(700001L)).count() === 0)
+
+    // 3. quality gate (hashed classifier) — deterministic filter
+    val kept = TextOps.hashedClassifier(cleaned).filter(col("keep"))
+      .select("doc_id").join(cleaned, "doc_id")
+    assert(kept.count() > 0 && kept.count() <= cleaned.count())
+
+    // 4. temperature mixing spends ~the token budget on the survivors
+    val mixed = Sampling.temperatureMixSample(kept, 500, "e2e")
+    val keptTok = mixed.selectExpr(s"sum(size(${TextOps.tokensExpr}))").head().getLong(0)
+    val totTok = kept.selectExpr(s"sum(size(${TextOps.tokensExpr}))").head().getLong(0)
+    assert(math.abs(keptTok.toDouble / totTok - 0.5) < 0.1,
+      s"mix spent ${keptTok.toDouble / totTok} of the budget, wanted ~0.5")
+
+    // 5. split assignment partitions the sample
+    val split = Sampling.splitAssign(mixed, "e2e")
+    assert(split.count() === mixed.count())
+    assert(split.select("split").distinct().count() <= 3)
+
+    // 6. train docs chunked into 32-token windows, then packed into
+    //    128-token training sequences — every chunk lands in exactly
+    //    one bin and no bin overflows
+    val train = split.filter(col("split") === "train")
+    val chunks = TextOps.chunkDocs(train, 32, 32)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+        col("chunk_len").cast("long").as("n_tok"))
+    val packed = Packing.packGreedy(chunks, 128L, 4)
+    assert(packed.count() === chunks.count())
+    val over = packed.groupBy("shard", "bin_id").agg(sum("n_tok").as("fill"))
+      .filter(col("fill") > 128L).count()
+    assert(over === 0L, s"$over bins overfilled")
+  }
+
   test("bigramLmScore: docs following the corpus's bigram structure score below reversed ones") {
     // a corpus WITH bigram structure: every doc cycles c0→c1→…→c4→c0,
     // so the LM learns p(c_{i+1}|c_i) ≈ 1. The in-structure probe walks
