@@ -190,32 +190,11 @@ object PipelineQueries {
     * [[graft.pipeline.Clustering]]), so the oracle needs no tolerance. */
   private val kmK = 8
   private val kmIters = 3
-  private lazy val kmeansCtes: String = {
-    def dist(v: String, c: String) =
-      s"""list_reduce(list_transform(list_zip($v, $c),
-          p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)"""
-    val init =
-      s"""e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-            x -> round(x * 10000.0e0)) AS v FROM embeddings),
-          c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v AS c
-                 FROM (SELECT * FROM e ORDER BY vec_id LIMIT $kmK))"""
-    val rounds = (1 to kmIters).map { i =>
-      val assign =
-        s"""a$i AS (SELECT vec_id, v, cl, d FROM (
-              SELECT vec_id, v, cl, d,
-                row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
-              FROM (SELECT e.vec_id, e.v, c${i - 1}.cl,
-                      ${dist("e.v", s"c${i - 1}.c")} AS d
-                    FROM e CROSS JOIN c${i - 1}))
-            WHERE rn = 1)"""
-      val update = if (i == kmIters) "" else
-        s""", u$i AS (SELECT cl, j, sum(v[j]) AS s, count(*) AS n
-              FROM a$i CROSS JOIN generate_series(1, 64) t(j) GROUP BY 1, 2),
-            c$i AS (SELECT cl, list(s / n ORDER BY j) AS c FROM u$i GROUP BY 1)"""
-      assign + update
-    }
-    (init +: rounds).mkString(", ")
-  }
+  /** The full-vector chain is the trivial slice [1, 64] of the
+    * generalized per-subspace builder — ONE copy of the unrolled-Lloyd
+    * SQL serves q_kmeans, q_ann_ivf_learned, q_semantic_dedup and the
+    * IVF-PQ codebooks. */
+  private lazy val kmeansCtes: String = kmeansSubCtes("", 1, 64, kmK, kmIters)
 
   /** Product-quantization contract constants and the per-subspace
     * unrolled-Lloyd CTE builder (the [[kmeansCtes]] chain generalized

@@ -142,7 +142,7 @@ object Clustering {
     * instead of the whole corpus — `coarseCells = 0` is the exhaustive
     * ADC scan (exact PQ ranking, the small-corpus baseline). Exact
     * re-ranking of the ADC top-k (the standard refinement step) is
-    * [[Similarity.topKWithinGroups]] over the returned candidates.
+    * [[pqTopKRefined]].
     *
     * Parity: codebooks inherit [[kmeans]]'s bit-exactness; LUT entries
     * are fixed-index-order folds of identical doubles; per-pair sums
@@ -178,7 +178,10 @@ object Clustering {
       val cells = kmeans(emb, coarseCells, coarseIters, dim)
         .select(col("vec_id"), col("cluster").as("cell")).localCheckpoint()
       codes = codes.join(cells, "vec_id")
-      Some(emb.filter(probeFilter).select("vec_id").join(cells, "vec_id"))
+      // probeFilter only references vec_id, so the probes' cells are a
+      // direct filter of the checkpointed assignment — no second
+      // corpus scan
+      Some(cells.filter(expr(probeFilter)))
     } else None
 
     // ADC lookup tables: per (query, subspace, code) the exact squared

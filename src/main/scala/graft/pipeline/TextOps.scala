@@ -254,8 +254,9 @@ object TextOps {
     * aggregates on the shingle key (map-side combined), joined back
     * onto the exploded bigram stream by key — broadcast when they fit
     * (the contract corpus), a plain shuffled equi-join when the
-    * vocabulary outgrows that (no plan cliff). The vocabulary size is
-    * one plan-time scalar, the [[Search]] BM25 precedent.
+    * vocabulary outgrows that (no plan cliff). The vocabulary size
+    * rides the unigram relation as a whole-relation window (lazy —
+    * no extra corpus scan, no plan-time action).
     *
     * Parity: per-bigram log-probs are quantized to integer micro-units
     * and summed as BIGINTs — order-independent exact sums; `ln` runs on
@@ -267,12 +268,15 @@ object TextOps {
       .selectExpr("doc_id", s"explode(${shinglesExpr(2)}) AS s2")
       .withColumn("w1", expr("element_at(split(s2, ' '), 1)"))
     val bc = bg.groupBy("s2").agg(count(lit(1)).as("cb"))
+    // |V| rides each unigram row via a whole-relation window over the
+    // (vocabulary-sized) count relation — no eager action, one scan
     val uc = tok.selectExpr("explode(tokens) AS w1")
       .groupBy("w1").agg(count(lit(1)).as("cu"))
-    val v = uc.count()   // vocabulary size: one plan-time scalar
+      .withColumn("v", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
     bg.join(broadcast(bc), "s2").join(broadcast(uc), "w1")
       .withColumn("lp_u", expr(
-        s"CAST(floor(ln((cb + 0.5e0) / (cu + 0.5e0 * $v)) * 1.0e6 + 0.5e0) AS BIGINT)"))
+        "CAST(floor(ln((cb + 0.5e0) / (cu + 0.5e0 * v)) * 1.0e6 + 0.5e0) AS BIGINT)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp_u"))).as("nll_u"))
       .withColumn("mean_nll", expr(
@@ -333,7 +337,10 @@ object TextOps {
   def oovStats(docs: DataFrame, vocab: DataFrame): DataFrame =
     withTokens(docs)
       .selectExpr("doc_id", "explode(tokens) AS token")
-      .join(broadcast(vocab.select(col("token"), lit(1).as("in_v"))),
+      // distinct: a vocab relation with duplicate tokens (e.g. a union
+      // of lists) would multiply the joined rows and corrupt the counts
+      .join(broadcast(vocab.select("token").distinct()
+          .withColumn("in_v", lit(1))),
         Seq("token"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -32,9 +32,10 @@ import graft.pipeline._
   *  - `shuffle`:  deterministic global shuffle order at 30M docs, with
   *                an exact permutation check (distinct ords = n);
   *  - `mix`:      temperature mixture recipe + application at 3M docs
-  *                over 16 synthetic sources, token-budget audit;
+  *                over 17 log-skewed synthetic sources, token-budget
+  *                audit;
   *  - `fuzzydecontam`: MinHash band collisions of 1M train docs vs a
-  *                3k-doc eval split of planted near-dups (J ≈ 0.94);
+  *                1k-doc eval split of planted near-dups (J ≈ 0.94);
   *  - `vocab`:    top-100 vocabulary induction + per-doc OOV at 3M
   *                docs (60M token occurrences);
   *  - `pq`:       product-quantization ANN at 1M × 64-dim — m=4 × k=16
@@ -270,14 +271,14 @@ object PipelineScaleProbe {
     }
 
     if (sections("mix")) {
-      // 3M docs over 16 sources of wildly different sizes (source j has
-      // ~2^j/2^16 of the corpus) — the τ=0.5 recipe must spend the
-      // token budget and up-weight the small sources
+      // 3M docs over 17 sources (s0..s16) of wildly different sizes
+      // (source j holds ~2^j/2^16 of the corpus) — the τ=0.5 recipe
+      // must spend the token budget and up-weight the small sources
       val docs3m = corpus(3000000L)
         .withColumn("source", expr("concat('s', CAST(floor(log2(1 + pmod(hash(doc_id, 9), 65536))) AS INT))"))
       val rates = Sampling.temperatureMixRates(docs3m, 250)
       auditPlan("mix rates 3M docs", rates)
-      time("temperature mix recipe, 3M docs, 16 sources") {
+      time("temperature mix recipe, 3M docs, 17 sources") {
         rates.count()
       }
       val sampled = Sampling.temperatureMixSample(docs3m, 250, "probe")
