@@ -1076,6 +1076,35 @@ object PipelineQueries {
         FROM tr JOIN ev ON tr.band = ev.band AND tr.sig = ev.sig
         GROUP BY 1 ORDER BY doc_id""")),
 
+    QueryDef("q_corpus_diff",
+      // corpus snapshot diff (incremental processing): v2 derived
+      // deterministically from the corpus — docs ≡ 0 (mod 13) removed,
+      // ≡ 0 (mod 7) text-mutated, 25 new ids appended. One narrow
+      // (id, hash) projection per side + a full outer equi-join.
+      (s, dir) => {
+        val v1 = docs(s, dir)
+        val v2 = v1.filter("doc_id % 13 != 0")
+          .selectExpr("doc_id",
+            "IF(doc_id % 7 = 0, concat(text, ' v2'), text) AS text")
+          .unionByName(v1.filter("doc_id < 25")
+            .selectExpr("doc_id + 100000 AS doc_id", "text"))
+        Dedup.corpusDiff(v1, v2).orderBy("doc_id")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+        v2r AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 0
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25),
+        v2 AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM v2r)
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+          CASE WHEN v1.h IS NULL THEN 'added'
+               WHEN v2.h IS NULL THEN 'removed'
+               WHEN v1.h = v2.h THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        ORDER BY doc_id""")),
+
     QueryDef("q_bigram_lm",
       // corpus-learned bigram LM score (CCNet-style perplexity filter):
       // add-1/2-smoothed bigram MLE, per-doc mean negative log-likelihood.

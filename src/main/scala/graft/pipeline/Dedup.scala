@@ -19,6 +19,28 @@ object Dedup {
       .groupBy("h")
       .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
 
+  /** Corpus snapshot diff — the incremental-processing primitive: which
+    * documents were added, removed, changed (same id, different
+    * normalized content) or unchanged between two corpus versions. At
+    * 100 TB this is what lets a pipeline re-process ONLY the delta
+    * instead of the world. Returns one row per doc id present in
+    * either snapshot: `(doc_id, status)`.
+    *
+    * Scale shape: both sides reduce to `(doc_id, content-hash)` in the
+    * scan projection (narrow — the text never shuffles), then one full
+    * outer hash equi-join on doc_id. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def h(df: DataFrame, as: String) =
+      df.selectExpr("doc_id", s"md5(lower(trim(text))) AS $as")
+    h(oldDocs, "h_old").join(h(newDocs, "h_new"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed"))
+      .select("doc_id", "status")
+  }
+
   /** Exact Jaccard for a candidate pair relation `(a, b)` via the
     * inverted shingle index: |A∩B| from a shingle equi-join, sizes from
     * a groupBy — never materializing per-doc sets in memory. */

@@ -977,6 +977,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(over === 0L, s"$over bins overfilled")
   }
 
+  test("corpusDiff: added/removed/changed/unchanged partition both snapshots exactly") {
+    val v1 = docs
+    val v2 = v1.filter("doc_id % 10 != 3")
+      .selectExpr("doc_id", "IF(doc_id % 4 = 0, concat(text, ' x'), text) AS text")
+      .unionByName(spark.createDataset(Seq((990001L, "brand new doc")))
+        .toDF("doc_id", "text"))
+    val d = Dedup.corpusDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = v1.count()
+    val ids = v1.select("doc_id").as[Long].collect().toSet
+    // every id of either snapshot appears exactly once
+    assert(d.keySet === ids + 990001L)
+    assert(d(990001L) === "added")
+    ids.foreach { id =>
+      val expect = if (id % 10 == 3) "removed"
+        else if (id % 4 == 0) "changed" else "unchanged"
+      assert(d(id) === expect, s"doc $id")
+    }
+    assert(d.size === n + 1)
+  }
+
   test("bigramLmScore: docs following the corpus's bigram structure score below reversed ones") {
     // a corpus WITH bigram structure: every doc cycles c0→c1→…→c4→c0,
     // so the LM learns p(c_{i+1}|c_i) ≈ 1. The in-structure probe walks
