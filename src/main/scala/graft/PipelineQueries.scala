@@ -1076,6 +1076,26 @@ object PipelineQueries {
         FROM tr JOIN ev ON tr.band = ev.band AND tr.sig = ev.sig
         GROUP BY 1 ORDER BY doc_id""")),
 
+    QueryDef("q_weighted_sample",
+      // weighted sampling without replacement (Efraimidis–Spirakis
+      // exponential keys): exactly 50 docs, inclusion probability
+      // increasing in token count — the importance sampler. Keys
+      // quantized to nano-units; two-level exact top-k on the Spark
+      // side, one-level rank in the oracle.
+      (s, dir) => Sampling.weightedTopK(docs(s, dir),
+          s"CAST(size(${TextOps.tokensExpr}) AS DOUBLE)", 50, "r4")
+        .select("doc_id", "w", "key_n", "rank")
+        .orderBy("rank"),
+      Some(s"""WITH t AS (SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS w,
+                 ${uSql("r4")} AS u FROM documents),
+        kk AS (SELECT doc_id, w,
+                 CAST(floor(-ln((u + 0.5e0) / 1.0e6) / w * 1.0e9 + 0.5e0) AS BIGINT) AS key_n
+               FROM t),
+        r AS (SELECT doc_id, w, key_n, CAST(row_number() OVER
+                (ORDER BY key_n, doc_id) AS INTEGER) AS rank FROM kk)
+        SELECT doc_id, w, key_n, rank FROM r WHERE rank <= 50 ORDER BY rank""")),
+
     QueryDef("q_corpus_diff",
       // corpus snapshot diff (incremental processing): v2 derived
       // deterministically from the corpus — docs ≡ 0 (mod 13) removed,

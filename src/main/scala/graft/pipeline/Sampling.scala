@@ -156,6 +156,43 @@ object Sampling {
       .where(expr(s"${uExpr(salt)} < rate_u"))
       .drop("rate_u")
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * exponential keys), deterministic: draw exactly `k` docs with
+    * inclusion probability increasing in `weight` — the importance
+    * sampler behind quality-weighted corpus carving. Each doc gets the
+    * key `−ln(u′)/w` (u′ the hash draw mapped into (0,1)); the k
+    * SMALLEST keys win, which is distribution-equivalent to the
+    * classic largest-`u^(1/w)` formulation. Scale-invariant in the
+    * weights (cw cancels in the ordering), stateless, re-run-stable.
+    *
+    * Returns `(…, w, key_n, rank)`, rank 1..k. `weightExpr` must be
+    * strictly positive.
+    *
+    * Scale/parity shape: the key is a scan-stage projection; the
+    * global cut is the same two-level exact top-k as
+    * [[perStratumTopK]] (per-partition pre-top-k bounds every sort
+    * group). Keys are quantized to integer nano-units so the only
+    * transcendental (`ln`) is compared after identical rounding on
+    * both engines; ties break on doc_id — a total order. */
+  def weightedTopK(docs: DataFrame, weightExpr: String, k: Int,
+                   salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyN =
+      s"""CAST(floor(-ln((${uExpr(salt)} + 0.5e0) / 1.0e6)
+          / ($weightExpr) * 1.0e9 + 0.5e0) AS BIGINT)"""
+    val local = Window.partitionBy(col("pid")).orderBy(col("key_n"), col("doc_id"))
+    val global = Window.partitionBy().orderBy(col("key_n"), col("doc_id"))
+    docs
+      .withColumn("w", expr(s"CAST($weightExpr AS DOUBLE)"))
+      .withColumn("key_n", expr(keyN))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrank", row_number().over(local))
+      .where(col("lrank") <= k)
+      .withColumn("rank", row_number().over(global).cast("int"))
+      .where(col("rank") <= k)
+      .drop("pid", "lrank")
+  }
+
   /** Deterministic train/val/test split assignment: the same stateless
     * hash draw as [[stratified]], cut at per-mille thresholds —
     * `(…, u, split)` with split ∈ {train, val, test}. Assignment is a

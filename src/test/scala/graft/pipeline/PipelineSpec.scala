@@ -977,6 +977,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(over === 0L, s"$over bins overfilled")
   }
 
+  test("weightedTopK: matches driver-side E-S reference, scale-invariant, weight-monotone") {
+    val k = 40
+    val wExpr = s"CAST(size(${TextOps.tokensExpr}) AS DOUBLE)"
+    def key(df: DataFrame) = df.select("doc_id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = key(Sampling.weightedTopK(docs, wExpr, k, "t"))
+    assert(got.values.toSeq.sorted === (1 to k))
+    // driver-side reference: same hash draw, Math.log, same quantization
+    val ref = docs.selectExpr("doc_id", wExpr + " AS w").collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getDouble(1)
+        val u = h60t(s"t:$id") % 1000000
+        val keyN = math.floor(-math.log((u + 0.5) / 1.0e6) / w * 1.0e9 + 0.5).toLong
+        (id, keyN)
+      }.sortBy { case (id, kn) => (kn, id) }.take(k)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    assert(got === ref)
+    // scale invariance: multiplying every weight by 7 keeps the sample
+    val scaled = key(Sampling.weightedTopK(docs, s"7.0e0 * ($wExpr)", k, "t"))
+    assert(scaled.keySet === got.keySet)
+    // weight monotonicity: the sampled docs are longer on average
+    val sampledMean = docs.join(
+        Sampling.weightedTopK(docs, wExpr, k, "t").select("doc_id"), "doc_id")
+      .selectExpr(s"avg($wExpr)").head().getDouble(0)
+    val corpusMean = docs.selectExpr(s"avg($wExpr)").head().getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean $sampledMean !> corpus mean $corpusMean")
+  }
+
   test("corpusDiff: added/removed/changed/unchanged partition both snapshots exactly") {
     val v1 = docs
     val v2 = v1.filter("doc_id % 10 != 3")
