@@ -143,6 +143,25 @@ object StreamingOps {
       .dropDuplicates("doc_id")
   }
 
+  /** Streaming corpus-mix sampling: the stream-side half of
+    * [[graft.pipeline.Sampling.temperatureMixSample]] — per-source
+    * keep thresholds (computed ONCE from a static reference corpus,
+    * e.g. the previous crawl snapshot) broadcast against the incoming
+    * stream, whose keep decision is the same stateless hash draw. The
+    * stream side is a pure filter (no state, no watermark needed), so
+    * every admitted doc would also be admitted by the batch pass with
+    * identical rates — the in-flight corpus-recipe filter for a crawl
+    * ingest. */
+  def mixSampleStream(stream: DataFrame, staticCorpus: DataFrame,
+                      budgetPermille: Int, salt: String = "graft"): DataFrame = {
+    import graft.pipeline.Sampling
+    val rates = Sampling.temperatureMixRates(staticCorpus, budgetPermille)
+      .select("source", "rate_u")
+    stream.join(broadcast(rates), Seq("source"))
+      .where(expr(s"${Sampling.uExpr(salt)} < rate_u"))
+      .drop("rate_u")
+  }
+
   /** Streaming regrid: the K1 join-agg kernel applied per micro-batch.
     * Weights are a static broadcast side (the exact analog of the
     * reference's dask strategy — every chunk sees the full W,

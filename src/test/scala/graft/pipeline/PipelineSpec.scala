@@ -977,6 +977,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(over === 0L, s"$over bins overfilled")
   }
 
+  test("streaming mix sampling admits exactly the batch sample's docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // static reference corpus fixes the rates; the same docs streamed
+    // through must reproduce the batch sample membership exactly
+    val staticSample = Sampling.temperatureMixSample(docs, 400, "st")
+      .select("doc_id").as[Long].collect().toSet
+    assert(staticSample.nonEmpty)
+    val rows = docs.select("doc_id", "source").as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingOps.mixSampleStream(
+      stream.toDF().toDF("doc_id", "source"), docs, 400, "st")
+    val q = out.writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    stream.addData(b1.toSeq); q.processAllAvailable()
+    stream.addData(b2.toSeq); q.processAllAvailable()
+    val got = spark.table("mix_stream").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got === staticSample)
+  }
+
+  test("property: chunkDocs equals driver-side slicing on random docs, sizes and strides") {
+    val r = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val maxTok = 1 + r.nextInt(40)
+      val stride = 1 + r.nextInt(maxTok)
+      val corpus = (1 to 30).map(i =>
+        (i.toLong, (0 until r.nextInt(120)).map(j => s"t${i}_$j").mkString(" ")))
+      val df = spark.createDataset(corpus).toDF("doc_id", "text")
+      val got = TextOps.chunkDocs(df, maxTok, stride).collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3), x.getString(4)))
+        .toSet
+      val expect = corpus.flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        (0 until toks.length by stride).map { st =>
+          val slice = toks.slice(st, st + maxTok)
+          (id, st / stride, st, slice.length, slice.mkString(" "))
+        }
+      }.toSet
+      assert(got === expect, s"trial $trial (maxTok=$maxTok stride=$stride)")
+    }
+  }
+
   test("weightedTopK: matches driver-side E-S reference, scale-invariant, weight-monotone") {
     val k = 40
     val wExpr = s"CAST(size(${TextOps.tokensExpr}) AS DOUBLE)"
