@@ -40,7 +40,10 @@ import graft.pipeline._
   *                docs (60M token occurrences);
   *  - `pq`:       product-quantization ANN at 1M × 64-dim — m=4 × k=16
   *                codebooks, ADC top-5 for 1000 probes, planted-partner
-  *                recall.
+  *                recall;
+  *  - `weighted`: Efraimidis–Spirakis weighted top-10k at 30M docs
+  *                (two-level exact cut) + corpus snapshot diff at 30M
+  *                (narrow hash full-outer join), status-count audit.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -55,7 +58,7 @@ object PipelineScaleProbe {
     val sections = if (args.isEmpty)
                      Set("minhash", "clusters", "ann", "banded", "packing", "decontam",
                        "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
-                       "vocab", "pq")
+                       "vocab", "pq", "weighted")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -347,6 +350,39 @@ object PipelineScaleProbe {
       }
       println(s"  planted-partner recall in top-5: $hit/1000")
       require(hit >= 750L, s"IVF-PQ planted recall $hit/1000 (793 at probe authoring)")
+    }
+
+    if (sections("weighted")) {
+      // 30M docs with hash-derived weights — the exactly-10k weighted
+      // draw survives on the two-level cut (no global sort window)
+      val docs30m = spark.range(30000000L)
+        .selectExpr("id AS doc_id", "CAST(20 + pmod(hash(id, 5), 200) AS DOUBLE) AS wt")
+      val top = Sampling.weightedTopK(docs30m, "wt", 10000, "probe")
+      auditPlan("weighted top-10k 30M docs", top)
+      time("weighted sample (E-S keys) top-10k, 30M docs") {
+        val n = top.count()
+        require(n == 10000L, s"expected 10000 rows, got $n")
+        n
+      }
+      // snapshot diff at the same scale: 1/13 removed, 1/7 changed,
+      // 1000 added — narrow (id, hash) sides, one full-outer equi-join
+      val v1 = spark.range(30000000L)
+        .selectExpr("id AS doc_id", "concat('doc ', CAST(hash(id, 11) AS STRING)) AS text")
+      val v2 = v1.filter("doc_id % 13 != 0")
+        .selectExpr("doc_id",
+          "IF(doc_id % 7 = 0, concat(text, ' v2'), text) AS text")
+        .unionByName(v1.filter("doc_id < 1000")
+          .selectExpr("doc_id + 100000000 AS doc_id", "text"))
+      val diff = Dedup.corpusDiff(v1, v2)
+      auditPlan("corpus diff 30M docs", diff)
+      time("  + corpus diff, 30M-doc snapshots") {
+        val counts = diff.groupBy("status").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(counts("added") == 1000L &&
+          counts("removed") == 30000000L / 13 + 1,
+          s"diff counts off: $counts")
+        counts.values.sum
+      }
     }
 
     println(s"== plan failures: $planFailures")
