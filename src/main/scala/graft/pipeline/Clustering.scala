@@ -108,6 +108,36 @@ object Clustering {
 
   private def dimOf(m: scala.collection.Map[Int, Double]): Int = m.keys.max + 1
 
+  /** Assign vectors to FIXED centroids (e.g. [[kmeansFull]]'s output) —
+    * the incremental-corpus path: cluster/encode a NEW ingest batch
+    * against the already-trained model without re-running Lloyd over
+    * the world. Stateless broadcast map, same quantization/tie-break as
+    * the training assignment, so assigning the training corpus itself
+    * reproduces [[kmeans]]'s output bit-for-bit. */
+  def assignToCentroids(emb: DataFrame,
+                        cents: Array[(Int, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "assignToCentroids needs at least one centroid")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    quantized(emb, cents.head._2.length).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val centroids = bc.value
+        it.map { case (id, v) =>
+          var bestCl = -1
+          var bestD = Double.MaxValue
+          centroids.foreach { case (cl, c) =>
+            var d = 0.0
+            var j = 0
+            while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+            if (d < bestD || (d == bestD && cl < bestCl)) { bestD = d; bestCl = cl }
+          }
+          (id, bestCl, bestD)
+        }
+      }
+      .toDF("vec_id", "cluster", "dist2")
+  }
+
   /** ANN top-k over LEARNED cells: corpus and queries land in their
     * k-means cell (data-adaptive — cells follow the embedding density,
     * where the fixed sign-hyperplane buckets of

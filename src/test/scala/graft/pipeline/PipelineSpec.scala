@@ -977,6 +977,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(over === 0L, s"$over bins overfilled")
   }
 
+  test("assignToCentroids reproduces training assignments; edge-case contracts fail loudly") {
+    // incremental path: assigning the training corpus to the trained
+    // centroids is bit-identical to the in-training final assignment
+    val (asg, cents) = Clustering.kmeansFull(emb, 4, 2)
+    val trained = asg.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val applied = Clustering.assignToCentroids(emb, cents).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(applied === trained)
+    // a shifted new batch still lands in some trained cell
+    val newBatch = emb.limit(10).selectExpr("vec_id + 5000 AS vec_id",
+      "transform(embedding, x -> CAST(x * 0.9e0 + 0.01e0 AS FLOAT)) AS embedding")
+    val nb = Clustering.assignToCentroids(newBatch, cents)
+    assert(nb.count() === 10)
+    assert(nb.filter(col("cluster") < 0 || col("cluster") >= 4).count() === 0)
+    // edge contracts
+    intercept[IllegalArgumentException] {
+      Clustering.assignToCentroids(emb, Array.empty)
+    }
+    intercept[IllegalArgumentException] { Sampling.shuffleOrder(docs, "t", 7) }
+    intercept[IllegalArgumentException] { Sampling.temperatureMixRates(docs, 1001) }
+    intercept[IllegalArgumentException] { TextOps.chunkDocs(docs, 8, 9) }
+    intercept[IllegalArgumentException] { Sampling.weightedTopK(docs, "1.0e0", 0) }
+    intercept[IllegalArgumentException] {
+      Clustering.pqTopK(emb, "vec_id = 0", 5, 3, 4, 2) // 3 does not divide 64
+    }
+    // k larger than the corpus: every doc returned, ranks still total
+    val all = Sampling.weightedTopK(docs, "1.0e0", 10000, "t")
+    assert(all.count() === docs.count())
+  }
+
   test("streaming mix sampling admits exactly the batch sample's docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
