@@ -318,6 +318,15 @@ object PipelineQueries {
          ' ', text)
        ELSE text END"""
 
+  /** Markup-injection fixture (the synthetic corpus carries no HTML):
+    * tags/entities derived from doc_id, same CASE on both engines. */
+  private val markupInject =
+    """CASE CAST(doc_id % 4 AS INTEGER)
+       WHEN 0 THEN concat('<div class="post"><p>', text, '</p></div>')
+       WHEN 1 THEN concat('<b>title</b> ', replace(text, ' the ', ' &amp; '), ' <br/>')
+       WHEN 2 THEN concat(text, ' &lt;escaped&gt;&nbsp;tail')
+       ELSE text END"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis ----
@@ -1075,6 +1084,26 @@ object PipelineQueries {
           count(DISTINCT ev.eval_id) AS n_eval_docs
         FROM tr JOIN ev ON tr.band = ev.band AND tr.sig = ev.sig
         GROUP BY 1 ORDER BY doc_id""")),
+
+    QueryDef("q_strip_markup",
+      // C4-style markup cleanup: tags stripped, common entities decoded
+      // (amp last — no double decode), whitespace collapsed; tag/entity
+      // counts as the dirtiness signal. Codegen'd projection, zero
+      // shuffles; fixture injects markup deterministically from doc_id.
+      (s, dir) => TextOps.stripMarkup(
+          docs(s, dir).selectExpr("doc_id", s"$markupInject AS text"))
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, $markupInject AS text FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '<[^>]*>')) AS INTEGER) AS n_tags,
+          CAST(len(regexp_extract_all(text, '&(amp|lt|gt|quot|#39|nbsp);')) AS INTEGER) AS n_entities,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(text, '<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+            '\\s+', ' ', 'g')) AS clean_text
+        FROM d ORDER BY doc_id""")),
 
     QueryDef("q_weighted_sample",
       // weighted sampling without replacement (Efraimidis–Spirakis

@@ -242,6 +242,30 @@ object TextOps {
         "floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob")
       .withColumn("keep", col("prob") >= 0.5)
 
+  /** Markup stripping — the C4-style HTML cleanup pass between a crawl
+    * and every text operator above: drop tags, decode the common
+    * entities, collapse whitespace. Returns
+    * `(doc_id, n_tags, n_entities, clean_text)` — the counts are the
+    * "how dirty was this" signal quality filters cut on.
+    *
+    * Entity decode order matters: `&amp;` is decoded LAST so
+    * `&amp;lt;` becomes the literal `&lt;`, not `<` (the classic
+    * double-decode bug). Pure codegen'd regex/replace projection, zero
+    * shuffles; patterns live in the Java-regex ∩ RE2 portable subset so
+    * the oracle runs the identical strings. */
+  def stripMarkup(docs: DataFrame): DataFrame = {
+    val entPat = "&(amp|lt|gt|quot|#39|nbsp);"
+    val stripped = "regexp_replace(text, '<[^>]*>', ' ')"
+    val decoded = Seq(
+      "'&lt;'" -> "'<'", "'&gt;'" -> "'>'", "'&quot;'" -> "'\"'",
+      "'&#39;'" -> "chr(39)", "'&nbsp;'" -> "' '", "'&amp;'" -> "'&'")
+      .foldLeft(stripped) { case (e, (f, t)) => s"replace($e, $f, $t)" }
+    docs.selectExpr("doc_id",
+      "CAST(size(regexp_extract_all(text, '<[^>]*>', 0)) AS INTEGER) AS n_tags",
+      s"CAST(size(regexp_extract_all(text, '$entPat', 0)) AS INTEGER) AS n_entities",
+      s"trim(regexp_replace($decoded, '\\\\s+', ' ')) AS clean_text")
+  }
+
   /** Per-document bigram language-model score — the CCNet-style
     * "perplexity against a reference LM" quality filter, with the LM
     * learned FROM the corpus itself (add-½-smoothed bigram MLE):

@@ -977,6 +977,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(over === 0L, s"$over bins overfilled")
   }
 
+  test("stripMarkup: tags out, entities decoded once, clean text is a fixpoint") {
+    val probe = spark.createDataset(Seq(
+        (1L, "<div class=\"x\"><p>hello <b>world</b></p></div>"),
+        (2L, "a &amp; b &lt;tag&gt; c &amp;lt; d"),   // &amp;lt; must NOT double-decode
+        (3L, "  plain   text  with	spaces "),
+        (4L, "<script>var x = 1;</script>keep")))
+      .toDF("doc_id", "text")
+    val got = TextOps.stripMarkup(probe).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) === ((6, 0, "hello world")))
+    assert(got(2L) === ((0, 4, "a & b <tag> c &lt; d")))
+    assert(got(3L) === ((0, 0, "plain text with spaces")))
+    assert(got(4L) === ((2, 0, "var x = 1; keep")))
+    // idempotence on already-clean text: stripping a stripped corpus
+    // changes nothing and reports zero dirt (modulo re-escaped
+    // entities, absent here)
+    val again = TextOps.stripMarkup(
+        TextOps.stripMarkup(probe.filter(col("doc_id") =!= 2))
+          .selectExpr("doc_id", "clean_text AS text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    again.foreach { case (id, t, e, c) =>
+      assert(t === 0 && e === 0 && c === got(id)._3)
+    }
+  }
+
   test("assignToCentroids reproduces training assignments; edge-case contracts fail loudly") {
     // incremental path: assigning the training corpus to the trained
     // centroids is bit-identical to the in-training final assignment
