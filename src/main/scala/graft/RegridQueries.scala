@@ -771,7 +771,10 @@ object RegridQueries {
       // equal the direct build, which is exactly what the oracle
       // computes.
       (s, _) => {
-        val p = "/root/repo/target/weights_io/esmf_conservative.parquet"
+        // per-process path: concurrent JVMs (a Bench overlapping a test
+        // run) must not race on one file
+        val p = "/root/repo/target/weights_io/" +
+          s"esmf_conservative_${ProcessHandle.current().pid()}.parquet"
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(hp)) fs.delete(hp, true)
@@ -790,7 +793,9 @@ object RegridQueries {
       // via the in-repo classic-format codec. Doubles survive
       // bit-exactly, so the direct-build oracle applies unchanged.
       (s, _) => {
-        val p = "/root/repo/target/weights_io/esmf_conservative.nc"
+        // per-process path, as for q_weights_read
+        val p = "/root/repo/target/weights_io/" +
+          s"esmf_conservative_${ProcessHandle.current().pid()}.nc"
         new java.io.File(p).delete()
         WeightsIO.writeEsmfNc(
           Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)), p)

@@ -32,10 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** `(vec_id, v)` with v the quantized integer-valued double vector. */
+  /** `(vec_id, v)` with v the quantized integer-valued double vector.
+    * The declared `dim` is enforced per row — a wrong-width embedding
+    * fails loudly here instead of silently diverging from the
+    * fixed-dimension oracle chains. */
   def quantized(emb: DataFrame, dim: Int): DataFrame =
     emb.selectExpr("vec_id",
-      s"transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0e0)) AS v")
+      s"""CASE WHEN size(embedding) = $dim
+          THEN transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000.0e0))
+          ELSE raise_error(concat('expected $dim-dim embedding, got ',
+            CAST(size(embedding) AS STRING), ' for vec_id ', CAST(vec_id AS STRING)))
+          END AS v""")
 
   /** Assignments `(vec_id, cluster, dist2)` after `iters` Lloyd
     * rounds; `dist2` is the squared distance to the final centroid

@@ -36,10 +36,16 @@ object Decontam {
   /** The decontaminated corpus: training docs with NO shared n-gram
     * against the eval corpus (left-anti join on the flagged ids — the
     * usual "any overlap → drop" policy; threshold policies filter
-    * [[contamination]] first instead). */
-  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 5): DataFrame =
-    train.join(contamination(train, eval, n).select("doc_id"),
-      Seq("doc_id"), "left_anti")
+    * [[contamination]] first instead). The flagged-id set skips
+    * [[contamination]]'s per-doc overlap aggregates — the anti-join
+    * needs only distinct ids, not evidence counts. */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 5): DataFrame = {
+    val es = TextOps.shingleSet(eval, n).select("s")
+    val flagged = TextOps.shingleSet(train, n)
+      .join(broadcast(es), Seq("s"), "left_semi")
+      .select("doc_id").distinct()
+    train.join(flagged, Seq("doc_id"), "left_anti")
+  }
 
   /** FUZZY (near-duplicate) decontamination: training docs whose
     * MinHash-LSH band signature collides with any eval doc's. A band

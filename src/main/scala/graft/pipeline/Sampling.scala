@@ -75,7 +75,10 @@ object Sampling {
     * One hash exchange on the bucket key + a per-bucket sort (task size
     * ≈ corpus/nBuckets under the uniform hash) + a broadcast of the
     * nBuckets-row offset table. nBuckets is the straggler knob — set it
-    * ≥ cluster cores at 100 TB. */
+    * ≥ cluster cores at 100 TB. The offsets branch re-scans the corpus
+    * (the classic two-pass zipWithIndex shape), but Catalyst prunes it
+    * to the doc_id column — the second pass re-reads ids and re-hashes,
+    * never the payload columns. */
   def shuffleOrder(docs: DataFrame, salt: String = "graft",
                    nBuckets: Int = 100): DataFrame = {
     require(nBuckets >= 1 && 1000000 % nBuckets == 0,

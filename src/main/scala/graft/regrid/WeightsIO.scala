@@ -73,8 +73,10 @@ object WeightsIO {
           "(reference backend.py:269-272)")
     val spark = weights.sparkSession
     import spark.implicits._
+    // deterministic triplet order: the same weight relation must emit
+    // byte-identical files under any partitioning/parallelism
     val rows = weights.select(col("row").cast("long"), col("col").cast("long"), col("s"))
-      .as[(Long, Long, Double)].collect()
+      .orderBy("row", "col").as[(Long, Long, Double)].collect()
     require(rows.length.toLong <= SlabApplier.defaultMaxTriplets,
       s"${rows.length} triplets exceed the driver-side weight-file ceiling; " +
         "persist cluster-scale weights as Parquet (writeBucketed) instead")

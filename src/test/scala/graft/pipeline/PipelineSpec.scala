@@ -811,15 +811,10 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
     val texts = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    def h60ref(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-    }
     got.take(20).foreach { case (id, nTok, wSum, _, _) =>
       val toks = texts(id).trim.split("\\s+").toSeq
       assert(nTok === toks.length)
-      assert(wSum === toks.map(t => h60ref(t) % 2001 - 1000).sum,
+      assert(wSum === toks.map(t => h60t(t) % 2001 - 1000).sum,
         s"doc $id: hashed-feature sum mismatch")
     }
     got.foreach { case (id, _, _, p, keep) =>
