@@ -409,6 +409,34 @@ object PipelineQueries {
             0.3e0 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0)) * 1.0e9 + 0.5e0) / 1.0e9 AS score
         FROM m ORDER BY doc_id""")),
 
+    QueryDef("q_corpus_report",
+      // per-source corpus report card: volume, mean length, language
+      // spread, mean quality — one map-side combined aggregate. Scores
+      // re-quantized to integer nano-units before the group sum (r9
+      // doubles are not exactly representable; a float sum would be
+      // order-dependent).
+      (s, dir) => TextOps.corpusReport(docs(s, dir)).orderBy("source"),
+      Some(s"""WITH tok AS ($tokCte),
+        ld AS (SELECT doc_id, lang FROM documents),
+        m AS (SELECT tok.doc_id, source, lang,
+                CAST(len(tokens) AS BIGINT) AS n_tok,
+                CAST(${hits(TextOps.langMarkers.head._2)} AS DOUBLE) / len(tokens) AS stop_ratio,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+              FROM tok JOIN ld ON tok.doc_id = ld.doc_id),
+        sc AS (SELECT source, lang, n_tok,
+                 CAST(floor(floor((0.3e0 * stop_ratio + 0.4e0 * alpha_ratio +
+                   0.3e0 * (CAST(least(n_tok, 100) AS DOUBLE) / 100.0e0)) * 1.0e9 + 0.5e0) / 1.0e9
+                   * 1.0e9 + 0.5e0) AS BIGINT) AS score_n
+               FROM m),
+        g AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                count(DISTINCT lang) AS n_langs, CAST(sum(score_n) AS BIGINT) AS sum_score_n
+              FROM sc GROUP BY 1)
+        SELECT source, n_docs, n_tokens,
+          floor((CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9 AS mean_tokens,
+          n_langs,
+          floor((CAST(sum_score_n AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1.0e9) * 1.0e9 + 0.5e0) / 1.0e9 AS mean_quality
+        FROM g ORDER BY source""")),
+
     QueryDef("q_doc_fingerprint",
       (s, dir) => TextOps.fingerprint(docs(s, dir)).orderBy("doc_id"),
       Some(s"""WITH tok AS ($tokCte)

@@ -90,18 +90,44 @@ object TextOps {
   }
 
   /** Heuristic quality score: stopword ratio, alphabetic ratio, length
-    * saturation — the standard cheap pre-filters for web-scale corpora. */
-  def qualityScore(docs: DataFrame): DataFrame =
+    * saturation — the standard cheap pre-filters for web-scale corpora.
+    * `carry` columns ride along for grouped consumers
+    * ([[corpusReport]]) so one scan serves both. */
+  def qualityScore(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     withTokens(docs)
-      .selectExpr(
-        "doc_id",
+      .selectExpr("doc_id" +: carry ++: Seq(
         "length(text) AS n_chars",
         "size(tokens) AS n_tokens",
         s"CAST(${hitsExpr(langMarkers.head._2)} AS DOUBLE) / size(tokens) AS stop_ratio",
-        "CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE) / length(text) AS alpha_ratio")
-      .selectExpr("doc_id", "n_chars", "n_tokens", "stop_ratio", "alpha_ratio",
+        "CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE) / length(text) AS alpha_ratio"): _*)
+      .selectExpr("doc_id" +: carry ++: Seq(
+        "n_chars", "n_tokens", "stop_ratio", "alpha_ratio",
         "floor((0.3e0 * stop_ratio + 0.4e0 * alpha_ratio + " +
-          "0.3e0 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0)) * 1.0e9 + 0.5e0) / 1.0e9 AS score")
+          "0.3e0 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0)) * 1.0e9 + 0.5e0) / 1.0e9 AS score"): _*)
+
+  /** Per-source corpus report card — the daily "what is in this
+    * corpus" dashboard: document and token volume, mean length,
+    * language spread, and mean quality per source. One map-side
+    * combined aggregate over a single scan (the quality signals ride
+    * the same projection).
+    *
+    * Parity: per-doc scores are re-quantized to exact integer
+    * nano-units before the group sum (the r9-rounded doubles are NOT
+    * exactly representable, so a float sum would be order-dependent);
+    * means are fixed-order divisions of exact integers. */
+  def corpusReport(docs: DataFrame): DataFrame =
+    qualityScore(docs, carry = Seq("source", "lang"))
+      .selectExpr("source", "lang", "CAST(n_tokens AS BIGINT) AS n_tok",
+        "CAST(floor(score * 1.0e9 + 0.5e0) AS BIGINT) AS score_n")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("score_n")).as("sum_score_n"))
+      .selectExpr("source", "n_docs", "n_tokens",
+        "floor((CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9 AS mean_tokens",
+        "n_langs",
+        "floor((CAST(sum_score_n AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1.0e9) * 1.0e9 + 0.5e0) / 1.0e9 AS mean_quality")
 
   /** Gopher/C4-style repetition signals: duplicate-LINE ratios catch
     * boilerplate and templated spam that per-token statistics miss

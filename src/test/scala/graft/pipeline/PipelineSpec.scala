@@ -972,6 +972,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(over === 0L, s"$over bins overfilled")
   }
 
+  test("corpusReport: grouped means equal driver-side recomputation from per-doc scores") {
+    val rep = TextOps.corpusReport(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    val perDoc = TextOps.qualityScore(docs, carry = Seq("source", "lang")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getInt(4).toLong,
+        math.floor(r.getDouble(7) * 1e9 + 0.5).toLong))
+    perDoc.groupBy(_._1).foreach { case (src, rows) =>
+      val (nDocs, nTok, meanTok, nLangs, meanQ) = rep(src)
+      assert(nDocs === rows.length)
+      assert(nTok === rows.map(_._3).sum)
+      assert(nLangs === rows.map(_._2).distinct.length)
+      assert(meanTok === math.floor(nTok.toDouble / nDocs * 1e9 + 0.5) / 1e9)
+      assert(meanQ === math.floor(rows.map(_._4).sum.toDouble / nDocs / 1e9 * 1e9 + 0.5) / 1e9)
+    }
+    assert(rep.keySet === perDoc.map(_._1).toSet)
+  }
+
   test("stripMarkup: tags out, entities decoded once, clean text is a fixpoint") {
     val probe = spark.createDataset(Seq(
         (1L, "<div class=\"x\"><p>hello <b>world</b></p></div>"),
