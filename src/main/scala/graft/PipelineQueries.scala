@@ -240,7 +240,23 @@ object PipelineQueries {
     * ends in `rr (query_id, neighbor_id, adist, rank)`. Shared by
     * q_ann_pq (the ADC cut) and q_ann_pq_rerank (exact refinement of
     * the ADC top-20). */
-  private lazy val pqCtes: String =
+  private lazy val pqCtes: String = pqCtesWith(
+    "qc AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id % 50 = 0)")
+
+  /** Multi-probe `qc`: each query's `nprobe` nearest FINAL coarse
+    * centroids by quantized-space distance (ties on cell id) — the
+    * oracle mirror of [[graft.pipeline.Clustering.probeCells]]. */
+  private def pqQcMultiProbe(nprobe: Int): String =
+    s"""qc AS (SELECT query_id, cell FROM (
+          SELECT query_id, cell,
+            row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+          FROM (SELECT e.vec_id AS query_id, c.cl AS cell,
+                  ${pqDist("e.v", "c.c")} AS d
+                FROM epc e CROSS JOIN c${pqIters - 1}pc c
+                WHERE e.vec_id % 50 = 0))
+        WHERE rn <= $nprobe)"""
+
+  private def pqCtesWith(qcCte: String): String =
     s"""${kmeansSubCtes("pa", 1, 32, pqK, pqIters)},
         ${kmeansSubCtes("pb", 33, 32, pqK, pqIters)},
         ${kmeansSubCtes("pc", 1, 64, pqCells, pqIters)},
@@ -251,7 +267,7 @@ object PipelineQueries {
                    ${pqDist("q.v", "c.c")} AS d
                  FROM epb q CROSS JOIN c${pqIters - 1}pb c WHERE q.vec_id % 50 = 0),
         cells AS (SELECT vec_id, cl AS cell FROM a${pqIters}pc),
-        qc AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id % 50 = 0),
+        $qcCte,
         cd AS (SELECT a.vec_id, a.cl AS ca, b.cl AS cb, cells.cell
                FROM a${pqIters}pa a JOIN a${pqIters}pb b USING (vec_id)
                JOIN cells USING (vec_id)),
@@ -857,6 +873,38 @@ object PipelineQueries {
               FROM c)
         SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    QueryDef("q_ann_ivf_learned_mp",
+      // multi-probe learned IVF: each query scans its 2 nearest
+      // k-means cells instead of 1 (probeCells — broadcast centroids,
+      // still a pure cell equi-join with 2 probe rows per query),
+      // recovering neighbors just across a Voronoi boundary. Oracle:
+      // the same unrolled-Lloyd chain; probe cells are the top-2
+      // final centroids by quantized-space distance, ties on cell id.
+      (s, dir) => Clustering.ivfLearnedTopK(emb(s, dir), "vec_id % 50 = 0", 5,
+          kmK, kmIters, nprobe = 2)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH $kmeansCtes,
+        g AS (SELECT vec_id, cl FROM a$kmIters),
+        qp AS (SELECT query_id, cl FROM (
+            SELECT query_id, cl,
+              row_number() OVER (PARTITION BY query_id ORDER BY d, cl) AS rn
+            FROM (SELECT e.vec_id AS query_id, c.cl,
+                    ${pqDist("e.v", "c.c")} AS d
+                  FROM e CROSS JOIN c${kmIters - 1} c
+                  WHERE e.vec_id % 50 = 0))
+          WHERE rn <= 2),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+                ${cosSql("qv.v", "nv.v")} AS cos
+              FROM qp q JOIN g n ON q.cl = n.cl AND q.query_id <> n.vec_id
+              JOIN ev qv ON qv.vec_id = q.query_id
+              JOIN ev nv ON nv.vec_id = n.vec_id),
+        r AS (SELECT *, CAST(row_number() OVER
+                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              FROM c)
+        SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     QueryDef("q_ann_pq",
       // IVF-PQ ANN: 4 coarse k-means cells restrict each query's scan
       // to its own cell, and within it distance is the asymmetric (ADC)
@@ -868,6 +916,19 @@ object PipelineQueries {
           pqM, pqK, pqIters, coarseCells = pqCells)
         .orderBy("query_id", "rank"),
       Some(s"""WITH $pqCtes
+        SELECT query_id, neighbor_id, adist, rank FROM rr WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    QueryDef("q_ann_pq_mp",
+      // multi-probe IVF-PQ: queries scan their 2 nearest coarse cells
+      // (probeCells on the coarse codebook), doubling the ADC candidate
+      // pool without touching raw vectors — the recall lever the
+      // nprobe=1 contract (q_ann_pq) lacks. Plan unchanged otherwise:
+      // broadcast LUT equi-joins over codes, cell-keyed first join.
+      (s, dir) => Clustering.pqTopK(emb(s, dir), "vec_id % 50 = 0", 5,
+          pqM, pqK, pqIters, coarseCells = pqCells, coarseNprobe = 2)
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH ${pqCtesWith(pqQcMultiProbe(2))}
         SELECT query_id, neighbor_id, adist, rank FROM rr WHERE rank <= 5
         ORDER BY query_id, rank""")),
 

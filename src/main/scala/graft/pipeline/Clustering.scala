@@ -145,17 +145,59 @@ object Clustering {
       .toDF("vec_id", "cluster", "dist2")
   }
 
+  /** Multi-probe cell assignment for a PROBE subset: each filtered
+    * vector gets `nprobe` rows `(vec_id, g)` — its `nprobe` nearest
+    * centroids by quantized-space squared distance, ties broken on
+    * cluster id (the same total order as the assignment itself, so
+    * probe 1 is exactly the [[assignToCentroids]] cell). Stateless
+    * broadcast map over the probe subset — the corpus never moves, and
+    * the output is the query-side relation [[Similarity.topKWithinGroups]]
+    * and [[pqTopK]] equi-join on (still a pure equi-join plan, just
+    * `nprobe` probe rows per query instead of 1). */
+  def probeCells(emb: DataFrame, probeFilter: String,
+                 cents: Array[(Int, Array[Double])], nprobe: Int): DataFrame = {
+    require(cents.nonEmpty && nprobe >= 1,
+      s"probeCells needs centroids and nprobe >= 1, got ${cents.length} cents, nprobe=$nprobe")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    quantized(emb.filter(probeFilter), cents.head._2.length)
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val centroids = bc.value
+        it.flatMap { case (id, v) =>
+          centroids.map { case (cl, c) =>
+            var d = 0.0
+            var j = 0
+            while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+            (cl, d)
+          }.sortBy { case (cl, d) => (d, cl) }
+            .take(nprobe)
+            .map { case (cl, _) => (id, cl) }
+        }
+      }
+      .toDF("vec_id", "g")
+  }
+
   /** ANN top-k over LEARNED cells: corpus and queries land in their
     * k-means cell (data-adaptive — cells follow the embedding density,
     * where the fixed sign-hyperplane buckets of
     * [[Similarity.ivfTopK]] split dense regions arbitrarily), and
     * exact cosine rank runs within the cell. Same plan shape as the
-    * sign-bucket IVF: one equi-join on the cell id, top-k window. */
+    * sign-bucket IVF: one equi-join on the cell id, top-k window.
+    *
+    * `nprobe > 1` is the recall lever: each query scans its `nprobe`
+    * nearest cells ([[probeCells]] — still one equi-join, `nprobe`
+    * probe rows per query), recovering neighbors that land just across
+    * a Voronoi boundary at `nprobe×` the candidate volume. */
   def ivfLearnedTopK(emb: DataFrame, probeFilter: String, k: Int,
-                     cells: Int, iters: Int): DataFrame = {
-    val asg = kmeans(emb, cells, iters)
+                     cells: Int, iters: Int, nprobe: Int = 1): DataFrame = {
+    val (asgRaw, cents) = kmeansFull(emb, cells, iters)
+    val asg = asgRaw
       .select(col("vec_id"), col("cluster").as("g")).localCheckpoint()
-    Similarity.topKWithinGroups(emb, asg, probeFilter, k)
+    val qg = if (nprobe <= 1) None
+             else Some(probeCells(emb, probeFilter, cents, nprobe))
+    Similarity.topKWithinGroups(emb, asg, probeFilter, k, qg)
   }
 
   /** Product-quantization ANN (the IVF-PQ compression path): each
@@ -189,7 +231,8 @@ object Clustering {
     * cut identically. */
   def pqTopK(emb: DataFrame, probeFilter: String, kNN: Int, m: Int,
              codebookK: Int, iters: Int, dim: Int = 64,
-             coarseCells: Int = 0, coarseIters: Int = 2): DataFrame = {
+             coarseCells: Int = 0, coarseIters: Int = 2,
+             coarseNprobe: Int = 1): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(kNN >= 1, s"kNN must be >= 1, got $kNN")
     val spark = emb.sparkSession
@@ -212,13 +255,21 @@ object Clustering {
     // the query's cell, so per-query work is corpus/cells, not corpus.
     // coarseCells = 0 is the exhaustive ADC scan (exact PQ ranking).
     val qcells = if (coarseCells > 0) {
-      val cells = kmeans(emb, coarseCells, coarseIters, dim)
+      val (casg, ccents) = kmeansFull(emb, coarseCells, coarseIters, dim)
+      val cells = casg
         .select(col("vec_id"), col("cluster").as("cell")).localCheckpoint()
       codes = codes.join(cells, "vec_id")
-      // probeFilter only references vec_id, so the probes' cells are a
-      // direct filter of the checkpointed assignment — no second
-      // corpus scan
-      Some(cells.filter(expr(probeFilter)))
+      // probeFilter only references vec_id, so at nprobe=1 the probes'
+      // cells are a direct filter of the checkpointed assignment — no
+      // second corpus scan. nprobe > 1 (multi-probe IVF-PQ) widens each
+      // query to its nprobe nearest coarse centroids — still an
+      // equi-join on the cell, nprobe probe rows per query, and each
+      // (query, vector) pair matches at most once (one cell per
+      // corpus vector).
+      Some(
+        if (coarseNprobe <= 1) cells.filter(expr(probeFilter))
+        else probeCells(emb, probeFilter, ccents, coarseNprobe)
+          .select(col("vec_id"), col("g").as("cell")))
     } else None
 
     // ADC lookup tables: per (query, subspace, code) the exact squared
@@ -276,10 +327,10 @@ object Clustering {
   def pqTopKRefined(emb: DataFrame, probeFilter: String, kNN: Int,
                     candK: Int, m: Int, codebookK: Int, iters: Int,
                     dim: Int = 64, coarseCells: Int = 0,
-                    coarseIters: Int = 2): DataFrame = {
+                    coarseIters: Int = 2, coarseNprobe: Int = 1): DataFrame = {
     require(candK >= kNN, s"candK=$candK must be >= kNN=$kNN")
     val cand = pqTopK(emb, probeFilter, candK, m, codebookK, iters, dim,
-      coarseCells, coarseIters).select("query_id", "neighbor_id")
+      coarseCells, coarseIters, coarseNprobe).select("query_id", "neighbor_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     Similarity.rescorePairs(emb, cand)

@@ -256,17 +256,21 @@ object Similarity {
     * an EXTERNALLY supplied cell assignment (`groups` = `(vec_id, g)`,
     * e.g. learned k-means cells from
     * [[Clustering.kmeans]]), candidates a pure equi-join on the cell
-    * id, exact rank within. nprobe = 1 by construction; callers widen
-    * recall by passing a multi-cell assignment (one row per probed
-    * cell). */
+    * id, exact rank within. nprobe = 1 by default; callers widen
+    * recall by passing `queryGroups`, a multi-cell PROBE assignment
+    * (one `(vec_id, g)` row per probed cell — e.g.
+    * [[Clustering.probeCells]]). The corpus side keeps exactly one
+    * cell per vector, so a (query, neighbor) pair can match at most
+    * one probed cell and no dedup pass is needed. */
   def topKWithinGroups(emb: DataFrame, groups: DataFrame,
-                       probeFilter: String, k: Int): DataFrame = {
-    val withG = (as: String) => vecs(emb, as).join(
-      groups.select(col("vec_id").as(s"${as}_id"), col("g").as(s"${as}_g")),
+                       probeFilter: String, k: Int,
+                       queryGroups: Option[DataFrame] = None): DataFrame = {
+    val withG = (as: String, g: DataFrame) => vecs(emb, as).join(
+      g.select(col("vec_id").as(s"${as}_id"), col("g").as(s"${as}_g")),
       s"${as}_id")
-    val pairs = withG("q")
+    val pairs = withG("q", queryGroups.getOrElse(groups))
       .filter(expr(probeFilter.replace("vec_id", "q_id")))
-      .join(withG("n"), col("q_g") === col("n_g") && col("q_id") =!= col("n_id"))
+      .join(withG("n", groups), col("q_g") === col("n_g") && col("q_id") =!= col("n_id"))
       .selectExpr("q_id AS id1", "n_id AS id2",
         "q_v AS v1", "q_nrm AS n1", "n_v AS v2", "n_nrm AS n2")
     val cand = cosKernel(pairs).toDF("query_id", "neighbor_id", "cos")

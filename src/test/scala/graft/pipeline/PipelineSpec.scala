@@ -237,6 +237,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(l.filter(col("bcos").isNull || col("bcos") =!= col("cos")).count() === 0)
   }
 
+  test("learned-IVF multi-probe: nprobe=2 recall strictly dominates nprobe=1") {
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val brute = hits(Similarity.bruteTopK(emb, "vec_id % 50 = 0", 5))
+    val sp = Clustering.ivfLearnedTopK(emb, "vec_id % 50 = 0", 5, 8, 2)
+    val mp = Clustering.ivfLearnedTopK(emb, "vec_id % 50 = 0", 5, 8, 2, nprobe = 2)
+    // per (query, rank): the 2-cell candidate pool is a superset of
+    // the 1-cell pool, so the k-th best cosine can never be worse
+    val j = mp.select(col("query_id"), col("rank"), col("cos").as("mp_cos"))
+      .join(sp.select(col("query_id"), col("rank"), col("cos").as("sp_cos")),
+        Seq("query_id", "rank"))
+    assert(j.filter(col("mp_cos") < col("sp_cos")).count() === 0,
+      "multi-probe rank-wise cosine must dominate nprobe=1")
+    // and recall vs brute strictly improves on this fixture (the
+    // Voronoi boundaries cut real neighbor pairs, else nprobe would
+    // be pointless)
+    val rSp = (brute & hits(sp)).size
+    val rMp = (brute & hits(mp)).size
+    assert(rMp > rSp, s"expected strict recall gain: nprobe=2 $rMp vs nprobe=1 $rSp")
+    // cosines remain exact: every multi-probe hit appears in the full
+    // brute ranking with the same cosine
+    val bruteAll = Similarity.bruteTopK(emb, "vec_id % 50 = 0", 100000)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("bcos"))
+    val chk = mp.join(bruteAll, Seq("query_id", "neighbor_id"), "left")
+    assert(chk.filter(col("bcos").isNull || col("bcos") =!= col("cos")).count() === 0)
+  }
+
+  test("IVF-PQ multi-probe: coarseNprobe=2 ADC rank-wise dominates nprobe=1") {
+    val sp = Clustering.pqTopK(emb, "vec_id % 50 = 0", 5, 2, 8, 2, coarseCells = 4)
+      .select(col("query_id"), col("rank"), col("adist").as("sp_d"))
+    val mp = Clustering.pqTopK(emb, "vec_id % 50 = 0", 5, 2, 8, 2,
+        coarseCells = 4, coarseNprobe = 2)
+      .select(col("query_id"), col("rank"), col("adist").as("mp_d"))
+    // superset candidate pool: the k-th smallest ADC distance can only
+    // shrink when a second coarse cell is probed
+    val j = mp.join(sp, Seq("query_id", "rank"))
+    assert(j.filter(col("mp_d") > col("sp_d")).count() === 0,
+      "multi-probe rank-wise ADC distance must dominate nprobe=1")
+    assert(j.filter(col("mp_d") < col("sp_d")).count() > 0,
+      "fixture should contain candidates in the second-nearest coarse cell")
+  }
+
   test("repetition stats: duplicate lines surface, clean docs score zero") {
     import spark.implicits._
     val d = Seq(
