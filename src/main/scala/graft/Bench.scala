@@ -7,9 +7,12 @@ import graft.regrid._
 /** Benchmark main: one JSON line with per-query wall times.
   *
   * Three groups:
-  *  - every driver-contract query at `SPARK_GRAFT_SF_DIR` scale
-  *    (failures are reported explicitly in an `errors` map, never as a
-  *    silent time-to-crash);
+  *  - every driver-contract query at `SPARK_GRAFT_SF_DIR` scale,
+  *    measured as INTERLEAVED best-of-3 (all queries round 1, then
+  *    round 2, then 3; per-query min reported, per-round samples in
+  *    `spread`) so single-run GC/JIT noise can't masquerade as a
+  *    round-over-round regression; failures are reported explicitly in
+  *    an `errors` map, never as a silent time-to-crash;
   *  - the reference's own benchmark workload (BASELINE.md,
   *    `doc/notebooks/Backend.ipynb` cells 17/24/33): bilinear weight
   *    build 400×600 → 300×400 (baseline 7.57 s) and the 4-D apply of
@@ -72,14 +75,39 @@ object Bench {
       ()
     }
 
+    // Contract queries: INTERLEAVED best-of-3 — all queries run in
+    // round 1, then round 2, then round 3, and each query reports the
+    // min of its successful rounds. Interleaving (rather than 3
+    // back-to-back runs per query) keeps a GC pause or JIT storm from
+    // poisoning all of one query's samples, and the per-round spread is
+    // emitted alongside so round-over-round deltas are attributable:
+    // a real regression moves the MIN; measurement noise only widens
+    // the spread (r4 recorded q_minhash_sig at 8.41 s single-run where
+    // a clean same-binary run measured 1.10 s).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val contract = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val contractRounds = 3
+    val samples = Array.fill(names.size)(Vector.empty[Double])
+    for (r <- 0 until contractRounds) {
+      System.gc()
+      names.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (!errors.contains(name)) {
+          var ok = true
+          val t = time {
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable =>
+              ok = false
+              errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            }
+          }
+          // a crashed run still records its time-to-crash so a query
+          // that never succeeds reports a number, not a silent 0
+          if (ok || samples(i).isEmpty) samples(i) = samples(i) :+ t
         }
       }
+    }
+    val contract = names.zipWithIndex.map { case ((name, _), i) =>
+      name -> samples(i).min
     }
 
     // ---- reference-benchmark workload (grids from BASELINE.md) ----
@@ -163,8 +191,13 @@ object Bench {
     } + "\""
     val qs = all.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    // per-query spread evidence: every interleaved round's wall time,
+    // so an outlier in "queries" (the min) is checkable in-artifact
+    val spread = names.zipWithIndex.map { case ((name, _), i) =>
+      jq(name) + ":" + samples(i).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$contractRounds,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

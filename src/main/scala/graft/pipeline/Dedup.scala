@@ -63,8 +63,21 @@ object Dedup {
 
   /** MinHash-LSH near-dup pipeline: shingle → minhash → band →
     * bucket-join for candidates → exact Jaccard verification.
-    * Returns `(a, b, jaccard)` for candidate pairs, ordered ids. */
-  def minhashLsh(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    * Returns `(a, b, jaccard)` for candidate pairs, ordered ids.
+    *
+    * `maxBucket` (optional) is the hot-bucket guard for mass-templated
+    * corpora: a band signature shared by 10⁶ near-identical documents
+    * (same boilerplate page, different timestamps — these SURVIVE
+    * exact-dedup-first) would put ~10¹² candidate pairs in one
+    * `(band, sig)` join key. Buckets above the cap short-circuit to a
+    * STAR on the bucket's min doc_id (O(size) pairs instead of
+    * O(size²)) — downstream [[clusters]] resolves the identical
+    * connected component either way, which is the correct answer for a
+    * bucket that large; only the exhaustive within-bucket pair list is
+    * deliberately not materialized. Star pairs still go through the
+    * exact-Jaccard verify like every other candidate. */
+  def minhashLsh(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
+                 maxBucket: Option[Int] = None): DataFrame = {
     // shared shingle relation (recomputed per consumer — measured
     // faster than cache() at bench scale: the narrow re-scan pipelines
     // into each consumer, while cache materialization pays a row-format
@@ -72,11 +85,31 @@ object Dedup {
     // persist(DISK) if the corpus scan itself ever dominates)
     val sh = TextOps.shingleSet(docs, 5)
     val bands = TextOps.lshBands(TextOps.minhashFromShingles(sh, k), rowsPerBand)
-    val candidates = bands.select(col("band"), col("sig"), col("doc_id").as("a"))
-      .join(bands.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
-      .distinct()
+    val candidates = maxBucket match {
+      case None =>
+        bands.select(col("band"), col("sig"), col("doc_id").as("a"))
+          .join(bands.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
+          .filter(col("a") < col("b"))
+          .select("a", "b")
+          .distinct()
+      case Some(cap) =>
+        // size every bucket once (map-side combined count), route each
+        // band row by its bucket's size: ≤ cap → the normal pair
+        // clique; > cap → a star on the bucket min. Checkpoint: the
+        // banded relation feeds the sizing agg and both join sides.
+        val b = bands.localCheckpoint()
+        val sized = b.join(
+          b.groupBy("band", "sig").agg(count(lit(1)).as("bn"), min("doc_id").as("bmin")),
+          Seq("band", "sig"))
+        val small = sized.filter(col("bn") <= cap)
+        val clique = small.select(col("band"), col("sig"), col("doc_id").as("a"))
+          .join(small.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
+          .filter(col("a") < col("b"))
+          .select("a", "b")
+        val star = sized.filter(col("bn") > cap && col("doc_id") =!= col("bmin"))
+          .select(col("bmin").as("a"), col("doc_id").as("b"))
+        clique.unionByName(star).distinct()
+    }
     jaccardFor(sh, candidates)
   }
 

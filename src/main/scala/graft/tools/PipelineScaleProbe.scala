@@ -58,7 +58,7 @@ object PipelineScaleProbe {
     val sections = if (args.isEmpty)
                      Set("minhash", "clusters", "ann", "banded", "packing", "decontam",
                        "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
-                       "vocab", "pq", "weighted")
+                       "vocab", "pq", "weighted", "hotbucket")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -121,6 +121,63 @@ object PipelineScaleProbe {
       time("  + duplicate-cluster resolution") {
         Dedup.clusters(pairs, maxRounds = 25).count()
       }
+    }
+
+    if (sections("hotbucket")) {
+      // mass-templated near-dups — the hot-bucket failure mode exact
+      // dedup can't remove (same boilerplate page, distinct timestamp):
+      // 10k docs share one 20-token template plus a unique trailing
+      // token. Per band, ~94% of each doc's 4 minhashes come from the
+      // 16 SHARED shingles, so most of the 10k land in ONE (band, sig)
+      // bucket in EVERY band; uncapped LSH would put ~n²/2 candidate
+      // pairs per band into that join key. maxBucket=64 routes the
+      // oversized buckets to a star on the bucket min — O(n) pairs,
+      // same connected component.
+      val base = corpus(300000L)
+      val template = spark.range(10000L)
+        .selectExpr("id + 2000000 AS doc_id",
+          """concat(array_join(transform(sequence(0, 19),
+               t -> concat('tpl', t)), ' '), ' ts', id) AS text""",
+          "'syn' AS source")
+      val docs = base.unionByName(template)
+      // bucket census: the candidate volume the cap prevents
+      val implied = TextOps.lshBands(TextOps.minhashFromShingles(
+          TextOps.shingleSet(docs, 5), 16), 4)
+        .groupBy("band", "sig").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("CAST(n * (n - 1) / 2 AS BIGINT)"))).head().getLong(0)
+      println(f"  uncapped candidate-pair volume (sum over buckets): $implied%,d")
+      val pairs = Dedup.minhashLsh(docs, maxBucket = Some(64))
+        .filter(col("jaccard") >= 0.5).localCheckpoint()
+      auditPlan("hot-bucket-capped LSH 310k docs", pairs)
+      var tpl = 0L
+      time("minhash-LSH w/ hot-bucket cap, 300k + 10k templated") {
+        tpl = pairs.filter(col("a") >= 2000000L).count()
+        pairs.count()
+      }
+      println(s"  template-doc pairs emitted: $tpl (star-bounded; clique would be ~5e7)")
+      // ~0.2% of template docs deviate from the hot signature in every
+      // band ((1 - (16/17)^4)^4 ≈ 0.002) and land in singleton buckets
+      // — UNCAPPED LSH misses those identically, so the cap costs no
+      // recall; the bound is the star shape, not perfect coverage
+      require(tpl >= 9900L && tpl <= 50000L,
+        s"template pairs $tpl outside star-routing bounds [9900, 50000]")
+      // the star preserves the semantics that matter: every template
+      // doc that collides at all resolves to ONE duplicate cluster
+      time("  + cluster resolution over capped pairs") {
+        val comp = Dedup.clusters(pairs, maxRounds = 25)
+          .filter(col("doc_id") >= 2000000L)
+        val (nDocs, nComps) = (comp.count(),
+          comp.select("cluster_id").distinct().count())
+        require(nDocs >= 9900L && nComps == 1L,
+          s"template component broken: $nDocs docs in $nComps clusters")
+        nDocs
+      }
+      // normal buckets are untouched by the cap: planted base-corpus
+      // near-dup recall unchanged
+      val found = pairs.filter(col("b") === col("a") + 1 &&
+        col("a") % 10 === 0 && col("a") < 2000000L).count()
+      println(s"  base planted-pair recall: $found/30000")
+      require(found >= 29700L, s"capped-run base recall $found/30000")
     }
 
     if (sections("clusters")) {

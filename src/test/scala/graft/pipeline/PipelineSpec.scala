@@ -280,6 +280,27 @@ class PipelineSpec extends AnyFunSuite {
       "fixture should contain candidates in the second-nearest coarse cell")
   }
 
+  test("minhash hot-bucket cap: star routing bounds pairs, preserves components") {
+    import spark.implicits._
+    // 30 near-identical template docs (one shared 20-token template +
+    // a unique tail token each — the mass-templated shape exact dedup
+    // cannot remove) + the regular corpus docs
+    val tplBase = (0 until 20).map(t => s"tpl$t").mkString(" ")
+    val template = (0 until 30).map(i => (1000L + i, s"$tplBase ts$i", "syn"))
+    val docsSyn = template.toDF("doc_id", "text", "source")
+    val uncapped = Dedup.minhashLsh(docsSyn).filter(col("jaccard") >= 0.5)
+    val capped = Dedup.minhashLsh(docsSyn, maxBucket = Some(8))
+      .filter(col("jaccard") >= 0.5)
+    // the cap bounds the emitted pair set (star ~n vs clique ~n²/2)...
+    val (nCap, nFull) = (capped.count(), uncapped.count())
+    assert(nFull >= 380L, s"uncapped should emit ~the full 435-pair clique, got $nFull")
+    assert(nCap < nFull && nCap >= 29L, s"star routing should emit ~n pairs, got $nCap")
+    // ...while the duplicate clusters are identical
+    def comps(p: org.apache.spark.sql.DataFrame) = Dedup.clusters(p)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(capped) === comps(uncapped))
+  }
+
   test("repetition stats: duplicate lines surface, clean docs score zero") {
     import spark.implicits._
     val d = Seq(
