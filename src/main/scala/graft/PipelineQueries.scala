@@ -102,6 +102,25 @@ object PipelineQueries {
   private def cosSql(a: String, b: String) =
     r9(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))")
 
+  /** DuckDB mirror of [[graft.pipeline.Similarity.bandSignatures]]:
+    * one UNION ALL branch per band over a CTE named `e (vec_id, v)` —
+    * `sig` packs the band's hyperplane sign bits (dot > 0), dots
+    * left-folded exactly like the Spark kernel, ±1 coefficients
+    * embedded as literals from the shared deterministic generator. */
+  private def bandedSigBranches(bands: Int, rpb: Int, dim: Int = 64): String = {
+    def arr(c: Array[Double]) =
+      c.map(x => if (x > 0) "1.0e0" else "-1.0e0").mkString("[", ", ", "]")
+    // one UNION ALL branch per band: sig packs the band's sign bits
+    // (dot > 0), dots left-folded exactly like the Spark kernel
+    (0 until bands).map { b =>
+      val bits = (0 until rpb).map { j =>
+        val c = Similarity.planeCoeffs(b * rpb + j, dim)
+        s"CASE WHEN ${dotSql("v", arr(c))} > 0.0e0 THEN ${1L << j} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"SELECT vec_id, $b AS band, $bits AS sig FROM e"
+    }.mkString("\n        UNION ALL ")
+  }
+
   // ---- decontamination / PII / sampling shared fragments ----
 
   /** Eval split for the decontamination contract: every 20th doc plays
@@ -529,6 +548,25 @@ object PipelineQueries {
                   GROUP BY 1, 2)
         SELECT * FROM ($jaccardSelect) j WHERE jaccard >= 0.3e0 ORDER BY a, b""")),
 
+    QueryDef("q_ngram_jaccard_capped",
+      // the df-cap variant — the hot-shingle skew guard actually
+      // exercised: shingles appearing in more than maxDocFreq documents
+      // are dropped BEFORE the inverted-index self-join (a boilerplate
+      // shingle shared by 10⁶ docs would put 10¹² pairs in one join
+      // key), and Jaccard is over the RETAINED shingle space (both
+      // |A∩B| and the sizes) — the oracle mirrors that space exactly.
+      (s, dir) => Dedup.ngramJaccardBlocked(docs(s, dir), 3, 0.3,
+          maxDocFreq = Some(2)).orderBy("a", "b"),
+      Some(s"""WITH tok AS ($tokCte), sh3 AS (${sh(3)}),
+        rare AS (SELECT s FROM sh3 GROUP BY s HAVING count(*) <= 2),
+        shr AS (SELECT sh3.* FROM sh3 JOIN rare USING (s)),
+        sz AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
+        inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+                  FROM shr sa JOIN shr sb
+                    ON sa.source = sb.source AND sa.s = sb.s AND sa.doc_id < sb.doc_id
+                  GROUP BY 1, 2)
+        SELECT * FROM ($jaccardSelect) j WHERE jaccard >= 0.3e0 ORDER BY a, b""")),
+
     QueryDef("q_embedding_cosine",
       // EXACT all-pairs near-dup, distributed shape: block-pair
       // replication → shuffled hash EQUI-join (no nested loop), pair
@@ -553,22 +591,10 @@ object PipelineQueries {
       (s, dir) => Similarity.nearDupPairsBanded(emb(s, dir), 0.45)
         .orderBy("a", "b"),
       Some {
-        val bands = 24; val rpb = 4; val dim = 64
-        def arr(c: Array[Double]) =
-          c.map(x => if (x > 0) "1.0e0" else "-1.0e0").mkString("[", ", ", "]")
-        // one UNION ALL branch per band: sig packs the band's sign bits
-        // (dot > 0), dots left-folded exactly like the Spark kernel
-        val branches = (0 until bands).map { b =>
-          val bits = (0 until rpb).map { j =>
-            val c = Similarity.planeCoeffs(b * rpb + j, dim)
-            s"CASE WHEN ${dotSql("v", arr(c))} > 0.0e0 THEN ${1L << j} ELSE 0 END"
-          }.mkString("(", " + ", ")")
-          s"SELECT vec_id, $b AS band, $bits AS sig FROM e"
-        }.mkString("\n        UNION ALL ")
         // MATERIALIZED: keeps the CASE-heavy signature CTE out of the
         // join inlining path (DuckDB 1.0.0 flat-vector bug)
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        sigs AS MATERIALIZED ($branches),
+        sigs AS MATERIALIZED (${bandedSigBranches(24, 4)}),
         cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
                  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
                  WHERE x.vec_id < y.vec_id),
@@ -576,6 +602,51 @@ object PipelineQueries {
               FROM cand JOIN e ea ON ea.vec_id = cand.a
                         JOIN e eb ON eb.vec_id = cand.b)
         SELECT * FROM p WHERE cos >= 0.45e0 ORDER BY a, b"""
+      }),
+
+    QueryDef("q_embedding_cosine_lsh_hc",
+      // the HIGH-COS pruning regime the 100 TB near-dup pass actually
+      // runs in: planted cos≈0.999 partners (each vec_id % 40 = 0 gets
+      // a deterministically perturbed copy at +1e6 — both engines
+      // derive the identical doubles from md5 noise) with the 8 bands ×
+      // 8 bits config at threshold 0.9. Here sign-LSH prunes hard
+      // (random pairs collide at ~1-(1-0.5^8)^8 ≈ 3% of all-pairs;
+      // candidates ≤ 3% asserted in PipelineSpec) while planted recall
+      // stays ≈ 1 (per-band agreement 0.98^8, 8 chances) — the
+      // selectivity that justifies LSH, now hash-verified cross-engine.
+      (s, dir) => {
+        val noise = "(CAST(" + TextOps.hash60(
+          "concat('hc:', CAST(vec_id AS STRING), ':', CAST(j AS STRING))") +
+          " % 2001 AS DOUBLE) - 1000.0D) / 1000.0D"
+        val base = emb(s, dir)
+        val aug = base
+          .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+          .unionByName(base.filter("vec_id % 40 = 0").selectExpr(
+            s"""transform(embedding, (x, j) ->
+                CAST(x AS DOUBLE) * (1.0D + 0.03D * $noise)) AS embedding""",
+            "vec_id + 1000000 AS vec_id"))
+        Similarity.nearDupPairsBanded(aug, 0.9, bands = 8, rowsPerBand = 8)
+          .orderBy("a", "b")
+      },
+      Some {
+        val noise = "(CAST(" + h60(
+          "concat('hc:', CAST(vec_id AS VARCHAR), ':', CAST(j - 1 AS VARCHAR))") +
+          " % 2001 AS DOUBLE) - 1000.0e0) / 1000.0e0"
+        s"""WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pl AS (SELECT vid + 1000000 AS vec_id, v FROM (
+                 SELECT vec_id AS vid,
+                   list_transform(generate_series(1, 64), j ->
+                     v[j] * (1.0e0 + 0.03e0 * $noise)) AS v
+                 FROM eb WHERE vec_id % 40 = 0)),
+        e AS (SELECT vec_id, v FROM eb UNION ALL SELECT vec_id, v FROM pl),
+        sigs AS MATERIALIZED (${bandedSigBranches(8, 8)}),
+        cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                 FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+                 WHERE x.vec_id < y.vec_id),
+        p AS (SELECT cand.a, cand.b, ${cosSql("ea.v", "eb2.v")} AS cos
+              FROM cand JOIN e ea ON ea.vec_id = cand.a
+                        JOIN e eb2 ON eb2.vec_id = cand.b)
+        SELECT * FROM p WHERE cos >= 0.9e0 ORDER BY a, b"""
       }),
 
     // ---- similarity search ----
