@@ -44,12 +44,6 @@ object Search {
     require(k >= 1, s"k must be >= 1, got $k")
     val toks = TextOps.withTokens(docs)
       .selectExpr("doc_id", "tokens", "size(tokens) AS dl")
-    // corpus scalars (N, total tokens): one tiny plan-time aggregate.
-    // avgdl is ratio-of-exact-integers on both engines — identical
-    // IEEE division, so the data-dependent constant needs no rounding.
-    val g = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
-    val nDocs = g.getLong(0)
-    val avgdl = g.getLong(1).toDouble / nDocs.toDouble
 
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val tf = toks
@@ -58,13 +52,32 @@ object Search {
       .selectExpr("doc_id", "dl", "explode(qt) AS term")
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // corpus scalars (N, total tokens): LAZY — no action inside query
+    // construction. The corpus reduces to a per-doc-length histogram
+    // (map-side combined, ~hundreds of rows), which is unioned under
+    // the per-term df relation so the totals ride every term row via a
+    // whole-relation window over that tiny union — the house one-row-
+    // totals shape (a constant-key cross join would constant-fold into
+    // a nested loop). avgdl is then ratio-of-exact-integers on both
+    // engines — identical IEEE division, no rounding needed.
+    val hist = toks.groupBy("dl").agg(count(lit(1)).as("c"))
+    val whole = Window.partitionBy()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        lit(null).cast("long").as("dl"), lit(null).cast("long").as("c"))
+      .unionByName(hist.select(lit(null).cast("string").as("term"),
+        lit(null).cast("long").as("df"), col("dl").cast("long").as("dl"), col("c")))
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("tot", sum(expr("dl * c")).over(whole))
+      .filter(col("term").isNotNull)
+      .select("term", "df", "n", "tot")
 
     val scored = tf.join(broadcast(df), "term")
       .withColumn("sq", expr(
-        s"""CAST(floor((ln(1.0e0 + (${dlit(nDocs.toDouble)} - df + 0.5e0) / (df + 0.5e0))
+        s"""CAST(floor((ln(1.0e0 + (CAST(n AS DOUBLE) - df + 0.5e0) / (df + 0.5e0))
             * (tf * ${dlit(k1p1)})
-            / (tf + ${dlit(k1)} * (1.0e0 - ${dlit(b)} + ${dlit(b)} * dl / ${dlit(avgdl)})))
+            / (tf + ${dlit(k1)} * (1.0e0 - ${dlit(b)} + ${dlit(b)} * dl
+               / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))
             * 1.0e6 + 0.5e0) AS BIGINT)"""))
       .groupBy("doc_id").agg(sum(col("sq")).as("score_u"))
 
