@@ -148,25 +148,30 @@ object PipelineQueries {
     * literal-identical mirror of [[Sampling.temperatureMixRates]].
     * Ends in a `rates` CTE. */
   private val mixBudgetPermille = 250
-  private lazy val mixCtes: String = {
+  /** CTE-name-tagged, τ-parameterized variant (the weight expression is
+    * the shared nested-sqrt formula [[graft.pipeline.Sampling.tauPowExpr]],
+    * identical text on both engines); tag keeps three τ chains
+    * coexisting in one query. */
+  private def mixCtesT(tag: String, tauQuarters: Int): String = {
     val bf = graft.regrid.Rounding.sqlLit(mixBudgetPermille / 1000.0)
-    s"""tok AS ($tokCte),
-        per AS (SELECT source, count(*) AS n_docs,
+    s"""tok$tag AS ($tokCte),
+        per$tag AS (SELECT source, count(*) AS n_docs,
                   CAST(sum(len(tokens)) AS BIGINT) AS n_tokens
-                FROM tok GROUP BY 1),
-        wgt AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT) AS w_u
-                FROM per),
-        tw AS (SELECT CAST(sum(w_u) AS BIGINT) AS tot_w,
-                 CAST(sum(n_tokens) AS BIGINT) AS tot_tok FROM wgt),
-        pm AS (SELECT source, n_docs, n_tokens, w_u, tot_tok,
+                FROM tok$tag GROUP BY 1),
+        wgt$tag AS (SELECT *, CAST(floor(${Sampling.tauPowExpr("CAST(n_tokens AS DOUBLE)", tauQuarters)} * 1.0e6 + 0.5e0) AS BIGINT) AS w_u
+                FROM per$tag),
+        tw$tag AS (SELECT CAST(sum(w_u) AS BIGINT) AS tot_w,
+                 CAST(sum(n_tokens) AS BIGINT) AS tot_tok FROM wgt$tag),
+        pm$tag AS (SELECT source, n_docs, n_tokens, w_u, tot_tok,
                  floor((CAST(w_u AS DOUBLE) / CAST(tot_w AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9 AS p_mix
-               FROM wgt CROSS JOIN tw),
-        rates AS (SELECT source, n_docs, n_tokens, w_u, p_mix,
+               FROM wgt$tag CROSS JOIN tw$tag),
+        rates$tag AS (SELECT source, n_docs, n_tokens, w_u, p_mix,
                     LEAST(CAST(1000000 AS BIGINT), CAST(floor(
                       (($bf * CAST(tot_tok AS DOUBLE)) * p_mix / CAST(n_tokens AS DOUBLE))
                       * 1.0e6 + 0.5e0) AS BIGINT)) AS rate_u
-                  FROM pm)"""
+                  FROM pm$tag)"""
   }
+  private lazy val mixCtes: String = mixCtesT("", 2)
 
   /** Sequence-packing contract constants: 256-token bins over 8 shards
     * (avg doc ≈ 54 tokens → ~4 docs/bin; 8 sequential chains keep the
@@ -1207,6 +1212,25 @@ object PipelineQueries {
       Some(s"""WITH $mixCtes
         SELECT source, n_docs, n_tokens, w_u, p_mix, rate_u
         FROM rates ORDER BY source""")),
+
+    QueryDef("q_mix_weights_tau",
+      // the τ grid in one oracle-checked query: recipes at τ = ¼, ½, ¾
+      // side by side (x^¼ = √√x, x^¾ = √x·√√x — nested correctly-
+      // rounded sqrt IS the operator contract, so parity needs no pow).
+      // Lower τ flattens the mixture toward uniform-over-sources;
+      // the three-way union makes that gradient hash-verified.
+      (s, dir) => (1 to 3).map(q =>
+          Sampling.temperatureMixRates(docs(s, dir), mixBudgetPermille, q)
+            .withColumn("tau_q", lit(q)))
+        .reduce(_ unionByName _)
+        .orderBy("tau_q", "source"),
+      Some {
+        val branches = (1 to 3).map(q =>
+          s"""SELECT source, n_docs, n_tokens, w_u, p_mix, rate_u,
+              CAST($q AS INTEGER) AS tau_q FROM rates_t$q""")
+        s"""WITH ${(1 to 3).map(q => mixCtesT(s"_t$q", q)).mkString(", ")}
+        ${branches.mkString(" UNION ALL ")} ORDER BY tau_q, source"""
+      }),
 
     QueryDef("q_mix_apply",
       // the recipe applied: broadcast the rates table, keep docs whose

@@ -100,6 +100,33 @@ object RegridQueries {
   def waveSql(lon: String, lat: String): String =
     s"2.0e0 + pow(cos(radians($lat)), 2) * cos(2.0e0 * radians($lon))"
 
+  /** Per-process weight-file path for the G8 round-trip queries, with
+    * housekeeping: per-PID names fix the cross-JVM race (a Bench
+    * overlapping a test run must not clobber one file), and entries
+    * left by DEAD processes are swept here so repeated runs don't
+    * accumulate orphans — files of still-live PIDs are never touched.
+    * Clears any same-PID leftover too, so the writer never sees a
+    * pre-existing target (the no-clobber guard V8 would refuse). */
+  private def weightsIoPath(s: org.apache.spark.sql.SparkSession,
+                            ext: String): String = {
+    val dir = "/root/repo/target/weights_io"
+    val self = ProcessHandle.current().pid()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val re = "esmf_conservative_(\\d+)\\.(parquet|nc)".r
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      f.getName match {
+        case re(pid, _) if pid.toLong == self ||
+            !ProcessHandle.of(pid.toLong).isPresent =>
+          // parquet targets are directories — recursive delete
+          fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true)
+        case _ => ()
+      }
+    }
+    s"$dir/esmf_conservative_$self.$ext"
+  }
+
   /** argmin-by-great-circle CTE: nearest `src` row per `dst` row.
     * The oracle states the SEMANTICS (global argmin via cross join);
     * the Spark side reaches the same result with the banded equi-join
@@ -773,11 +800,7 @@ object RegridQueries {
       (s, _) => {
         // per-process path: concurrent JVMs (a Bench overlapping a test
         // run) must not race on one file
-        val p = "/root/repo/target/weights_io/" +
-          s"esmf_conservative_${ProcessHandle.current().pid()}.parquet"
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(hp)) fs.delete(hp, true)
+        val p = weightsIoPath(s, "parquet")
         WeightsIO.writeEsmf(
           Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)), p)
         WeightsIO.readEsmf(s, p).orderBy("row", "col")
@@ -794,9 +817,7 @@ object RegridQueries {
       // bit-exactly, so the direct-build oracle applies unchanged.
       (s, _) => {
         // per-process path, as for q_weights_read
-        val p = "/root/repo/target/weights_io/" +
-          s"esmf_conservative_${ProcessHandle.current().pid()}.nc"
-        new java.io.File(p).delete()
+        val p = weightsIoPath(s, "nc")
         WeightsIO.writeEsmfNc(
           Weights.conservative(srcCells(s, bounds = true), dstCells(s, bounds = true)), p)
         WeightsIO.readEsmfNc(s, p).orderBy("row", "col")

@@ -110,12 +110,17 @@ object Sampling {
     * spends `budgetPermille`/1000 of the corpus token budget at those
     * shares: `rate_s = min(1, budget · total_tokens · p_s / tokens_s)`.
     *
-    * τ is fixed at 0.5 because √ is correctly-rounded IEEE on every
-    * engine; a general τ needs `pow`, whose last-ULP varies by libm and
-    * would break bit-exact cross-engine parity. Intermediate sums are
-    * exact BIGINTs (token counts, micro-unit √ weights), `p_mix` is
-    * rounded to r9 before the rate arithmetic, so both engines fold
-    * identical doubles.
+    * τ ∈ {¼, ½, ¾} (as `tauQuarters` ∈ {1, 2, 3}), all exact-IEEE via
+    * nested √: x^¼ = √√x and x^¾ = √x·√√x — √ and × are
+    * correctly-rounded on every engine, so the nested-sqrt FORMULA (the
+    * operator contract, not a pow approximation) folds bit-identical
+    * doubles everywhere. An arbitrary τ would need `pow`, whose
+    * last-ULP varies by libm and would break cross-engine parity — τ is
+    * therefore restricted to the quarter grid, which covers the
+    * UniMax/mT5 range in practice. Intermediate sums are exact BIGINTs
+    * (token counts, micro-unit weights), `p_mix` is rounded to r9
+    * before the rate arithmetic, so both engines fold identical
+    * doubles.
     *
     * Scale shape: one agg-only scan of the corpus (map-side combined to
     * a #sources-row relation); the corpus-wide totals are a
@@ -123,7 +128,20 @@ object Sampling {
     * exchange of #sources rows, not a join), then pure scalar
     * arithmetic. Returns
     * `(source, n_docs, n_tokens, w_u, p_mix, rate_u)`. */
-  def temperatureMixRates(docs: DataFrame, budgetPermille: Int): DataFrame = {
+  /** `x^(tauQuarters/4)` via nested correctly-rounded √ — the parity
+    * contract of [[temperatureMixRates]]: ¼ → √√x, ½ → √x,
+    * ¾ → √x·√√x. Plain SQL text valid in both Spark SQL and DuckDB,
+    * so the oracle embeds the identical formula. */
+  def tauPowExpr(x: String, tauQuarters: Int): String = tauQuarters match {
+    case 1 => s"sqrt(sqrt($x))"
+    case 2 => s"sqrt($x)"
+    case 3 => s"(sqrt($x) * sqrt(sqrt($x)))"
+    case q => throw new IllegalArgumentException(
+      s"tauQuarters must be 1, 2, or 3 (tau = quarters/4), got $q")
+  }
+
+  def temperatureMixRates(docs: DataFrame, budgetPermille: Int,
+                          tauQuarters: Int = 2): DataFrame = {
     require(budgetPermille >= 0 && budgetPermille <= 1000,
       s"budgetPermille outside [0, 1000]: $budgetPermille")
     val bf = graft.regrid.Rounding.sqlLit(budgetPermille / 1000.0)
@@ -132,7 +150,8 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         sum(expr("CAST(size(tokens) AS BIGINT)")).as("n_tokens"))
       .withColumn("w_u", expr(
-        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT)"))
+        s"CAST(floor(${tauPowExpr("CAST(n_tokens AS DOUBLE)", tauQuarters)}" +
+          " * 1.0e6 + 0.5e0) AS BIGINT)"))
     val whole = Window.partitionBy()   // #sources rows — tiny by contract
     per
       .withColumn("tot_w", sum(col("w_u")).over(whole))
@@ -152,9 +171,11 @@ object Sampling {
     * corpus side stays a scan-stage filter — the keep decision never
     * shuffles the 100 TB side. */
   def temperatureMixSample(docs: DataFrame, budgetPermille: Int,
-                           salt: String = "graft"): DataFrame =
+                           salt: String = "graft",
+                           tauQuarters: Int = 2): DataFrame =
     docs.join(broadcast(
-        temperatureMixRates(docs, budgetPermille).select("source", "rate_u")),
+        temperatureMixRates(docs, budgetPermille, tauQuarters)
+          .select("source", "rate_u")),
       Seq("source"))
       .where(expr(s"${uExpr(salt)} < rate_u"))
       .drop("rate_u")
@@ -165,11 +186,18 @@ object Sampling {
     * sampler behind quality-weighted corpus carving. Each doc gets the
     * key `−ln(u′)/w` (u′ the hash draw mapped into (0,1)); the k
     * SMALLEST keys win, which is distribution-equivalent to the
-    * classic largest-`u^(1/w)` formulation. Scale-invariant in the
-    * weights (cw cancels in the ordering), stateless, re-run-stable.
+    * classic largest-`u^(1/w)` formulation. Stateless and
+    * re-run-stable; scale-invariant in the weights UP TO nano-unit key
+    * ties — cw cancels in the exact ordering, but the integer
+    * quantization happens after the division, so keys that differ by
+    * < 10⁻⁹/c may reorder under a rescale by c (a rescaled weight
+    * column reproduces the same sample except at such ties).
     *
     * Returns `(…, w, key_n, rank)`, rank 1..k. `weightExpr` must be
-    * strictly positive.
+    * strictly positive — zero, negative, and NaN weights fail loudly
+    * at scan time (a zero weight would otherwise produce a NULL key
+    * that Spark's ascending window ranks FIRST, silently promoting
+    * the doc to the top of the sample).
     *
     * Scale/parity shape: the key is a scan-stage projection; the
     * global cut is the same two-level exact top-k as
@@ -180,13 +208,22 @@ object Sampling {
   def weightedTopK(docs: DataFrame, weightExpr: String, k: Int,
                    salt: String = "graft"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // -ln(u')/w keyed on the GUARDED w column: w <= 0 or NaN raises
+    // (NaN > 0 is false) instead of minting a NULL/garbage key
     val keyN =
       s"""CAST(floor(-ln((${uExpr(salt)} + 0.5e0) / 1.0e6)
-          / ($weightExpr) * 1.0e9 + 0.5e0) AS BIGINT)"""
+          / w * 1.0e9 + 0.5e0) AS BIGINT)"""
     val local = Window.partitionBy(col("pid")).orderBy(col("key_n"), col("doc_id"))
     val global = Window.partitionBy().orderBy(col("key_n"), col("doc_id"))
     docs
-      .withColumn("w", expr(s"CAST($weightExpr AS DOUBLE)"))
+      .withColumn("w", expr(
+        // NaN needs its own test: Spark orders NaN ABOVE all doubles,
+        // so NaN > 0 is true and would slip through the sign guard
+        s"""CASE WHEN NOT isnan(CAST($weightExpr AS DOUBLE))
+                  AND CAST($weightExpr AS DOUBLE) > 0.0D
+            THEN CAST($weightExpr AS DOUBLE)
+            ELSE raise_error(concat('weightedTopK: weight must be strictly positive, got ',
+              CAST(CAST($weightExpr AS DOUBLE) AS STRING))) END"""))
       .withColumn("key_n", expr(keyN))
       .withColumn("pid", spark_partition_id())
       .withColumn("lrank", row_number().over(local))

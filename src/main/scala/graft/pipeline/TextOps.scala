@@ -302,11 +302,14 @@ object TextOps {
     *
     * Scale shape: bigram and unigram count relations are corpus-wide
     * aggregates on the shingle key (map-side combined), joined back
-    * onto the exploded bigram stream by key — broadcast when they fit
-    * (the contract corpus), a plain shuffled equi-join when the
-    * vocabulary outgrows that (no plan cliff). The vocabulary size
-    * rides the unigram relation as a whole-relation window (lazy —
-    * no extra corpus scan, no plan-time action).
+    * onto the exploded bigram stream by key — deliberately UNHINTED:
+    * the bigram-count relation is corpus-sized (one row per distinct
+    * bigram), so a forced broadcast would be a driver/executor OOM at
+    * scale; AQE picks broadcast vs shuffled hash join from the ACTUAL
+    * runtime sizes (broadcast on the contract corpus, shuffled when
+    * the vocabulary outgrows the threshold — no plan cliff). The
+    * vocabulary size rides the unigram relation as a whole-relation
+    * window (lazy — no extra corpus scan, no plan-time action).
     *
     * Parity: per-bigram log-probs are quantized to integer micro-units
     * and summed as BIGINTs — order-independent exact sums; `ln` runs on
@@ -324,7 +327,7 @@ object TextOps {
       .groupBy("w1").agg(count(lit(1)).as("cu"))
       .withColumn("v", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
-    bg.join(broadcast(bc), "s2").join(broadcast(uc), "w1")
+    bg.join(bc, "s2").join(uc, "w1")
       .withColumn("lp_u", expr(
         "CAST(floor(ln((cb + 0.5e0) / (cu + 0.5e0 * v)) * 1.0e6 + 0.5e0) AS BIGINT)"))
       .groupBy("doc_id")

@@ -956,6 +956,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("temperatureMixRates tau grid: lower tau flattens the mixture toward uniform") {
+    // p_mix spread (max/min over sources) must shrink monotonically as
+    // tau drops: x^(1/4) compresses size differences harder than x^(3/4)
+    def spread(tauQ: Int): Double = {
+      val p = Sampling.temperatureMixRates(docs, 250, tauQ)
+        .select("p_mix").as[Double].collect()
+      p.max / p.min
+    }
+    val (s1, s2, s3) = (spread(1), spread(2), spread(3))
+    assert(s1 < s2 && s2 < s3,
+      s"mixture should flatten as tau drops: spreads $s1 (tau=.25) $s2 (.5) $s3 (.75)")
+    // every tau's shares still sum to 1
+    (1 to 3).foreach { q =>
+      val tot = Sampling.temperatureMixRates(docs, 250, q)
+        .select("p_mix").as[Double].collect().sum
+      assert(math.abs(tot - 1.0) < 1e-6, s"tau_q=$q shares sum $tot")
+    }
+    assertThrows[IllegalArgumentException](Sampling.tauPowExpr("x", 4))
+  }
+
   test("fuzzyContamination: planted eval near-copy flagged, clean corpus silent, partition-invariant") {
     // eval doc 0's text with one appended token — shingle Jaccard ≈
     // (L−4)/(L−3) ≈ 0.98, not identical (the near-dup contamination
@@ -1172,8 +1192,19 @@ class PipelineSpec extends AnyFunSuite {
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
     assert(got === ref)
     // scale invariance: multiplying every weight by 7 keeps the sample
+    // (up to nano-unit key ties — none on this fixture)
     val scaled = key(Sampling.weightedTopK(docs, s"7.0e0 * ($wExpr)", k, "t"))
     assert(scaled.keySet === got.keySet)
+    // zero / NaN weights fail loudly at scan time instead of silently
+    // ranking first via a NULL key (ascending windows are NULLS FIRST)
+    val e1 = intercept[RuntimeException] {
+      Sampling.weightedTopK(docs, "CAST(doc_id % 2 AS DOUBLE)", k, "t").count()
+    }
+    assert(e1.getMessage.contains("strictly positive"))
+    val e2 = intercept[RuntimeException] {
+      Sampling.weightedTopK(docs, "CAST('NaN' AS DOUBLE)", k, "t").count()
+    }
+    assert(e2.getMessage.contains("strictly positive"))
     // weight monotonicity: the sampled docs are longer on average
     val sampledMean = docs.join(
         Sampling.weightedTopK(docs, wExpr, k, "t").select("doc_id"), "doc_id")
