@@ -38,6 +38,11 @@ object WeightsIO {
     * buckets so the sort-merge join needs no per-task sort on W. */
   def writeBucketed(weights: DataFrame, table: String, buckets: Int = 64): Unit =
     weights.select(col("row").cast("long"), col("col").cast("long"), col("s"))
+      // co-partition on the bucket key before writing: each bucket then
+      // lands in ONE file. With several files per bucket Spark drops the
+      // sortedness guarantee and re-Sorts the whole of W above the scan
+      // on every apply — the exact cost bucketing is meant to remove.
+      .repartition(buckets, col("col"))
       .write.mode("overwrite")
       .bucketBy(buckets, "col").sortBy("col")
       .format("parquet").saveAsTable(table)

@@ -67,6 +67,93 @@ object ScaleProbe {
         Curvilinear.rotatedCells(spark, rot, 70.0, -165.0),
         Grids.cells(spark, dst)).count()
     }
+    // end-to-end bucketed-weights apply (G9 at probe scale), in the
+    // regime bucketing exists for — W far larger than the field (the
+    // 100 TB shape: precompute-once weights too big to broadcast,
+    // applied to every incoming field): the 0.5°→0.1° upsampling W
+    // (25.9M triplets) is persisted BUCKETED on the join key `col`,
+    // read back, and applied against the 259k-row source field. Both
+    // variants read W from parquet tables of identical content — the
+    // only difference is bucketing — so the wall-time delta and the
+    // Exchange count isolate the weights-side shuffle that bucketing
+    // removes.
+    locally {
+      import org.apache.spark.sql.DataFrame
+      val w = Weights.bilinear(gHalf, Grids.cells(spark, gTenth), periodic = true)
+      Seq("w_bucketed_probe", "w_plain_probe").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) { fs.delete(loc, true); () }
+      }
+      time("persist W bucketed(64 on col) + plain (25.9M triplets)") {
+        WeightsIO.writeBucketed(w, "w_bucketed_probe", buckets = 64)
+        w.select(col("row").cast("long"), col("col").cast("long"), col("s"))
+          .write.mode("overwrite").format("parquet").saveAsTable("w_plain_probe")
+        spark.table("w_bucketed_probe").count()
+      }
+      val field = Grids.cells(spark, gHalf)
+        .select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+      def applyWith(wj: DataFrame): DataFrame =
+        field.join(wj.hint("shuffle_merge"), field("cell_id") === wj("col"))
+          .groupBy("row").agg(sum(col("s") * col("value")).as("value"))
+      val bucketed = applyWith(WeightsIO.readBucketed(spark, "w_bucketed_probe"))
+      val unbucketed = applyWith(spark.table("w_plain_probe"))
+      // shuffle BYTES are the scale-relevant evidence: at local[32]
+      // with the page cache warm, a 31M-row shuffle costs ~nothing in
+      // wall time, but on a 1000-executor cluster those bytes cross
+      // the network on EVERY apply — the bucketed W removes them once
+      // at persist time.
+      def shuffledBytes(f: => Unit): Long = {
+        val acc = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              acc.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          f
+          // let the listener bus drain: poll until the counter is
+          // stable (the bus is async; no public waitUntilEmpty)
+          var prev = -1L
+          var spins = 0
+          while (acc.get != prev && spins < 30) {
+            prev = acc.get; Thread.sleep(100); spins += 1
+          }
+          acc.get
+        } finally spark.sparkContext.removeSparkListener(l)
+      }
+      var bRows = 0L; var uRows = 0L
+      var bBytes = 0L; var uBytes = 0L
+      time("apply 259k field via BUCKETED 25.9M-row W") {
+        bBytes = shuffledBytes { bRows = bucketed.count() }; bRows
+      }
+      time("apply 259k field via unbucketed W") {
+        uBytes = shuffledBytes { uRows = unbucketed.count() }; uRows
+      }
+      println(f"  shuffle bytes written: bucketed=${bBytes / 1048576}%,d MiB " +
+        f"unbucketed=${uBytes / 1048576}%,d MiB")
+      require(bBytes * 2 < uBytes,
+        s"bucketed apply should shuffle far fewer bytes: $bBytes vs $uBytes")
+      // executed plans (post-AQE): the bucketed variant must have lost
+      // the weights-side Exchange
+      def nExchanges(df: DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      val (nB, nU) = (nExchanges(bucketed), nExchanges(unbucketed))
+      println(s"  exchanges: bucketed=$nB unbucketed=$nU")
+      require(nB < nU,
+        s"bucketed apply should lose the weights-side Exchange: $nB vs $nU")
+      // identical numbers either way
+      val diff = bucketed.withColumnRenamed("value", "vb")
+        .join(unbucketed, Seq("row") /* value from unbucketed */)
+        .filter(abs(col("vb") - col("value")) > 1e-9).count()
+      require(diff == 0L, s"$diff rows differ between bucketed and plain apply")
+      Seq("w_bucketed_probe", "w_plain_probe").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+
     time("curvilinear conservative clip (57.6k x 62.5k polys)") {
       val rot = RectGrid.of(2, 62, 0.25, -30, 30, 0.25)
       val dst = RectGrid.of(-25, 0, 0.1, 5, 30, 0.1)
