@@ -520,6 +520,23 @@ object PipelineQueries {
       Some(s"""WITH $minhashCtes
         $jaccardSelect ORDER BY a, b""")),
 
+    QueryDef("q_dedup_incremental",
+      // incremental-ingest near-dup: every 20th doc plays the NEW
+      // batch, the rest the standing corpus — pairs touching the batch
+      // (batch↔corpus + batch↔batch) with exact-Jaccard verify, and
+      // the corpus pair space never self-joins. The oracle states the
+      // semantics declaratively: the full LSH pair relation filtered
+      // to batch-touching pairs.
+      (s, dir) => {
+        val all = docs(s, dir)
+        Dedup.minhashLshIncremental(
+          all.filter("doc_id % 20 != 7"), all.filter("doc_id % 20 = 7"))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $minhashCtes
+        SELECT * FROM ($jaccardSelect) j
+        WHERE a % 20 = 7 OR b % 20 = 7 ORDER BY a, b""")),
+
     QueryDef("q_dedup_clusters",
       // duplicate-CLUSTER resolution: connected components over the
       // LSH near-dup pairs (jaccard >= 0.5), every clustered doc

@@ -58,7 +58,7 @@ object PipelineScaleProbe {
     val sections = if (args.isEmpty)
                      Set("minhash", "clusters", "ann", "banded", "packing", "decontam",
                        "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
-                       "vocab", "pq", "weighted", "hotbucket")
+                       "vocab", "pq", "weighted", "hotbucket", "incremental")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -178,6 +178,36 @@ object PipelineScaleProbe {
         col("a") % 10 === 0 && col("a") < 2000000L).count()
       println(s"  base planted-pair recall: $found/30000")
       require(found >= 29700L, s"capped-run base recall $found/30000")
+    }
+
+    if (sections("incremental")) {
+      // the ingest-time shape: 10k new docs against a 1M standing
+      // corpus. The corpus INDEX (shingles + band signatures) is built
+      // once per corpus version — timed separately below — and every
+      // batch then pays only its own signatures + the index equi-join;
+      // corpus↔corpus pairs never form. Compare the `minhash` section:
+      // the FULL pass over the same 1M docs pays the whole pair space
+      // (and the signature scan) every run.
+      val all = corpus(1000000L)
+      val isBatch = "doc_id % 10 = 1 AND doc_id < 100000"
+      val corp = all.filter(s"NOT ($isBatch)")
+      var index: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
+      time("one-time corpus LSH index (shingles + bands), 1M docs") {
+        val (sh, bands) = Dedup.minhashIndex(corp)
+        index = (sh.localCheckpoint(), bands.localCheckpoint())
+        index._2.count()
+      }
+      val pairs = Dedup.minhashLshIncremental(corp, all.filter(isBatch),
+          corpusIndex = Some(index))
+        .filter(col("jaccard") >= 0.5)
+      auditPlan("incremental LSH 1M corpus + 10k batch", pairs)
+      var found = 0L
+      time("per-batch incremental near-dup, 10k docs vs indexed 1M") {
+        found = pairs.filter(col("b") === col("a") + 1 && col("a") % 10 === 0).count()
+        pairs.count()
+      }
+      println(s"  planted batch-partner recall: $found/10000")
+      require(found >= 9900L, s"incremental planted recall $found/10000")
     }
 
     if (sections("clusters")) {

@@ -280,6 +280,19 @@ class PipelineSpec extends AnyFunSuite {
       "fixture should contain candidates in the second-nearest coarse cell")
   }
 
+  test("incremental LSH == full LSH restricted to batch-touching pairs") {
+    val corpus = docs.filter("doc_id % 20 != 7")
+    val batch = docs.filter("doc_id % 20 = 7")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("a", "b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val inc = key(Dedup.minhashLshIncremental(corpus, batch))
+    val full = key(Dedup.minhashLsh(docs)
+      .filter(col("a") % 20 === 7 || col("b") % 20 === 7))
+    assert(inc === full, "incremental pair set must equal the filtered full pass")
+    assert(inc.nonEmpty, "fixture should produce batch-touching pairs")
+  }
+
   test("minhash hot-bucket cap: star routing bounds pairs, preserves components") {
     import spark.implicits._
     // 30 near-identical template docs (one shared 20-token template +

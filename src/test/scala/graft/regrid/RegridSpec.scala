@@ -203,6 +203,15 @@ class RegridSpec extends AnyFunSuite {
     assert(out.count() === gridOut.nCells)
   }
 
+  test("deprecated Regridder.A aliases the weight relation (R8, frontend.py:238-249)") {
+    val r = new Regridder(spark, RectDef(gridIn), RectDef(gridOut), RegridMethod.Bilinear)
+    val a: DataFrame = r.A: @annotation.nowarn("cat=deprecation")
+    // same relation, same triplets — a user migrating off `.A` loses nothing
+    assert(a.columns.toSeq === r.weights.columns.toSeq)
+    assert(a.exceptAll(r.weights).count() === 0 &&
+      r.weights.exceptAll(a).count() === 0)
+  }
+
   test("error paths (V5, V7, locstream matrix — test_frontend.py:100-102,241-246)") {
     // conservative without bounds
     intercept[NoSuchElementException] {
