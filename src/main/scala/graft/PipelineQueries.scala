@@ -102,6 +102,18 @@ object PipelineQueries {
   private def cosSql(a: String, b: String) =
     r9(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))")
 
+  /** Shared 60-bit SimHash CTE chain (mirrors [[TextOps.simhash]]),
+    * ending in `sim (doc_id, simhash)` — used by q_simhash and the
+    * Hamming near-dup join. */
+  private lazy val simhashCtes =
+    s"""tok AS ($tokCte),
+        t AS (SELECT doc_id, unnest(tokens) AS t FROM tok),
+        h AS (SELECT doc_id, ${h60("t")} AS h FROM t),
+        bits AS (SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sv
+                 FROM h, range(60) r(b) GROUP BY 1, 2),
+        sim AS (SELECT doc_id, CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY 1)"""
+
   /** DuckDB mirror of [[graft.pipeline.Similarity.bandSignatures]]:
     * one UNION ALL branch per band over a CTE named `e (vec_id, v)` —
     * `sig` packs the band's hyperplane sign bits (dot > 0), dots
@@ -497,15 +509,37 @@ object PipelineQueries {
           min((a * m + b) % ${TextOps.minhashP}) AS minhash
         FROM m, perm GROUP BY 1, 2 ORDER BY doc_id, seed""")),
 
+    QueryDef("q_minhash_bands_stateless",
+      // the streaming-safe signature path: band signatures computed as
+      // ONE per-row array projection (no per-doc groupBy — what lets
+      // nearDupFlagsStream run on an unaggregated stream, and what a
+      // 100 TB batch side computes with zero exchanges). Must emit the
+      // IDENTICAL (doc_id, band, sig) rows as the grouped chain, so
+      // the oracle is the grouped chain.
+      (s, dir) => TextOps.bandSigsStateless(docs(s, dir))
+        .orderBy("doc_id", "band"),
+      Some(s"""WITH $minhashBandCtes
+        SELECT doc_id, CAST(band AS INTEGER) AS band, sig
+        FROM bands ORDER BY doc_id, band""")),
+
     QueryDef("q_simhash",
       (s, dir) => TextOps.simhash(docs(s, dir)).orderBy("doc_id"),
-      Some(s"""WITH tok AS ($tokCte),
-        t AS (SELECT doc_id, unnest(tokens) AS t FROM tok),
-        h AS (SELECT doc_id, ${h60("t")} AS h FROM t),
-        bits AS (SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS sv
-                 FROM h, range(60) r(b) GROUP BY 1, 2)
-        SELECT doc_id, CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        FROM bits GROUP BY 1 ORDER BY doc_id""")),
+      Some(s"""WITH $simhashCtes
+        SELECT doc_id, simhash FROM sim ORDER BY doc_id""")),
+
+    QueryDef("q_simhash_neardup",
+      // EXACT Hamming-≤3 near-dup join over the 60-bit signatures via
+      // the pigeonhole band join (4 bands × 15 bits: ≤3 differing bits
+      // cannot touch all 4 bands, so the per-band chunk equi-join
+      // provably misses nothing — a complete candidate set, unlike the
+      // probabilistic MinHash/hyperplane LSH). The oracle states the
+      // semantics declaratively as the all-pairs Hamming filter.
+      (s, dir) => Dedup.simhashNearDup(docs(s, dir), 3).orderBy("a", "b"),
+      Some(s"""WITH $simhashCtes,
+        c AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+              FROM sim x JOIN sim y ON x.doc_id < y.doc_id)
+        SELECT a, b, hamming FROM c WHERE hamming <= 3 ORDER BY a, b""")),
 
     // ---- dedup ----
 

@@ -121,6 +121,43 @@ object Dedup {
     jaccardFor(sh, candidates)
   }
 
+  /** SimHash near-dup pairs: all pairs with Hamming distance ≤
+    * `maxHamming` between their 60-bit [[TextOps.simhash]] signatures
+    * — EXACT over the signature space (unlike the probabilistic LSH
+    * candidates) by the pigeonhole band join: the signature splits
+    * into `maxHamming + 1` equal bands, and two signatures differing
+    * in ≤ maxHamming bits MUST agree on at least one whole band, so
+    * the per-band equi-join provably misses nothing. Returns
+    * `(a, b, hamming)`, ordered ids.
+    *
+    * Scale shape: one signature pass (a map-side-combined aggregate),
+    * then `bands` rows per doc into a chunk equi-join — the same
+    * bucket-join plan as every dedup candidate stage here; candidates
+    * are verified with one codegen'd `bit_count(xor)` and never touch
+    * the text again. `60 % (maxHamming + 1)` must be 0
+    * (maxHamming ∈ {1, 2, 3, 4, 5, 9, 11, ...}). */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(maxHamming >= 1 && 60 % bands == 0,
+      s"60 bits must split into maxHamming + 1 = $bands equal bands")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    // checkpoint: the signature aggregate feeds both join sides
+    val sh = TextOps.simhash(docs).localCheckpoint()
+    val banded = sh
+      .withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
+      .withColumn("chunk", expr(s"shiftright(simhash, band * $width) & $mask"))
+    banded.select(col("band"), col("chunk"), col("doc_id").as("a"), col("simhash").as("ha"))
+      .join(banded.select(col("band"), col("chunk"), col("doc_id").as("b"),
+        col("simhash").as("hb")), Seq("band", "chunk"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "ha", "hb")
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
   /** INCREMENTAL MinHash-LSH near-dup: pairs TOUCHING a new ingest
     * batch — batch↔corpus and batch↔batch, never corpus↔corpus. The
     * incremental-processing counterpart of [[minhashLsh]] (same

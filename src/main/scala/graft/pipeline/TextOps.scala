@@ -194,6 +194,35 @@ object TextOps {
         posexplode(array((0 until k).map(i => col(s"mh_$i")): _*)).as(Seq("seed", "minhash")))
   }
 
+  /** MinHash band signatures as ONE stateless per-row projection —
+    * the streaming-safe (and shuffle-free) form of
+    * shingleSet → [[minhashFromShingles]] → [[lshBands]], emitting the
+    * IDENTICAL `(doc_id, band, sig)` rows (asserted in scalatest):
+    * min over the shingle multiset equals min over the distinct set,
+    * and the band string concatenates the minhashes in seed order
+    * exactly like lshBands' sorted collect. Every step is an array
+    * expression inside the scan projection, so it runs on an
+    * unaggregated stream (no per-doc groupBy → no streaming-state
+    * requirements) and on a 100 TB batch side without any exchange. */
+  def bandSigsStateless(docs: DataFrame, k: Int = 16,
+                        rowsPerBand: Int = 4, n: Int = 5): DataFrame = {
+    require(k % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide k=$k")
+    val mh = (0 until k).map(i =>
+      s"array_min(transform(sh, s -> (${minhashA(i)} * (${hash60("s")} % $minhashM) " +
+        s"+ ${minhashB(i)}) % $minhashP)) AS mh$i")
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(j => s"CAST(mh${b * rowsPerBand + j} AS STRING)")
+      s"named_struct('band', $b, 'sig', md5(concat_ws('|', ${parts.mkString(", ")})))"
+    }
+    withTokens(docs)
+      .filter(expr(s"size(tokens) >= $n"))
+      .selectExpr("doc_id", s"${shinglesExpr(n)} AS sh")
+      .selectExpr(("doc_id" +: mh): _*)
+      .selectExpr("doc_id", s"explode(array(${bands.mkString(", ")})) AS bs")
+      .selectExpr("doc_id", "bs.band AS band", "bs.sig AS sig")
+  }
+
   /** LSH band signatures from minhash sigs: `(doc_id, band, sig)` with
     * `rowsPerBand` minhashes concatenated per band. Near-dup candidates
     * are then an equi-join on (band, sig) — the scalable formulation. */

@@ -143,6 +143,31 @@ object StreamingOps {
       .dropDuplicates("doc_id")
   }
 
+  /** Streaming near-dup flags against a STATIC corpus LSH index — the
+    * in-flight form of [[graft.pipeline.Dedup.minhashLshIncremental]]
+    * for pipelines that drop near-duplicates during ingest: each
+    * arriving doc computes its MinHash band signatures STATELESSLY
+    * ([[graft.pipeline.TextOps.bandSigsStateless]] — one scan-stage
+    * array projection, no per-doc aggregation, so no streaming state)
+    * and left-semi joins the corpus band index
+    * ([[graft.pipeline.Dedup.minhashIndex]]'s bands side, built once
+    * per corpus version). Emits `doc_id` once per flagged stream doc.
+    * These are LSH band-collision candidates (the same candidate
+    * semantics as [[graft.pipeline.Decontam.fuzzyContamination]]);
+    * pipelines wanting exact-Jaccard confirmation route the flagged
+    * minority through the batch verifier. */
+  def nearDupFlagsStream(stream: DataFrame, corpusBands: DataFrame,
+                         k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    import graft.pipeline.TextOps
+    // stateless per-row signatures (no per-doc groupBy — a streaming
+    // aggregation would need update mode + unbounded state)
+    TextOps.bandSigsStateless(stream, k, rowsPerBand)
+      .join(broadcast(corpusBands.select("band", "sig").distinct()),
+        Seq("band", "sig"), "left_semi")
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+  }
+
   /** Streaming corpus-mix sampling: the stream-side half of
     * [[graft.pipeline.Sampling.temperatureMixSample]] — per-source
     * keep thresholds (computed ONCE from a static reference corpus,

@@ -280,6 +280,22 @@ class PipelineSpec extends AnyFunSuite {
       "fixture should contain candidates in the second-nearest coarse cell")
   }
 
+  test("simhash Hamming band join is COMPLETE: equals brute-force over signatures") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val banded = key(Dedup.simhashNearDup(docs, 3))
+    // brute-force reference over the same signatures
+    val sh = TextOps.simhash(docs)
+    val brute = key(sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
+      .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")),
+        col("a") < col("b"))
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter(col("hamming") <= 3))
+    assert(banded === brute, "pigeonhole candidates must be lossless")
+    assert(banded.nonEmpty, "fixture should contain Hamming-close signatures")
+    intercept[IllegalArgumentException](Dedup.simhashNearDup(docs, 6)) // 60 % 7 != 0
+  }
+
   test("incremental LSH == full LSH restricted to batch-touching pairs") {
     val corpus = docs.filter("doc_id % 20 != 7")
     val batch = docs.filter("doc_id % 20 = 7")
@@ -1141,6 +1157,42 @@ class PipelineSpec extends AnyFunSuite {
     // k larger than the corpus: every doc returned, ranks still total
     val all = Sampling.weightedTopK(docs, "1.0e0", 10000, "t")
     assert(all.count() === docs.count())
+  }
+
+  test("stateless band signatures == grouped minhash/lshBands rows exactly") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "band", "sig").as[(Long, Int, String)].collect().toSet
+    val grouped = key(TextOps.lshBands(TextOps.minhash(docs)))
+    val stateless = key(TextOps.bandSigsStateless(docs))
+    assert(stateless === grouped)
+    intercept[IllegalArgumentException](TextOps.bandSigsStateless(docs, 16, 5))
+  }
+
+  test("streaming near-dup flags == static incremental LSH candidates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // standing corpus = docs not in the batch; its band index is built
+    // once; the batch docs then stream through in two micro-batches
+    val corpus = docs.filter("doc_id % 20 != 7")
+    val batch = docs.filter("doc_id % 20 = 7")
+    val (_, corpusBands) = Dedup.minhashIndex(corpus)
+    // static reference: batch docs with >= 1 band collision vs corpus
+    val expect = TextOps.lshBands(TextOps.minhash(batch))
+      .join(corpusBands.select("band", "sig").distinct(), Seq("band", "sig"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(expect.nonEmpty, "fixture should contain batch-corpus collisions")
+    val rows = batch.select("doc_id", "text").as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingOps.nearDupFlagsStream(
+      stream.toDF().toDF("doc_id", "text"), corpusBands.localCheckpoint())
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    stream.addData(b1.toSeq); q.processAllAvailable()
+    stream.addData(b2.toSeq); q.processAllAvailable()
+    val got = spark.table("neardup_stream").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got === expect)
   }
 
   test("streaming mix sampling admits exactly the batch sample's docs") {
