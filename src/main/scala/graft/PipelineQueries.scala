@@ -594,6 +594,45 @@ object PipelineQueries {
         SELECT id AS doc_id, min(r) AS cluster_id FROM reach
         GROUP BY id ORDER BY doc_id""")),
 
+    QueryDef("q_dedup_keep_best",
+      // the retention decision after clustering: keep each near-dup
+      // group's highest-QUALITY doc (argmax score, ties min id) — the
+      // min-id cluster label names the group, the best doc survives.
+      // Oracle: the recursive-closure chain + the quality CTE + the
+      // same argmax window.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.keepBest(
+          Dedup.clusters(Dedup.minhashLsh(d).filter(col("jaccard") >= 0.5)),
+          TextOps.qualityScore(d).select("doc_id", "score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashCtes,
+        j AS ($jaccardSelect),
+        ed AS (SELECT a AS x, b AS y FROM j WHERE jaccard >= 0.5e0
+               UNION SELECT b AS x, a AS y FROM j WHERE jaccard >= 0.5e0),
+        nodes AS (SELECT DISTINCT x AS id FROM ed),
+        reach(id, r) AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT reach.id, ed.y AS r FROM reach JOIN ed ON ed.x = reach.r
+        ),
+        cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        qm AS (SELECT doc_id,
+                 CAST(len(tokens) AS INTEGER) AS n_tokens,
+                 CAST(${hits(TextOps.langMarkers.head._2)} AS DOUBLE) / len(tokens) AS stop_ratio,
+                 CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+               FROM tok),
+        sc AS (SELECT doc_id,
+                 floor((0.3e0 * stop_ratio + 0.4e0 * alpha_ratio +
+                   0.3e0 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0)) * 1.0e9 + 0.5e0) / 1.0e9 AS score
+               FROM qm),
+        x AS (SELECT cl.doc_id, cl.cluster_id, sc.score,
+                row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, cl.doc_id) AS rn
+              FROM cl JOIN sc USING (doc_id))
+        SELECT doc_id, cluster_id, score, rn = 1 AS keep
+        FROM x ORDER BY doc_id""")),
+
     QueryDef("q_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardBlocked(docs(s, dir), 3, 0.3).orderBy("a", "b"),
       Some(s"""WITH tok AS ($tokCte), sh3 AS (${sh(3)}),

@@ -262,6 +262,25 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Retained representative per duplicate cluster by SCORE (argmax,
+    * ties → min doc_id) — what a curation pipeline actually keeps:
+    * [[clusters]]' min-id label is a canonical NAME, but the doc worth
+    * retaining from a near-dup group is its best one (longest, highest
+    * quality classifier, …). `clusterLabels` = `(doc_id, cluster_id)`
+    * from [[clusters]]; `scores` = `(doc_id, score)`. Returns one row
+    * per clustered doc: `(doc_id, cluster_id, score, keep)`.
+    *
+    * Scale shape: one equi-join + a per-cluster window — duplicate
+    * clusters are small by construction, and a pathological
+    * mega-cluster arrives pre-bounded by [[minhashLsh]]'s `maxBucket`
+    * star routing. */
+  def keepBest(clusterLabels: DataFrame, scores: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))
+    clusterLabels.join(scores.select("doc_id", "score"), "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** All same-group pairs with n-gram Jaccard ≥ threshold, via the
     * inverted index restricted to a blocking column (here: `source`).
     * The blocking key keeps the shingle self-join an equi-join on

@@ -280,6 +280,22 @@ class PipelineSpec extends AnyFunSuite {
       "fixture should contain candidates in the second-nearest coarse cell")
   }
 
+  test("keepBest: exactly one keeper per cluster — max score, ties min id") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1), (11L, 0.1))
+      .toDF("doc_id", "score")
+    val kept = Dedup.keepBest(labels, scores)
+      .filter(col("keep")).select("cluster_id", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    // cluster 1: docs 2 and 3 tie at 0.9 -> min id 2; cluster 10: tie -> 10
+    assert(kept === Map(1L -> 2L, 10L -> 10L))
+    val perCluster = Dedup.keepBest(labels, scores).filter(col("keep"))
+      .groupBy("cluster_id").count().as[(Long, Long)].collect().toMap
+    assert(perCluster.values.forall(_ == 1L))
+  }
+
   test("simhash Hamming band join is COMPLETE: equals brute-force over signatures") {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
