@@ -74,6 +74,26 @@ object BenchProbe {
       }
     }
 
+    // generic form: `BenchProbe queries q_a q_b ...` — interleaved
+    // best-of-3 over any contract-query list (the measurement to run
+    // before/after a plan change on specific queries)
+    if (sections("queries")) {
+      val qs = args.dropWhile(_ != "queries").drop(1).toSeq
+      require(qs.nonEmpty, "usage: BenchProbe queries <query names...>")
+      val results = qs.map(_ -> scala.collection.mutable.ArrayBuffer[Double]()).toMap
+      (1 to 3).foreach { round =>
+        qs.foreach { name =>
+          val t = time(graft.SparkEntry.queries(name)(spark, sfDir).count())
+          results(name) += t
+          println(f"round $round  $name%-28s $t%6.2f s")
+        }
+      }
+      println("-- best of 3:")
+      qs.foreach { n =>
+        println(f"$n%-28s best=${results(n).min}%5.2f s  all=${results(n).map(x => f"$x%.2f").mkString(",")}")
+      }
+    }
+
     if (sections("relational")) {
       val gridIn = RectGrid.of(-120, 120, 0.4, -60, 60, 0.3)
       val gridOut = RectGrid.of(-120, 120, 0.6, -60, 60, 0.4)
