@@ -43,17 +43,27 @@ object Dedup {
 
   /** Exact Jaccard for a candidate pair relation `(a, b)` via the
     * inverted shingle index: |A∩B| from a shingle equi-join, sizes from
-    * a groupBy — never materializing per-doc sets in memory. */
-  def jaccardFor(shingles: DataFrame, pairs: DataFrame): DataFrame = {
-    // size the CANDIDATE docs only: the semi-join prunes before the
-    // agg shuffles, so a sparse pair set (the normal case — and the
-    // whole point of the incremental path) never pays a corpus-wide
-    // per-doc aggregate; values are identical, sizes are only ever
-    // consumed via joins on pair docs
-    val docsInPairs = pairs.select(col("a").as("doc_id"))
-      .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
-    val sizes = shingles.join(docsInPairs, "doc_id")
-      .groupBy("doc_id").agg(count("*").as("n"))
+    * a groupBy — never materializing per-doc sets in memory.
+    *
+    * `pruneSizes` picks which side of a measured trade-off to pay
+    * (values identical either way): `false` (default) sizes every doc
+    * in one corpus-wide map-side-combined aggregate — fastest when the
+    * pair relation is an expensive subtree referenced once (the
+    * in-corpus LSH chain: 2.2 vs 3.3 s at sf0.1, because the prune
+    * re-references `pairs` twice more and re-evaluates its self-join);
+    * `true` semi-joins the shingle relation down to candidate docs
+    * before the agg — the right side when the corpus dwarfs the pair
+    * set and the pair subtree is cheap to re-evaluate (the indexed
+    * incremental path: 24.5 vs 26.8 s per 10k-doc batch against a 1M
+    * corpus, and no corpus-wide aggregate per ingest). */
+  def jaccardFor(shingles: DataFrame, pairs: DataFrame,
+                 pruneSizes: Boolean = false): DataFrame = {
+    val sizes = if (pruneSizes) {
+      val docsInPairs = pairs.select(col("a").as("doc_id"))
+        .unionByName(pairs.select(col("b").as("doc_id"))).distinct()
+      shingles.join(docsInPairs, "doc_id")
+        .groupBy("doc_id").agg(count("*").as("n"))
+    } else shingles.groupBy("doc_id").agg(count("*").as("n"))
     // candidates-first: expand the (small) pair set to side-a shingles,
     // then equi-join side b on (b, s) — cost scales with candidate
     // pairs, not with every shingle collision in the corpus
@@ -206,7 +216,8 @@ object Dedup {
       .join(bandsB.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
       .filter(col("a") < col("b"))
       .select("a", "b")
-    jaccardFor(shC.unionByName(shB), cross.unionByName(within).distinct())
+    jaccardFor(shC.unionByName(shB), cross.unionByName(within).distinct(),
+      pruneSizes = true)
   }
 
   /** Duplicate-CLUSTER resolution: connected components over a
