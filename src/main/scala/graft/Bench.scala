@@ -4,15 +4,29 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.regrid._
 
-/** Benchmark main: one JSON line with per-query wall times.
+/** Benchmark main: compact JSON line on stdout + full artifact file.
   *
-  * Three groups:
+  * The driver captures only the LAST 2000 characters of stdout
+  * (measured: every BENCH_r1–r5 artifact carries exactly a 2000-char
+  * `tail`, and `parsed` was null in ALL five rounds because the full
+  * per-query line never fit — the 95 contract-query names alone are
+  * 1,469 chars, ≥1,943 with JSON syntax before a single digit of
+  * timing). So the stdout contract line is kept COMPACT — headline
+  * kernels vs BASELINE.md, totals, error/flake counts, box-load and
+  * GC telemetry, and a pointer to the full artifact — while the
+  * complete evidence (per-query minima, per-round spread, per-round
+  * telemetry, error detail) goes to `bench/BENCH_full.json` in-repo,
+  * which the round commit preserves.
+  *
+  * Three measurement groups:
   *  - every driver-contract query at `SPARK_GRAFT_SF_DIR` scale,
   *    measured as INTERLEAVED best-of-3 (all queries round 1, then
-  *    round 2, then 3; per-query min reported, per-round samples in
-  *    `spread`) so single-run GC/JIT noise can't masquerade as a
-  *    round-over-round regression; failures are reported explicitly in
-  *    an `errors` map, never as a silent time-to-crash;
+  *    round 2, then 3; per-query min of its OK rounds) so single-run
+  *    GC/JIT noise can't masquerade as a round-over-round regression.
+  *    A query that crashes in some round keeps running in later
+  *    rounds: `ok_rounds` < `runs` marks it flaky, min is over OK
+  *    rounds only, and a query with zero OK rounds reports null (never
+  *    a silent time-to-crash posing as a timing);
   *  - the reference's own benchmark workload (BASELINE.md,
   *    `doc/notebooks/Backend.ipynb` cells 17/24/33): bilinear weight
   *    build 400×600 → 300×400 (baseline 7.57 s) and the 4-D apply of
@@ -55,6 +69,18 @@ object Bench {
       System.gc()
       (1 to runs).map(_ => time(f)).min
     }
+    // box-load + collector telemetry so a uniform wall-time shift
+    // (like the unattributed r5-vs-r4 drift) is attributable from the
+    // artifact alone: a loaded box shows in loadavg, a collector storm
+    // in the per-round gc_sec delta
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
 
     // JVM/Spark warm-up so the first measured query doesn't absorb
     // classloading + codegen compilation
@@ -77,38 +103,49 @@ object Bench {
 
     // Contract queries: INTERLEAVED best-of-3 — all queries run in
     // round 1, then round 2, then round 3, and each query reports the
-    // min of its successful rounds. Interleaving (rather than 3
-    // back-to-back runs per query) keeps a GC pause or JIT storm from
-    // poisoning all of one query's samples, and the per-round spread is
-    // emitted alongside so round-over-round deltas are attributable:
+    // min of its OK rounds. Interleaving (rather than 3 back-to-back
+    // runs per query) keeps a GC pause or JIT storm from poisoning all
+    // of one query's samples, and the per-round spread is written to
+    // the artifact file so round-over-round deltas are attributable:
     // a real regression moves the MIN; measurement noise only widens
     // the spread (r4 recorded q_minhash_sig at 8.41 s single-run where
     // a clean same-binary run measured 1.10 s).
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val lastError = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val contractRounds = 3
-    val samples = Array.fill(names.size)(Vector.empty[Double])
-    for (r <- 0 until contractRounds) {
+    // all attempts (negative wall = that attempt crashed, abs = time
+    // to crash) and OK-only samples, kept separately so a flaky query
+    // is visible as ok_rounds < runs, never conflated with a clean min
+    val allSamples = Array.fill(names.size)(Vector.empty[Double])
+    val okSamples = Array.fill(names.size)(Vector.empty[Double])
+    case class RoundTel(round: Int, wallSec: Double, loadStart: Double,
+                        loadEnd: Double, gcSec: Double)
+    val roundTel = scala.collection.mutable.ArrayBuffer[RoundTel]()
+    val loadAtStart = loadavg()
+    val gcAtStart = gcMillis()
+    for (r <- 1 to contractRounds) {
       System.gc()
+      val l0 = loadavg(); val g0 = gcMillis(); val rt0 = System.nanoTime()
       names.zipWithIndex.foreach { case ((name, fn), i) =>
-        if (!errors.contains(name)) {
-          var ok = true
-          val t = time {
-            try fn(spark, sfDir).count()
-            catch { case e: Throwable =>
-              ok = false
-              errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-            }
+        var ok = true
+        val t = time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            ok = false
+            lastError(name) = s"r$r ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           }
-          // a crashed run still records its time-to-crash so a query
-          // that never succeeds reports a number, not a silent 0
-          if (ok || samples(i).isEmpty) samples(i) = samples(i) :+ t
         }
+        allSamples(i) = allSamples(i) :+ (if (ok) t else -t)
+        if (ok) okSamples(i) = okSamples(i) :+ t
       }
+      roundTel += RoundTel(r, (System.nanoTime() - rt0) / 1e9, l0, loadavg(),
+        (gcMillis() - g0) / 1000.0)
     }
-    val contract = names.zipWithIndex.map { case ((name, _), i) =>
-      name -> samples(i).min
+    // per-query min over OK rounds; null (None) when no round succeeded
+    val contract: Seq[(String, Option[Double])] = names.zipWithIndex.map {
+      case ((name, _), i) => name -> (if (okSamples(i).nonEmpty) Some(okSamples(i).min) else None)
     }
+    val okRounds = names.zipWithIndex.map { case ((name, _), i) => name -> okSamples(i).size }
 
     // ---- reference-benchmark workload (grids from BASELINE.md) ----
     val gridIn = RectGrid.of(-120, 120, 0.4, -60, 60, 0.3)    // 400 x 600
@@ -170,12 +207,13 @@ object Bench {
       runs = 3)
     field.unpersist()
 
-    val all = contract ++ Seq(
+    val headline = Seq(
       "bench_weight_build_bilinear_400x600_300x400" -> tBuild,
       "bench_apply_4d_120M" -> tApplySlab,
       "bench_apply_2d_240k" -> tApply2d,
       "bench_apply_prep_collectW" -> tPrep,
       "bench_apply_4d_relational" -> tApplyRel)
+
     // full JSON string escape incl. control chars — Spark exception
     // messages carry newlines even after truncation, and a bare '\n'
     // would break the one-line JSON contract exactly when the error
@@ -189,15 +227,70 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = all.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
-    // per-query spread evidence: every interleaved round's wall time,
-    // so an outlier in "queries" (the min) is checkable in-artifact
-    val spread = names.zipWithIndex.map { case ((name, _), i) =>
-      jq(name) + ":" + samples(i).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$contractRounds,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
+    // compact number: 3 decimals is ±0.5 ms, far below run-to-run noise
+    def num(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def obj(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+
+    val contractTotal = contract.flatMap(_._2).sum
+    val total = contractTotal + headline.map(_._2).sum
+    val nClean = okRounds.count(_._2 == contractRounds)
+    val nFlaky = okRounds.count(kv => kv._2 > 0 && kv._2 < contractRounds)
+    val nFailed = okRounds.count(_._2 == 0)
+
+    // ---- full artifact file: everything the 2000-char stdout tail
+    // cannot hold — per-query minima, per-round spread (negative =
+    // crashed attempt), ok-round counts, per-round telemetry, errors
+    val fullJson = {
+      val qs = obj(contract.map { case (k, v) => k -> v.map(num).getOrElse("null") })
+      val ok = obj(okRounds.map { case (k, v) => k -> v.toString })
+      val spread = obj(names.zipWithIndex.map { case ((name, _), i) =>
+        name -> allSamples(i).map(num).mkString("[", ",", "]")
+      })
+      val errs = obj(lastError.toSeq.map { case (k, v) => k -> jq(v) })
+      val rounds = roundTel.map(rt => obj(Seq(
+        "round" -> rt.round.toString, "wall_sec" -> num(rt.wallSec),
+        "loadavg_start" -> num(rt.loadStart), "loadavg_end" -> num(rt.loadEnd),
+        "gc_sec" -> num(rt.gcSec)))).mkString("[", ",", "]")
+      val head = obj(headline.map { case (k, v) => k -> num(v) })
+      Seq(
+        "sf" -> jq(sfDir), "cpus" -> cpus, "runs" -> contractRounds.toString,
+        "contract_total_sec" -> num(contractTotal),
+        "queries" -> qs, "ok_rounds" -> ok, "spread" -> spread,
+        "errors" -> errs, "round_telemetry" -> rounds, "headline" -> head,
+        "gc_total_sec" -> num((gcMillis() - gcAtStart) / 1000.0),
+        "heap_max_gb" -> num(Runtime.getRuntime.maxMemory / 1024.0 / 1024 / 1024)
+      ).map { case (k, v) => "  " + jq(k) + ": " + v }.mkString("{\n", ",\n", "\n}\n")
+    }
+    val benchDir = new java.io.File("/root/repo/bench")
+    benchDir.mkdirs()
+    val outFile = new java.io.File(benchDir, "BENCH_full.json")
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.print(fullJson) finally w.close()
+
+    // ---- compact contract line (must fit, with sbt's epilogue, in
+    // the driver's 2000-char tail): headline kernels vs BASELINE.md,
+    // contract total, top-5 slowest contract queries for quick drift
+    // triage, flake/error counts, box telemetry, artifact pointer
+    val slowest = contract.collect { case (k, Some(v)) => k -> v }
+      .sortBy(-_._2).take(5)
+    val lineQueries = obj(
+      ("contract_total" -> num(contractTotal)) +: headline.map { case (k, v) => k -> num(v) })
+    val lineSlowest = obj(slowest.map { case (k, v) => k -> num(v) })
+    // at most 3 error names inline (full detail in the artifact file)
+    val lineErrs = obj(lastError.take(3).toSeq.map { case (k, v) => k -> jq(v.take(60)) })
+    val line = obj(Seq(
+      "metric" -> jq("total"), "value" -> num(total), "unit" -> jq("sec"),
+      "queries" -> lineQueries, "slowest" -> lineSlowest,
+      "runs" -> contractRounds.toString,
+      "n_queries" -> names.size.toString, "n_clean" -> nClean.toString,
+      "n_flaky" -> nFlaky.toString, "n_failed" -> nFailed.toString,
+      "loadavg" -> s"[${num(loadAtStart)},${num(loadavg())}]",
+      "gc_sec" -> num((gcMillis() - gcAtStart) / 1000.0),
+      "errors" -> lineErrs,
+      "detail" -> jq("bench/BENCH_full.json"),
+      "sf" -> jq(sfDir)))
+    println(line)
     spark.stop()
   }
 }
