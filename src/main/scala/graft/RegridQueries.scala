@@ -58,6 +58,25 @@ object RegridQueries {
   val rotGlobGrid: RectGrid = RectGrid.of(0, 360, 10, -60, 60, 10)    // (12, 36)
   val dstRotGlob: RectGrid = RectGrid.of(0, 360, 7.5, -55, 55, 10)    // (11, 48)
 
+  /** Gnomonic-lattice fixture for the great-circle-exact conservative
+    * kernel: uniform planar lattices on the tangent plane at
+    * (15°E, 35°N), centrally projected — every cell edge is a true
+    * great circle, so the exact kernel's intersections are plane
+    * RECTANGLES and their spherical areas have the rectangle
+    * solid-angle closed form `Ω = Σ± atan(xy/√(1+x²+y²))`
+    * ([[gnomonicConservativeSql]]). All lattice coordinates are exact
+    * binary fractions (steps 2⁻⁴ and 3·2⁻⁵), so both engines compute
+    * bit-identical plane arithmetic and coincident gridlines produce
+    * exactly-zero (filtered) overlaps, never FP slivers. The dst hull
+    * (±9/32) sits strictly inside the src hull (±12/32): every
+    * destination is fully tiled, Σ weights = 1 per row. Plane extent
+    * ±0.375 ≈ ±20.6° of arc — enough curvature that straight-edge
+    * weights deviate at the 1e-3 level (RegridSpec measures it). */
+  val gnoTanLon = 15.0
+  val gnoTanLat = 35.0
+  val gnoSrcN = 12; val gnoSrcX0 = -0.375; val gnoSrcStep = 0.0625
+  val gnoDstN = 6; val gnoDstX0 = -0.28125; val gnoDstStep = 0.09375
+
   /** Non-uniform rectilinear fixture: stretched longitudes + smoothstep
     * latitudes (cells cluster toward the poles) — a Gaussian-grid
     * stand-in whose centers/bounds are computed once here and embedded
@@ -563,6 +582,39 @@ object RegridQueries {
       FROM range(${rot.ny}) ty(y), range(${rot.nx}) tx(x)"""
   }
 
+  /** Great-circle-exact conservative oracle on the gnomonic-lattice
+    * fixture: cells are central projections of plane rectangles, so
+    * `A_sphere(s ∩ d) / A_sphere(d) = Ω(rect_s ∩ rect_d) / Ω(rect_d)`
+    * with the rectangle solid-angle closed form
+    * `Ω([a,b]×[c,d]) = σ(b,d) − σ(a,d) − σ(b,c) + σ(a,c)`,
+    * `σ(x,y) = atan(xy / √(1+x²+y²))` — pure plane arithmetic, no
+    * projection, no clipping: a fully independent formulation of what
+    * the Spark kernel computes via gnomonic clip + spherical excess.
+    * Weights rounded to 9 decimals on both engines (headroom measured
+    * in RegridSpec "gc-exact oracle headroom"). */
+  def gnomonicConservativeSql(srcN: Int, srcX0: Double, srcStep: Double,
+                              dstN: Int, dstX0: Double, dstStep: Double): String = {
+    def lattice(n: Int, x0: Double, h: Double): String =
+      s"""SELECT CAST(j * $n + i AS BIGINT) AS cell_id,
+        ${L(x0)} + CAST(i AS DOUBLE) * ${L(h)} AS x1,
+        ${L(x0)} + (CAST(i AS DOUBLE) + 1.0e0) * ${L(h)} AS x2,
+        ${L(x0)} + CAST(j AS DOUBLE) * ${L(h)} AS y1,
+        ${L(x0)} + (CAST(j AS DOUBLE) + 1.0e0) * ${L(h)} AS y2
+        FROM range($n) ti(i), range($n) tj(j)"""
+    def sg(x: String, y: String) = s"atan2(($x) * ($y), sqrt(1.0e0 + ($x)*($x) + ($y)*($y)))"
+    def omega(a: String, b: String, c: String, d: String) =
+      s"(${sg(b, d)} - ${sg(a, d)} - ${sg(b, c)} + ${sg(a, c)})"
+    val w = s"${omega("greatest(s.x1, d.x1)", "least(s.x2, d.x2)",
+        "greatest(s.y1, d.y1)", "least(s.y2, d.y2)")} / ${omega("d.x1", "d.x2", "d.y1", "d.y2")}"
+    val rd = Rounding.sqlRoundN(w, 9)
+    s"""WITH src AS (${lattice(srcN, srcX0, srcStep)}),
+      dst AS (${lattice(dstN, dstX0, dstStep)})
+      SELECT d.cell_id AS "row", s.cell_id AS col, $rd AS s
+      FROM dst d JOIN src s
+        ON s.x1 < d.x2 AND s.x2 > d.x1 AND s.y1 < d.y2 AND s.y2 > d.y1
+      WHERE $rd <> 0.0e0"""
+  }
+
   /** SpMM apply CTE: weights × field → dest frame with unmapped → 0.
     * Mirrors [[Apply.regrid]] (K1 + K2). */
   def applySql(weightsSql: String, fieldSql: String, dstSql: String): String =
@@ -737,6 +789,29 @@ object RegridQueries {
       Some(s"""SELECT * FROM (${conservativeSql(
           idRotGridSql(rotGrid, idPoleLon), gridSql(dstCurv, withBounds = true),
           digits = 9)}) w ORDER BY "row", col""")),
+
+    QueryDef("q_w_conservative_curv_exact",
+      // ESMF CONSERVE edge semantics (great-circle edges + true
+      // spherical areas, backend.py:241-246), value-level oracle via
+      // the gnomonic-lattice fixture: the kernel runs the full
+      // projection + Sutherland–Hodgman + spherical-excess machinery,
+      // the oracle is pure plane arithmetic (rectangle solid angles) —
+      // independent formulations meeting at r9. The identity-rotation
+      // fixture CANNOT oracle this kernel: on lat-lon boxes,
+      // great-circle edges deviate from the analytic Δlon·Δsin(lat)
+      // weights at the 1e-3 level (that deviation is the point).
+      (s, _) => Weights.conservativeCurvilinear(
+        Curvilinear.gnomonicCorners(s, gnoSrcN, gnoSrcN, gnoSrcX0, gnoSrcX0,
+          gnoSrcStep, gnoTanLon, gnoTanLat),
+        Curvilinear.gnomonicCorners(s, gnoDstN, gnoDstN, gnoDstX0, gnoDstX0,
+          gnoDstStep, gnoTanLon, gnoTanLat),
+        exactEdges = true)
+        .select(col("row"), col("col"), Rounding.roundN(col("s"), 9).as("s"))
+        .filter(col("s") =!= 0.0)
+        .orderBy("row", "col"),
+      Some(s"""SELECT * FROM (${gnomonicConservativeSql(
+          gnoSrcN, gnoSrcX0, gnoSrcStep, gnoDstN, gnoDstX0, gnoDstStep)}) w
+        ORDER BY "row", col""")),
 
     QueryDef("q_regrid_conservative_curv",
       // apply-level check of the same kernel: conservative regrid of

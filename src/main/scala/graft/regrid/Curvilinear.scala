@@ -91,6 +91,52 @@ object Curvilinear {
     col("lon_e").as("lon_c2"), col("lat_n").as("lat_c2"),
     col("lon_w").as("lon_c3"), col("lat_n").as("lat_c3"))
 
+  /** Corner polygons of a GNOMONIC lattice mesh: a uniform planar
+    * lattice on the tangent plane at `(tanLon, tanLat)` (unit sphere,
+    * plane at distance 1), centrally projected onto the sphere. Every
+    * cell edge is a segment of a great circle by construction (straight
+    * lines in a gnomonic chart ↔ great circles) — the cubed-sphere-face
+    * mesh family, and the natural fixture for great-circle-exact
+    * conservative remapping ([[Weights.conservativeCurvilinear]] with
+    * `exactEdges = true`): cell intersections are then plane rectangles
+    * whose spherical area has the rectangle-solid-angle closed form
+    * `Ω = Σ± atan(xy / √(1+x²+y²))`, giving a fully independent SQL
+    * oracle.
+    *
+    * Lattice: `nx × ny` cells, corner `(i, j)` at plane coordinates
+    * `(x0 + i·step, y0 + j·step)`, `cell_id = j·nx + i`, corners
+    * counter-clockwise `c0=(i,j) c1=(i+1,j) c2=(i+1,j+1) c3=(i,j+1)`.
+    * Same cheap `spark.range` + trig-expression shape as
+    * [[rotatedCorners]]. */
+  def gnomonicCorners(spark: SparkSession, nx: Int, ny: Int,
+                      x0: Double, y0: Double, step: Double,
+                      tanLon: Double, tanLat: Double): DataFrame = {
+    val lonR = math.toRadians(tanLon); val latR = math.toRadians(tanLat)
+    // tangent point c and chart basis (e1 east, e2 north), Scala-side
+    // constants embedded as literals
+    val (cx, cy, cz) = (math.cos(latR) * math.cos(lonR), math.cos(latR) * math.sin(lonR), math.sin(latR))
+    val (e1x, e1y) = (-math.sin(lonR), math.cos(lonR))
+    val (e2x, e2y, e2z) = (-math.sin(latR) * math.cos(lonR), -math.sin(latR) * math.sin(lonR), math.cos(latR))
+    def corner(ix: Column, iy: Column, which: String): Seq[Column] = {
+      val u = lit(x0) + ix.cast("double") * lit(step)
+      val v = lit(y0) + iy.cast("double") * lit(step)
+      val px = lit(cx) + u * lit(e1x) + v * lit(e2x)
+      val py = lit(cy) + u * lit(e1y) + v * lit(e2y)
+      val pz = lit(cz) + v * lit(e2z)
+      val n = sqrt(px * px + py * py + pz * pz)
+      Seq(degrees(atan2(py, px)).as(s"lon_$which"),
+        degrees(asin(pz / n)).as(s"lat_$which"))
+    }
+    spark.range(nx.toLong * ny).toDF("cell_id")
+      .withColumn("y", expr(s"CAST(cell_id DIV $nx AS INT)"))
+      .withColumn("x", expr(s"CAST(cell_id % $nx AS INT)"))
+      .select(Seq(col("cell_id")) ++
+        corner(col("x"), col("y"), "c0") ++
+        corner(col("x") + 1, col("y"), "c1") ++
+        corner(col("x") + 1, col("y") + 1, "c2") ++
+        corner(col("x"), col("y") + 1, "c3"): _*)
+  }
+
   /** Quad relation of an arbitrary center mesh: one row per mesh cell
     * (j, i) with the 4 surrounding CENTERS as vertices — the bilinear
     * interpolation quads. Built from the tidy cell relation with three

@@ -129,6 +129,54 @@ object Geometry {
     if (out.length >= 6) out else Array.emptyDoubleArray
   }
 
+  /** Sutherland–Hodgman with an on-boundary tolerance, for polygons
+    * whose coordinates carry FP noise (the great-circle kernel's
+    * projected charts). A vertex within `epsDist` of a clip edge LINE
+    * counts as inside and no crossing vertex is inserted for it: when a
+    * subject edge is collinear with a clip edge (adjacent mesh cells
+    * share an edge → the same great circle → the same chart line up to
+    * noise), plain sign tests see noise-scale ±sp flips and insert
+    * junk crossing vertices at noise-driven interpolation positions —
+    * measured as a 3.5e-12 spurious area triangle on the gnomonic
+    * lattice fixture, 1000× the closed-form gap. `epsDist` is an
+    * absolute distance in chart units; [[gcOverlapWeight]] passes
+    * ~1e-9 of the clip diameter (≈ sub-mm on Earth), far above
+    * coordinate noise (~1e-15) and far below real cell geometry. */
+  def clipConvexEps(subject: Array[Double], clip: Array[Double],
+                    epsDist: Double): Array[Double] = {
+    var out = subject
+    val m = clip.length / 2
+    var e = 0
+    while (e < m && out.length >= 6) {
+      val ax = clip(2 * e); val ay = clip(2 * e + 1)
+      val b = (e + 1) % m
+      val bx = clip(2 * b); val by = clip(2 * b + 1)
+      val invL = 1.0 / math.max(math.hypot(bx - ax, by - ay), Double.MinPositiveValue)
+      val in = out
+      val n = in.length / 2
+      val buf = new scala.collection.mutable.ArrayBuffer[Double](2 * n + 4)
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        val px = in(2 * i); val py = in(2 * i + 1)
+        val qx = in(2 * j); val qy = in(2 * j + 1)
+        val dp = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * invL
+        val dq = ((bx - ax) * (qy - ay) - (by - ay) * (qx - ax)) * invL
+        val inP = dp >= -epsDist; val inQ = dq >= -epsDist
+        if (inP) { buf += px; buf += py }
+        if (inP != inQ) {
+          val t = dp / (dp - dq)
+          buf += px + t * (qx - px)
+          buf += py + t * (qy - py)
+        }
+        i += 1
+      }
+      out = buf.toArray
+      e += 1
+    }
+    if (out.length >= 6) out else Array.emptyDoubleArray
+  }
+
   /** Overlap weight `A(subject ∩ clip) / A(clip)` in the spherical
     * measure; 0.0 when the intersection is empty or degenerate. */
   def overlapWeight(subject: Array[Double], clip: Array[Double]): Double = {
@@ -139,6 +187,111 @@ object Geometry {
     else {
       val aD = sphericalArea(c)
       if (aD == 0.0) 0.0 else sphericalArea(inter) / aD
+    }
+  }
+
+  // ---- exact great-circle-edge kernel (ESMF CONSERVE semantics,
+  // reference backend.py:241-246): cell edges are great circles, not
+  // straight (lon°, lat°) segments. Great circles are straight lines in
+  // ANY gnomonic (central) projection, so clipping the projected
+  // polygons with the SAME Sutherland–Hodgman kernel IS exact
+  // great-circle clipping; areas are then true spherical areas via
+  // per-triangle spherical excess (l'Huilier). Promoted from the
+  // RegridSpec deviation-measurement test (round-6 verdict ask #3).
+
+  private type V3 = Array[Double]
+
+  private[regrid] def xyz(lonDeg: Double, latDeg: Double): V3 = {
+    val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
+    Array(math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon), math.sin(lat))
+  }
+  private def dot3(a: V3, b: V3) = a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
+  private def cross3(a: V3, b: V3): V3 = Array(
+    a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2), a(0) * b(1) - a(1) * b(0))
+  private def unit3(a: V3): V3 = {
+    val n = math.sqrt(dot3(a, a)); Array(a(0) / n, a(1) / n, a(2) / n)
+  }
+
+  /** Spherical-triangle area (steradians) via l'Huilier's theorem —
+    * numerically stable for the small triangles grid cells produce. */
+  private[regrid] def sphTriArea(a: V3, b: V3, c: V3): Double = {
+    def side(u: V3, v: V3) = math.atan2(math.sqrt(dot3(cross3(u, v), cross3(u, v))), dot3(u, v))
+    val sa = side(b, c); val sb = side(a, c); val sc = side(a, b)
+    val s = (sa + sb + sc) / 2
+    val t = math.tan(s / 2) * math.tan((s - sa) / 2) *
+      math.tan((s - sb) / 2) * math.tan((s - sc) / 2)
+    4.0 * math.atan(math.sqrt(math.max(0.0, t)))
+  }
+
+  /** Area (steradians) of a convex great-circle polygon given by unit
+    * vectors, by fan triangulation from vertex 0. */
+  private[regrid] def gcArea(vs: IndexedSeq[V3]): Double =
+    (1 until vs.length - 1).map(i => sphTriArea(vs(0), vs(i), vs(i + 1))).sum
+
+  /** Exact great-circle overlap weight
+    * `A_sphere(subject ∩ clip) / A_sphere(clip)` for cells given as
+    * flat `(lon°, lat°)` vertex arrays whose EDGES ARE GREAT CIRCLES.
+    *
+    * Method: project both polygons gnomonically about the clip cell's
+    * vertex centroid (great circles ↔ straight lines in that chart, so
+    * planar Sutherland–Hodgman there is exact gc clipping), unproject
+    * the intersection's vertices, and take true spherical areas via
+    * spherical-triangle excess. Subject vertices on the far side of the
+    * horizon (≥ 90° from the clip cell) make overlap impossible for the
+    * sub-hemisphere cells this kernel serves — such pairs return 0.
+    *
+    * Throws when the PROJECTED clip polygon is non-convex (same
+    * Sutherland–Hodgman exactness contract as [[overlapWeight]];
+    * convexity is chart-invariant within the hemisphere). */
+  def gcOverlapWeight(subject: Array[Double], clip: Array[Double]): Double = {
+    val cs = (0 until clip.length / 2).map(i => xyz(clip(2 * i), clip(2 * i + 1)))
+    val ctr = unit3(Array(cs.map(_(0)).sum, cs.map(_(1)).sum, cs.map(_(2)).sum))
+    // gnomonic basis at ctr (east, north)
+    val e1 = unit3(cross3(Array(0.0, 0.0, 1.0), ctr))
+    val e2 = cross3(ctr, e1)
+    def proj(p: V3): (Double, Double) = {
+      val d = dot3(p, ctr)
+      if (d < 1e-9) throw new ArithmeticException("beyond horizon")
+      (dot3(p, e1) / d, dot3(p, e2) / d)
+    }
+    def unproj(u: Double, v: Double): V3 =
+      unit3(Array(ctr(0) + u * e1(0) + v * e2(0), ctr(1) + u * e1(1) + v * e2(1),
+        ctr(2) + u * e1(2) + v * e2(2)))
+    def flat(q: Array[Double]): Array[Double] = {
+      val b = new Array[Double](q.length)
+      var i = 0
+      while (2 * i < q.length) {
+        val (u, v) = proj(xyz(q(2 * i), q(2 * i + 1))); b(2 * i) = u; b(2 * i + 1) = v
+        i += 1
+      }
+      b
+    }
+    val cFlat = ccw(flat(clip))
+    if (!isConvex(cFlat))
+      throw new IllegalArgumentException(
+        "great-circle conservative kernel requires destination cells convex on the sphere")
+    val sFlat =
+      try ccw(flat(subject))
+      catch { case _: ArithmeticException => return 0.0 } // subject beyond horizon
+    // on-boundary tolerance ~1e-9 of the clip diameter: collinear
+    // shared edges (same great circle on both cells) must not spawn
+    // noise crossings (see clipConvexEps)
+    var diam = 0.0
+    var i = 0
+    while (i < cFlat.length) {
+      var j = i + 2
+      while (j < cFlat.length) {
+        diam = math.max(diam, math.hypot(cFlat(i) - cFlat(j), cFlat(i + 1) - cFlat(j + 1)))
+        j += 2
+      }
+      i += 2
+    }
+    val inter = clipConvexEps(sFlat, cFlat, 1e-9 * diam)
+    if (inter.isEmpty) 0.0
+    else {
+      val vs = (0 until inter.length / 2).map(i => unproj(inter(2 * i), inter(2 * i + 1)))
+      val aD = gcArea(cs)
+      if (aD == 0.0) 0.0 else gcArea(vs) / aD
     }
   }
 }

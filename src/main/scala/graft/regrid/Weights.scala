@@ -660,9 +660,20 @@ object Weights {
     * expressions. Input schema both sides:
     * `(cell_id, lon_c0, lat_c0, …, lon_c3, lat_c3)`
     * (see [[Curvilinear.rotatedCorners]] / [[Curvilinear.boundsToPolys]]).
-    */
+    *
+    * `exactEdges = true` selects ESMF's CONSERVE edge semantics
+    * (reference `backend.py:241-246`): cell edges are great circles and
+    * areas are true spherical areas ([[Geometry.gcOverlapWeight]] —
+    * gnomonic-projection clip + spherical excess), instead of the
+    * default straight-(lon°, lat°)-edge kernel whose deviation is
+    * documented in [[Geometry]]'s scaladoc (max 0.0047 per weight on 4°
+    * cells, ∝ cell size²). Same candidate join; the lat bbox is padded
+    * by each cell's worst-case great-circle sagitta
+    * (Δlon²_rad/8 · |sin 2·lat|max ≤ Δlon°² · π/720 degrees) because a
+    * gc edge bulges poleward of its endpoints' parallel. */
   def conservativeCurvilinear(srcPolys: DataFrame, dstPolys: DataFrame,
-                              bandDeg: Double = 5.0): DataFrame = {
+                              bandDeg: Double = 5.0,
+                              exactEdges: Boolean = false): DataFrame = {
     val spark = srcPolys.sparkSession
     import spark.implicits._
 
@@ -682,11 +693,19 @@ object Weights {
       }
       val lons = col("lon_c0") +: (1 to 3).map(uw)
       val lats = (0 to 3).map(k => col(s"lat_c$k"))
+      // great-circle edges bulge poleward of the corner parallel by up
+      // to the edge sagitta; pad the candidate lat bbox accordingly so
+      // sliver overlaps between vertically adjacent cells aren't missed
+      val latPad: Column =
+        if (!exactEdges) lit(0.0)
+        else (greatest(lons: _*) - least(lons: _*)) *
+          (greatest(lons: _*) - least(lons: _*)) * lit(math.Pi / 720.0)
       df.select(col("cell_id").as(s"${role}_id"),
         array((0 to 3).flatMap(k =>
           Seq(if (k == 0) col("lon_c0") else uw(k), col(s"lat_c$k"))): _*).as(s"${role}_p"),
         least(lons: _*).as(s"${role}_lon_min"), greatest(lons: _*).as(s"${role}_lon_max"),
-        least(lats: _*).as(s"${role}_lat_min"), greatest(lats: _*).as(s"${role}_lat_max"))
+        (least(lats: _*) - latPad).as(s"${role}_lat_min"),
+        (greatest(lats: _*) + latPad).as(s"${role}_lat_max"))
     }
     val s0 = prep(srcPolys, "s")
       .withColumn("shift", explode(array(lit(-360.0), lit(0.0), lit(360.0))))
@@ -725,11 +744,16 @@ object Weights {
         // plan-construction time, which broke laziness and charged a
         // full pass per (re)build. A non-convex cell that overlaps no
         // source goes unreported, but it also contributes no weights.
-        if (!Geometry.isConvex(dp))
-          throw new IllegalArgumentException(
-            s"destination cell $d is non-convex in (lon, lat) — the polygon-clip " +
-              "conservative kernel requires convex destination cells")
-        (d, s, Geometry.overlapWeight(sp, dp))
+        // (The exact kernel checks convexity in its projected chart,
+        // where it belongs, and throws its own message.)
+        if (exactEdges) (d, s, Geometry.gcOverlapWeight(sp, dp))
+        else {
+          if (!Geometry.isConvex(dp))
+            throw new IllegalArgumentException(
+              s"destination cell $d is non-convex in (lon, lat) — the polygon-clip " +
+                "conservative kernel requires convex destination cells")
+          (d, s, Geometry.overlapWeight(sp, dp))
+        }
       })
       .toDF("row", "col", "s")
       .filter(col("s") =!= 0.0)

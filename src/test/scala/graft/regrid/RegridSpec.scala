@@ -612,62 +612,16 @@ class RegridSpec extends AnyFunSuite {
   }
 
   test("curvilinear conservative: straight-edge deviation vs exact great-circle clipping is bounded") {
-    // The clip kernel treats cell edges as straight in (lon°, lat°);
-    // ESMF clips along great circles. Quantify the deviation on the
-    // coarsest rotated fixture (4° cells) by recomputing every weight
-    // with EXACT gc clipping: project both cells gnomonically about
-    // the destination centroid (great circles are straight lines in a
-    // gnomonic projection, so planar clipping there IS gc clipping),
-    // then take areas via spherical-triangle excess (l'Huilier).
-    type V = Array[Double]
-    def xyz(lonDeg: Double, latDeg: Double): V = {
-      val lon = math.toRadians(lonDeg); val lat = math.toRadians(latDeg)
-      Array(math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon), math.sin(lat))
-    }
-    def dot(a: V, b: V) = a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
-    def cross(a: V, b: V): V = Array(
-      a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2), a(0) * b(1) - a(1) * b(0))
-    def norm(a: V) = math.sqrt(dot(a, a))
-    def unit(a: V): V = { val n = norm(a); Array(a(0) / n, a(1) / n, a(2) / n) }
-    def sphTriArea(a: V, b: V, c: V): Double = {
-      def side(u: V, v: V) = math.atan2(norm(cross(u, v)), dot(u, v))
-      val sa = side(b, c); val sb = side(a, c); val sc = side(a, b)
-      val s = (sa + sb + sc) / 2
-      val t = math.tan(s / 2) * math.tan((s - sa) / 2) *
-        math.tan((s - sb) / 2) * math.tan((s - sc) / 2)
-      4.0 * math.atan(math.sqrt(math.max(0.0, t)))
-    }
-    // gc-polygon area (steradians) by fan triangulation of a convex poly
-    def gcArea(vs: IndexedSeq[V]): Double =
-      (1 until vs.length - 1).map(i => sphTriArea(vs(0), vs(i), vs(i + 1))).sum
-    // flat (lon,lat) quad -> exact gc weight against clip quad
-    def gcWeight(subj: Array[Double], clip: Array[Double]): Double = {
-      val cs = (0 until 4).map(i => xyz(clip(2 * i), clip(2 * i + 1)))
-      val ctr = unit(Array(cs.map(_(0)).sum, cs.map(_(1)).sum, cs.map(_(2)).sum))
-      // gnomonic basis at ctr
-      val e1 = unit(cross(Array(0.0, 0.0, 1.0), ctr))
-      val e2 = cross(ctr, e1)
-      def proj(p: V): (Double, Double) = {
-        val d = dot(p, ctr); (dot(p, e1) / d, dot(p, e2) / d)
-      }
-      def unproj(u: Double, v: Double): V =
-        unit(Array(ctr(0) + u * e1(0) + v * e2(0), ctr(1) + u * e1(1) + v * e2(1),
-          ctr(2) + u * e1(2) + v * e2(2)))
-      def flat(q: Array[Double]): Array[Double] = {
-        val b = new Array[Double](8)
-        for (i <- 0 until 4) {
-          val (u, v) = proj(xyz(q(2 * i), q(2 * i + 1))); b(2 * i) = u; b(2 * i + 1) = v
-        }
-        b
-      }
-      val inter = Geometry.clipConvex(Geometry.ccw(flat(subj)), Geometry.ccw(flat(clip)))
-      if (inter.isEmpty) 0.0
-      else {
-        val vs = (0 until inter.length / 2).map(i => unproj(inter(2 * i), inter(2 * i + 1)))
-        val ds = (0 until 4).map(i => xyz(clip(2 * i), clip(2 * i + 1)))
-        gcArea(vs) / gcArea(Geometry.ccw(clip).grouped(2).map(p => xyz(p(0), p(1))).toIndexedSeq)
-      }
-    }
+    // The default clip kernel treats cell edges as straight in
+    // (lon°, lat°); ESMF clips along great circles. Quantify the
+    // deviation on the coarsest rotated fixture (4° cells) by
+    // recomputing every weight with the EXACT gc kernel — promoted to
+    // the library in round 6 ([[Geometry.gcOverlapWeight]]: gnomonic
+    // projection about the destination centroid + spherical-triangle
+    // excess areas), selectable via
+    // `conservativeCurvilinear(exactEdges = true)`.
+    def gcWeight(subj: Array[Double], clip: Array[Double]): Double =
+      Geometry.gcOverlapWeight(subj, clip)
     val rot = graft.RegridQueries.rotGrid
     val srcPolys = Curvilinear.rotatedCorners(spark, rot, 70.0, -165.0)
       .collect().map(r => (0 until 4).flatMap(k =>
@@ -690,6 +644,90 @@ class RegridSpec extends AnyFunSuite {
     info(f"measured max straight-vs-gc weight deviation: $maxDev%.6f")
     assert(maxDev < 0.012, s"straight-edge weight deviation $maxDev exceeds documented bound")
     assert(maxDev > 1e-6, s"deviation measurement degenerate ($maxDev) — fixture not curved?")
+  }
+
+  test("gc-exact conservative on the gnomonic lattice: closed-form parity, tiling, r9 headroom") {
+    import graft.RegridQueries._
+    // the full library path: projection + Sutherland–Hodgman +
+    // spherical-excess areas on the gnomonic-lattice fixture
+    val wk = Weights.conservativeCurvilinear(
+      Curvilinear.gnomonicCorners(spark, gnoSrcN, gnoSrcN, gnoSrcX0, gnoSrcX0,
+        gnoSrcStep, gnoTanLon, gnoTanLat),
+      Curvilinear.gnomonicCorners(spark, gnoDstN, gnoDstN, gnoDstX0, gnoDstX0,
+        gnoDstStep, gnoTanLon, gnoTanLat),
+      exactEdges = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // independent closed form (what the DuckDB oracle evaluates):
+    // cells are central projections of plane rectangles, so overlaps
+    // are rectangles and spherical areas are rectangle solid angles
+    def sg(x: Double, y: Double) = math.atan2(x * y, math.sqrt(1.0 + x * x + y * y))
+    def omega(a: Double, b: Double, c: Double, d: Double) =
+      sg(b, d) - sg(a, d) - sg(b, c) + sg(a, c)
+    def rect(n: Int, x0: Double, h: Double, id: Int) = {
+      val j = id / n; val i = id % n
+      (x0 + i * h, x0 + (i + 1) * h, x0 + j * h, x0 + (j + 1) * h)
+    }
+    var maxGap = 0.0
+    var maxGapPair = (0L, 0L)
+    var minBoundaryDist = Double.MaxValue
+    val oraclePairs = scala.collection.mutable.Set[(Long, Long)]()
+    for (d <- 0 until gnoDstN * gnoDstN; s <- 0 until gnoSrcN * gnoSrcN) {
+      val (dx1, dx2, dy1, dy2) = rect(gnoDstN, gnoDstX0, gnoDstStep, d)
+      val (sx1, sx2, sy1, sy2) = rect(gnoSrcN, gnoSrcX0, gnoSrcStep, s)
+      val (a, b) = (math.max(sx1, dx1), math.min(sx2, dx2))
+      val (c, dd) = (math.max(sy1, dy1), math.min(sy2, dy2))
+      if (a < b && c < dd) {
+        val wO = omega(a, b, c, dd) / omega(dx1, dx2, dy1, dy2)
+        oraclePairs += ((d.toLong, s.toLong))
+        val wK = wk.getOrElse((d.toLong, s.toLong),
+          fail(s"kernel missing pair (d=$d, s=$s) with oracle weight $wO"))
+        if (math.abs(wK - wO) > maxGap) { maxGapPair = (d.toLong, s.toLong) }
+        maxGap = math.max(maxGap, math.abs(wK - wO))
+        // r9 is floor(w·1e9 + 0.5)/1e9: engines disagree only if
+        // w·1e9 + 0.5 straddles an integer across the formulation gap
+        val y = wO * 1e9 + 0.5
+        minBoundaryDist = math.min(minBoundaryDist, math.abs(y - math.rint(y)) / 1e9)
+      }
+    }
+    // pairs that only TOUCH along a coincident gridline (exact binary
+    // lattice coords) roundtrip through the sphere to ~1e-16 slivers in
+    // the raw kernel output; the contract query's r9 rounding drops
+    // them. Assert they really are FP noise, then compare the surviving
+    // set against the closed form.
+    val slivers = wk.filter { case (k, v) => !oraclePairs.contains(k) && v != 0.0 }
+    assert(slivers.values.forall(_ < 1e-12),
+      s"non-oracle pair with non-sliver weight: ${slivers.maxBy(_._2)}")
+    val wkReal = wk.filter(_._2 >= 0.5e-9)
+    assert(wkReal.keySet === oraclePairs.toSet,
+      s"kernel emitted ${wkReal.size} above-r9 pairs, closed form ${oraclePairs.size}")
+    info(f"kernel-vs-closed-form max gap: $maxGap%.3e at $maxGapPair; min r9 boundary distance: $minBoundaryDist%.3e")
+    assert(maxGap < 1e-12, s"kernel deviates from the closed form by $maxGap")
+    // oracle-safety headroom (same discipline as q_w_conservative_curv):
+    // the closest weight to an r9 boundary must sit ≫ the gap away
+    assert(minBoundaryDist > 100 * maxGap,
+      s"r9 headroom too thin: boundary dist $minBoundaryDist vs gap $maxGap")
+
+    // dst hull strictly inside src hull + exact plane tiling ⇒ every
+    // destination fully covered: row sums = 1 to FP
+    val rowSums = wk.groupBy(_._1._1).map { case (r, m) => r -> m.values.sum }
+    assert(rowSums.size === gnoDstN * gnoDstN)
+    val badRows = rowSums.filter { case (_, t) => math.abs(t - 1.0) > 1e-10 }
+    assert(badRows.isEmpty, s"rows not tiled to 1e-10: $badRows")
+
+    // the straight-edge kernel on the same fixture: deviation is real
+    // (this is WHY exactEdges exists) and bounded
+    val wStraight = Weights.conservativeCurvilinear(
+      Curvilinear.gnomonicCorners(spark, gnoSrcN, gnoSrcN, gnoSrcX0, gnoSrcX0,
+        gnoSrcStep, gnoTanLon, gnoTanLat),
+      Curvilinear.gnomonicCorners(spark, gnoDstN, gnoDstN, gnoDstX0, gnoDstX0,
+        gnoDstStep, gnoTanLon, gnoTanLat))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val maxDev = (wk.keySet ++ wStraight.keySet).iterator
+      .map(k => math.abs(wk.getOrElse(k, 0.0) - wStraight.getOrElse(k, 0.0))).max
+    info(f"straight-vs-exact max weight deviation on ~3.6° gnomonic cells: $maxDev%.6f")
+    assert(maxDev > 1e-5, s"deviation degenerate ($maxDev) — fixture not curved?")
+    assert(maxDev < 0.02, s"straight-edge deviation $maxDev out of documented family")
   }
 
   test("curvilinear conservative: GLOBAL mesh tiles exactly; dateline-straddling cells clip correctly") {
