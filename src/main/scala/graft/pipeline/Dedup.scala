@@ -89,11 +89,21 @@ object Dedup {
     * exact-dedup-first) would put ~10¹² candidate pairs in one
     * `(band, sig)` join key. Buckets above the cap short-circuit to a
     * STAR on the bucket's min doc_id (O(size) pairs instead of
-    * O(size²)) — downstream [[clusters]] resolves the identical
-    * connected component either way, which is the correct answer for a
-    * bucket that large; only the exhaustive within-bucket pair list is
+    * O(size²)); only the exhaustive within-bucket pair list is
     * deliberately not materialized. Star pairs still go through the
-    * exact-Jaccard verify like every other candidate. */
+    * exact-Jaccard verify like every other candidate.
+    *
+    * Cluster-equivalence caveat: star routing yields the same
+    * downstream [[clusters]] component as the full clique only when
+    * bucket members verify against the bucket-min doc — the
+    * NEAR-IDENTICAL-bucket regime the cap targets (mass-templated
+    * docs whose pairwise Jaccard all clears the verify threshold; the
+    * scale-probe fixture's shape). A mixed hot bucket with CHAINED
+    * similarity (A~B, B~C, but A!~C) can lose the B–C edge the clique
+    * would have kept, splitting that cluster differently than the
+    * uncapped run. The cap is opt-in and sized so genuine mixed
+    * buckets (bounded by shingle collisions, not template mass) stay
+    * under it. */
   def minhashLsh(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
                  maxBucket: Option[Int] = None): DataFrame = {
     // shared shingle relation (recomputed per consumer — measured

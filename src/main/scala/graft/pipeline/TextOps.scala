@@ -211,9 +211,15 @@ object TextOps {
     * map-side-combined min-aggregates beat k per-row array folds), so
     * [[graft.pipeline.Dedup]] keeps the grouped chain; this form is
     * for streams and scan-side signature emission where a groupBy is
-    * unavailable or an exchange unaffordable. */
+    * unavailable or an exchange unaffordable.
+    *
+    * `carry` threads extra input columns (e.g. a stream's event-time
+    * column, so a watermark set upstream survives to a downstream
+    * `dropDuplicatesWithinWatermark`) through the projection chain;
+    * output is `(doc_id, carry…, band, sig)`. */
   def bandSigsStateless(docs: DataFrame, k: Int = 16,
-                        rowsPerBand: Int = 4, n: Int = 5): DataFrame = {
+                        rowsPerBand: Int = 4, n: Int = 5,
+                        carry: Seq[String] = Nil): DataFrame = {
     require(k % rowsPerBand == 0, s"rowsPerBand=$rowsPerBand must divide k=$k")
     // hash each shingle ONCE (md5 is the dominant cost); the k LCG
     // permutations then fold over the integer array. The `hs` alias
@@ -228,13 +234,14 @@ object TextOps {
         .map(j => s"CAST(mh${b * rowsPerBand + j} AS STRING)")
       s"named_struct('band', $b, 'sig', md5(concat_ws('|', ${parts.mkString(", ")})))"
     }
+    val keep = "doc_id" +: carry
     withTokens(docs)
       .filter(expr(s"size(tokens) >= $n"))
-      .selectExpr("doc_id", s"${shinglesExpr(n)} AS sh")
-      .selectExpr("doc_id", s"transform(sh, s -> ${hash60("s")} % $minhashM) AS hs")
-      .selectExpr(("doc_id" +: mh): _*)
-      .selectExpr("doc_id", s"explode(array(${bands.mkString(", ")})) AS bs")
-      .selectExpr("doc_id", "bs.band AS band", "bs.sig AS sig")
+      .selectExpr(keep :+ s"${shinglesExpr(n)} AS sh": _*)
+      .selectExpr(keep :+ s"transform(sh, s -> ${hash60("s")} % $minhashM) AS hs": _*)
+      .selectExpr(keep ++ mh: _*)
+      .selectExpr(keep :+ s"explode(array(${bands.mkString(", ")})) AS bs": _*)
+      .selectExpr(keep ++ Seq("bs.band AS band", "bs.sig AS sig"): _*)
   }
 
   /** LSH band signatures from minhash sigs: `(doc_id, band, sig)` with

@@ -52,7 +52,18 @@ object StreamingOps {
     * streaming form of [[graft.pipeline.Events.sessions]]: per-user
     * custom state (open session), sessions close on a 30-minute event
     * gap or on event-time timeout at the watermark. Emits each closed
-    * session exactly once (append mode). */
+    * session exactly once (append mode).
+    *
+    * Late-data contract (pinned by the PipelineSpec watermark test):
+    * the watermark is `gapMinutes`; an event older than the current
+    * watermark is DROPPED by the stateful operator before the session
+    * function sees it — it neither extends an open session, nor
+    * resurrects a closed one, nor opens a new one. Events late but
+    * within the watermark DO merge into their session (including
+    * extending `session_start` backward — see the min() in the state
+    * update). Larger reorder tolerance trades linearly against state
+    * lifetime: sessions cannot close before the watermark passes
+    * `end + gap`. */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
                        gapMinutes: Int = 30): Dataset[SessOut] = {
     import spark.implicits._
@@ -155,17 +166,39 @@ object StreamingOps {
     * These are LSH band-collision candidates (the same candidate
     * semantics as [[graft.pipeline.Decontam.fuzzyContamination]]);
     * pipelines wanting exact-Jaccard confirmation route the flagged
-    * minority through the batch verifier. */
+    * minority through the batch verifier.
+    *
+    * Join sizing is left to Spark deliberately (no `broadcast()`
+    * hint): a corpus index is O(docs × bands) and at ingest scale does
+    * NOT fit a broadcast — a forced hint would OOM the driver exactly
+    * where this helper is pitched. Small indexes still broadcast
+    * automatically under `spark.sql.autoBroadcastJoinThreshold`;
+    * large ones run as a per-micro-batch shuffled stream-static join.
+    *
+    * Per-flagged-doc dedup state: bounded when `watermarkCol` names
+    * the stream's event-time column (eviction once the watermark
+    * passes, `dropDuplicatesWithinWatermark` — same horizon semantics
+    * as [[dedupStream]]); with `watermarkCol = None` it falls back to
+    * plain `dropDuplicates`, whose state grows with the number of
+    * DISTINCT FLAGGED docs for the life of the query — acceptable for
+    * bounded replays, not for an unbounded ingest. */
   def nearDupFlagsStream(stream: DataFrame, corpusBands: DataFrame,
-                         k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                         k: Int = 16, rowsPerBand: Int = 4,
+                         watermarkCol: Option[String] = None,
+                         horizon: String = "1 hour"): DataFrame = {
     import graft.pipeline.TextOps
+    val base = watermarkCol.map(c => stream.withWatermark(c, horizon)).getOrElse(stream)
     // stateless per-row signatures (no per-doc groupBy — a streaming
-    // aggregation would need update mode + unbounded state)
-    TextOps.bandSigsStateless(stream, k, rowsPerBand)
-      .join(broadcast(corpusBands.select("band", "sig").distinct()),
+    // aggregation would need update mode + unbounded state); the
+    // event-time column rides along so the watermark reaches the dedup
+    val flagged = TextOps.bandSigsStateless(base, k, rowsPerBand, carry = watermarkCol.toSeq)
+      .join(corpusBands.select("band", "sig").distinct(),
         Seq("band", "sig"), "left_semi")
-      .select("doc_id")
-      .dropDuplicates("doc_id")
+    watermarkCol match {
+      case Some(c) => flagged.select("doc_id", c)
+        .dropDuplicatesWithinWatermark("doc_id").select("doc_id")
+      case None => flagged.select("doc_id").dropDuplicates("doc_id")
+    }
   }
 
   /** Streaming corpus-mix sampling: the stream-side half of

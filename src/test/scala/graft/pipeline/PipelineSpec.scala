@@ -561,6 +561,82 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Set(1L, 2L, 5L))
   }
 
+  test("streaming sessionization: events beyond the watermark are dropped, within it merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingOps.sessionizeStream(spark,
+      stream.toDF().toDF("user_id", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    // u1 opens a session [0, 10]; watermark after this batch is still
+    // 0 (10 min - 30 min gap clamps at zero)
+    stream.addData(Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0)))
+    q.processAllAvailable()
+    // out-of-order WITHIN the watermark (5 > watermark 0): must merge
+    // into the open session
+    stream.addData(Seq((1L, ts(5), 4.0)))
+    q.processAllAvailable()
+    // u99 drives the watermark to 90 (= 120 - gap 30)...
+    stream.addData(Seq((99L, ts(120), 0.0)))
+    q.processAllAvailable()
+    // ...so u1's session (event-time timeout at end + gap = 40) fires
+    // on this trigger
+    stream.addData(Seq((99L, ts(121), 0.0)))
+    q.processAllAvailable()
+    // BEYOND the watermark (20 << 91): dropped by the stateful
+    // operator — must not extend, resurrect, or open a session
+    stream.addData(Seq((1L, ts(20), 8.0)))
+    q.processAllAvailable()
+    // push the watermark far past everything; fire remaining timeouts
+    stream.addData(Seq((99L, ts(300), 0.0)))
+    q.processAllAvailable()
+    stream.addData(Seq((99L, ts(400), 0.0)))
+    q.processAllAvailable()
+    val got = spark.table("sess_late")
+      .filter(col("user_id") === 1L)
+      .select("session_start", "session_end", "n_events", "sum_value")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect().toSeq
+    q.stop()
+    // exactly ONE u1 session: [0, 10] with the within-watermark t=5
+    // event merged (3 events, sum 7.0) and the beyond-watermark t=20
+    // event absent
+    assert(got === Seq((ts(0), ts(10), 3L, 7.0)),
+      s"late-data contract violated: $got")
+  }
+
+  test("streaming: near-dup flags with watermark-bounded dedup state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    // corpus: one known doc; its band index is what the stream probes
+    val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val bands = TextOps.lshBands(
+      TextOps.minhashFromShingles(TextOps.shingleSet(corpus, 5), 16), 4)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingOps.nearDupFlagsStream(
+      stream.toDF().toDF("doc_id", "text", "ts"), bands,
+      watermarkCol = Some("ts"))
+    val q = out.writeStream.format("memory").queryName("neardup_wm")
+      .outputMode("append").start()
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val cleanText = "completely unrelated content with no shared shingles at all whatsoever today"
+    stream.addData(Seq((1L, dupText, ts(0)), (2L, cleanText, ts(1))))
+    q.processAllAvailable()
+    // same flagged doc re-arrives WITHIN the watermark horizon (1 h):
+    // suppressed by dropDuplicatesWithinWatermark
+    stream.addData(Seq((1L, dupText, ts(2))))
+    q.processAllAvailable()
+    val got = spark.table("neardup_wm").as[Long].collect().toSeq
+    q.stop()
+    assert(got === Seq(1L),
+      s"expected exactly one flag for doc 1 (match) and none for doc 2 (clean): $got")
+  }
+
   test("streaming: per-batch regrid equals batch apply") {
     import graft.regrid._
     val gIn = RectGrid.of(-180, 180, 20, -90, 90, 12)
