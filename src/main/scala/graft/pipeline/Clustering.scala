@@ -120,15 +120,36 @@ object Clustering {
     * against the already-trained model without re-running Lloyd over
     * the world. Stateless broadcast map, same quantization/tie-break as
     * the training assignment, so assigning the training corpus itself
-    * reproduces [[kmeans]]'s output bit-for-bit. */
+    * reproduces [[kmeans]]'s output bit-for-bit.
+    *
+    * `coarseGroups > 0` selects the TWO-LEVEL path for large
+    * codebooks: the dense scan is O(k·dim) per vector — fine at the
+    * probe sizes k = 16–64, linear-in-k pain at the k ≈ 10⁴–10⁵ cells
+    * a 100 TB learned IVF wants. The codebook itself is clustered
+    * (driver-side Lloyd over k centroids — k·dim doubles, trivially
+    * in-memory) into `coarseGroups ≈ √k` groups; each vector ranks the
+    * coarse centroids, then scans only the fine centroids of its
+    * `coarseProbes` nearest groups: g + p·k/g distance evaluations per
+    * vector instead of k (≈ (1+p)·√k at g = √k). Same fixed-order
+    * fold + id tie-break, so within the probed set the choice is
+    * bit-identical to the dense scan's. Approximation contract: a
+    * vector whose true nearest fine centroid lives in a non-probed
+    * group gets its best PROBED centroid — standard IVF/IMI semantics;
+    * the scalatest asserts exact parity on clustered data at modest
+    * probes and the probe tool measures parity + speedup at k = 4096
+    * on the 1M-vector corpus. The bit-exact contract queries keep the
+    * default dense path. */
   def assignToCentroids(emb: DataFrame,
-                        cents: Array[(Int, Array[Double])]): DataFrame = {
+                        cents: Array[(Int, Array[Double])],
+                        coarseGroups: Int = 0,
+                        coarseProbes: Int = 4): DataFrame = {
     require(cents.nonEmpty, "assignToCentroids needs at least one centroid")
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(cents)
-    quantized(emb, cents.head._2.length).as[(Long, Array[Double])]
-      .mapPartitions { it =>
+    val q = quantized(emb, cents.head._2.length).as[(Long, Array[Double])]
+    if (coarseGroups <= 0) {
+      val bc = spark.sparkContext.broadcast(cents)
+      q.mapPartitions { it =>
         val centroids = bc.value
         it.map { case (id, v) =>
           var bestCl = -1
@@ -142,7 +163,116 @@ object Clustering {
           (id, bestCl, bestD)
         }
       }
-      .toDF("vec_id", "cluster", "dist2")
+        .toDF("vec_id", "cluster", "dist2")
+    } else {
+      val (coarse, members) = groupCodebook(cents, coarseGroups)
+      val p = math.min(coarseProbes, coarse.length)
+      val bcC = spark.sparkContext.broadcast(coarse)
+      val bcM = spark.sparkContext.broadcast(members)
+      val bcF = spark.sparkContext.broadcast(cents)
+      q.mapPartitions { it =>
+        val cc = bcC.value; val mem = bcM.value; val fine = bcF.value
+        val gd = new Array[Double](cc.length)   // reused per vector
+        it.map { case (id, v) =>
+          // coarse distances, then p rounds of allocation-free min
+          // selection (strict < keeps the lowest group id on ties —
+          // the deterministic order the dense path uses)
+          var g = 0
+          while (g < cc.length) {
+            val c = cc(g)
+            var d = 0.0
+            var j = 0
+            while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+            gd(g) = d
+            g += 1
+          }
+          var bestCl = -1
+          var bestD = Double.MaxValue
+          var pi = 0
+          while (pi < p) {
+            var sel = -1
+            var selD = Double.MaxValue
+            var gi = 0
+            while (gi < cc.length) {
+              if (gd(gi) < selD) { selD = gd(gi); sel = gi }
+              gi += 1
+            }
+            gd(sel) = Double.PositiveInfinity   // exclude from later rounds
+            val ms = mem(sel)
+            var mi = 0
+            while (mi < ms.length) {
+              val (cl, c) = fine(ms(mi))
+              var d = 0.0
+              var j = 0
+              while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+              if (d < bestD || (d == bestD && cl < bestCl)) { bestD = d; bestCl = cl }
+              mi += 1
+            }
+            pi += 1
+          }
+          (id, bestCl, bestD)
+        }
+      }
+        .toDF("vec_id", "cluster", "dist2")
+    }
+  }
+
+  /** Cluster a codebook into coarse groups, driver-side: deterministic
+    * Lloyd (init = first g centroids in id order, 5 rounds, same
+    * dist/tie-break discipline as the distributed kernel) over the k
+    * fine centroids. Returns the coarse centroids and, per group, the
+    * member INDEXES into the input array. Empty groups keep empty
+    * member lists (harmless — never probed as nearest). */
+  private[pipeline] def groupCodebook(
+      cents: Array[(Int, Array[Double])],
+      g: Int): (Array[Array[Double]], Array[Array[Int]]) = {
+    val k = cents.length
+    val gg = math.min(g, k)
+    val dim = cents.head._2.length
+    var coarse: Array[Array[Double]] = cents.take(gg).map(_._2.clone())
+    var asg = new Array[Int](k)
+    def assignAll(): Unit = {
+      var i = 0
+      while (i < k) {
+        val v = cents(i)._2
+        var bestG = -1
+        var bestD = Double.MaxValue
+        var gi = 0
+        while (gi < gg) {
+          val c = coarse(gi)
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = v(j) - c(j); d += t * t; j += 1 }
+          if (d < bestD || (d == bestD && gi < bestG)) { bestD = d; bestG = gi }
+          gi += 1
+        }
+        asg(i) = bestG
+        i += 1
+      }
+    }
+    var round = 0
+    while (round < 5) {
+      assignAll()
+      val sums = Array.fill(gg)(new Array[Double](dim))
+      val ns = new Array[Long](gg)
+      var i = 0
+      while (i < k) {
+        val s = sums(asg(i)); val v = cents(i)._2
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        ns(asg(i)) += 1
+        i += 1
+      }
+      coarse = Array.tabulate(gg)(gi =>
+        if (ns(gi) == 0) coarse(gi)
+        else Array.tabulate(dim)(j => sums(gi)(j) / ns(gi)))
+      round += 1
+    }
+    assignAll()
+    val members = Array.fill(gg)(new scala.collection.mutable.ArrayBuffer[Int]())
+    var i = 0
+    while (i < k) { members(asg(i)) += i; i += 1 }
+    (coarse, members.map(_.toArray))
   }
 
   /** Multi-probe cell assignment for a PROBE subset: each filtered

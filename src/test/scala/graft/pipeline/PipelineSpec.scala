@@ -1239,6 +1239,23 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Clustering.assignToCentroids(emb, Array.empty)
     }
+    // two-level path: probing EVERY coarse group covers the whole
+    // codebook, so the result is bit-identical to the dense scan
+    // (same fold order, same tie-breaks) regardless of the grouping
+    val allProbes = Clustering.assignToCentroids(emb, cents,
+      coarseGroups = 2, coarseProbes = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(allProbes === trained,
+      "two-level with p = g must equal the dense scan bit-for-bit")
+    // single-probe two-level on a trained codebook: the coarse groups
+    // follow the codebook's own structure, so agreement stays high
+    // even at p = 1 (quality, not a bit-contract — report + floor)
+    val one = Clustering.assignToCentroids(emb, cents,
+      coarseGroups = 2, coarseProbes = 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val agree = trained.count { case (id, (cl, _)) => one(id) == cl }.toDouble / trained.size
+    info(f"two-level p=1/g=2 agreement vs dense: $agree%.3f")
+    assert(agree > 0.8, s"two-level p=1 agreement collapsed: $agree")
     intercept[IllegalArgumentException] { Sampling.shuffleOrder(docs, "t", 7) }
     intercept[IllegalArgumentException] { Sampling.temperatureMixRates(docs, 1001) }
     intercept[IllegalArgumentException] { TextOps.chunkDocs(docs, 8, 9) }
