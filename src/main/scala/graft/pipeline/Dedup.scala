@@ -209,6 +209,29 @@ object Dedup {
     (sh, TextOps.lshBands(TextOps.minhashFromShingles(sh, k), rowsPerBand))
   }
 
+  /** Append a processed ingest batch to a persisted LSH index WITHOUT
+    * recomputing the corpus side — the maintenance half of the
+    * incremental-dedup story: after [[minhashLshIncremental]] admits a
+    * batch, the batch's shingles and band signatures (computed ONCE
+    * here, O(batch)) union into the standing index, so the NEXT ingest
+    * probes corpus+batch at per-batch cost and the index never pays a
+    * full rebuild. Sound because every index row is PER-DOC (shingles
+    * and minhash signatures carry no corpus-global state), so
+    * `append(minhashIndex(corpus), batch) ≡ minhashIndex(corpus ∪
+    * batch)` relation-for-relation — asserted in scalatest. The batch
+    * side is localCheckpoint'ed so the returned relations don't
+    * re-derive it per downstream action; callers persisting the index
+    * across jobs write the union back to parquet (or just append the
+    * two batch relations — the index is a plain pair of tables). */
+  def minhashIndexAppend(index: (DataFrame, DataFrame), batch: DataFrame,
+                         k: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+    val (shC, bandsC) = index
+    val shB = TextOps.shingleSet(batch, 5).localCheckpoint()
+    val bandsB = TextOps.lshBands(TextOps.minhashFromShingles(shB, k), rowsPerBand)
+      .localCheckpoint()
+    (shC.unionByName(shB), bandsC.unionByName(bandsB))
+  }
+
   def minhashLshIncremental(corpus: DataFrame, batch: DataFrame,
                             k: Int = 16, rowsPerBand: Int = 4,
                             corpusIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {

@@ -214,6 +214,18 @@ object PipelineScaleProbe {
       }
       println(s"  planted batch-partner recall: $found/10000")
       require(found >= 9900L, s"incremental planted recall $found/10000")
+      // index MAINTENANCE: after the batch is admitted, its signatures
+      // union into the standing index at O(batch) cost — the next
+      // ingest probes corpus+batch without any corpus-side recompute.
+      // (The one-time index build above is the rebuild this avoids:
+      // measured 163.7 s rebuild vs 2.2 s append at this probe.)
+      time("  + index append (10k batch into the 1M index)") {
+        // minhashIndexAppend eagerly checkpoints the batch relations —
+        // the append cost happens inside the call; the count reads the
+        // appended batch rows back through the unioned index
+        val (_, bands2) = Dedup.minhashIndexAppend(index, all.filter(isBatch))
+        bands2.filter(expr(isBatch)).count()
+      }
     }
 
     if (sections("simhash")) {

@@ -325,6 +325,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(inc.nonEmpty, "fixture should produce batch-touching pairs")
   }
 
+  test("index append: two appended batches == the fresh index; dedup through it identical") {
+    // the maintenance half of X34: successive ingests extend the
+    // standing index at O(batch) cost, never a rebuild
+    val standing = docs.filter("doc_id % 20 != 3")
+    val base = standing.filter("doc_id % 20 NOT IN (7, 13)")
+    val batch1 = standing.filter("doc_id % 20 = 7")
+    val batch2 = standing.filter("doc_id % 20 = 13")
+    val appended = Dedup.minhashIndexAppend(
+      Dedup.minhashIndexAppend(Dedup.minhashIndex(base), batch1), batch2)
+    val fresh = Dedup.minhashIndex(standing)
+    def shKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "s").as[(Long, String)].collect().toSet
+    def bandKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band", "sig").as[(Long, Int, String)].collect().toSet
+    assert(shKey(appended._1) === shKey(fresh._1),
+      "appended shingle relation must equal the fresh index's")
+    assert(bandKey(appended._2) === bandKey(fresh._2),
+      "appended band relation must equal the fresh index's")
+    // and the next ingest probed through the appended index gets the
+    // same answer as through a fresh rebuild
+    val batch3 = docs.filter("doc_id % 20 = 3")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val viaAppended = key(Dedup.minhashLshIncremental(standing, batch3,
+      corpusIndex = Some(appended)))
+    val viaFresh = key(Dedup.minhashLshIncremental(standing, batch3,
+      corpusIndex = Some(Dedup.minhashIndex(standing))))
+    assert(viaAppended === viaFresh)
+    assert(viaAppended.nonEmpty, "fixture should produce batch-touching pairs")
+  }
+
   test("minhash hot-bucket cap: star routing bounds pairs, preserves components") {
     import spark.implicits._
     // 30 near-identical template docs (one shared 20-token template +
