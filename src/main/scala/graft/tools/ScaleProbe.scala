@@ -150,7 +150,46 @@ object ScaleProbe {
         .join(unbucketed, Seq("row") /* value from unbucketed */)
         .filter(abs(col("vb") - col("value")) > 1e-9).count()
       require(diff == 0L, s"$diff rows differ between bucketed and plain apply")
-      Seq("w_bucketed_probe", "w_plain_probe").foreach(t =>
+
+      // CO-BUCKETED field (round-6 verdict #5): the bucketed-W apply
+      // above still pays the FIELD-side Exchange (the field arrives
+      // unpartitioned and must shuffle to W's bucketing). A pipeline
+      // that applies the same W to every incoming field can land the
+      // field ALREADY bucketed on cell_id with W's bucket count — then
+      // the join needs no Exchange on either side and the only
+      // remaining Exchange in the whole apply is the output
+      // aggregation's (row ≠ cell_id, irreducible: the result LIVES on
+      // a different key). 64 buckets both sides, same bucket function
+      // → Spark plans a zero-shuffle sort-merge join.
+      spark.sql("DROP TABLE IF EXISTS field_bucketed_probe")
+      time("persist field co-bucketed(64 on cell_id)") {
+        field.repartition(64, col("cell_id"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(64, "cell_id").sortBy("cell_id")
+          .saveAsTable("field_bucketed_probe")
+        spark.table("field_bucketed_probe").count()
+      }
+      val fieldB = spark.table("field_bucketed_probe")
+      val wB = WeightsIO.readBucketed(spark, "w_bucketed_probe")
+      val cob = fieldB.join(wB.hint("shuffle_merge"), fieldB("cell_id") === wB("col"))
+        .groupBy("row").agg(sum(col("s") * col("value")).as("value"))
+      var cRows = 0L; var cBytes = 0L
+      time("apply co-bucketed field via bucketed W") {
+        cBytes = shuffledBytes { cRows = cob.count() }; cRows
+      }
+      println(f"  shuffle bytes written: co-bucketed=${cBytes / 1048576}%,d MiB " +
+        f"(W-only=${bBytes / 1048576}%,d, none=${uBytes / 1048576}%,d)")
+      val nC = nExchanges(cob)
+      println(s"  exchanges: co-bucketed=$nC (W-only=$nB, none=$nU)")
+      require(nC <= 1,
+        s"co-bucketed apply must keep only the output-agg Exchange, got $nC")
+      require(cBytes < bBytes,
+        s"co-bucketing should cut shuffle bytes further: $cBytes vs W-only $bBytes")
+      val cdiff = cob.withColumnRenamed("value", "vc")
+        .join(unbucketed, Seq("row"))
+        .filter(abs(col("vc") - col("value")) > 1e-9).count()
+      require(cdiff == 0L, s"$cdiff rows differ between co-bucketed and plain apply")
+      Seq("w_bucketed_probe", "w_plain_probe", "field_bucketed_probe").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
 
