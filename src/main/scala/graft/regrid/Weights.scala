@@ -693,19 +693,30 @@ object Weights {
       }
       val lons = col("lon_c0") +: (1 to 3).map(uw)
       val lats = (0 to 3).map(k => col(s"lat_c$k"))
-      // great-circle edges bulge poleward of the corner parallel by up
-      // to the edge sagitta; pad the candidate lat bbox accordingly so
-      // sliver overlaps between vertically adjacent cells aren't missed
-      val latPad: Column =
-        if (!exactEdges) lit(0.0)
-        else (greatest(lons: _*) - least(lons: _*)) *
-          (greatest(lons: _*) - least(lons: _*)) * lit(math.Pi / 720.0)
-      df.select(col("cell_id").as(s"${role}_id"),
+      val base = df.select(col("cell_id").as(s"${role}_id"),
         array((0 to 3).flatMap(k =>
           Seq(if (k == 0) col("lon_c0") else uw(k), col(s"lat_c$k"))): _*).as(s"${role}_p"),
         least(lons: _*).as(s"${role}_lon_min"), greatest(lons: _*).as(s"${role}_lon_max"),
-        (least(lats: _*) - latPad).as(s"${role}_lat_min"),
-        (greatest(lats: _*) + latPad).as(s"${role}_lat_max"))
+        least(lats: _*).as(s"${role}_lat_min"), greatest(lats: _*).as(s"${role}_lat_max"))
+      // great-circle edges bulge poleward of the corner parallel by up
+      // to the edge sagitta; pad the candidate lat bbox accordingly so
+      // sliver overlaps between vertically adjacent cells aren't
+      // missed. Applied as a TYPED map, not a Column expression:
+      // Catalyst collapses a pad projection back into the prep
+      // projection, and the squared greatest/least-of-unwrap trees it
+      // duplicates there blew the fused join stage past janino's
+      // limits (whole-stage-codegen fallback, observed 30 s vs 2 s on
+      // the 57.6k-poly probe; a trivial typed map stays compiled).
+      if (!exactEdges) base
+      else {
+        base.as[(Long, Seq[Double], Double, Double, Double, Double)]
+          .map { case (id, p, lnMin, lnMax, ltMin, ltMax) =>
+            val pad = (lnMax - lnMin) * (lnMax - lnMin) * (math.Pi / 720.0)
+            (id, p, lnMin, lnMax, ltMin - pad, ltMax + pad)
+          }
+          .toDF(s"${role}_id", s"${role}_p", s"${role}_lon_min",
+            s"${role}_lon_max", s"${role}_lat_min", s"${role}_lat_max")
+      }
     }
     val s0 = prep(srcPolys, "s")
       .withColumn("shift", explode(array(lit(-360.0), lit(0.0), lit(360.0))))

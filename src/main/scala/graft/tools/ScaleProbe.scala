@@ -201,6 +201,21 @@ object ScaleProbe {
         Curvilinear.boundsToPolys(Grids.cells(spark, dst, withBounds = true)),
         bandDeg = 2.0).count()
     }
+    time("  + exactEdges (gc clip + spherical excess), same polys") {
+      // the ESMF-CONSERVE-exact kernel on the same candidate volume:
+      // same equi-join plan, extra per-pair trig (projection +
+      // l'Huilier) — measured ~8% over the straight kernel once the
+      // bbox pad stays out of Catalyst (a collapsed pad projection
+      // cost 30 s via whole-stage-codegen fallback; the typed-map pad
+      // keeps the stage compiled). Exact gc semantics is a kernel
+      // constant, not a plan change.
+      val rot = RectGrid.of(2, 62, 0.25, -30, 30, 0.25)
+      val dst = RectGrid.of(-25, 0, 0.1, 5, 30, 0.1)
+      Weights.conservativeCurvilinear(
+        Curvilinear.rotatedCorners(spark, rot, 70.0, -165.0),
+        Curvilinear.boundsToPolys(Grids.cells(spark, dst, withBounds = true)),
+        bandDeg = 2.0, exactEdges = true).count()
+    }
     spark.stop()
   }
 }
