@@ -142,10 +142,17 @@ final class Regridder(
     val weightsDir: Option[String] = None,
     val reuseWeights: Boolean = false,
     val nearestBandDeg: Double = 0.0,   // ≤ 0 = auto from point density
-    val ignoreDegenerate: Boolean = false) {
+    val ignoreDegenerate: Boolean = false,
+    val exactEdges: Boolean = false) {
 
   // periodic is forced off for conservative (reference `frontend.py:164-176`)
   val periodic: Boolean = periodicRequested && method != RegridMethod.Conservative
+
+  // great-circle edge semantics only applies to the conservative clip
+  // kernel (ESMF CONSERVE, backend.py:241-246)
+  if (exactEdges && method != RegridMethod.Conservative)
+    throw new IllegalArgumentException(
+      s"exactEdges applies only to the conservative method, got ${method.name}")
 
   // locstream/method validity matrix (reference `frontend.py:178-184`,
   // tested `test_frontend.py:223-224,241-246`)
@@ -167,7 +174,13 @@ final class Regridder(
       case l: LocDef => s"1x${l.nCells}"
     }
     val peri = if (periodic) "_peri" else ""
-    s"${method.name}_${dims(gridIn)}_${dims(gridOut)}$peri.parquet"
+    // great-circle-edge weights are DIFFERENT weights: a distinct
+    // cache key so reuseWeights never serves straight-edge weights to
+    // an exactEdges regridder (or vice versa). The reference's scheme
+    // (frontend.py:251-262) has no such axis — ESMF has only one edge
+    // semantic — so the suffix is additive, not a deviation.
+    val gc = if (exactEdges) "_gc" else ""
+    s"${method.name}_${dims(gridIn)}_${dims(gridOut)}$peri$gc.parquet"
   }
 
   private def weightsPath: Option[String] = weightsDir.map(d => s"$d/$defaultFilename")
@@ -205,18 +218,21 @@ final class Regridder(
           case _ => throw new IllegalArgumentException(
             "bilinear needs a rectilinear or curvilinear source grid")
         }
-      case RegridMethod.Conservative if gridIn.isInstanceOf[CurvDef] ||
-          gridOut.isInstanceOf[CurvDef] =>
+      case RegridMethod.Conservative if exactEdges ||
+          gridIn.isInstanceOf[CurvDef] || gridOut.isInstanceOf[CurvDef] =>
         // polygon-clip kernel whenever either side is a curvilinear
-        // mesh; a rectilinear side contributes its bound boxes as
-        // 4-corner polygons. Zero-area cells clip to weight 0 and drop
-        // out (the polygon path is inherently degenerate-tolerant).
+        // mesh — or whenever great-circle edge semantics is requested
+        // (the analytic rectilinear closed form assumes straight
+        // lat/lon edges, so exactEdges routes rect grids through the
+        // gc clip too); a rectilinear side contributes its bound boxes
+        // as 4-corner polygons. Zero-area cells clip to weight 0 and
+        // drop out (the polygon path is inherently degenerate-tolerant).
         def polysOf(g: GridDef, cellsWithBounds: => DataFrame): DataFrame = g match {
           case c: CurvDef => c.polyRelation
           case _ => Curvilinear.boundsToPolys(cellsWithBounds)
         }
         Weights.conservativeCurvilinear(
-          polysOf(gridIn, srcB), polysOf(gridOut, dstB))
+          polysOf(gridIn, srcB), polysOf(gridOut, dstB), exactEdges = exactEdges)
       case RegridMethod.Conservative =>
         // V6 `ignore_degenerate` (reference `backend.py:230-232`,
         // `frontend.py:148-150`): zero-area cells either error (ESMF's

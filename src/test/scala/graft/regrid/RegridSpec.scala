@@ -203,6 +203,33 @@ class RegridSpec extends AnyFunSuite {
     assert(out.count() === gridOut.nCells)
   }
 
+  test("Regridder exactEdges: gc kernel via the facade, distinct cache key, method guard") {
+    // rect grids route through the polygon path when exactEdges is on:
+    // facade weights ≡ the direct gc kernel over the bounds polygons
+    val rExact = new Regridder(spark, RectDef(gridIn), RectDef(gridOut),
+      RegridMethod.Conservative, exactEdges = true)
+    val direct = Weights.conservativeCurvilinear(
+      Curvilinear.boundsToPolys(Grids.cells(spark, gridIn, withBounds = true)),
+      Curvilinear.boundsToPolys(Grids.cells(spark, gridOut, withBounds = true)),
+      exactEdges = true)
+    assert(rExact.weights.exceptAll(direct).count() === 0 &&
+      direct.exceptAll(rExact.weights).count() === 0)
+    // gc weights differ from the analytic straight-edge weights (that
+    // difference is the feature) but still map every destination
+    val rStraight = new Regridder(spark, RectDef(gridIn), RectDef(gridOut),
+      RegridMethod.Conservative)
+    assert(rExact.weights.select("row").distinct().count() === gridOut.nCells)
+    assert(rExact.weights.exceptAll(rStraight.weights).count() > 0)
+    // distinct cache key so reuseWeights can't serve straight-edge
+    // weights to an exactEdges regridder
+    assert(rStraight.defaultFilename !== rExact.defaultFilename)
+    assert(rExact.defaultFilename.contains("_gc"))
+    intercept[IllegalArgumentException] {
+      new Regridder(spark, RectDef(gridIn), RectDef(gridOut),
+        RegridMethod.Bilinear, exactEdges = true)
+    }
+  }
+
   test("deprecated Regridder.A aliases the weight relation (R8, frontend.py:238-249)") {
     val r = new Regridder(spark, RectDef(gridIn), RectDef(gridOut), RegridMethod.Bilinear)
     val a: DataFrame = r.A: @annotation.nowarn("cat=deprecation")
