@@ -615,6 +615,31 @@ object RegridQueries {
       WHERE $rd <> 0.0e0"""
   }
 
+  /** Center relation of the gnomonic lattice as DuckDB SQL — mirrors
+    * [[graft.regrid.Curvilinear.gnomonicCells]] term for term (the
+    * tangent-frame constants are the SAME Scala doubles embedded as
+    * literals on both engines). */
+  def gnomonicCellsSql(n: Int, x0: Double, step: Double,
+                       tanLon: Double, tanLat: Double): String = {
+    val lonR = math.toRadians(tanLon); val latR = math.toRadians(tanLat)
+    val cx = L(math.cos(latR) * math.cos(lonR)); val cy = L(math.cos(latR) * math.sin(lonR))
+    val cz = L(math.sin(latR))
+    val e1x = L(-math.sin(lonR)); val e1y = L(math.cos(lonR))
+    val e2x = L(-math.sin(latR) * math.cos(lonR)); val e2y = L(-math.sin(latR) * math.sin(lonR))
+    val e2z = L(math.cos(latR))
+    s"""SELECT cell_id,
+      degrees(atan2(py, px)) AS lon,
+      degrees(asin(pz / sqrt(px*px + py*py + pz*pz))) AS lat
+      FROM (SELECT cell_id,
+        $cx + u * $e1x + v * $e2x AS px,
+        $cy + u * $e1y + v * $e2y AS py,
+        $cz + v * $e2z AS pz
+        FROM (SELECT CAST(j * $n + i AS BIGINT) AS cell_id,
+          ${L(x0)} + (CAST(i AS DOUBLE) + 0.5e0) * ${L(step)} AS u,
+          ${L(x0)} + (CAST(j AS DOUBLE) + 0.5e0) * ${L(step)} AS v
+          FROM range($n) ti(i), range($n) tj(j)) t0) t1"""
+  }
+
   /** SpMM apply CTE: weights × field → dest frame with unmapped → 0.
     * Mirrors [[Apply.regrid]] (K1 + K2). */
   def applySql(weightsSql: String, fieldSql: String, dstSql: String): String =
@@ -834,6 +859,36 @@ object RegridQueries {
             gridSql(dstCurv, withBounds = true), digits = 9),
           s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${rotatedCellsSql(rotGrid, idPoleLat, idPoleLon)}) g",
           gridSql(dstCurv))}) a ORDER BY cell_id""")),
+
+    QueryDef("q_regrid_conservative_curv_exact",
+      // apply-level check of the great-circle kernel: conservative
+      // regrid of the wave field across the gnomonic lattices. Weights
+      // r9'd on both engines are bit-identical (headroom measured in
+      // RegridSpec "gc-exact ... r9 headroom"); the field is evaluated
+      // from the SAME projection + trig expression text on both
+      // engines (gnomonicCells ↔ gnomonicCellsSql), so the r9'd apply
+      // output hash-matches like the identity-rotation apply query.
+      (s, _) => Apply.regrid(
+        Weights.conservativeCurvilinear(
+          Curvilinear.gnomonicCorners(s, gnoSrcN, gnoSrcN, gnoSrcX0, gnoSrcX0,
+            gnoSrcStep, gnoTanLon, gnoTanLat),
+          Curvilinear.gnomonicCorners(s, gnoDstN, gnoDstN, gnoDstX0, gnoDstX0,
+            gnoDstStep, gnoTanLon, gnoTanLat),
+          exactEdges = true)
+          .select(col("row"), col("col"), Rounding.roundN(col("s"), 9).as("s"))
+          .filter(col("s") =!= 0.0).cache(),
+        Curvilinear.gnomonicCells(s, gnoSrcN, gnoSrcN, gnoSrcX0, gnoSrcX0,
+          gnoSrcStep, gnoTanLon, gnoTanLat)
+          .select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("value")),
+        Curvilinear.gnomonicCells(s, gnoDstN, gnoDstN, gnoDstX0, gnoDstX0,
+          gnoDstStep, gnoTanLon, gnoTanLat)).orderBy("cell_id"),
+      Some(s"""SELECT * FROM (${applySql(
+          gnomonicConservativeSql(gnoSrcN, gnoSrcX0, gnoSrcStep,
+            gnoDstN, gnoDstX0, gnoDstStep),
+          s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${gnomonicCellsSql(
+            gnoSrcN, gnoSrcX0, gnoSrcStep, gnoTanLon, gnoTanLat)}) g",
+          gnomonicCellsSql(gnoDstN, gnoDstX0, gnoDstStep, gnoTanLon, gnoTanLat))}) a
+        ORDER BY cell_id""")),
 
     QueryDef("q_w_bilinear_curv_peri",
       // P4 on a CURVILINEAR mesh (backend.py:92-95 applies

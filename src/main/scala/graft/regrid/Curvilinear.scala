@@ -137,6 +137,32 @@ object Curvilinear {
         corner(col("x"), col("y") + 1, "c3"): _*)
   }
 
+  /** Center relation of a gnomonic lattice mesh (`(cell_id, lon, lat)`
+    * — the [[gnomonicCorners]] cells' midpoints projected the same
+    * way): the field-side fixture for applying through great-circle
+    * conservative weights. Expression structure mirrors
+    * [[graft.RegridQueries.gnomonicCellsSql]] term for term so both
+    * engines run identical IEEE arithmetic up to the final trig. */
+  def gnomonicCells(spark: SparkSession, nx: Int, ny: Int,
+                    x0: Double, y0: Double, step: Double,
+                    tanLon: Double, tanLat: Double): DataFrame = {
+    val lonR = math.toRadians(tanLon); val latR = math.toRadians(tanLat)
+    val (cx, cy, cz) = (math.cos(latR) * math.cos(lonR), math.cos(latR) * math.sin(lonR), math.sin(latR))
+    val (e1x, e1y) = (-math.sin(lonR), math.cos(lonR))
+    val (e2x, e2y, e2z) = (-math.sin(latR) * math.cos(lonR), -math.sin(latR) * math.sin(lonR), math.cos(latR))
+    val base = spark.range(nx.toLong * ny).toDF("cell_id")
+      .withColumn("y", expr(s"CAST(cell_id DIV $nx AS INT)"))
+      .withColumn("x", expr(s"CAST(cell_id % $nx AS INT)"))
+      .withColumn("u", lit(x0) + (col("x").cast("double") + lit(0.5)) * lit(step))
+      .withColumn("v", lit(y0) + (col("y").cast("double") + lit(0.5)) * lit(step))
+    val px = lit(cx) + col("u") * lit(e1x) + col("v") * lit(e2x)
+    val py = lit(cy) + col("u") * lit(e1y) + col("v") * lit(e2y)
+    val pz = lit(cz) + col("v") * lit(e2z)
+    base.select(col("cell_id"),
+      degrees(atan2(py, px)).as("lon"),
+      degrees(asin(pz / sqrt(px * px + py * py + pz * pz))).as("lat"))
+  }
+
   /** Quad relation of an arbitrary center mesh: one row per mesh cell
     * (j, i) with the 4 surrounding CENTERS as vertices — the bilinear
     * interpolation quads. Built from the tidy cell relation with three
