@@ -51,7 +51,16 @@ object Clustering {
     kmeansFull(emb, k, iters, dim)._1
 
   /** [[kmeans]] plus the final centroids (quantized-space doubles) —
-    * the codebook consumers ([[pqTopK]]'s ADC lookup tables) need. */
+    * the codebook consumers ([[pqTopK]]'s ADC lookup tables) need.
+    *
+    * Large-k note: each Lloyd round's assignment is a dense O(n·k·dim)
+    * scan — right for the contract's bit-exact parity and for k ≤ a
+    * few hundred. Training a k ≈ 10⁴⁺ learned-IVF codebook at corpus
+    * scale follows the standard recipe instead: run the rounds on a
+    * SAMPLE (codebook quality converges long before the full corpus
+    * adds information), then place the corpus with the two-level
+    * [[assignToCentroids]] path (g + p·k/g evaluations per vector,
+    * probe-measured at k = 4096 / 1M vectors). */
   def kmeansFull(emb: DataFrame, k: Int, iters: Int,
                  dim: Int = 64): (DataFrame, Array[(Int, Array[Double])]) = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
