@@ -592,6 +592,111 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Set(1L, 2L, 5L))
   }
 
+  test("streaming dedup: state evicts past the horizon — a re-arrival is re-admitted") {
+    // the documented horizon-bounded-exactness tradeoff of dedupStream:
+    // within the watermark a duplicate hash is suppressed (covered by
+    // the first-occurrence test); once the watermark passes the key's
+    // state, the entry is EVICTED and the hash earns a fresh first
+    // occurrence — bounded state means bounded memory, not global
+    // exactness
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingOps.dedupStream(
+      stream.toDF().toDF("doc_id", "content_hash", "ts"), horizon = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_evict")
+      .outputMode("append").start()
+    stream.addData(Seq((1L, "aaa", ts(0))))
+    q.processAllAvailable()
+    stream.addData(Seq((2L, "aaa", ts(5))))       // within horizon: suppressed
+    q.processAllAvailable()
+    stream.addData(Seq((3L, "zzz", ts(120))))     // watermark -> 90, "aaa" state evicted
+    q.processAllAvailable()
+    stream.addData(Seq((4L, "aaa", ts(125))))     // re-arrival past horizon: re-admitted
+    q.processAllAvailable()
+    val got = spark.table("dedup_evict").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got === Set(1L, 3L, 4L),
+      s"expected eviction-then-readmission semantics, got $got")
+  }
+
+  test("streaming windowed counts: beyond-watermark events are dropped from finalized windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingOps.hourlyCounts(
+      stream.toDF().toDF("ts", "event_type"))
+    val q = out.writeStream.format("memory").queryName("hourly_late")
+      .outputMode("append").start()
+    // two events in hour 0, then drive the watermark far past hour 0's
+    // 2-hour lateness allowance so the window finalizes and emits
+    stream.addData(Seq((ts(10), "a"), (ts(20), "a")))
+    q.processAllAvailable()
+    stream.addData(Seq((ts(400), "b")))
+    q.processAllAvailable()
+    stream.addData(Seq((ts(401), "b")))
+    q.processAllAvailable()
+    // a straggler for hour 0 beyond the watermark: dropped — the
+    // finalized count must not change and no second hour-0 row appears
+    stream.addData(Seq((ts(30), "a")))
+    q.processAllAvailable()
+    stream.addData(Seq((ts(402), "b")))
+    q.processAllAvailable()
+    val hour0 = spark.table("hourly_late")
+      .filter(col("hour") === ts(0) && col("event_type") === "a")
+      .select("n").as[Long].collect().toSeq
+    q.stop()
+    assert(hour0 === Seq(2L),
+      s"hour-0 'a' count must finalize at 2 with the late straggler dropped, got $hour0")
+  }
+
+  test("streaming sessionization: checkpoint restart resumes state without loss or duplication") {
+    // the recovery contract a production ingest relies on: kill the
+    // query with a session OPEN, restart from the same checkpoint, and
+    // the restored state must close that session once, with every
+    // pre-crash event counted — no lost events, no duplicate emission
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingOps.sessionizeStream(spark,
+      stream.toDF().toDF("user_id", "ts", "value"))
+    // the memory sink is non-fault-tolerant (refuses checkpoint
+    // recovery) — a parquet sink is the recoverable kind a real
+    // pipeline uses
+    val outDir = java.nio.file.Files.createTempDirectory("sess_out").toString
+    def startQuery() = out.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = startQuery()
+    // session opens (2 events) and stays OPEN — then the query dies
+    stream.addData(Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint
+    val q2 = startQuery()
+    // one more in-session event, then watermark sentinels close it
+    stream.addData(Seq((1L, ts(15), 4.0)))
+    q2.processAllAvailable()
+    stream.addData(Seq((99L, ts(300), 0.0)))
+    q2.processAllAvailable()
+    stream.addData(Seq((99L, ts(400), 0.0)))
+    q2.processAllAvailable()
+    val u1 = spark.read.parquet(outDir)
+      .filter(col("user_id") === 1L)
+      .select("session_start", "session_end", "n_events", "sum_value")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long, Double)].collect().toSeq
+    q2.stop()
+    assert(u1 === Seq((ts(0), ts(15), 3L, 7.0)),
+      s"restart must restore the open session and close it exactly once: $u1")
+  }
+
   test("streaming sessionization: events beyond the watermark are dropped, within it merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
