@@ -51,6 +51,27 @@ object WeightsIO {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Land a FIELD co-bucketed with a [[writeBucketed]] weights table:
+    * same bucket count, bucketed on `cell_id` (the join key against
+    * W's `col`), one file per bucket, sorted. A field written this way
+    * joins bucketed W with NO Exchange on either side — the apply's
+    * only remaining shuffle is the output aggregation's (`row` is a
+    * different key; irreducible). The removed field-side Exchange is
+    * proportional to FIELD size, which in the 100 TB
+    * standing-W/incoming-field regime is the data itself — measured in
+    * PLANS.md (executed plan 3 → 1 Exchanges across the plain /
+    * bucketed-W / co-bucketed variants, results row-identical).
+    * `extraCols` keeps value/dimension columns alongside
+    * (`value`, `time`, `lev`, …). */
+  def writeBucketedField(field: DataFrame, table: String,
+                         buckets: Int = 64,
+                         extraCols: Seq[String] = Seq("value")): Unit =
+    field.select((col("cell_id").cast("long") +: extraCols.map(col)): _*)
+      .repartition(buckets, col("cell_id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cell_id").sortBy("cell_id")
+      .format("parquet").saveAsTable(table)
+
   /** Read an ESMF/xESMF NetCDF weight file (the reference's actual
     * on-disk format, `frontend.py:264-280` / `smm.py:10-41`): classic
     * NetCDF-3 parsed by the in-repo [[NetCDF3]] codec, 1-based

@@ -163,10 +163,7 @@ object ScaleProbe {
       // → Spark plans a zero-shuffle sort-merge join.
       spark.sql("DROP TABLE IF EXISTS field_bucketed_probe")
       time("persist field co-bucketed(64 on cell_id)") {
-        field.repartition(64, col("cell_id"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(64, "cell_id").sortBy("cell_id")
-          .saveAsTable("field_bucketed_probe")
+        WeightsIO.writeBucketedField(field, "field_bucketed_probe", buckets = 64)
         spark.table("field_bucketed_probe").count()
       }
       val fieldB = spark.table("field_bucketed_probe")

@@ -1207,6 +1207,27 @@ class RegridSpec extends AnyFunSuite {
     assert(nB < nD, s"bucketed plan has $nB exchanges, unbucketed $nD — " +
       s"expected the weights-side shuffle to disappear:\n" +
       joined.queryExecution.executedPlan.toString)
+    // CO-BUCKETED field: landing the field with writeBucketedField
+    // (same bucket count, keyed on cell_id) removes the field-side
+    // Exchange too — the executed plan keeps ONLY the output
+    // aggregation's shuffle, and the numbers are unchanged
+    spark.sql("DROP TABLE IF EXISTS f_bucketed_test")
+    locally {
+      val loc = new org.apache.hadoop.fs.Path("spark-warehouse/f_bucketed_test")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
+    WeightsIO.writeBucketedField(f, "f_bucketed_test", buckets = 8)
+    val fb = spark.table("f_bucketed_test")
+    val cob = fb.join(wb.hint("shuffle_merge"), fb("cell_id") === wb("col"))
+      .groupBy("row").agg(sum(col("s") * col("value")).as("value"))
+    assert(cob.join(direct.withColumnRenamed("value", "v2"), "row")
+      .filter(abs(col("value") - col("v2")) > 1e-9).count() === 0)
+    cob.count()
+    assert(nExchanges(cob) <= 1,
+      s"co-bucketed apply must keep only the output-agg Exchange:\n" +
+        cob.queryExecution.executedPlan.toString)
+    spark.sql("DROP TABLE IF EXISTS f_bucketed_test")
     spark.sql("DROP TABLE IF EXISTS w_bucketed_test")
   }
 
