@@ -198,6 +198,17 @@ object ScaleProbe {
         Curvilinear.boundsToPolys(Grids.cells(spark, dst, withBounds = true)),
         bandDeg = 2.0).count()
     }
+    time("  + exactEdges at 4x polys (230k x 250k)") {
+      // scaling check: 4x the cells (~16x the candidate pairs at the
+      // same tile width) — the gc kernel must scale with candidates,
+      // linear like the straight kernel, no superlinear surprises
+      val rot = RectGrid.of(2, 62, 0.125, -30, 30, 0.125)
+      val dst = RectGrid.of(-25, 0, 0.05, 5, 30, 0.05)
+      Weights.conservativeCurvilinear(
+        Curvilinear.rotatedCorners(spark, rot, 70.0, -165.0),
+        Curvilinear.boundsToPolys(Grids.cells(spark, dst, withBounds = true)),
+        bandDeg = 1.0, exactEdges = true).count()
+    }
     time("  + exactEdges (gc clip + spherical excess), same polys") {
       // the ESMF-CONSERVE-exact kernel on the same candidate volume:
       // same equi-join plan, extra per-pair trig (projection +
