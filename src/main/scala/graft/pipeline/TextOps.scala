@@ -358,8 +358,16 @@ object TextOps {
     * scale; AQE picks broadcast vs shuffled hash join from the ACTUAL
     * runtime sizes (broadcast on the contract corpus, shuffled when
     * the vocabulary outgrows the threshold — no plan cliff). The
-    * vocabulary size rides the unigram relation as a whole-relation
-    * window (lazy — no extra corpus scan, no plan-time action).
+    * vocabulary size |V| is a one-row scalar aggregate over the
+    * unigram-count relation, cross-joined back in (a one-row broadcast
+    * — lazy, no plan-time action): at 100 TB the unigram relation has
+    * ~10⁸ rows, and the single-partition whole-relation window this
+    * replaces (r6 verdict #4) would funnel all of them through one
+    * task's sort; the scalar agg stays map-side-partial + one-row
+    * final. The unigram subtree appears twice in the plan (counts +
+    * |V|); exchange reuse may collapse the shared shuffle at runtime,
+    * and even unreused, two parallel corpus scans beat one
+    * single-task vocabulary sort at any scale.
     *
     * Parity: per-bigram log-probs are quantized to integer micro-units
     * and summed as BIGINTs — order-independent exact sums; `ln` runs on
@@ -371,12 +379,13 @@ object TextOps {
       .selectExpr("doc_id", s"explode(${shinglesExpr(2)}) AS s2")
       .withColumn("w1", expr("element_at(split(s2, ' '), 1)"))
     val bc = bg.groupBy("s2").agg(count(lit(1)).as("cb"))
-    // |V| rides each unigram row via a whole-relation window over the
-    // (vocabulary-sized) count relation — no eager action, one scan
-    val uc = tok.selectExpr("explode(tokens) AS w1")
+    // |V| as a one-row scalar agg over the unigram-count relation,
+    // joined back in as a single-row broadcast (the audited-benign
+    // one-row BNLJ cross) — no vocabulary-sized single-partition
+    // window funneling |V| rows through one task.
+    val uc0 = tok.selectExpr("explode(tokens) AS w1")
       .groupBy("w1").agg(count(lit(1)).as("cu"))
-      .withColumn("v", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val uc = uc0.crossJoin(uc0.agg(count(lit(1)).as("v")))
     bg.join(bc, "s2").join(uc, "w1")
       .withColumn("lp_u", expr(
         "CAST(floor(ln((cb + 0.5e0) / (cu + 0.5e0 * v)) * 1.0e6 + 0.5e0) AS BIGINT)"))

@@ -165,7 +165,12 @@ object Geometry {
         val inP = dp >= -epsDist; val inQ = dq >= -epsDist
         if (inP) { buf += px; buf += py }
         if (inP != inQ) {
-          val t = dp / (dp - dq)
+          // clamp: with eps-inclusive classification, dp and dq can sit
+          // on the SAME side of zero (both in [-eps, 0)), making the
+          // raw t = dp/(dp-dq) unbounded — the inserted vertex would
+          // lie on the clip line but far off the subject segment,
+          // inflating the intersection. Clamped, it stays on segment.
+          val t = math.min(1.0, math.max(0.0, dp / (dp - dq)))
           buf += px + t * (qx - px)
           buf += py + t * (qy - py)
         }
@@ -246,8 +251,15 @@ object Geometry {
   def gcOverlapWeight(subject: Array[Double], clip: Array[Double]): Double = {
     val cs = (0 until clip.length / 2).map(i => xyz(clip(2 * i), clip(2 * i + 1)))
     val ctr = unit3(Array(cs.map(_(0)).sum, cs.map(_(1)).sum, cs.map(_(2)).sum))
-    // gnomonic basis at ctr (east, north)
-    val e1 = unit3(cross3(Array(0.0, 0.0, 1.0), ctr))
+    // gnomonic basis at ctr (east, north). A pole-centred clip cell
+    // makes cross(z, ctr) the zero vector (unit3 → NaN basis → every
+    // comparison false → silent weight 0); fall back to the x-axis
+    // reference there — any vector non-parallel to ctr yields a valid
+    // orthonormal chart basis.
+    val zRef: V3 =
+      if (math.hypot(ctr(0), ctr(1)) < 1e-12) Array(1.0, 0.0, 0.0)
+      else Array(0.0, 0.0, 1.0)
+    val e1 = unit3(cross3(zRef, ctr))
     val e2 = cross3(ctr, e1)
     def proj(p: V3): (Double, Double) = {
       val d = dot3(p, ctr)

@@ -673,6 +673,50 @@ class RegridSpec extends AnyFunSuite {
     assert(maxDev > 1e-6, s"deviation measurement degenerate ($maxDev) — fixture not curved?")
   }
 
+  test("clipConvexEps: crossing parameter clamped — tolerance-straddling near-parallel edge stays on segment") {
+    // r6 ADVICE: with eps-inclusive classification, dp ∈ [-eps, 0) can
+    // classify P inside while Q (dq < -eps) is outside even though both
+    // are BELOW the clip line — the raw t = dp/(dp-dq) is then negative
+    // (unbounded as dq → dp), inserting a vertex on the clip line far
+    // outside the subject segment. Subject edge P→Q rides y ≈ -1e-6,
+    // near-parallel to the clip line y = 0: unclamped t = -0.5 would
+    // insert x = -4.5, 5 units left of the subject's true extent.
+    val eps = 1e-6
+    val subject = Array(0.5, -0.5e-6, 10.5, -1.5e-6, 5.0, 5.0)
+    val clip = Array(-100.0, 0.0, 100.0, 0.0, 0.0, 100.0)
+    val out = Geometry.clipConvexEps(subject, clip, eps)
+    assert(out.length >= 6, "intersection must be non-degenerate")
+    val xs = out.indices.collect { case i if i % 2 == 0 => out(i) }
+    assert(xs.min >= 0.4, s"inserted vertex left the subject segment: min x = ${xs.min}")
+    // area sanity: the intersection can never exceed the subject
+    def shoelace(p: Array[Double]): Double = {
+      val n = p.length / 2
+      math.abs((0 until n).map { i =>
+        val j = (i + 1) % n
+        p(2 * i) * p(2 * j + 1) - p(2 * j) * p(2 * i + 1)
+      }.sum / 2)
+    }
+    assert(shoelace(out) <= shoelace(subject) + 1e-9,
+      "clipped area exceeds subject area — spurious vertex inflated the intersection")
+  }
+
+  test("gcOverlapWeight: pole-centred destination cell gets a valid chart basis (not silent 0)") {
+    // r6 ADVICE: the gnomonic basis cross(z, ctr) is the zero vector
+    // when the clip cell's vertex centroid IS the pole; unit3 then
+    // yields a NaN basis and every pair silently got weight 0
+    // (unmapped pole cell). The x-axis fallback must restore exactness.
+    val poleCap = Array(0.0, 85.0, 90.0, 85.0, 180.0, 85.0, 270.0, 85.0)
+    val self = Geometry.gcOverlapWeight(poleCap, poleCap)
+    assert(math.abs(self - 1.0) < 1e-9, s"pole cap self-overlap weight $self != 1")
+    // a quarter cap overlaps the cap by ~its area share; must be in (0, 1)
+    val quarter = Array(0.0, 85.0, 90.0, 85.0, 45.0, 89.9)
+    val part = Geometry.gcOverlapWeight(quarter, poleCap)
+    assert(part > 0.0 && part < 1.0, s"partial pole overlap weight $part out of (0,1)")
+    // disjoint low-latitude subject: weight 0, no NaN
+    val far = Array(0.0, 5.0, 10.0, 5.0, 10.0, 10.0, 0.0, 10.0)
+    assert(Geometry.gcOverlapWeight(far, poleCap) === 0.0)
+  }
+
   test("gc-exact conservative on the gnomonic lattice: closed-form parity, tiling, r9 headroom") {
     import graft.RegridQueries._
     // the full library path: projection + Sutherland–Hodgman +
