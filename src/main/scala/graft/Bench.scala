@@ -27,6 +27,19 @@ import graft.regrid._
   *    rounds: `ok_rounds` < `runs` marks it flaky, min is over OK
   *    rounds only, and a query with zero OK rounds reports null (never
   *    a silent time-to-crash posing as a timing);
+  *
+  *    LOAD GATE (r6 verdict #2 — the r6 driver artifact ran under
+  *    loadavg ~20 and its slowest query read 4.4× its committed
+  *    value): loadavg can't separate OUR OWN local[32] load from a
+  *    co-tenant's, so each round instead measures FOREIGN cpu —
+  *    (/proc/stat busy-jiffies delta) − (this JVM's cpu delta),
+  *    divided by the round wall — and a round whose foreign load
+  *    exceeds [[loadGateCores]] sustained cores is CONTAMINATED. Up
+  *    to 2 extra rounds run when any base round is contaminated; a
+  *    query whose every OK sample comes from contaminated rounds
+  *    reports the min but is listed in `load_contaminated` (full
+  *    artifact) and counted in `n_load_contam` (compact line), so one
+  *    noisy co-tenant can no longer silently own the artifact;
   *  - the reference's own benchmark workload (BASELINE.md,
   *    `doc/notebooks/Backend.ipynb` cells 17/24/33): bilinear weight
   *    build 400×600 → 300×400 (baseline 7.57 s) and the 4-D apply of
@@ -37,8 +50,53 @@ import graft.regrid._
   *    init), input array already materialized, best of 5 runs;
   *  - the relational join-agg apply on the same workload, reported
   *    separately so regressions in either path stay visible.
+  *
+  * Artifact paths (r6 verdict #3): every run writes the full artifact
+  * to `<benchDir>/BENCH_full_latest.json` — GITIGNORED, so a driver
+  * bench run leaves the tree clean and never clobbers committed
+  * evidence; the builder pins evidence by copying a run to
+  * `<benchDir>/BENCH_full.json` and committing it. `benchDir` resolves
+  * from `SPARK_GRAFT_BENCH_DIR`, else `<user.dir>/bench` (ADVICE r6:
+  * no hardcoded /root/repo).
+  *
+  * Telemetry field semantics (r6 verdict #2 — the old names let one
+  * run disagree with itself): `gc_sec_total_jvm` is whole-process GC
+  * time including warmup + headline kernels; `round_telemetry[i]
+  * .gc_sec` is that contract round only — the two legitimately differ
+  * (r6: 23.4 vs Σ2.9 — the gap was the headline kernels' GC).
+  * `loadavg_start`/`loadavg_end` bracket the WHOLE bench (headline
+  * kernels inflate the end value — that is self-load, not co-tenant
+  * load; foreign load is what `round_telemetry[i].foreign_cores`
+  * measures).
   */
 object Bench {
+
+  /** Foreign sustained cores above which a round is load-contaminated.
+    * 4 of 32 cores of non-JVM cpu ≈ the point where contract walls
+    * measurably inflate (r6: a co-tenant at ~20 loadavg inflated the
+    * heaviest query 4.4×). */
+  val loadGateCores = 4.0
+
+  /** Busy jiffies (all cpus, USER_HZ=100) from /proc/stat: total −
+    * idle − iowait. -1 when unreadable (non-Linux). */
+  def busyJiffies(): Long =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      f.sum - f(3) - (if (f.length > 4) f(4) else 0L)
+    } catch { case _: Throwable => -1L }
+
+  /** This JVM's cumulative cpu seconds (utime+stime from
+    * /proc/self/stat; split after the last ')' guards against spaces
+    * in the comm field). */
+  def selfCpuSec(): Double =
+    try {
+      val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+      val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+      // rest(0) = state (field 3); utime = field 14 → rest(11), stime = field 15 → rest(12)
+      (rest(11).toLong + rest(12).toLong) / 100.0
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     new java.io.File("/root/repo/target/spark-tmp").mkdirs()
@@ -113,19 +171,22 @@ object Bench {
     val lastError = scala.collection.mutable.LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val contractRounds = 3
-    // all attempts (negative wall = that attempt crashed, abs = time
-    // to crash) and OK-only samples, kept separately so a flaky query
-    // is visible as ok_rounds < runs, never conflated with a clean min
-    val allSamples = Array.fill(names.size)(Vector.empty[Double])
-    val okSamples = Array.fill(names.size)(Vector.empty[Double])
+    val extraRoundsMax = 2
+    // every attempt keeps (round, wall, ok) so a flaky query is
+    // visible as ok_rounds < runs (never conflated with a clean min)
+    // and the load gate can prefer minima from uncontaminated rounds
+    case class Sample(round: Int, sec: Double, ok: Boolean)
+    val samples = Array.fill(names.size)(Vector.empty[Sample])
     case class RoundTel(round: Int, wallSec: Double, loadStart: Double,
-                        loadEnd: Double, gcSec: Double)
+                        loadEnd: Double, gcSec: Double,
+                        foreignCores: Double, contaminated: Boolean)
     val roundTel = scala.collection.mutable.ArrayBuffer[RoundTel]()
     val loadAtStart = loadavg()
     val gcAtStart = gcMillis()
-    for (r <- 1 to contractRounds) {
+    def runRound(r: Int): Unit = {
       System.gc()
       val l0 = loadavg(); val g0 = gcMillis(); val rt0 = System.nanoTime()
+      val bj0 = busyJiffies(); val sc0 = selfCpuSec()
       names.zipWithIndex.foreach { case ((name, fn), i) =>
         var ok = true
         val t = time {
@@ -135,17 +196,45 @@ object Bench {
             lastError(name) = s"r$r ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           }
         }
-        allSamples(i) = allSamples(i) :+ (if (ok) t else -t)
-        if (ok) okSamples(i) = okSamples(i) :+ t
+        samples(i) = samples(i) :+ Sample(r, t, ok)
       }
-      roundTel += RoundTel(r, (System.nanoTime() - rt0) / 1e9, l0, loadavg(),
-        (gcMillis() - g0) / 1000.0)
+      val wall = (System.nanoTime() - rt0) / 1e9
+      // foreign cpu = box busy − this JVM, in sustained cores over the
+      // round; -1 (unreadable /proc) never flags
+      val foreign =
+        if (bj0 < 0 || sc0 < 0) -1.0
+        else math.max(0.0, ((busyJiffies() - bj0) / 100.0 - (selfCpuSec() - sc0)) / wall)
+      roundTel += RoundTel(r, wall, l0, loadavg(), (gcMillis() - g0) / 1000.0,
+        foreign, foreign > loadGateCores)
     }
-    // per-query min over OK rounds; null (None) when no round succeeded
-    val contract: Seq[(String, Option[Double])] = names.zipWithIndex.map {
-      case ((name, _), i) => name -> (if (okSamples(i).nonEmpty) Some(okSamples(i).min) else None)
+    (1 to contractRounds).foreach(runRound)
+    // load gate: when a base round was contaminated by foreign load,
+    // buy clean samples with up to `extraRoundsMax` extra rounds
+    // rather than shipping an artifact needing out-of-band context
+    var extra = 0
+    while (roundTel.count(!_.contaminated) < contractRounds && extra < extraRoundsMax) {
+      extra += 1
+      runRound(contractRounds + extra)
     }
-    val okRounds = names.zipWithIndex.map { case ((name, _), i) => name -> okSamples(i).size }
+    val totalRounds = contractRounds + extra
+    val cleanRound: Map[Int, Boolean] =
+      roundTel.map(rt => rt.round -> !rt.contaminated).toMap
+    // per-query min: over OK samples from CLEAN rounds when any exist,
+    // else over all OK samples with the query flagged load-contaminated;
+    // null (None) when no round succeeded at all
+    case class QStat(min: Option[Double], okCount: Int, loadContaminated: Boolean)
+    val qstats: Seq[(String, QStat)] = names.zipWithIndex.map { case ((name, _), i) =>
+      val oks = samples(i).filter(_.ok)
+      val cleanOks = oks.filter(s => cleanRound(s.round))
+      val st =
+        if (cleanOks.nonEmpty) QStat(Some(cleanOks.map(_.sec).min), oks.size, false)
+        else if (oks.nonEmpty) QStat(Some(oks.map(_.sec).min), oks.size, true)
+        else QStat(None, 0, false)
+      name -> st
+    }
+    val contract: Seq[(String, Option[Double])] = qstats.map { case (n, s) => n -> s.min }
+    val okRounds = qstats.map { case (n, s) => n -> s.okCount }
+    val loadContamQueries = qstats.collect { case (n, s) if s.loadContaminated => n }
 
     // ---- reference-benchmark workload (grids from BASELINE.md) ----
     val gridIn = RectGrid.of(-120, 120, 0.4, -60, 60, 0.3)    // 400 x 600
@@ -234,9 +323,16 @@ object Bench {
 
     val contractTotal = contract.flatMap(_._2).sum
     val total = contractTotal + headline.map(_._2).sum
-    val nClean = okRounds.count(_._2 == contractRounds)
-    val nFlaky = okRounds.count(kv => kv._2 > 0 && kv._2 < contractRounds)
+    val nClean = okRounds.count(_._2 == totalRounds)
+    val nFlaky = okRounds.count(kv => kv._2 > 0 && kv._2 < totalRounds)
     val nFailed = okRounds.count(_._2 == 0)
+    // drift-triage total over only the queries that are BOTH
+    // all-rounds-OK and load-clean (ADVICE r6: a query failing every
+    // round silently SHRINKS the headline total — round-over-round
+    // comparisons must use this clean total, same-key intersection)
+    val contractTotalClean = qstats.collect {
+      case (_, s) if s.okCount == totalRounds && !s.loadContaminated => s.min.get
+    }.sum
 
     // ---- full artifact file: everything the 2000-char stdout tail
     // cannot hold — per-query minima, per-round spread (negative =
@@ -245,26 +341,40 @@ object Bench {
       val qs = obj(contract.map { case (k, v) => k -> v.map(num).getOrElse("null") })
       val ok = obj(okRounds.map { case (k, v) => k -> v.toString })
       val spread = obj(names.zipWithIndex.map { case ((name, _), i) =>
-        name -> allSamples(i).map(num).mkString("[", ",", "]")
+        name -> samples(i).map(s => num(if (s.ok) s.sec else -s.sec)).mkString("[", ",", "]")
       })
       val errs = obj(lastError.toSeq.map { case (k, v) => k -> jq(v) })
       val rounds = roundTel.map(rt => obj(Seq(
         "round" -> rt.round.toString, "wall_sec" -> num(rt.wallSec),
         "loadavg_start" -> num(rt.loadStart), "loadavg_end" -> num(rt.loadEnd),
-        "gc_sec" -> num(rt.gcSec)))).mkString("[", ",", "]")
+        "gc_sec" -> num(rt.gcSec),
+        "foreign_cores" -> num(rt.foreignCores),
+        "contaminated" -> rt.contaminated.toString))).mkString("[", ",", "]")
       val head = obj(headline.map { case (k, v) => k -> num(v) })
       Seq(
-        "sf" -> jq(sfDir), "cpus" -> cpus, "runs" -> contractRounds.toString,
+        "sf" -> jq(sfDir), "cpus" -> cpus, "runs" -> totalRounds.toString,
+        "base_rounds" -> contractRounds.toString,
+        "extra_rounds_load" -> extra.toString,
+        "load_gate_cores" -> num(loadGateCores),
         "contract_total_sec" -> num(contractTotal),
+        "contract_total_clean_sec" -> num(contractTotalClean),
+        "load_contaminated" -> loadContamQueries.map(jq).mkString("[", ",", "]"),
         "queries" -> qs, "ok_rounds" -> ok, "spread" -> spread,
         "errors" -> errs, "round_telemetry" -> rounds, "headline" -> head,
-        "gc_total_sec" -> num((gcMillis() - gcAtStart) / 1000.0),
+        // whole-JVM GC since bench start, INCLUDING warmup + headline
+        // kernels — legitimately larger than Σ round_telemetry.gc_sec
+        "gc_sec_total_jvm" -> num((gcMillis() - gcAtStart) / 1000.0),
         "heap_max_gb" -> num(Runtime.getRuntime.maxMemory / 1024.0 / 1024 / 1024)
       ).map { case (k, v) => "  " + jq(k) + ": " + v }.mkString("{\n", ",\n", "\n}\n")
     }
-    val benchDir = new java.io.File("/root/repo/bench")
+    // bench dir from env or the working directory (ADVICE r6: no
+    // hardcoded /root/repo); the live artifact is GITIGNORED so a
+    // driver run leaves the tree clean — committed evidence is a
+    // deliberate builder-side copy to BENCH_full.json
+    val benchDir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
+      sys.props("user.dir") + "/bench"))
     benchDir.mkdirs()
-    val outFile = new java.io.File(benchDir, "BENCH_full.json")
+    val outFile = new java.io.File(benchDir, "BENCH_full_latest.json")
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.print(fullJson) finally w.close()
 
@@ -275,20 +385,25 @@ object Bench {
     val slowest = contract.collect { case (k, Some(v)) => k -> v }
       .sortBy(-_._2).take(5)
     val lineQueries = obj(
-      ("contract_total" -> num(contractTotal)) +: headline.map { case (k, v) => k -> num(v) })
+      ("contract_total" -> num(contractTotal)) +:
+      ("contract_total_clean" -> num(contractTotalClean)) +:
+      headline.map { case (k, v) => k -> num(v) })
     val lineSlowest = obj(slowest.map { case (k, v) => k -> num(v) })
     // at most 3 error names inline (full detail in the artifact file)
     val lineErrs = obj(lastError.take(3).toSeq.map { case (k, v) => k -> jq(v.take(60)) })
     val line = obj(Seq(
       "metric" -> jq("total"), "value" -> num(total), "unit" -> jq("sec"),
       "queries" -> lineQueries, "slowest" -> lineSlowest,
-      "runs" -> contractRounds.toString,
+      "runs" -> totalRounds.toString,
       "n_queries" -> names.size.toString, "n_clean" -> nClean.toString,
       "n_flaky" -> nFlaky.toString, "n_failed" -> nFailed.toString,
-      "loadavg" -> s"[${num(loadAtStart)},${num(loadavg())}]",
-      "gc_sec" -> num((gcMillis() - gcAtStart) / 1000.0),
+      "n_load_contam" -> loadContamQueries.size.toString,
+      // whole-bench brackets: the end value includes OUR OWN headline
+      // kernels' load; foreign load lives in round_telemetry
+      "loadavg_start_end" -> s"[${num(loadAtStart)},${num(loadavg())}]",
+      "gc_sec_total_jvm" -> num((gcMillis() - gcAtStart) / 1000.0),
       "errors" -> lineErrs,
-      "detail" -> jq("bench/BENCH_full.json"),
+      "detail" -> jq("bench/BENCH_full_latest.json"),
       "sf" -> jq(sfDir)))
     println(line)
     spark.stop()
