@@ -56,13 +56,37 @@ object Clustering {
     * Large-k note: each Lloyd round's assignment is a dense O(n·k·dim)
     * scan — right for the contract's bit-exact parity and for k ≤ a
     * few hundred. Training a k ≈ 10⁴⁺ learned-IVF codebook at corpus
-    * scale follows the standard recipe instead: run the rounds on a
-    * SAMPLE (codebook quality converges long before the full corpus
-    * adds information), then place the corpus with the two-level
-    * [[assignToCentroids]] path (g + p·k/g evaluations per vector,
-    * probe-measured at k = 4096 / 1M vectors). */
+    * scale uses [[kmeansFullTwoLevel]] (the two-level scan inside
+    * every round — per-iteration cost sublinear in k, probe-measured
+    * at k = 4096 / 1M vectors in PipelineScaleProbe `train4096`),
+    * optionally on a SAMPLE (codebook quality converges long before
+    * the full corpus adds information), then places the corpus with
+    * the two-level [[assignToCentroids]] path. */
   def kmeansFull(emb: DataFrame, k: Int, iters: Int,
-                 dim: Int = 64): (DataFrame, Array[(Int, Array[Double])]) = {
+                 dim: Int = 64): (DataFrame, Array[(Int, Array[Double])]) =
+    kmeansFullImpl(emb, k, iters, dim, coarseGroups = 0, coarseProbes = 0)
+
+  /** Large-k TRAINING (the k ≈ 10³⁺ learned-IVF codebook): Lloyd's with
+    * the two-level coarse-then-fine scan of [[assignToCentroids]]
+    * INSIDE every round — per round the current codebook is grouped
+    * driver-side ([[groupCodebook]] over k·dim doubles, trivial) and
+    * each corpus vector evaluates g + p·k/g centroid distances instead
+    * of k, making the per-iteration cost sublinear in k. Standard
+    * IMI-style approximate training: a vector whose true nearest cell's
+    * group goes unprobed lands in its best probed cell that round —
+    * measured in PipelineScaleProbe (`train4096`) as marginal
+    * within-cluster-distance inflation on clustered data. The
+    * bit-exact contract queries keep [[kmeansFull]]'s dense rounds. */
+  def kmeansFullTwoLevel(emb: DataFrame, k: Int, iters: Int, dim: Int = 64,
+                         coarseGroups: Int = 64, coarseProbes: Int = 8)
+      : (DataFrame, Array[(Int, Array[Double])]) = {
+    require(coarseGroups > 0, s"coarseGroups must be > 0, got $coarseGroups")
+    kmeansFullImpl(emb, k, iters, dim, coarseGroups, coarseProbes)
+  }
+
+  private def kmeansFullImpl(emb: DataFrame, k: Int, iters: Int, dim: Int,
+                             coarseGroups: Int, coarseProbes: Int)
+      : (DataFrame, Array[(Int, Array[Double])]) = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
     val spark = emb.sparkSession
     import spark.implicits._
@@ -72,23 +96,38 @@ object Clustering {
     var cents: Array[(Int, Array[Double])] = q.orderBy("vec_id").take(k)
       .zipWithIndex.map { case ((_, v), i) => (i, v) }
 
-    def assigned(cs: Array[(Int, Array[Double])]) = {
-      val bc = spark.sparkContext.broadcast(cs)
-      q.mapPartitions { it =>
-        val centroids = bc.value
-        it.map { case (id, v) =>
-          var bestCl = -1
-          var bestD = Double.MaxValue
-          centroids.foreach { case (cl, c) =>
-            var d = 0.0
-            var j = 0
-            while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-            if (d < bestD || (d == bestD && cl < bestCl)) { bestD = d; bestCl = cl }
+    def assigned(cs: Array[(Int, Array[Double])]) =
+      if (coarseGroups <= 0) {
+        val bc = spark.sparkContext.broadcast(cs)
+        q.mapPartitions { it =>
+          val centroids = bc.value
+          it.map { case (id, v) =>
+            var bestCl = -1
+            var bestD = Double.MaxValue
+            centroids.foreach { case (cl, c) =>
+              var d = 0.0
+              var j = 0
+              while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+              if (d < bestD || (d == bestD && cl < bestCl)) { bestD = d; bestCl = cl }
+            }
+            (id, bestCl, bestD, v)
           }
-          (id, bestCl, bestD, v)
+        }
+      } else {
+        val (coarse, members) = groupCodebook(cs, coarseGroups)
+        val p = math.min(coarseProbes, coarse.length)
+        val bcC = spark.sparkContext.broadcast(coarse)
+        val bcM = spark.sparkContext.broadcast(members)
+        val bcF = spark.sparkContext.broadcast(cs)
+        q.mapPartitions { it =>
+          val cc = bcC.value; val mem = bcM.value; val fine = bcF.value
+          val gd = new Array[Double](cc.length)
+          it.map { case (id, v) =>
+            val (cl, d) = twoLevelScan(cc, mem, fine, p, gd, v)
+            (id, cl, d, v)
+          }
         }
       }
-    }
 
     for (_ <- 1 until iters) {
       // exact element-wise sums: k rows of dense accumulators per
@@ -183,47 +222,59 @@ object Clustering {
         val cc = bcC.value; val mem = bcM.value; val fine = bcF.value
         val gd = new Array[Double](cc.length)   // reused per vector
         it.map { case (id, v) =>
-          // coarse distances, then p rounds of allocation-free min
-          // selection (strict < keeps the lowest group id on ties —
-          // the deterministic order the dense path uses)
-          var g = 0
-          while (g < cc.length) {
-            val c = cc(g)
-            var d = 0.0
-            var j = 0
-            while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-            gd(g) = d
-            g += 1
-          }
-          var bestCl = -1
-          var bestD = Double.MaxValue
-          var pi = 0
-          while (pi < p) {
-            var sel = -1
-            var selD = Double.MaxValue
-            var gi = 0
-            while (gi < cc.length) {
-              if (gd(gi) < selD) { selD = gd(gi); sel = gi }
-              gi += 1
-            }
-            gd(sel) = Double.PositiveInfinity   // exclude from later rounds
-            val ms = mem(sel)
-            var mi = 0
-            while (mi < ms.length) {
-              val (cl, c) = fine(ms(mi))
-              var d = 0.0
-              var j = 0
-              while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-              if (d < bestD || (d == bestD && cl < bestCl)) { bestD = d; bestCl = cl }
-              mi += 1
-            }
-            pi += 1
-          }
-          (id, bestCl, bestD)
+          val (cl, d) = twoLevelScan(cc, mem, fine, p, gd, v)
+          (id, cl, d)
         }
       }
         .toDF("vec_id", "cluster", "dist2")
     }
+  }
+
+  /** One two-level nearest-centroid scan — the shared kernel of
+    * [[assignToCentroids]] and [[kmeansFullTwoLevel]]'s training
+    * rounds: coarse distances into the caller-owned `gd` scratch
+    * (allocation-free across vectors), then a fine scan of the `p`
+    * nearest groups' members. Strict `<` on the group selection keeps
+    * the lowest group id on ties; the fine scan uses the same
+    * fixed-order fold + cluster-id tie-break as the dense path, so
+    * within the probed set the choice is bit-identical to dense. */
+  private def twoLevelScan(cc: Array[Array[Double]], mem: Array[Array[Int]],
+                           fine: Array[(Int, Array[Double])], p: Int,
+                           gd: Array[Double], v: Array[Double]): (Int, Double) = {
+    var g = 0
+    while (g < cc.length) {
+      val c = cc(g)
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+      gd(g) = d
+      g += 1
+    }
+    var bestCl = -1
+    var bestD = Double.MaxValue
+    var pi = 0
+    while (pi < p) {
+      var sel = -1
+      var selD = Double.MaxValue
+      var gi = 0
+      while (gi < cc.length) {
+        if (gd(gi) < selD) { selD = gd(gi); sel = gi }
+        gi += 1
+      }
+      gd(sel) = Double.PositiveInfinity   // exclude from later rounds
+      val ms = mem(sel)
+      var mi = 0
+      while (mi < ms.length) {
+        val (cl, c) = fine(ms(mi))
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        if (d < bestD || (d == bestD && cl < bestCl)) { bestD = d; bestCl = cl }
+        mi += 1
+      }
+      pi += 1
+    }
+    (bestCl, bestD)
   }
 
   /** Cluster a codebook into coarse groups, driver-side: deterministic

@@ -48,7 +48,11 @@ import graft.pipeline._
   *                k = 4096 — dense O(k) scan vs the two-level
   *                (coarse-then-fine) path at g = 64 groups and probe
   *                counts {4, 8, 16}: wall time, exact-agreement
-  *                fraction, and assigned-distance inflation vs dense.
+  *                fraction, and assigned-distance inflation vs dense;
+  *  - `train4096`: large-k TRAINING — full Lloyd's at k = 4096 (and
+  *                k = 1024 for the sublinearity pin) on 1M × 64-dim:
+  *                dense rounds vs kmeansFullTwoLevel, wall/iteration,
+  *                assignment recall + k-means objective ratio vs dense.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -64,7 +68,7 @@ object PipelineScaleProbe {
                      Set("minhash", "clusters", "ann", "banded", "packing", "decontam",
                        "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
                        "vocab", "pq", "weighted", "hotbucket", "incremental",
-                       "simhash", "assign2level")
+                       "simhash", "assign2level", "train4096")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -99,6 +103,25 @@ object PipelineScaleProbe {
                  t -> concat('w', pmod(hash(gid, t), 1000))), ' '),
                CASE WHEN id % 10 = 1 THEN ' dupmarker' ELSE '' END) AS text""",
           "'syn' AS source")
+
+    /** CLUSTERED corpus (what a real embedding table looks like, and
+      * the only regime where a learned IVF means anything): each
+      * vector = its seed vector (hash-derived, one of `kSeeds`) + 0.15
+      * noise. Uniform random vectors are the adversarial case for
+      * coarse pruning — distance concentration makes every cell
+      * boundary arbitrary — and a uniform probe measured exactly that
+      * (36% agreement at p=4); clustered data is the honest workload. */
+    def seedExpr(idCol: String) =
+      s"transform(sequence(0, 63), j -> CAST(hash($idCol, j, 3) AS DOUBLE) / 2.147483647e9)"
+    def clusteredVectors(nVecs: Long, kSeeds: Int): DataFrame =
+      spark.range(nVecs)
+        // BIGINT seed: Spark's hash() is type-dependent, an INT seed
+        // would hash differently than the codebook's BIGINT range ids
+        .withColumn("seed", pmod(hash(col("id"), lit(1)), lit(kSeeds)).cast("long"))
+        .selectExpr("id AS vec_id",
+          s"""zip_with(${seedExpr("seed")},
+                transform(sequence(0, 63), j -> CAST(hash(id, j, 5) AS DOUBLE) / 2.147483647e9),
+                (s, n) -> CAST(s + 0.15e0 * n AS FLOAT)) AS embedding""")
 
     /** nVecs 64-dim vectors, uniform(-1,1) per component; ids ≡ 0
       * (mod 20) get a planted partner at id+1 (component noise 0.1 →
@@ -520,29 +543,13 @@ object PipelineScaleProbe {
       // the trained-codebook sizes where the dense O(k·dim)/vector scan
       // stops being free). Codebook = the first 4096 corpus vectors in
       // quantized space (assignment COST does not depend on codebook
-      // quality; Lloyd-training 4096 cells is a separate, paid-once
-      // concern). Dense scan vs two-level at g = 64 = √k coarse groups:
+      // quality; Lloyd-TRAINING 4096 cells is probed in `train4096`).
+      // Dense scan vs two-level at g = 64 = √k coarse groups:
       // g + p·k/g = 64 + p·64 evaluations per vector instead of 4096
-      // (16× less arithmetic at p = 4).
-      // CLUSTERED corpus (what a real embedding table looks like, and
-      // the only regime where a learned IVF means anything): each
-      // vector = its seed vector (hash-derived, one of 4096) + 0.15
-      // noise; the codebook = the 4096 exact seeds. Uniform random
-      // vectors are the adversarial case for coarse pruning — distance
-      // concentration makes every cell boundary arbitrary — and a
-      // uniform probe measured exactly that (36% agreement at p=4);
-      // clustered data is the honest workload.
+      // (16× less arithmetic at p = 4). Corpus: clusteredVectors (the
+      // honest workload — see its doc); codebook = the 4096 exact seeds.
       import spark.implicits._
-      def seedExpr(idCol: String) =
-        s"transform(sequence(0, 63), j -> CAST(hash($idCol, j, 3) AS DOUBLE) / 2.147483647e9)"
-      val emb1m = spark.range(1000000L)
-        // BIGINT seed: Spark's hash() is type-dependent, an INT seed
-        // would hash differently than the codebook's BIGINT range ids
-        .withColumn("seed", pmod(hash(col("id"), lit(1)), lit(4096)).cast("long"))
-        .selectExpr("id AS vec_id",
-          s"""zip_with(${seedExpr("seed")},
-                transform(sequence(0, 63), j -> CAST(hash(id, j, 5) AS DOUBLE) / 2.147483647e9),
-                (s, n) -> CAST(s + 0.15e0 * n AS FLOAT)) AS embedding""")
+      val emb1m = clusteredVectors(1000000L, 4096)
       val cents: Array[(Int, Array[Double])] =
         Clustering.quantized(
           spark.range(4096L).selectExpr("id AS vec_id", s"transform(${seedExpr("id")}, x -> CAST(x AS FLOAT)) AS embedding"),
@@ -571,6 +578,49 @@ object PipelineScaleProbe {
         if (p == 16) require(st.getDouble(0) > 0.9,
           s"two-level p=16 agreement ${st.getDouble(0)}")
       }
+    }
+
+    if (sections("train4096")) {
+      // large-k TRAINING (r6 verdict #6 follow-through): full Lloyd's
+      // at k = 4096 on the clustered 1M × 64-dim corpus — dense rounds
+      // (kmeansFull, the bit-exact contract path: O(n·k·dim) per
+      // round) vs kmeansFullTwoLevel (the two-level scan inside every
+      // round: g + p·k/g evaluations per vector). k = 1024 two-level
+      // alongside pins the SUBLINEAR-in-k claim: 4× the cells must
+      // cost ~2× per iteration (g + p·k/g doubles when k quadruples at
+      // g = √k), where dense would cost 4×.
+      import spark.implicits._
+      val emb1m = clusteredVectors(1000000L, 4096)
+      val iters = 3
+      def trained(tag: String, f: => (org.apache.spark.sql.DataFrame, Array[(Int, Array[Double])]))
+          : DataFrame = {
+        val t0 = System.nanoTime()
+        val (asg, _) = f                       // Lloyd update rounds run eagerly here
+        val out = asg.localCheckpoint()        // + the final assignment pass
+        val n = out.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"$tag%-52s $wall%8.2f s  (${wall / iters}%.2f s/iter)  rows=$n")
+        out
+      }
+      val dn = trained(s"DENSE training  k=4096, $iters iters, 1M vecs",
+        Clustering.kmeansFull(emb1m, 4096, iters))
+      val tw = trained(s"two-level training k=4096 g=64 p=8, $iters iters",
+        Clustering.kmeansFullTwoLevel(emb1m, 4096, iters, coarseGroups = 64, coarseProbes = 8))
+      trained(s"two-level training k=1024 g=32 p=8, $iters iters",
+        Clustering.kmeansFullTwoLevel(emb1m, 1024, iters, coarseGroups = 32, coarseProbes = 8))
+      // quality: the k-means objective (total within-cluster squared
+      // distance) of the approximately-trained model vs dense, plus
+      // assignment recall (fraction landing in the same cell as the
+      // dense-trained model — codebooks drift between the two
+      // trainings, so this is a conservative lower bound on quality)
+      val j = dn.select(col("vec_id"), col("cluster").as("cd"), col("dist2").as("dd"))
+        .join(tw.select(col("vec_id"), col("cluster").as("ct"), col("dist2").as("dt")), "vec_id")
+      val st = j.selectExpr("avg(IF(cd = ct, 1.0e0, 0.0e0)) AS recall",
+        "sum(dt) / sum(dd) AS objective_ratio").head()
+      println(f"  k=4096 two-level vs dense: assignment recall=${st.getDouble(0)}%.4f" +
+        f"  objective ratio=${st.getDouble(1)}%.6f")
+      require(st.getDouble(1) < 1.05,
+        s"two-level training objective inflation ${st.getDouble(1)}")
     }
 
     println(s"== plan failures: $planFailures")

@@ -1392,6 +1392,20 @@ class PipelineSpec extends AnyFunSuite {
     val agree = trained.count { case (id, (cl, _)) => one(id) == cl }.toDouble / trained.size
     info(f"two-level p=1/g=2 agreement vs dense: $agree%.3f")
     assert(agree > 0.8, s"two-level p=1 agreement collapsed: $agree")
+    // two-level TRAINING with p = g probes every group in every Lloyd
+    // round, so the whole training trajectory — every per-round
+    // assignment, hence every centroid update — is bit-identical to
+    // dense training (same fold order, same tie-breaks)
+    val (asgTL, centsTL) = Clustering.kmeansFullTwoLevel(emb, 4, 2,
+      coarseGroups = 2, coarseProbes = 2)
+    assert(asgTL.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap === trained,
+      "two-level training with p = g must equal dense training bit-for-bit")
+    assert(centsTL.map { case (i, c) => (i, c.toSeq) }.toSeq ===
+      cents.map { case (i, c) => (i, c.toSeq) }.toSeq)
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansFullTwoLevel(emb, 4, 2, coarseGroups = 0)
+    }
     intercept[IllegalArgumentException] { Sampling.shuffleOrder(docs, "t", 7) }
     intercept[IllegalArgumentException] { Sampling.temperatureMixRates(docs, 1001) }
     intercept[IllegalArgumentException] { TextOps.chunkDocs(docs, 8, 9) }
