@@ -1060,6 +1060,38 @@ object RegridQueries {
       Some(s"""SELECT * FROM (${applySql(
           nearestS2DSql(gridSql(gridIn), locSql(locs4)),
           s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${gridSql(gridIn)}) g",
-          locSql(locs4))}) a ORDER BY cell_id"""))
+          locSql(locs4))}) a ORDER BY cell_id""")),
+
+    QueryDef("q_regrid_locstream",
+      // the locstream-OUT method matrix end-to-end through the
+      // Regridder facade (reference frontend.py:178-184: locstream
+      // output admits bilinear, patch, nearest_s2d, nearest_d2s —
+      // conservative is rejected, pinned by scalatest): one union
+      // branch per admitted method, each the full build-weights →
+      // apply pipeline onto the reference's 4-point locstream
+      // (test_frontend.py:28-31). Previously this matrix was verified
+      // only in scalatest (r6 verdict #7) — this puts it through the
+      // DuckDB hash gate.
+      (s, _) => {
+        val methods = Seq(
+          RegridMethod.Bilinear, RegridMethod.Patch,
+          RegridMethod.NearestS2D, RegridMethod.NearestD2S)
+        methods.map { m =>
+          val r = new Regridder(s, RectDef(gridIn), LocDef(locs4), m)
+          r.apply(waveField(s)).withColumn("regrid_method", lit(m.name))
+        }.reduce(_.unionByName(_)).orderBy("regrid_method", "cell_id")
+      },
+      Some {
+        val fSql = s"SELECT cell_id, ${waveSql("lon", "lat")} AS value FROM (${gridSql(gridIn)}) g"
+        Seq(
+          "bilinear" -> bilinearSql(gridIn, locSql(locs4), periodic = false),
+          "patch" -> patchSql(gridIn, locSql(locs4)),
+          "nearest_s2d" -> nearestS2DSql(gridSql(gridIn), locSql(locs4)),
+          "nearest_d2s" -> nearestD2SSql(gridSql(gridIn), locSql(locs4)))
+          .map { case (nm, wSql) =>
+            s"""SELECT a.cell_id, a.value, '$nm' AS regrid_method
+                FROM (${applySql(wSql, fSql, locSql(locs4))}) a"""
+          }.mkString("", " UNION ALL ", " ORDER BY regrid_method, cell_id")
+      })
   )
 }
