@@ -1688,4 +1688,27 @@ class PipelineSpec extends AnyFunSuite {
     all.select("doc_id", "n_tokens").collect()
       .foreach(r => assert(r.getLong(1) === nTok(r.getLong(0))))
   }
+
+  test("bench foreign-load telemetry: /proc readers are sane and monotonic") {
+    // the load gate's inputs (Bench.busyJiffies from /proc/stat,
+    // Bench.selfCpuSec from /proc/self/stat) must parse on this
+    // platform and move in the right direction under real cpu work —
+    // a silent parse regression would disable the gate (-1 sentinels)
+    // without failing any artifact field
+    val b0 = graft.Bench.busyJiffies()
+    val s0 = graft.Bench.selfCpuSec()
+    assert(b0 > 0, "busyJiffies must parse /proc/stat on Linux")
+    assert(s0 >= 0, "selfCpuSec must parse /proc/self/stat on Linux")
+    // burn ~200ms of cpu in this JVM; both counters must advance, and
+    // box busy must advance at least as much as our own cpu
+    val t0 = System.nanoTime()
+    var x = 0L
+    while (System.nanoTime() - t0 < 200e6) { x += 1 }
+    assert(x > 0)
+    val dSelf = graft.Bench.selfCpuSec() - s0
+    val dBusy = (graft.Bench.busyJiffies() - b0) / 100.0
+    assert(dSelf >= 0.0)
+    assert(dBusy >= dSelf - 0.05,
+      s"box busy cpu ($dBusy s) cannot lag this JVM's own cpu ($dSelf s)")
+  }
 }
