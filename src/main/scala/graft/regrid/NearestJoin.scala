@@ -56,6 +56,17 @@ object NearestJoin {
     *                    round.
     * @return (probe_id, point_id, dist) with dist = rounded sq-half-chord
     */
+  /** Searched sets at or below this size skip the tile machinery for
+    * one exact argmin against the broadcast point set: per probe that
+    * is ≤ 64 distance evaluations — comparable to a tile round's
+    * candidate list — with NONE of the per-round job overhead
+    * (auto-radius count, localCheckpoints, isEmpty actions, widening
+    * retries). A 4-point locstream destination paid 2.5 s of that
+    * overhead per build for a 270×4 problem (r7 verdict #2). Scale-safe
+    * by the same bound: candidates = O(64 · n_probes), linear in the
+    * probe side, and the broadcast side is at most 64 rows. */
+  val smallPtsMax = 64L
+
   def nearest(points: DataFrame, probes: DataFrame,
               initBandDeg: Double = 0.0, maxRounds: Int = 5): DataFrame = {
     val pts = points.select(col("id").as("point_id"),
@@ -64,12 +75,25 @@ object NearestJoin {
     // points over the sphere's ~41253 sq-deg (one count() at build
     // time); clustered point sets under-estimate and simply take a
     // second widening round
+    val nPts = if (initBandDeg > 0) -1L else math.max(1L, pts.count())
+    if (initBandDeg <= 0 && nPts <= smallPtsMax) {
+      // tiny searched set: exact argmin over all pairs. Identical
+      // result to a converged tile search (same rounded distance, same
+      // (dist, point_id) tie-break), audited-benign BNLJ (≤64-row
+      // broadcast side by construction).
+      val cand = probes.select(col("id").as("probe_id"),
+          col("lon").as("q_lon"), col("lat").as("q_lat"))
+        .crossJoin(broadcast(pts))
+        .withColumn("dist",
+          Rounding.r9(sqChord(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat"))))
+      return cand
+        .groupBy(col("probe_id"))
+        .agg(min(struct(col("dist"), col("point_id"))).as("m"))
+        .select(col("probe_id"), col("m.point_id").as("point_id"), col("m.dist").as("dist"))
+    }
     val r0 =
       if (initBandDeg > 0) initBandDeg
-      else {
-        val n = math.max(1L, pts.count())
-        math.min(90.0, math.max(0.05, 2.5 * math.sqrt(41253.0 / n)))
-      }
+      else math.min(90.0, math.max(0.05, 2.5 * math.sqrt(41253.0 / nPts)))
 
     var remaining = probes.select(col("id").as("probe_id"),
       col("lon").as("q_lon"), col("lat").as("q_lat"))
