@@ -1020,6 +1020,25 @@ object PipelineQueries {
         SELECT vec_id, cl AS cluster, ${r9("d")} AS dist2 FROM a$kmIters
         ORDER BY vec_id""")),
 
+    QueryDef("q_kmeans_twolevel",
+      // the LARGE-K training scale path (kmeansFullTwoLevel: the
+      // two-level coarse-then-fine scan inside every Lloyd round,
+      // per-iteration cost sublinear in k — probe-measured at k=4096
+      // on 1M vectors) under the DuckDB hash gate: with p = g every
+      // coarse group is probed, so every per-round assignment — hence
+      // the whole training trajectory — is bit-identical to the dense
+      // rounds (scalatest-pinned), and the q_kmeans oracle applies
+      // VERBATIM (r7 verdict #4: prove the scale path through the
+      // oracle channel, not only scalatest).
+      (s, dir) => Clustering.kmeansFullTwoLevel(emb(s, dir), kmK, kmIters,
+          coarseGroups = 4, coarseProbes = 4)._1
+        .select(col("vec_id"), col("cluster"),
+          graft.regrid.Rounding.r9(col("dist2")).as("dist2"))
+        .orderBy("vec_id"),
+      Some(s"""WITH $kmeansCtes
+        SELECT vec_id, cl AS cluster, ${r9("d")} AS dist2 FROM a$kmIters
+        ORDER BY vec_id""")),
+
     QueryDef("q_ann_ivf_learned",
       // IVF with LEARNED cells: nearest-k-means-centroid replaces the
       // sign bucket — data-adaptive cells, same one-equi-join plan

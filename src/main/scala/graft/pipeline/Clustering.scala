@@ -81,6 +81,9 @@ object Clustering {
                          coarseGroups: Int = 64, coarseProbes: Int = 8)
       : (DataFrame, Array[(Int, Array[Double])]) = {
     require(coarseGroups > 0, s"coarseGroups must be > 0, got $coarseGroups")
+    // ADVICE r7: probes = 0 would make the two-level scan probe NOTHING
+    // and silently assign every vector cluster -1 / dist2 = MaxValue
+    require(coarseProbes >= 1, s"coarseProbes must be >= 1, got $coarseProbes")
     kmeansFullImpl(emb, k, iters, dim, coarseGroups, coarseProbes)
   }
 
@@ -192,6 +195,10 @@ object Clustering {
                         coarseGroups: Int = 0,
                         coarseProbes: Int = 4): DataFrame = {
     require(cents.nonEmpty, "assignToCentroids needs at least one centroid")
+    // same silent-garbage guard as kmeansFullTwoLevel: a two-level call
+    // (coarseGroups > 0) with zero probes scans no cells at all
+    require(coarseGroups <= 0 || coarseProbes >= 1,
+      s"coarseProbes must be >= 1 when coarseGroups > 0, got $coarseProbes")
     val spark = emb.sparkSession
     import spark.implicits._
     val q = quantized(emb, cents.head._2.length).as[(Long, Array[Double])]
