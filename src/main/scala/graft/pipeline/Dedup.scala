@@ -269,16 +269,40 @@ object Dedup {
     * never recomputes rounds 1..k−1 (the NearestJoin discipline).
     * Documents appearing in no pair are absent from the output —
     * they are their own cluster. */
-  def clusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame =
+    clustersWithRounds(pairs, maxRounds)._1
+
+  /** [[clusters]] plus the number of propagation/pointer-jump rounds
+    * it took to converge — the observable the O(log diameter) claim
+    * is checked against (PipelineScaleProbe `ccrounds` measures
+    * rounds vs planted chain diameter; PLANS.md records the curve). */
+  def clustersWithRounds(pairs: DataFrame, maxRounds: Int = 20): (DataFrame, Int) = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint with block-manager HYGIENE: the loop checkpoints
+    // two relations per round, and without explicit release every
+    // round's blocks stay resident for the whole loop — ~2·rounds·n
+    // rows of dead weight that at probe scale (25M nodes, 11 rounds)
+    // was enough to OOM the executors. `ckpt` records which persistent
+    // RDD each checkpoint created (eager, single-threaded driver loop)
+    // so a round can free its predecessor's blocks the moment the new
+    // checkpoint is materialized.
+    def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      ((out, (sc.getPersistentRDDs.keySet -- before).toSeq))
+    }
+    def free(ids: Seq[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // materialize the pair input once — the symmetric edge union below
     // references it twice, and the upstream is typically a full LSH
     // pipeline that must not run twice
-    val p = pairs.select(col("a"), col("b")).localCheckpoint()
-    val edges = p.select(col("a").as("x"), col("b").as("y"))
+    val (p, pIds) = ckpt(pairs.select(col("a"), col("b")))
+    val (edges, _) = ckpt(p.select(col("a").as("x"), col("b").as("y"))
       .unionByName(p.select(col("b").as("x"), col("a").as("y")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+      .distinct())
+    free(pIds)   // edges is self-contained; the raw pair copy can go
+    var (labels, liveIds) = ckpt(edges.select(col("x").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     var round = 0
     var changed = 1L
     while (round < maxRounds && changed > 0) {
@@ -292,14 +316,16 @@ object Dedup {
       // the prior labels relation (that join was ~+50% of the round's
       // shuffle work): the check is a shuffle-free scan-count over the
       // already-checkpointed partitions.
-      val stepped = labels.join(viaEdge, Seq("id"), "left")
+      val (stepped, steppedIds) = ckpt(labels.join(viaEdge, Seq("id"), "left")
         .select(col("id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val jumped = stepped
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      val (jumped, jumpedIds) = ckpt(stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
-        .select(col("id"), col("old"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .select(col("id"), col("old"), coalesce(col("lbl2"), col("lbl")).as("lbl")))
+      // jumped is materialized and self-contained: the previous
+      // round's labels and this round's intermediate can be freed
+      free(liveIds); free(steppedIds)
+      liveIds = jumpedIds
       changed = jumped.filter(col("lbl") =!= col("old")).count()
       labels = jumped.select("id", "lbl")
       round += 1
@@ -309,7 +335,7 @@ object Dedup {
     require(changed == 0,
       s"duplicate-cluster labeling did not converge in $maxRounds rounds " +
         "(component deeper than 2^maxRounds?); raise maxRounds")
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")), round)
   }
 
   /** Retained representative per duplicate cluster by SCORE (argmax,

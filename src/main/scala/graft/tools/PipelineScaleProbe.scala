@@ -52,7 +52,11 @@ import graft.pipeline._
   *  - `train4096`: large-k TRAINING — full Lloyd's at k = 4096 (and
   *                k = 1024 for the sublinearity pin) on 1M × 64-dim:
   *                dense rounds vs kmeansFullTwoLevel, wall/iteration,
-  *                assignment recall + k-means objective ratio vs dense.
+  *                assignment recall + k-means objective ratio vs dense;
+  *  - `ccrounds`: connected-components convergence curve — pointer-
+  *                jumping rounds vs planted chain diameter (4→256) at
+  *                100k chains each, asserting rounds ≤ log2(d) + 3
+  *                and that the early exit fires far below maxRounds.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -68,7 +72,7 @@ object PipelineScaleProbe {
                      Set("minhash", "clusters", "ann", "banded", "packing", "decontam",
                        "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
                        "vocab", "pq", "weighted", "hotbucket", "incremental",
-                       "simhash", "assign2level", "train4096")
+                       "simhash", "assign2level", "train4096", "ccrounds")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -292,6 +296,40 @@ object PipelineScaleProbe {
           .filter(col("cluster_id") =!= 10000000L).count()
         require(chainOk == 0, s"$chainOk chain nodes not collapsed")
         lbl.count()
+      }
+    }
+    if (sections("ccrounds")) {
+      // CC convergence curve (r7 verdict #6): pointer-jumping rounds
+      // vs PLANTED component diameter, at a CONSTANT 6.4M nodes per
+      // trial (~100× the heaviest contract graph) so diameter is the
+      // only variable — chains of length L, 6.4M/L of them, where the
+      // worst-case min-label distance is exactly the diameter L−1.
+      // Expected rounds ≈ log2(diameter) + O(1): each round is one
+      // neighbor propagation THEN one label(label) jump, so label
+      // pointers at least double their reach per round. The early-exit
+      // contract — the loop stops on the first changed = 0 round,
+      // never running to maxRounds on a converged labeling — is
+      // asserted as rounds ≤ log2(d) + 3 ≪ maxRounds.
+      Seq(4, 16, 64, 256).foreach { len =>
+        val nChains = 6400000L / len
+        val edges = spark.range(nChains * (len - 1))
+          // chain c occupies ids [c·len, (c+1)·len): link i → i+1
+          .selectExpr(s"(id DIV ${len - 1}) * $len + (id % ${len - 1}) AS a",
+            s"(id DIV ${len - 1}) * $len + (id % ${len - 1}) + 1 AS b")
+        var rounds = -1
+        time(f"ccrounds chains len=$len%-4d (diam ${len - 1})") {
+          val (lbl, r) = Dedup.clustersWithRounds(edges, maxRounds = 25)
+          rounds = r
+          // every node must carry its chain's min id
+          val bad = lbl.filter(col("cluster_id") =!= (col("doc_id").cast("long") / len).cast("long") * len)
+            .count()
+          require(bad == 0, s"$bad nodes mislabeled at len=$len")
+          lbl.count()
+        }
+        val bound = (math.log(len - 1) / math.log(2)).ceil.toInt + 3
+        println(f"  ccrounds len=$len%-4d rounds=$rounds (log2-bound $bound, maxRounds 25)")
+        require(rounds <= bound,
+          s"pointer jumping took $rounds rounds for diameter ${len - 1} (bound $bound)")
       }
     }
 
