@@ -26,6 +26,17 @@ object Drive {
     println(s"=== $name rows=${df.count()}")
     df.show(5, truncate = false)
     if (args.contains("explain")) df.explain("formatted")
+    // `time` mode: N warm repeats of the FULL query build+run (fresh
+    // DataFrame each round, like the bench), walls printed per round
+    if (args.contains("time")) {
+      val n = 5
+      val walls = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"=== time $name: ${walls.map(w => f"$w%.2f").mkString(" ")} (min ${walls.min}%.2f)")
+    }
     spark.stop()
   }
 }
