@@ -415,6 +415,24 @@ class PipelineSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("clustersWithRounds: log2 convergence count + block-manager hygiene") {
+    import spark.implicits._
+    // 65-node chain: diameter 64, pointer jumping must converge in
+    // ~log2(64) + 1 = 7 rounds (the ccrounds probe measures the full
+    // curve at 6.4M nodes; this pins the observable in-suite)
+    val chain = (0 until 64).map(i => (i.toLong, i.toLong + 1))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (lbl, rounds) = Dedup.clustersWithRounds(chain.toDF("a", "b"), maxRounds = 12)
+    assert(lbl.filter(col("cluster_id") =!= 0L).count() === 0, "chain collapses to min id")
+    assert(rounds <= 8, s"diameter 64 took $rounds rounds (log2 bound ~7)")
+    // checkpoint hygiene: superseded rounds' blocks are freed as the
+    // loop goes — only edges + the final labels survive the call, not
+    // 2 blocks per round (the shape that OOM'ed the 25M-node probe)
+    val live = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(live.size <= 3,
+      s"${live.size} checkpoint RDDs still persisted after clusters (expect <= 3: edges + final)")
+  }
+
   test("sessions partition the event stream: counts add up, gaps split") {
     val s = Events.sessions(events, 30)
     assert(s.agg(sum("n_events")).head().getLong(0) === events.count())

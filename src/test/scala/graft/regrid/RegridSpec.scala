@@ -261,6 +261,28 @@ class RegridSpec extends AnyFunSuite {
     assert(r.weights.count() === 1)
   }
 
+  test("NearestJoin tiny-set fast path == tile path, row for row") {
+    // auto mode routes searched sets <= smallPtsMax through the exact
+    // broadcast argmin; an explicit initBandDeg forces the tile rounds.
+    // Same points, same probes: the two paths must agree on every
+    // (probe, point, rounded dist) — the fast path is an optimization,
+    // never a semantics change. Probes include a pole and both seam
+    // sides (the tile path's special-cased regions).
+    val pts = Seq((0L, 0.0, -20.0), (1L, 5.0, -10.0), (2L, 10.0, 0.0), (3L, 15.0, 10.0))
+    val probes = Seq((0L, -179.5, -89.0), (1L, 179.5, 45.0), (2L, 0.25, -15.0),
+      (3L, 12.0, 5.0), (4L, -90.0, 89.5), (5L, 100.0, 0.0))
+    import spark.implicits._
+    val ptsDf = pts.toDF("id", "lon", "lat")
+    val probesDf = probes.toDF("id", "lon", "lat")
+    assert(pts.size <= NearestJoin.smallPtsMax)
+    def rows(df: DataFrame) = df.orderBy("probe_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fast = rows(NearestJoin.nearest(ptsDf, probesDf))             // auto → fast path
+    val tiled = rows(NearestJoin.nearest(ptsDf, probesDf, initBandDeg = 60.0))
+    assert(fast === tiled)
+    assert(fast.map(_._1) === probes.map(_._1), "one row per probe")
+  }
+
   test("locstream OUTPUT works for bilinear and patch (method matrix, frontend.py:178-184)") {
     // 4 interior points: bilinear/patch to a locstream destination must
     // interpolate the analytic field closely
