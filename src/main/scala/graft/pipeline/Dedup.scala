@@ -282,14 +282,20 @@ object Dedup {
     // two relations per round, and without explicit release every
     // round's blocks stay resident for the whole loop — ~2·rounds·n
     // rows of dead weight that at probe scale (25M nodes, 11 rounds)
-    // was enough to OOM the executors. `ckpt` records which persistent
-    // RDD each checkpoint created (eager, single-threaded driver loop)
-    // so a round can free its predecessor's blocks the moment the new
-    // checkpoint is materialized.
+    // was enough to OOM the executors. `ckpt` reads the persisted RDD
+    // id straight off the returned Dataset's LogicalRDD plan — EXACTLY
+    // the blocks this checkpoint created, never an upstream `.cache()`
+    // that happened to materialize during the eager checkpoint scan
+    // (a getPersistentRDDs set-diff would capture and later kill such
+    // a caller-owned cache) — so a round can free its predecessor the
+    // moment the new checkpoint is materialized.
     def ckpt(df: DataFrame): (DataFrame, Seq[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
-      ((out, (sc.getPersistentRDDs.keySet -- before).toSeq))
+      val ids = out.queryExecution.logical match {
+        case r: org.apache.spark.sql.execution.LogicalRDD => Seq(r.rdd.id)
+        case _ => Nil   // unexpected plan shape: keep blocks, stay correct
+      }
+      (out, ids)
     }
     def free(ids: Seq[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
