@@ -23,14 +23,12 @@ object PipelineQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
-  /** The events table carries nanosecond timestamps, which Spark's
-    * parquet reader rejects; read them as long and floor to micros.
-    * The oracle applies the identical truncation (`epoch_ns // 1000`). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
+  /** Events table, `ts` normalized to micro-precision TimestampType
+    * regardless of which encoding the generator used (see
+    * [[graft.pipeline.Events.load]]); the oracle's
+    * `epoch_ns(ts) // 1000` truncation is equally encoding-agnostic. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Events.load(s, dir)
 
   private val evCte =
     """SELECT event_id, user_id, event_type, value,

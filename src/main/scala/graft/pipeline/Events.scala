@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Time-series operators over the `events` table.
   *
@@ -12,6 +13,24 @@ import org.apache.spark.sql.functions._
   * back to DOUBLE (float sums would differ by summation order).
   */
 object Events {
+
+  /** Read the events table tolerating both generator encodings of `ts`:
+    * int64 epoch-nanos (Spark's parquet reader rejects nanos unless
+    * read back as long, then floored to micros) and native parquet
+    * `timestamp[us]` (read as TIMESTAMP_NTZ). Either way the output is
+    * session-TZ TimestampType at microsecond precision — under the
+    * UTC sessions used everywhere here that is value-identical to the
+    * oracle's `make_timestamp(epoch_ns(ts) // 1000)`, which is equally
+    * encoding-agnostic on the DuckDB side. */
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType           => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                  => raw
+    }
+  }
 
   /** Tumbling 1-hour window per event type: count, exact sum, users. */
   def hourly(events: DataFrame): DataFrame =

@@ -22,11 +22,7 @@ class PipelineSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
   def docs: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
   def emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
+  def events: DataFrame = Events.load(spark, sf)
 
   import spark.implicits._
 
@@ -556,8 +552,7 @@ class PipelineSpec extends AnyFunSuite {
       .map { case (e, t, u, et, v, p) =>
         (e, java.sql.Timestamp.valueOf(t), u, et, v, p) }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val ev = Events.load(spark, "/root/testdata/sf0.01")
       .unionByName(boundary)
     val static = Events.sessions(ev, 30)
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
