@@ -1728,4 +1728,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(dBusy >= dSelf - 0.05,
       s"box busy cpu ($dBusy s) cannot lag this JVM's own cpu ($dSelf s)")
   }
+
+  test("Events.load: both generator ts encodings produce identical TimestampType rows") {
+    // the testdata generator has shipped events.ts as int64 epoch-nanos
+    // (rounds ≤7) and as native parquet timestamp[us] (round 8) — the
+    // loader must normalize either to the same micro-precision
+    // session-TZ timestamps, or every events query silently forks on
+    // generator version. Write the SAME logical rows in both
+    // encodings, load each through Events.load, pin type + values.
+    val dirL = "target/spark-tmp/ev_enc_long"
+    val dirT = "target/spark-tmp/ev_enc_ts"
+    val micros = Seq(0L, 1700000000123456L, 1700003599999999L)
+    val base = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us, 7L, "a", 1.5, "") }
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    base.withColumn("ts", expr("us * 1000")).drop("us") // epoch-nanos long
+      .write.mode("overwrite").parquet(s"$dirL/events.parquet")
+    base.withColumn("ts", expr("CAST(timestamp_micros(us) AS TIMESTAMP_NTZ)")).drop("us")
+      .write.mode("overwrite").parquet(s"$dirT/events.parquet")
+    val l = Events.load(spark, dirL)
+    val t = Events.load(spark, dirT)
+    for (df <- Seq(l, t))
+      assert(df.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
+    val lv = l.select("event_id", "ts").collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).sortBy(_._1)
+    val tv = t.select("event_id", "ts").collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).sortBy(_._1)
+    assert(lv.toSeq === tv.toSeq)
+    // and the micros survive exactly (UTC session): epoch-millis from
+    // java.sql.Timestamp plus the sub-milli fraction
+    val us1 = t.filter(col("event_id") === 1).select("ts").collect()(0).getTimestamp(0)
+    assert(us1.getTime === 1700000000123L && us1.getNanos === 123456000)
+  }
 }
