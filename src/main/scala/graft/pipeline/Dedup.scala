@@ -105,13 +105,26 @@ object Dedup {
     * buckets (bounded by shingle collisions, not template mass) stay
     * under it. */
   def minhashLsh(docs: DataFrame, k: Int = 16, rowsPerBand: Int = 4,
-                 maxBucket: Option[Int] = None): DataFrame = {
-    // shared shingle relation (recomputed per consumer — measured
-    // faster than cache() at bench scale: the narrow re-scan pipelines
-    // into each consumer, while cache materialization pays a row-format
-    // conversion and breaks codegen at the boundary; revisit with
-    // persist(DISK) if the corpus scan itself ever dominates)
-    val sh = TextOps.shingleSet(docs, 5)
+                 maxBucket: Option[Int] = None,
+                 persistShingles: Boolean = false): DataFrame = {
+    // The shingle relation is referenced up to FIVE times per action
+    // (both band self-join sides — alias-renamed, so ReuseExchange
+    // cannot unify them — both intersection-join sides, and the sizes
+    // agg). Interleaved best-of-4 A/B (graft.tools.MinhashParts):
+    //  - 1M docs / 16M shingles: persist 31.7 s vs recompute 85.4 s
+    //    (2.7x), and far tighter spread (32-34 s vs 85-197 s — the 5x
+    //    re-evaluation's long critical path is what host co-tenancy
+    //    keeps amplifying);
+    //  - contract scale (sf0.1, ~60k docs): statistical tie
+    //    (1.48 vs 1.56 s min).
+    // Default stays false so the call keeps its lazy, side-effect-free
+    // contract (the flag's localCheckpoint is EAGER: it materializes
+    // at call time, blocks freed by the ContextCleaner once the plan
+    // is garbage-collected); large-corpus batch callers — and the
+    // 1M-doc probe — should pass true. Rows are identical either way
+    // (scalatest-pinned).
+    val sh0 = TextOps.shingleSet(docs, 5)
+    val sh = if (persistShingles) sh0.localCheckpoint() else sh0
     // signatures via the grouped chain: measured ~2x faster here than
     // the stateless per-row projection (4.2 vs 2.1 s at sf0.1 — the
     // md5-once exploded relation + map-side-combined min-aggs beat 16

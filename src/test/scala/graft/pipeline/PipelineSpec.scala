@@ -1729,6 +1729,15 @@ class PipelineSpec extends AnyFunSuite {
       s"box busy cpu ($dBusy s) cannot lag this JVM's own cpu ($dSelf s)")
   }
 
+  test("minhashLsh persistShingles changes evaluation strategy only, never rows") {
+    val base = Dedup.minhashLsh(docs).orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val per = Dedup.minhashLsh(docs, persistShingles = true).orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(per.toSeq === base.toSeq)
+    assert(base.nonEmpty)
+  }
+
   test("Events.load: both generator ts encodings produce identical TimestampType rows") {
     // the testdata generator has shipped events.ts as int64 epoch-nanos
     // (rounds ≤7) and as native parquet timestamp[us] (round 8) — the
