@@ -487,6 +487,28 @@ object PipelineQueries {
           floor((CAST(sum_score_n AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1.0e9) * 1.0e9 + 0.5e0) / 1.0e9 AS mean_quality
         FROM g ORDER BY source""")),
 
+    QueryDef("q_length_quantiles",
+      // X38: exact corpus order statistics — the value at rank
+      // ⌈p·n/100⌉ of the doc-length distribution, computed with NO
+      // global sort / corpus window (value-range histogram + distinct
+      // -value counts in the target buckets only, all joins
+      // broadcast; see Sampling.exactPercentiles). The oracle states
+      // the same rank semantics declaratively with a global
+      // row_number — affordable for DuckDB at sf scale, the exact
+      // thing the Spark plan avoids.
+      (s, dir) => Sampling.exactPercentiles(
+        docs(s, dir), "n_chars", Seq(1, 25, 50, 75, 90, 99, 100))
+        .orderBy("pct"),
+      Some("""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS val FROM documents),
+        n AS (SELECT count(*) AS c FROM v),
+        r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+        p(pct) AS (VALUES (1), (25), (50), (75), (90), (99), (100))
+        SELECT p.pct, (CAST(p.pct AS BIGINT) * n.c + 99) // 100 AS n_rank,
+          r.val AS value
+        FROM p CROSS JOIN n
+        JOIN r ON r.rn = (CAST(p.pct AS BIGINT) * n.c + 99) // 100
+        ORDER BY p.pct""")),
+
     QueryDef("q_doc_fingerprint",
       (s, dir) => TextOps.fingerprint(docs(s, dir)).orderBy("doc_id"),
       Some(s"""WITH tok AS ($tokCte)

@@ -233,6 +233,84 @@ object Sampling {
       .drop("pid", "lrank")
   }
 
+  /** Exact corpus percentiles — the value at rank ⌈p·n/100⌉ of an
+    * integer-valued expression under ascending order — with NO global
+    * sort and NO corpus-sized window. The length/token-count
+    * distribution read behind packing-capacity, chunk-size and
+    * truncation decisions, exact where `approxQuantile` is
+    * ε-approximate.
+    *
+    * Scale shape — two agg-only corpus scans, every join broadcast:
+    *  1. value-range histogram `bucket = floordiv(val, bucketWidth)`
+    *     (order-preserving, unlike a hash), map-side combined to
+    *     ~range/width rows; the cumulative offsets window and the
+    *     corpus count run over that TINY relation, never the corpus.
+    *  2. only the ≤ |pcts| buckets that contain a target rank are
+    *     re-scanned (column-pruned to the value, filtered by the
+    *     broadcast bucket list) and reduced per DISTINCT VALUE — a
+    *     hash agg, so a hot value (10¹⁰ identical lengths) combines
+    *     map-side and cannot straggle, which is why this beats a
+    *     within-bucket `row_number()` sort at 100 TB.
+    * The rank then indexes the per-value cumulative counts
+    * (≤ |pcts|·bucketWidth rows, broadcast). Ties need no tiebreak:
+    * every row at the target rank carries the same value by
+    * construction. `bucketWidth` only trades histogram size against
+    * pass-2 scan selectivity — any width is exact.
+    *
+    * The rank-locating branch is referenced twice (needed-bucket
+    * filter + final join), so its histogram scan re-evaluates once —
+    * the [[shuffleOrder]] offsets rationale: the re-run is the
+    * column-pruned map-side agg, never the payload. The non-equi
+    * joins are |pcts|-row × tiny-histogram broadcasts (benign BNLJs
+    * by construction, like the one-row scalar cross).
+    *
+    * Returns `(pct, n_rank, value)`, one row per requested percentile
+    * (empty input ⇒ empty result). */
+  def exactPercentiles(df: DataFrame, valueExpr: String, pcts: Seq[Int],
+                       bucketWidth: Long = 64): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $pcts")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // floor division (DIV truncates toward zero — wrong bucket order
+    // for negative values): val - pmod(val, w) is divisible by w
+    val v = df
+      .select(expr(valueExpr).cast("long").as("val"))
+      .withColumn("bucket",
+        expr(s"(val - pmod(val, ${bucketWidth}L)) DIV ${bucketWidth}L"))
+    val hist = v.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    // offsets/total: windows/aggs over the ~range/width-row histogram,
+    // not the corpus (the shuffleOrder offsets rationale)
+    val offs = hist.withColumn("off", coalesce(sum(col("cnt")).over(
+      Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val total = hist.agg(sum(col("cnt")).as("n")) // one row
+    // target ranks: ceil(pct·n/100) in pure integer arithmetic
+    // (a float ceil could round a representation-inexact p·n/100).
+    // The one-row crossJoin is the audited-benign pattern
+    // (bigramLmScore's |V| scalar).
+    val targets = df.sparkSession.range(1)
+      .select(explode(lit(pcts.toArray)).as("pct"))
+      .crossJoin(broadcast(total))
+      .withColumn("rk", expr("(CAST(pct AS BIGINT) * n + 99L) DIV 100L"))
+      .select("pct", "rk")
+    // locate each rank's bucket: |pcts| rows × tiny histogram — the
+    // non-equi broadcast join is over two small relations by
+    // construction
+    val located = targets.join(broadcast(offs),
+        col("rk") > col("off") && col("rk") <= col("off") + col("cnt"))
+      .select(col("pct"), col("rk"), col("bucket"), col("off"))
+    val needed = located.select("bucket").distinct()
+    val perVal = v.join(broadcast(needed), "bucket")
+      .groupBy("bucket", "val").agg(count(lit(1)).as("cnt2"))
+      .withColumn("off2", coalesce(sum(col("cnt2")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("val"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    located.join(broadcast(perVal), Seq("bucket"))
+      .where(col("rk") > col("off") + col("off2") &&
+        col("rk") <= col("off") + col("off2") + col("cnt2"))
+      .select(col("pct"), col("rk").as("n_rank"), col("val").as("value"))
+  }
+
   /** Deterministic train/val/test split assignment: the same stateless
     * hash draw as [[stratified]], cut at per-mille thresholds —
     * `(…, u, split)` with split ∈ {train, val, test}. Assignment is a

@@ -17,7 +17,12 @@ import org.apache.spark.sql.SparkSession
   *    weight over the whole extreme row);
   *  - `q_ann_topk` / `bruteTopK` probes × corpus — the documented
   *    exact baseline, probe side filtered small and broadcast;
-  *  - test-fixture field expansion (crossJoin of tiny time/lev ranges).
+  *  - test-fixture field expansion (crossJoin of tiny time/lev ranges);
+  *  - `Sampling.exactPercentiles` (q_length_quantiles, r8): the
+  *    one-row corpus-count cross (×2 — the locating branch is
+  *    referenced twice) and the |pcts|-row × tiny-histogram /
+  *    per-value-counts range lookups — every BNLJ side is bounded by
+  *    |pcts| or the histogram size, never the corpus.
   *
   * Usage: runMain graft.tools.PlanAudit [sfDir]
   */

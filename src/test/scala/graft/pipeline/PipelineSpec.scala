@@ -1200,6 +1200,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(key(Sampling.shuffleOrder(docs, "u", 100)) !== got)
   }
 
+  test("exactPercentiles: equals the driver-side sort at every rank, any bucket width, ties and negatives included") {
+    // skewed synthetic values: a hot tie block (the map-side-combine
+    // case), negatives (floor-div bucket order), and a spread tail
+    val vals = Seq.fill(40)(7L) ++ (-20L to -1L) ++ (1L to 60L).map(_ * 13) ++ Seq(Long.MinValue / 4, 0L, 0L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("doc_id", "v").repartition(7)
+    val pcts = Seq(1, 10, 25, 50, 75, 90, 99, 100)
+    def run(width: Long) = Sampling.exactPercentiles(df, "v", pcts, width)
+      .orderBy("pct").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val sorted = vals.sorted
+    val want = pcts.map { p =>
+      val rk = (p.toLong * vals.size + 99) / 100
+      (p, rk, sorted((rk - 1).toInt))
+    }
+    assert(run(64).toSeq === want)
+    // exactness is width-invariant: 1 (bucket = value) through huge
+    // (single bucket — degenerates to the per-value pass alone)
+    for (w <- Seq(1L, 3L, 1000000L)) assert(run(w).toSeq === want)
+    // percentile domain + empty input
+    intercept[IllegalArgumentException] { Sampling.exactPercentiles(df, "v", Seq(0)) }
+    intercept[IllegalArgumentException] { Sampling.exactPercentiles(df, "v", Nil) }
+    assert(Sampling.exactPercentiles(df.limit(0), "v", pcts).count() === 0)
+  }
+
   test("temperatureMixRates: sqrt shares sum to 1, up-weight small sources, spend the budget") {
     val r = Sampling.temperatureMixRates(docs, 250)
       .select("source", "n_tokens", "p_mix", "rate_u").collect()
