@@ -56,7 +56,11 @@ import graft.pipeline._
   *  - `ccrounds`: connected-components convergence curve — pointer-
   *                jumping rounds vs planted chain diameter (4→256) at
   *                100k chains each, asserting rounds ≤ log2(d) + 3
-  *                and that the early exit fires far below maxRounds.
+  *                and that the early exit fires far below maxRounds;
+  *  - `percentiles`: X38 exact order statistics at 60M values — a
+  *                50M-value modular bijection (closed-form expected
+  *                value at every rank) + a 10M-row tie block at the
+  *                median, 12 percentiles checked exactly.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -72,7 +76,8 @@ object PipelineScaleProbe {
                      Set("minhash", "clusters", "ann", "banded", "packing", "decontam",
                        "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
                        "vocab", "pq", "weighted", "hotbucket", "incremental",
-                       "simhash", "assign2level", "train4096", "ccrounds")
+                       "simhash", "assign2level", "train4096", "ccrounds",
+                       "percentiles")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -466,6 +471,41 @@ object PipelineScaleProbe {
           st.getLong(2) == 29999999L,
           s"not a permutation: distinct=${st.getLong(0)} range=[${st.getLong(1)},${st.getLong(2)}]")
         st.getLong(0)
+      }
+    }
+
+    if (sections("percentiles")) {
+      // X38 exact percentiles at 60M values: a 50M-value bijection
+      // (id·1000003 mod 5·10⁷ — the multiplier is prime and coprime
+      // to the modulus, so the sorted values are EXACTLY 0..5·10⁷−1)
+      // plus a 10M-row tie block at the median value, so every order
+      // statistic has a closed-form expected value and the hot tie
+      // exercises the map-side combine the per-distinct-value second
+      // pass was chosen for (a within-bucket row_number sort would
+      // put all 10M tie rows in one sort group). Not auditPlan'd: the
+      // operator's ≤4 BNLJs are the documented-benign bounded sides
+      // (PlanAudit scaladoc) — the count is pinned here instead.
+      val n = 50000000L; val hot = 10000000L; val mid = n / 2
+      val vals = spark.range(n + hot).selectExpr("id AS doc_id",
+        s"CASE WHEN id < ${n}L THEN pmod(id * 1000003L, ${n}L) ELSE ${mid}L END AS v")
+      val pcts = Seq(1, 5, 10, 25, 42, 50, 58, 75, 90, 95, 99, 100)
+      val q = Sampling.exactPercentiles(vals, "v", pcts, bucketWidth = 65536)
+      require(PlanScan.badJoinCount(q) <= 4,
+        s"unexpected BNLJ growth in exactPercentiles plan: ${PlanScan.badJoinCount(q)}")
+      time(s"exact percentiles, 60M values (10M-row tie), ${pcts.size} ranks") {
+        val got = q.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        got.foreach { case (p, rk, v) =>
+          val wantRk = (p.toLong * (n + hot) + 99) / 100
+          val wantV = if (wantRk <= mid) wantRk - 1
+                      else if (wantRk <= mid + hot + 1) mid
+                      else wantRk - hot - 1
+          require(rk == wantRk && v == wantV,
+            s"pct $p: got (rank=$rk, value=$v) want (rank=$wantRk, value=$wantV)")
+        }
+        require(got.map(_._1).toSeq == pcts.sorted,
+          s"missing percentile rows: ${got.map(_._1).mkString(",")}")
+        got.length.toLong
       }
     }
 
