@@ -509,6 +509,28 @@ object PipelineQueries {
         JOIN r ON r.rn = (CAST(p.pct AS BIGINT) * n.c + 99) // 100
         ORDER BY p.pct""")),
 
+    QueryDef("q_length_quantiles_by_source",
+      // X38 grouped: one exact rank set per source — the per-source
+      // length-distribution half of the corpus report card. With a
+      // group key the rank location is a broadcast EQUI-join (hash on
+      // source, range residual as filter), so the grouped plan has no
+      // nested-loop lookup at all.
+      (s, dir) => Sampling.exactPercentilesBy(
+        docs(s, dir), "n_chars", Seq(25, 50, 75, 99), Seq("source"))
+        .orderBy("source", "pct"),
+      Some("""WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS val FROM documents),
+        n AS (SELECT source, count(*) AS c FROM v GROUP BY 1),
+        r AS (SELECT source, val,
+                row_number() OVER (PARTITION BY source ORDER BY val) AS rn
+              FROM v),
+        p(pct) AS (VALUES (25), (50), (75), (99))
+        SELECT n.source, p.pct,
+          (CAST(p.pct AS BIGINT) * n.c + 99) // 100 AS n_rank, r.val AS value
+        FROM p CROSS JOIN n
+        JOIN r ON r.source = n.source
+              AND r.rn = (CAST(p.pct AS BIGINT) * n.c + 99) // 100
+        ORDER BY n.source, p.pct""")),
+
     QueryDef("q_doc_fingerprint",
       (s, dir) => TextOps.fingerprint(docs(s, dir)).orderBy("doc_id"),
       Some(s"""WITH tok AS ($tokCte)

@@ -267,48 +267,64 @@ object Sampling {
     * Returns `(pct, n_rank, value)`, one row per requested percentile
     * (empty input ⇒ empty result). */
   def exactPercentiles(df: DataFrame, valueExpr: String, pcts: Seq[Int],
-                       bucketWidth: Long = 64): DataFrame = {
+                       bucketWidth: Long = 64): DataFrame =
+    exactPercentilesBy(df, valueExpr, pcts, Nil, bucketWidth)
+
+  /** [[exactPercentiles]] PER GROUP — the per-source length/token
+    * distribution behind a corpus report card, one exact rank set per
+    * distinct `by`-key. Same two-histogram shape with every relation
+    * keyed by the group columns; where group keys exist the rank
+    * location becomes a broadcast EQUI-join (hash on the key, range
+    * residual as the join filter), so only the ungrouped call keeps
+    * the tiny nested-loop lookups. The histogram must stay
+    * broadcast-small: #groups × (value-range / bucketWidth) rows —
+    * size `bucketWidth` accordingly for high-cardinality groupings.
+    * Returns `(by…, pct, n_rank, value)`. */
+  def exactPercentilesBy(df: DataFrame, valueExpr: String, pcts: Seq[Int],
+                         by: Seq[String], bucketWidth: Long = 64): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1, 100], got $pcts")
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val g = by.map(col)
     // floor division (DIV truncates toward zero — wrong bucket order
     // for negative values): val - pmod(val, w) is divisible by w
     val v = df
-      .select(expr(valueExpr).cast("long").as("val"))
+      .select(g :+ expr(valueExpr).cast("long").as("val"): _*)
       .withColumn("bucket",
         expr(s"(val - pmod(val, ${bucketWidth}L)) DIV ${bucketWidth}L"))
-    val hist = v.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-    // offsets/total: windows/aggs over the ~range/width-row histogram,
-    // not the corpus (the shuffleOrder offsets rationale)
+    val hist = v.groupBy(g :+ col("bucket"): _*).agg(count(lit(1)).as("cnt"))
+    // offsets/totals: window/agg over the tiny histogram, never the
+    // corpus (the shuffleOrder offsets rationale)
     val offs = hist.withColumn("off", coalesce(sum(col("cnt")).over(
-      Window.orderBy(col("bucket"))
+      Window.partitionBy(g: _*).orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val total = hist.agg(sum(col("cnt")).as("n")) // one row
-    // target ranks: ceil(pct·n/100) in pure integer arithmetic
-    // (a float ceil could round a representation-inexact p·n/100).
-    // The one-row crossJoin is the audited-benign pattern
-    // (bigramLmScore's |V| scalar).
-    val targets = df.sparkSession.range(1)
-      .select(explode(lit(pcts.toArray)).as("pct"))
-      .crossJoin(broadcast(total))
+    // per-group counts → target ranks ceil(pct·n/100) in pure integer
+    // arithmetic (a float ceil could round a representation-inexact
+    // p·n/100); explode on the per-group totals relation — no cross
+    // join needed
+    val targets = hist.groupBy(g: _*).agg(sum(col("cnt")).as("n"))
+      .withColumn("pct", explode(lit(pcts.toArray)))
       .withColumn("rk", expr("(CAST(pct AS BIGINT) * n + 99L) DIV 100L"))
-      .select("pct", "rk")
-    // locate each rank's bucket: |pcts| rows × tiny histogram — the
-    // non-equi broadcast join is over two small relations by
-    // construction
-    val located = targets.join(broadcast(offs),
-        col("rk") > col("off") && col("rk") <= col("off") + col("cnt"))
-      .select(col("pct"), col("rk"), col("bucket"), col("off"))
-    val needed = located.select("bucket").distinct()
-    val perVal = v.join(broadcast(needed), "bucket")
-      .groupBy("bucket", "val").agg(count(lit(1)).as("cnt2"))
+      .select(g :+ col("pct") :+ col("rk"): _*)
+    // locate each rank's bucket: grouped ⇒ broadcast hash join on the
+    // group key with the range residual as filter; ungrouped ⇒ the
+    // |pcts|-row × tiny-histogram nested lookup (benign by
+    // construction, like the one-row scalar cross)
+    val joined = if (by.isEmpty) targets.crossJoin(broadcast(offs))
+                 else targets.join(broadcast(offs), by)
+    val located = joined
+      .where(col("rk") > col("off") && col("rk") <= col("off") + col("cnt"))
+      .select(g :+ col("pct") :+ col("rk") :+ col("bucket") :+ col("off"): _*)
+    val needed = located.select(g :+ col("bucket"): _*).distinct()
+    val perVal = v.join(broadcast(needed), by :+ "bucket")
+      .groupBy(g :+ col("bucket") :+ col("val"): _*).agg(count(lit(1)).as("cnt2"))
       .withColumn("off2", coalesce(sum(col("cnt2")).over(
-        Window.partitionBy(col("bucket")).orderBy(col("val"))
+        Window.partitionBy(g :+ col("bucket"): _*).orderBy(col("val"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    located.join(broadcast(perVal), Seq("bucket"))
+    located.join(broadcast(perVal), by :+ "bucket")
       .where(col("rk") > col("off") + col("off2") &&
         col("rk") <= col("off") + col("off2") + col("cnt2"))
-      .select(col("pct"), col("rk").as("n_rank"), col("val").as("value"))
+      .select(g :+ col("pct") :+ col("rk").as("n_rank") :+ col("val").as("value"): _*)
   }
 
   /** Deterministic train/val/test split assignment: the same stateless

@@ -19,10 +19,11 @@ import org.apache.spark.sql.SparkSession
   *    exact baseline, probe side filtered small and broadcast;
   *  - test-fixture field expansion (crossJoin of tiny time/lev ranges);
   *  - `Sampling.exactPercentiles` (q_length_quantiles, r8): the
-  *    one-row corpus-count cross (×2 — the locating branch is
-  *    referenced twice) and the |pcts|-row × tiny-histogram /
-  *    per-value-counts range lookups — every BNLJ side is bounded by
-  *    |pcts| or the histogram size, never the corpus.
+  *    UNGROUPED call's |pcts|-row × tiny-histogram rank-location
+  *    cross (×2 — the locating branch is referenced twice); both
+  *    sides bounded by |pcts| / histogram size, never the corpus.
+  *    The grouped variant (q_length_quantiles_by_source) equi-joins
+  *    on the group key — zero BNLJs.
   *
   * Usage: runMain graft.tools.PlanAudit [sfDir]
   */

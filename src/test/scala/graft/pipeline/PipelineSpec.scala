@@ -1222,6 +1222,20 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Sampling.exactPercentiles(df, "v", Seq(0)) }
     intercept[IllegalArgumentException] { Sampling.exactPercentiles(df, "v", Nil) }
     assert(Sampling.exactPercentiles(df.limit(0), "v", pcts).count() === 0)
+    // grouped: per-group ranks equal the per-group driver-side sort
+    // (unequal group sizes, shared values across groups)
+    val gdf = df.withColumn("grp", when(col("doc_id") % 3 === 0, "a").otherwise("b"))
+    val got = Sampling.exactPercentilesBy(gdf, "v", pcts, Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val wantG = vals.zipWithIndex.groupBy { case (_, i) => if (i % 3 == 0) "a" else "b" }
+      .flatMap { case (grp, vs) =>
+        val s = vs.map(_._1).sorted
+        pcts.map { p =>
+          val rk = (p.toLong * s.size + 99) / 100
+          (grp, p, rk, s((rk - 1).toInt))
+        }
+      }.toSet
+    assert(got === wantG)
   }
 
   test("temperatureMixRates: sqrt shares sum to 1, up-weight small sources, spend the budget") {
