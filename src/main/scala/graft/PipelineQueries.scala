@@ -964,6 +964,62 @@ object PipelineQueries {
           CAST(((h + i * 2654435761) % 16777216) % 256 AS DOUBLE) AS mean_b
         FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""")),
 
+    QueryDef("q_audio_decode",
+      // audio twin of q_multimodal_decode: synthesize a REAL RIFF/WAV
+      // PCM payload per doc (in-repo codec — canonical 44-byte header
+      // + 16-bit LE samples from an integer hash recurrence), parse it
+      // back (magic/fmt validation), reduce to integer signal
+      // statistics (peak, energy, zero crossings — exact on both
+      // engines, no float ULP risk). The oracle regenerates the same
+      // PCM from the content hash and aggregates it declaratively.
+      (s, dir) => Multimodal.decodeWavFeatures(s,
+        Multimodal.withWavPayload(s, docs(s, dir))).orderBy("doc_id"),
+      Some(s"""WITH hh AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+        spec AS (SELECT doc_id,
+            CAST(CASE h % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+            256 + (h // 4) % 1792 AS ns, h % 1000003 AS hm FROM hh),
+        s AS (SELECT doc_id, sample_rate, ns, hm,
+                unnest(generate_series(0, ns - 1)) AS i FROM spec),
+        v AS (SELECT doc_id, sample_rate, ns, i,
+                (hm * 31 + i * 2654435761) % 65536 - 32768 AS v FROM s),
+        w AS (SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM v)
+        SELECT doc_id, min(sample_rate) AS sample_rate,
+          CAST(count(*) AS BIGINT) AS n_samples,
+          CAST(min(ns) * 1000 // min(sample_rate) AS BIGINT) AS duration_ms,
+          CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+          CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) != (v < 0))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+        FROM w GROUP BY doc_id ORDER BY doc_id""")),
+
+    QueryDef("q_audio_resample",
+      // decode → decimate by 2 (keep every 2nd sample — the audio twin
+      // of the 2x image downscale) → features of the RESAMPLED signal;
+      // zero crossings re-counted over the kept subsequence, so a
+      // wrong stride or offset breaks the hash
+      (s, dir) => Multimodal.resampleWav(s,
+        Multimodal.withWavPayload(s, docs(s, dir)), factor = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH hh AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+        spec AS (SELECT doc_id,
+            CAST(CASE h % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+            256 + (h // 4) % 1792 AS ns, h % 1000003 AS hm FROM hh),
+        s AS (SELECT doc_id, sample_rate, ns, hm,
+                unnest(generate_series(0, ns - 1)) AS i FROM spec),
+        k AS (SELECT doc_id, sample_rate, i,
+                (hm * 31 + i * 2654435761) % 65536 - 32768 AS v
+              FROM s WHERE i % 2 = 0),
+        w AS (SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM k)
+        SELECT doc_id, CAST(min(sample_rate) // 2 AS INTEGER) AS out_rate,
+          CAST(count(*) AS BIGINT) AS n_samples,
+          CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+          CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) != (v < 0))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+        FROM w GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- decontamination / PII / sampling ----
 
     QueryDef("q_decontam",

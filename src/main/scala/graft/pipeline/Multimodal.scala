@@ -336,4 +336,141 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_idx", "mean_r", "mean_g", "mean_b")
   }
+
+  // ---- audio: RIFF/WAV PCM, in-repo codec (no audio libs needed) ----
+
+  /** Hash-derived WAV spec `(sampleRate, nSamples, hm)` — the single
+    * source of truth for the synthesized audio payloads, mirrored by
+    * the SQL oracles. `hm` is the hash reduced mod 1000003 so the
+    * sample recurrence `hm·31 + i·2654435761` stays far from BIGINT
+    * overflow on both engines. */
+  def wavSpec(h: Long): (Int, Int, Long) = {
+    val rate = (h % 4) match {
+      case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100
+    }
+    (rate, (256 + (h / 4) % 1792).toInt, h % 1000003L)
+  }
+
+  /** Deterministic 16-bit PCM samples: integer hash recurrence, exact
+    * on any engine (no trig, no floats). */
+  def synthSamples(hm: Long, ns: Int): Array[Short] = {
+    val out = new Array[Short](ns)
+    var i = 0
+    while (i < ns) {
+      out(i) = ((hm * 31 + i.toLong * 2654435761L) % 65536 - 32768).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** REAL RIFF/WAVE PCM encoder: canonical 44-byte header (fmt chunk
+    * 16, PCM = 1, mono, 16-bit little-endian) + the sample data —
+    * byte-compatible with any standard WAV reader. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL WAV decoder: validates the RIFF/WAVE magic and the PCM fmt
+    * fields, then parses the little-endian 16-bit samples. Fails
+    * loudly on a corrupt container — a stub would not. */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    require(tag() == "RIFF", "not a RIFF container")
+    bb.getInt()
+    require(tag() == "WAVE" && tag() == "fmt ", "not a WAVE/fmt stream")
+    require(bb.getInt() == 16 && bb.getShort() == 1, "not canonical PCM")
+    val channels = bb.getShort()
+    require(channels == 1, s"expected mono, got $channels channels")
+    val rate = bb.getInt()
+    bb.getInt(); bb.getShort() // byte rate, block align
+    require(bb.getShort() == 16, "expected 16-bit samples")
+    require(tag() == "data", "missing data chunk")
+    val n = bb.getInt() / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getShort(); i += 1 }
+    (rate, out)
+  }
+
+  /** Documents with a real WAV payload column (encode stage) — the
+    * audio twin of [[withPngPayload]]: per-partition batch encode of
+    * hash-derived PCM. */
+  def withWavPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (rate, ns, hm) = wavSpec(textHash60(text))
+        (id, encodeWav(rate, synthSamples(hm, ns)))
+      })
+      .toDF("doc_id", "wav")
+  }
+
+  /** Integer audio features of a PCM window: all exactly
+    * reproducible cross-engine (no float RMS ULP risk) and each a
+    * real signal statistic — peak |amplitude| (clipping check),
+    * Σ|amplitude| (energy), zero-crossing count (the classic cheap
+    * speech/music discriminator). */
+  def pcmFeatures(s: Array[Short]): (Long, Long, Long) = {
+    var (peak, sumAbs, zc) = (0L, 0L, 0L)
+    var i = 0
+    while (i < s.length) {
+      val a = math.abs(s(i).toLong)
+      if (a > peak) peak = a
+      sumAbs += a
+      if (i > 0 && ((s(i - 1) < 0) != (s(i) < 0))) zc += 1
+      i += 1
+    }
+    (peak, sumAbs, zc)
+  }
+
+  /** REAL audio decode + feature extraction: parse the WAV container,
+    * reduce the PCM to integer signal statistics — one pass per
+    * partition, binary in / relational columns out. The oracle
+    * recomputes every field from the same content hash (the sample
+    * recurrence is pure integer arithmetic), so a broken codec
+    * round-trip breaks the hash compare. */
+  def decodeWavFeatures(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (rate, s) = decodeWav(bytes)
+        val (peak, sumAbs, zc) = pcmFeatures(s)
+        (id, rate, s.length.toLong, s.length.toLong * 1000 / rate, peak, sumAbs, zc)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "duration_ms",
+        "peak_abs", "sum_abs", "n_zero_cross")
+  }
+
+  /** REAL resample: decode, decimate by `factor` (keep every
+    * factor-th sample — the audio twin of the 2× nearest-neighbor
+    * image downscale), features of the RESAMPLED signal. */
+  def resampleWav(spark: SparkSession, payloads: DataFrame,
+                  factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (rate, s) = decodeWav(bytes)
+        val kept = Array.range(0, s.length, factor).map(s)
+        val (peak, sumAbs, zc) = pcmFeatures(kept)
+        (id, rate / factor, kept.length.toLong, peak, sumAbs, zc)
+      })
+      .toDF("doc_id", "out_rate", "n_samples", "peak_abs", "sum_abs", "n_zero_cross")
+  }
 }

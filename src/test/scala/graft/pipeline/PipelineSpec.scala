@@ -466,6 +466,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("audio REAL codec: WAV encode→decode round-trip, features match driver-side PCM, corrupt container fails loudly") {
+    // byte-level round-trip on a local sample array (incl. extremes)
+    val s0 = Array[Short](0, 1, -1, Short.MaxValue, Short.MinValue, 123, -456)
+    val (r0, back) = Multimodal.decodeWav(Multimodal.encodeWav(22050, s0))
+    assert(r0 === 22050 && back.toSeq === s0.toSeq)
+    // header is canonical RIFF/WAVE: a standard reader's magic checks pass
+    val bytes = Multimodal.encodeWav(8000, s0)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    assert(bytes.length === 44 + 2 * s0.length)
+    // corrupt magic must not decode silently
+    val bad = bytes.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(bad) }
+    // full pipeline: decoded features equal driver-side recompute from
+    // the same content hash (spec → samples → features)
+    val out = Multimodal.decodeWavFeatures(spark,
+      Multimodal.withWavPayload(spark, docs)).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val res = Multimodal.resampleWav(spark,
+      Multimodal.withWavPayload(spark, docs), 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out.nonEmpty && out.size === res.size)
+    docs.select(col("doc_id").cast("long"), col("text")).collect().foreach { r =>
+      val (rate, ns, hm) = Multimodal.wavSpec(Multimodal.textHash60(r.getString(1)))
+      val pcm = Multimodal.synthSamples(hm, ns)
+      val (peak, sumAbs, zc) = Multimodal.pcmFeatures(pcm)
+      assert(out(r.getLong(0)) === ((rate, ns.toLong, ns.toLong * 1000 / rate,
+        peak, sumAbs, zc)))
+      val kept = Array.range(0, ns, 2).map(pcm)
+      val (p2, sa2, zc2) = Multimodal.pcmFeatures(kept)
+      assert(res(r.getLong(0)) === ((rate / 2, kept.length.toLong, p2, sa2, zc2)))
+    }
+  }
+
   test("multimodal stub decode: deterministic, consistent with relational meta") {
     val feats = Multimodal.decodeFeatures(spark, docs).toDF()
     val meta = Multimodal.metaRelational(docs)
