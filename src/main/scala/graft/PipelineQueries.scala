@@ -869,6 +869,49 @@ object PipelineQueries {
           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM z GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QueryDef("q_events_funnel",
+      // ordered-step funnel view → click → purchase: per user the
+      // earliest t1 <= t2 <= t3 chain, partial funnels kept (greedy
+      // earliest-completion is exact — min t_i only loosens later
+      // constraints). Plan: one filtered scan + user_id equi-join +
+      // hash agg per step, never a per-user sort/window over events.
+      (s, dir) => Events.funnel(events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("user_id"),
+      Some(s"""WITH ev AS ($evCte),
+        s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+               WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                LEFT JOIN s3 ON s1.user_id = s3.user_id
+        ORDER BY s1.user_id""")),
+
+    QueryDef("q_events_funnel_steps",
+      // funnel conversion summary: users reaching each step
+      // (non-increasing by construction) — one pass over the per-user
+      // funnel relation
+      (s, dir) => Events.funnelSteps(events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("step_idx"),
+      Some(s"""WITH ev AS ($evCte),
+        s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+               WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        SELECT 1 AS step_idx, 'view' AS event_type,
+          CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        ORDER BY step_idx""")),
+
     // ---- multimodal binary plumbing ----
 
     QueryDef("q_multimodal_meta",

@@ -58,4 +58,55 @@ object Events {
         count("*").as("n_events"),
         expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_value"))
   }
+
+  /** Ordered-step funnel: per user, the earliest timestamp chain
+    * `t1 ≤ t2 ≤ … ≤ tn` with `t_i` an occurrence of `steps(i−1)` at or
+    * after `t_{i−1}` — the conversion primitive behind "view → click →
+    * purchase" product analytics. Greedy earliest-completion is exact:
+    * taking the MIN valid t_i only loosens every later step's
+    * constraint, so a user completes the funnel here iff ANY ordered
+    * assignment of their events completes it. Returns
+    * `(user_id, t1, …, tn)` for every user who performed step 1, later
+    * steps NULL where the chain stops (partial funnels kept).
+    *
+    * Scale shape: step i is a filter (pushed into the scan) + one
+    * equi-join on user_id against the (users-who-reached-i−1) relation
+    * + a hash agg — never a per-user sort or a window over the events
+    * table; all joins/aggs share the user_id key, so one exchange of
+    * the filtered step events each. The events table is scanned once
+    * per step with only (user_id, event_type, ts) read. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps, got $steps")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    val base = events.select("user_id", "event_type", "ts")
+    var reached = base.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    var result = reached
+    for (i <- 2 to steps.size) {
+      // t1..t_{i-1} are constant per user, so grouping by them only
+      // carries the columns through
+      reached = base.filter(col("event_type") === steps(i - 1))
+        .join(reached, "user_id")
+        .where(col("ts") >= col(s"t${i - 1}"))
+        .groupBy(col("user_id") +: (1 until i).map(j => col(s"t$j")): _*)
+        .agg(min(col("ts")).as(s"t$i"))
+      result = result.join(reached.select(col("user_id"), col(s"t$i")),
+        Seq("user_id"), "left")
+    }
+    result
+  }
+
+  /** Funnel step summary: `(step_idx, event_type, n_users)` — users
+    * reaching each step (n_users is non-increasing by construction).
+    * One row per step from a single pass over [[funnel]]'s per-user
+    * relation. */
+  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val f = funnel(events, steps)
+    val stack = steps.zipWithIndex.map { case (s, i) =>
+      s"${i + 1}, '$s', CAST(cnt${i + 1} AS BIGINT)"
+    }.mkString(", ")
+    f.agg(count(col("t1")).as("cnt1"),
+        (2 to steps.size).map(i => count(col(s"t$i")).as(s"cnt$i")): _*)
+      .selectExpr(s"stack(${steps.size}, $stack) AS (step_idx, event_type, n_users)")
+  }
 }

@@ -11,15 +11,18 @@ final case class MediaMeta(
 /** Multimodal-column plumbing: media as opaque `BINARY` payloads with
   * typed, deterministic metadata derivation.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`fakeDecode`): it derives shape/
-  * format pseudo-fields from a content hash and summary statistics from
-  * the raw bytes. The Spark-side plumbing is real and is the part that
-  * matters at 100 TB: binary columns survive parquet round-trips, the
-  * per-partition batch iteration (`mapPartitions` over a typed Dataset,
-  * the JVM analog of `mapInPandas`) keeps one decoder instance per
-  * partition, and the derived metadata lands in ordinary columns for
-  * downstream relational filtering.
+  * Three payload families, two with REAL codecs: PNG images and
+  * frame-array video round-trip through JVM ImageIO, and audio
+  * round-trips through an in-repo RIFF/WAV PCM codec — only the
+  * generic-container path keeps the clearly-marked deterministic STUB
+  * (`fakeDecode`, shape/format pseudo-fields from a content hash) for
+  * formats the container has no codec for. The Spark-side plumbing is
+  * identical in all three and is the part that matters at 100 TB:
+  * binary columns survive parquet round-trips, the per-partition batch
+  * iteration (`mapPartitions` over a typed Dataset, the JVM analog of
+  * `mapInPandas`) keeps one decoder instance per partition, and the
+  * derived features land in ordinary columns for downstream relational
+  * filtering.
   */
 object Multimodal {
 

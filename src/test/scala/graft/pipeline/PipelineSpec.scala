@@ -442,6 +442,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(h.agg(sum("n")).head().getLong(0) === events.count())
   }
 
+  test("funnel: equals brute-force greedy chain per user, partial funnels kept, step counts non-increasing") {
+    val steps = Seq("view", "click", "purchase")
+    val got = Events.funnel(events, steps).collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)))).toMap
+    // driver-side reference: per user, earliest t1, then earliest
+    // step-2 event >= t1, then earliest step-3 event >= t2
+    val byUser = events.select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .groupBy(_._1)
+    val want = byUser.flatMap { case (uid, evs) =>
+      // micro-precision-safe min (Timestamp.getTime is millis-only)
+      def earliest(tp: String, atOrAfter: Option[java.sql.Timestamp]) =
+        evs.filter(e => e._2 == tp && atOrAfter.forall(a => !e._3.before(a)))
+          .map(_._3).reduceOption((a, b) => if (a.before(b)) a else b)
+      earliest(steps(0), None).map { t1 =>
+        val t2 = earliest(steps(1), Some(t1))
+        val t3 = t2.flatMap(t => earliest(steps(2), Some(t)))
+        uid -> ((Option(t1), t2, t3))
+      }
+    }
+    assert(got === want)
+    // chain is monotone wherever present
+    got.values.foreach { case (t1, t2, t3) =>
+      t2.foreach(t => assert(!t.before(t1.get)))
+      t3.foreach(t => assert(!t.before(t2.get)))
+    }
+    // summary counts match the per-user relation and never increase
+    val cnt = Events.funnelSteps(events, steps).orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(cnt.map(_._2).toSeq === steps)
+    assert(cnt(0)._3 === got.size.toLong)
+    assert(cnt(1)._3 === got.values.count(_._2.isDefined).toLong)
+    assert(cnt(2)._3 === got.values.count(_._3.isDefined).toLong)
+    assert(cnt(0)._3 >= cnt(1)._3 && cnt(1)._3 >= cnt(2)._3)
+  }
+
   test("multimodal REAL codec: PNG encode→decode round-trip recovers synthesized shape/color") {
     val out = Multimodal.decodePng(spark, Multimodal.withPngPayload(spark, docs))
     assert(out.count() === docs.count())
