@@ -912,6 +912,27 @@ object PipelineQueries {
         UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
         ORDER BY step_idx""")),
 
+    QueryDef("q_events_retention",
+      // cohort retention triangle: signup-week cohorts × weekly-active
+      // users at each week offset. Plan: filtered-scan hash agg for
+      // cohorts, distinct (user, week) for activity, one user_id
+      // equi-join, one (cohort, offset) agg — no windows or sorts.
+      (s, dir) => Events.retentionCohorts(events(s, dir), "signup")
+        .orderBy("cohort_week", "week_offset"),
+      Some(s"""WITH ev AS ($evCte),
+        c AS (SELECT user_id,
+                CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+              FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        a AS (SELECT DISTINCT user_id,
+                CAST(date_trunc('week', ts) AS DATE) AS act_week FROM ev)
+        SELECT c.cohort_week,
+          CAST(date_diff('day', c.cohort_week, a.act_week) // 7 AS INTEGER)
+            AS week_offset,
+          CAST(count(*) AS BIGINT) AS n_users
+        FROM a JOIN c ON a.user_id = c.user_id
+        WHERE a.act_week >= c.cohort_week
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- multimodal binary plumbing ----
 
     QueryDef("q_multimodal_meta",

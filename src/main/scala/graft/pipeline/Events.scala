@@ -96,6 +96,34 @@ object Events {
     result
   }
 
+  /** Cohort retention: users grouped by the ISO week of their first
+    * `cohortEvent` (e.g. signup), counted as active in every later
+    * week they produced ANY event — the `(cohort_week, week_offset,
+    * n_users)` triangle behind a retention curve. Offsets are exact
+    * multiples of 7 days by construction (both endpoints are
+    * week-truncated).
+    *
+    * Scale shape: cohorts = one user_id hash agg over the filtered
+    * scan; activity = distinct (user, week) — the dedup that keeps a
+    * 10⁴-events/user week from counting 10⁴ times, map-side combined;
+    * then one user_id equi-join and a (cohort, offset) agg where
+    * count(*) suffices because (user, week) is already unique. No
+    * windows, no sorts. */
+  def retentionCohorts(events: DataFrame,
+                       cohortEvent: String = "signup"): DataFrame = {
+    val cohorts = events.filter(col("event_type") === cohortEvent)
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val activity = events.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("act_week")).distinct()
+    activity.join(cohorts, "user_id")
+      .where(col("act_week") >= col("cohort_week"))
+      .withColumn("week_offset",
+        expr("CAST(datediff(act_week, cohort_week) DIV 7 AS INT)"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Funnel step summary: `(step_idx, event_type, n_users)` — users
     * reaching each step (n_users is non-increasing by construction).
     * One row per step from a single pass over [[funnel]]'s per-user

@@ -479,6 +479,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(cnt(0)._3 >= cnt(1)._3 && cnt(1)._3 >= cnt(2)._3)
   }
 
+  test("retentionCohorts: equals brute-force cohort triangle, offsets are week-exact, week-0 covers every cohort user") {
+    val r = Events.retentionCohorts(events, "signup").collect()
+      .map(x => (x.getDate(0).toString, x.getInt(1)) -> x.getLong(2)).toMap
+    // driver-side reference over the raw rows
+    val rows = events.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("w"), col("event_type"))
+      .collect().map(x => (x.getLong(0), x.getDate(1), x.getString(2)))
+    val cohortOf = rows.filter(_._3 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._2).minBy(_.getTime)).toMap
+    val want = rows.map(x => (x._1, x._2)).distinct
+      .flatMap { case (uid, w) => cohortOf.get(uid).collect {
+        case cw if !w.before(cw) =>
+          ((cw.toString, (java.time.temporal.ChronoUnit.DAYS
+            .between(cw.toLocalDate, w.toLocalDate) / 7).toInt), 1L)
+      }}
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(r === want)
+    assert(r.nonEmpty)
+    // week-0 count per cohort = cohort size (a signup IS activity)
+    val sizes = cohortOf.values.groupBy(_.toString).view.mapValues(_.size.toLong).toMap
+    sizes.foreach { case (cw, n) => assert(r((cw, 0)) === n) }
+  }
+
   test("multimodal REAL codec: PNG encode→decode round-trip recovers synthesized shape/color") {
     val out = Multimodal.decodePng(spark, Multimodal.withPngPayload(spark, docs))
     assert(out.count() === docs.count())
