@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** Temporal joins over event/fact streams — the classic "enrich each
+  * event with the most recent dimension row as of its timestamp"
+  * operator (backward as-of join). Not in the xESMF reference (its
+  * negative inventory has no joins at all — SURVEY §2.8); this is part
+  * of the §2.7 north-star pipeline surface, where training-data
+  * assembly routinely stitches point-in-time features onto examples.
+  *
+  * Spark-first plan, no range-join explosion and no per-row subquery:
+  * tag both sides, union on the key, and take a running
+  * `last(payload, ignoreNulls)` over one `(key) ORDER BY (ts, side,
+  * tie)` window — every left row reads the latest right row at or
+  * before its timestamp in a single pass. Cost = ONE shuffle on the
+  * key + a per-key sort (the minimum any as-of semantics needs); both
+  * sides' filters/projections still push to the scans because the
+  * union is column-pruned per branch.
+  *
+  * At 100 TB: the window is per-key sequential, so a mega-key (one
+  * user with 10^9 events) serializes on one task. The standard fix is
+  * time-range pre-bucketing — split each key into coarse time buckets,
+  * run the same union-window per (key, bucket), then carry each
+  * bucket's last right row forward one bucket (a tiny per-(key,bucket)
+  * relation) to seed rows that precede the bucket's first right row.
+  * The single-window form here is the right default: key cardinality
+  * in event streams is normally ≫ executor count and AQE balances the
+  * post-shuffle partitions.
+  */
+object Temporal {
+
+  /** Backward inclusive as-of join.
+    *
+    * For every `left` row, attach the `payload` columns of the `right`
+    * row with the greatest `(rightTs, tieBreak)` such that
+    * `rightTs <= leftTs` and the keys match; left rows with no such
+    * right row keep NULL payloads (left-outer semantics). Equal
+    * timestamps MATCH (inclusive); among right rows sharing the
+    * winning timestamp the greatest `tieBreak` wins, which makes the
+    * result deterministic under any physical row order.
+    *
+    * The whole right payload travels as ONE struct, so a right row
+    * whose payload FIELD is null never lets an older right row's value
+    * bleed through (`last(..., ignoreNulls)` skips only whole-row
+    * nulls, i.e. left rows).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String,
+               tieBreak: String, payload: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val leftCols = left.columns.toSeq
+
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast(right.schema(tieBreak).dataType))
+      .withColumn("__p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          payload.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType, nullable = true)))))
+    val rCols: Seq[Column] =
+      Seq(col(rightKey).as("__k"), col(rightTs).as("__t"),
+        lit(0).as("__side"), col(tieBreak).as("__tie"),
+        struct(payload.map(col): _*).as("__p")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    val r = right.select(rCols: _*)
+
+    // right (side 0) sorts BEFORE the left row at an equal timestamp →
+    // inclusive rightTs <= leftTs; ties among right rows resolve to the
+    // greatest tieBreak because `last` reads the window bottom-up
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.select((leftCols.map(col) ++ Seq(col("__k"), col("__t"), col("__side"),
+        col("__tie"), col("__p"))): _*)
+      .unionByName(r)
+      .withColumn("__pl", last("__p", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__pl.$c").as(s"$prefix$c")): _*)
+  }
+
+  /** Orders table, `o_orderdate` normalized to micro-precision
+    * session-TZ TimestampType under either generator encoding (int64
+    * epoch-nanos or parquet `timestamp[us]`) — same tolerance contract
+    * as [[Events.load]]. */
+  def loadOrders(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/orders.parquet")
+    raw.schema("o_orderdate").dataType match {
+      case LongType            => raw.withColumn("o_orderdate", expr("timestamp_micros(o_orderdate DIV 1000)"))
+      case _: TimestampNTZType => raw.withColumn("o_orderdate", col("o_orderdate").cast(TimestampType))
+      case _                   => raw
+    }
+  }
+}

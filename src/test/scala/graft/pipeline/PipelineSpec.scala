@@ -1901,4 +1901,48 @@ class PipelineSpec extends AnyFunSuite {
     val us1 = t.filter(col("event_id") === 1).select("ts").collect()(0).getTimestamp(0)
     assert(us1.getTime === 1700000000123L && us1.getNanos === 123456000)
   }
+
+  test("asofJoin: inclusive boundary, tiebreak, no-match null, no payload-field bleed") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // right side: key 1 has rows at t=10 (two rows, tie on tieBreak),
+    // t=20 (payload FIELD null), t=30; key 2 has one row at t=50
+    val right = Seq(
+      (1L, ts(10), 100L, Some(1.0)),
+      (1L, ts(10), 101L, Some(2.0)),   // same ts — greater tie must win
+      (1L, ts(20), 102L, None),        // null FIELD must not bleed older value
+      (1L, ts(30), 103L, Some(4.0)),
+      (2L, ts(50), 200L, Some(9.0)))
+      .toDF("k", "rts", "rid", "v")
+    val left = Seq(
+      (0L, 1L, ts(5)),    // before any right row → nulls
+      (1L, 1L, ts(10)),   // equal ts is INCLUSIVE → rid 101 (tiebreak)
+      (2L, 1L, ts(25)),   // lands on the null-field row → rid 102, v null
+      (3L, 1L, ts(99)),   // after all → rid 103
+      (4L, 2L, ts(49)),   // other key, before its row → nulls
+      (5L, 2L, ts(50)))   // other key, inclusive → rid 200
+      .toDF("id", "k", "lts")
+    val out = Temporal.asofJoin(left, right, "k", "k", "lts", "rts",
+        tieBreak = "rid", payload = Seq("rid", "v"))
+      .orderBy("id")
+      .select("id", "asof_rid", "asof_v")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(out(0)._1 === 0L && out(0)._2 === -1L && out(0)._3.isNaN)
+    assert(out(1) === ((1L, 101L, 2.0)))
+    assert(out(2)._1 === 2L && out(2)._2 === 102L && out(2)._3.isNaN,
+      s"null payload field must stay null, got ${out(2)}")
+    assert(out(3) === ((3L, 103L, 4.0)))
+    assert(out(4)._1 === 4L && out(4)._2 === -1L && out(4)._3.isNaN)
+    assert(out(5) === ((5L, 200L, 9.0)))
+    // partition-invariance: same answer under adversarial partitioning
+    val out2 = Temporal.asofJoin(left.repartition(7), right.repartition(5),
+        "k", "k", "lts", "rts", "rid", Seq("rid", "v"))
+      .orderBy("id").select("id", "asof_rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out2.toSeq === Seq((0L, -1L), (1L, 101L), (2L, 102L),
+      (3L, 103L), (4L, -1L), (5L, 200L)))
+  }
 }
