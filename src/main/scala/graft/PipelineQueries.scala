@@ -531,6 +531,41 @@ object PipelineQueries {
               AND r.rn = (CAST(p.pct AS BIGINT) * n.c + 99) // 100
         ORDER BY n.source, p.pct""")),
 
+    QueryDef("q_kmv_distinct",
+      // mergeable KMV distinct-count sketch (Sketches.kmvDistinct):
+      // per-source distinct 5-shingle cardinality — the corpus-dedup
+      // accounting number — estimated from the k=128 smallest shared
+      // 60-bit hashes (≤ k longs of state per group, map-side
+      // combined; the exact countDistinct rides along only for
+      // calibration), plus a below-k group set (per-source languages)
+      // pinning the exact branch. Unlike engine-native HLL++ the
+      // sketch is bit-deterministic on both engines, so even the
+      // ESTIMATES hash-match the oracle.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Sketches.kmvDistinct(TextOps.shingleSet(d, 5, carry = Seq("source")),
+            "source", col("s"), 128)
+          .withColumn("metric", lit("shingles_5"))
+          .unionByName(
+            Sketches.kmvDistinct(d, "source", col("lang"), 128)
+              .withColumn("metric", lit("langs")))
+          .orderBy("metric", "source")
+      },
+      Some {
+        def est(v: String, metric: String) =
+          s"""SELECT '$metric' AS metric, g AS source, nd AS n_exact,
+              ${Sketches.kmvSql(128)} AS est_kmv
+            FROM (SELECT g, count(*) AS nd,
+                max(CASE WHEN rn <= 128 THEN h END) AS hk
+              FROM (SELECT g, h, row_number() OVER
+                  (PARTITION BY g ORDER BY h) AS rn FROM $v) GROUP BY g)"""
+        s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
+          v1 AS (SELECT DISTINCT source AS g, ${h60("s")} AS h FROM sh5),
+          v2 AS (SELECT DISTINCT source AS g, ${h60("lang")} AS h FROM documents)
+          ${est("v1", "shingles_5")} UNION ALL ${est("v2", "langs")}
+          ORDER BY metric, source"""
+      }),
+
     QueryDef("q_doc_fingerprint",
       (s, dir) => TextOps.fingerprint(docs(s, dir)).orderBy("doc_id"),
       Some(s"""WITH tok AS ($tokCte)
@@ -932,6 +967,49 @@ object PipelineQueries {
         FROM a JOIN c ON a.user_id = c.user_id
         WHERE a.act_week >= c.cohort_week
         GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q_asof_join",
+      // backward inclusive as-of join (point-in-time enrichment): each
+      // event picks the latest order of its user at or before a
+      // per-event cutoff, ties on o_orderdate broken by greatest
+      // o_orderkey. The generator's event clock (2024) postdates every
+      // order (1995–2001), which would make "latest order <= ts" the
+      // degenerate per-user max — so the cutoff is derived
+      // deterministically from event_id to sweep the whole order-date
+      // range, exercising per-event winners AND the no-match null path
+      // (cutoffs before the user's first order). Plan: ONE shuffle on
+      // user_id + per-key window — no range-join explosion, no per-row
+      // subquery (see Temporal.asofJoin scaladoc for the 100 TB
+      // mega-key variant).
+      (s, dir) => {
+        val e = events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          expr("timestamp(date_add(DATE '1995-01-01', CAST(event_id % 2500 AS INT)))")
+            .as("cutoff"))
+        Temporal.asofJoin(e, Temporal.loadOrders(s, dir),
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTs = "cutoff", rightTs = "o_orderdate",
+            tieBreak = "o_orderkey",
+            payload = Seq("o_orderkey", "o_orderdate", "o_totalprice"),
+            prefix = "last_")
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type,
+            CAST(DATE '1995-01-01' + CAST(event_id % 2500 AS INTEGER) AS TIMESTAMP)
+              AS cutoff
+          FROM events),
+        o AS (SELECT o_custkey, o_orderkey,
+            make_timestamp(epoch_ns(o_orderdate) // 1000) AS odate, o_totalprice
+          FROM orders),
+        c AS (SELECT e.event_id, o.o_orderkey, o.odate, o.o_totalprice,
+            row_number() OVER (PARTITION BY e.event_id
+              ORDER BY o.odate DESC, o.o_orderkey DESC) AS rn
+          FROM e JOIN o ON o.o_custkey = e.user_id AND o.odate <= e.cutoff)
+        SELECT e.event_id, e.user_id, e.event_type, e.cutoff,
+          c.o_orderkey AS last_o_orderkey, c.odate AS last_o_orderdate,
+          c.o_totalprice AS last_o_totalprice
+        FROM e LEFT JOIN c ON c.event_id = e.event_id AND c.rn = 1
+        ORDER BY e.event_id""")),
 
     // ---- multimodal binary plumbing ----
 

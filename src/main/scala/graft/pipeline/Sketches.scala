@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.regrid.Rounding
+
+/** Mergeable sketch aggregates for corpus accounting at 100 TB.
+  *
+  * Exact `COUNT(DISTINCT x)` per group shuffles every distinct value to
+  * its group's reducer — at web-corpus scale (10¹⁰⁺ distinct shingles)
+  * that exchange IS the job. A K-Minimum-Values sketch [Bar-Yossef et
+  * al. 2002] caps the per-group state at `k` 8-byte hashes: each
+  * partition keeps the k smallest distinct hash values it sees
+  * (map-side, inside Spark's partial-aggregation tree), partial
+  * buffers merge by sorted-union-truncate, and the estimate
+  * `(k-1) / (h_(k) / 2⁶⁰)` is read off the final buffer. Standard
+  * error ≈ 1/√(k−2) (~9% at k=128); groups with fewer than k distinct
+  * values are EXACT (the buffer never fills).
+  *
+  * Everything is deterministic — the hash is the repo's shared 60-bit
+  * md5 prefix (same bits in DuckDB), and "k smallest distinct" is
+  * order-independent — so unlike engine-native `approx_count_distinct`
+  * (HLL++, whose registers differ across engines) this sketch
+  * hash-matches a SQL oracle bit-for-bit, double arithmetic included.
+  */
+object Sketches {
+
+  /** Mergeable k-minimum-values aggregator over 60-bit hash values.
+    * Buffer = sorted distinct ascending array, length ≤ k; reduce is a
+    * binary-search insert (drops values ≥ the current kth min once
+    * full), merge is sorted-union-truncate. Both are associative and
+    * commutative on the SET of inputs, so the final buffer — and
+    * everything derived from it — is partitioning-invariant. */
+  class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(b, h)
+      if (i >= 0) b // already present
+      else {
+        val ins = -i - 1
+        if (ins >= k) b // not among the k smallest
+        else {
+          val n = math.min(b.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1
+        if (j < b.length && b(j) == v) j += 1 // dedup equal heads
+        out(o) = v; o += 1
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** 2⁶⁰ as an exact double — the hash space width. */
+  val HashSpace: Double = 1.152921504606846976e18
+
+  /** Shared 60-bit hash of a string column (same bits as the oracle's
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-group distinct-count estimate via KMV, alongside the exact
+    * count for calibration. Output: `(group, n_exact, est_kmv)` —
+    * `est_kmv` is EXACT (as a whole double) when the group has < k
+    * distinct values, else the KMV estimate rounded to 3 decimals with
+    * the shared floor-trick.
+    *
+    * Scale shape: ONE hash aggregation; the sketch buffer combines
+    * map-side, so the exchange carries ≤ k longs per (partition,
+    * group). The exact `countDistinct` rides the same groupBy only for
+    * the oracle comparison — a production caller at 10¹⁰ distinct
+    * values drops it and keeps the sketch-only plan. */
+  def kmvDistinct(df: DataFrame, groupCol: String, value: Column, k: Int): DataFrame = {
+    require(k >= 3, s"KMV needs k >= 3, got $k") // (k-1)/frac with k-2 d.o.f.
+    val kmv = udaf(new KmvAgg(k), Encoders.scalaLong)
+    df.select(col(groupCol), hash60(value).as("__h"))
+      .groupBy(groupCol)
+      .agg(
+        countDistinct(col("__h")).as("n_exact"),
+        kmv(col("__h")).as("__mins"))
+      .withColumn("__nk", size(col("__mins")))
+      .withColumn("est_kmv",
+        when(col("__nk") < k, col("__nk").cast("double"))
+          .otherwise(Rounding.roundN(
+            lit((k - 1).toDouble) /
+              (element_at(col("__mins"), k).cast("double") / lit(HashSpace)), 3)))
+      .drop("__mins", "__nk")
+  }
+
+  /** Oracle-side fragment: the same estimate in DuckDB SQL, over a
+    * relation `(g, h)` of per-group distinct 60-bit hashes. */
+  def kmvSql(k: Int): String =
+    s"""CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+        ELSE ${Rounding.sqlRoundN(
+          s"${(k - 1).toDouble}e0 / (CAST(hk AS DOUBLE) / 1.152921504606846976e18)", 3)} END"""
+}

@@ -1945,4 +1945,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2.toSeq === Seq((0L, -1L), (1L, 101L), (2L, 102L),
       (3L, 103L), (4L, -1L), (5L, 200L)))
   }
+
+  test("kmvDistinct: exact below k, calibrated estimate above k, partition-invariant") {
+    // 10k distinct values in one group (sketch regime at k=256) and 40
+    // in another (exact regime), with every value duplicated 3x — the
+    // sketch must dedup, not count
+    val rows = (0 until 10000).map(i => ("big", s"v$i")) ++
+      (0 until 40).map(i => ("small", s"w$i"))
+    val df = (rows ++ rows ++ rows).toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, "g", col("v"), 256)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("small") === ((40L, 40.0)), "below-k group must be exact")
+    val (nBig, estBig) = out("big")
+    assert(nBig === 10000L)
+    // standard error ≈ 1/sqrt(k-2) ≈ 6.3%; 4 sigma = 25%
+    assert(math.abs(estBig - 10000.0) / 10000.0 < 0.25,
+      s"KMV estimate $estBig too far from 10000")
+    // merge path determinism: any partitioning gives the same bits
+    val out2 = Sketches.kmvDistinct(df.repartition(13), "g", col("v"), 256)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out2 === out)
+    // the raw buffer is sorted, distinct, capped at k
+    val kmv = udaf(new Sketches.KmvAgg(8), org.apache.spark.sql.Encoders.scalaLong)
+    val buf = df.filter(col("g") === "big")
+      .select(Sketches.hash60(col("v")).as("h"))
+      .agg(kmv(col("h"))).collect()(0).getSeq[Long](0)
+    assert(buf.length === 8 && buf === buf.sorted && buf.distinct === buf)
+  }
 }
