@@ -968,6 +968,33 @@ object PipelineQueries {
         WHERE a.act_week >= c.cohort_week
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QueryDef("q_item_cooccurrence",
+      // association mining over the events stream: users co-viewing
+      // item pairs + lift, the co-view recommender primitive. Exact
+      // (uncapped) here so the oracle is a plain self-join; the
+      // maxPerUser skew cap is scalatest-pinned (deterministic
+      // smallest-hash basket sampling).
+      (s, dir) => Events.coOccurrence(events(s, dir), "view",
+          maxPerUser = 0, minSupport = 2)
+        .orderBy("item_a", "item_b"),
+      Some("""WITH it AS (SELECT DISTINCT user_id,
+            CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+          FROM events WHERE event_type = 'view'),
+        n AS (SELECT count(DISTINCT user_id) AS nu FROM it),
+        pi AS (SELECT item, count(*) AS n_item FROM it GROUP BY 1),
+        pr AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+          FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
+          GROUP BY 1, 2)
+        SELECT pr.item_a, pr.item_b, pr.n_co,
+          floor((CAST(pr.n_co AS DOUBLE) * CAST(n.nu AS DOUBLE)
+            / (CAST(pa.n_item AS DOUBLE) * CAST(pb.n_item AS DOUBLE)))
+            * 1.0e9 + 0.5e0) / 1.0e9 AS lift
+        FROM pr JOIN pi pa ON pr.item_a = pa.item
+          JOIN pi pb ON pr.item_b = pb.item
+          CROSS JOIN n
+        WHERE pr.n_co >= 2
+        ORDER BY item_a, item_b""")),
+
     QueryDef("q_asof_join",
       // backward inclusive as-of join (point-in-time enrichment): each
       // event picks the latest order of its user at or before a

@@ -137,4 +137,49 @@ object Events {
         (2 to steps.size).map(i => count(col(s"t$i")).as(s"cnt$i")): _*)
       .selectExpr(s"stack(${steps.size}, $stack) AS (step_idx, event_type, n_users)")
   }
+
+  /** Item co-occurrence ("viewed together"): for every unordered item
+    * pair, the number of users who interacted with BOTH, plus lift
+    * `P(a,b) / (P(a)·P(b))` — the association-mining / co-view
+    * recommender primitive. `item` is parsed from the `props` JSON.
+    *
+    * Scale shape: distinct (user, item) first — the dedup that stops a
+    * user's 10⁴ views of one item from mattering, map-side combined —
+    * then ONE self-equi-join on user_id and a pair hash agg (count(*)
+    * suffices: inputs are per-user unique). The join is quadratic in
+    * per-user basket size, which is exactly where event data is
+    * skewed, so `maxPerUser > 0` caps each user's basket at the
+    * maxPerUser smallest-hash items (deterministic, unbiased-ish
+    * sampling by the shared 60-bit hash; a 10⁶-item crawler bot
+    * contributes C(cap,2) pairs, not 10¹²). Per-item user counts for
+    * lift are a tiny relation — broadcast joined. */
+  def coOccurrence(events: DataFrame, eventType: String = "view",
+                   maxPerUser: Int = 0, minSupport: Int = 2): DataFrame = {
+    val items0 = events.filter(col("event_type") === eventType)
+      .select(col("user_id"),
+        expr("CAST(get_json_object(props, '$.k') AS INT)").as("item"))
+      .distinct()
+    val items =
+      if (maxPerUser <= 0) items0
+      else items0
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(Sketches.hash60(col("item").cast("string")), col("item"))))
+        .filter(col("__rn") <= maxPerUser).drop("__rn")
+    val nUsers = items.select("user_id").distinct().count()
+    val perItem = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val a = items.toDF("user_id", "item_a")
+    val b = items.toDF("user_id", "item_b")
+    a.join(b, Seq("user_id"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minSupport)
+      .join(broadcast(perItem.toDF("item_a", "n_a")), "item_a")
+      .join(broadcast(perItem.toDF("item_b", "n_b")), "item_b")
+      .withColumn("lift", graft.regrid.Rounding.roundN(
+        col("n_co").cast("double") * lit(nUsers.toDouble) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 9))
+      .select("item_a", "item_b", "n_co", "lift")
+  }
 }

@@ -1972,4 +1972,36 @@ class PipelineSpec extends AnyFunSuite {
       .agg(kmv(col("h"))).collect()(0).getSeq[Long](0)
     assert(buf.length === 8 && buf === buf.sorted && buf.distinct === buf)
   }
+
+  test("coOccurrence: pair counts exact, lift calibrated, skew cap bounds baskets deterministically") {
+    // 3 users: u1 views items 1,2,3; u2 views 1,2 (twice each — dedup);
+    // u3 views 2,3. Pairs: (1,2)x2, (1,3)x1, (2,3)x2
+    def ev(id: Long, u: Long, item: Int) =
+      (id, new java.sql.Timestamp(id * 1000), u, "view", 0.0, s"""{"k": $item}""")
+    val rows = Seq(ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3), ev(4, 2, 1),
+      ev(5, 2, 2), ev(6, 2, 1), ev(7, 2, 2), ev(8, 3, 2), ev(9, 3, 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.coOccurrence(rows, "view", maxPerUser = 0, minSupport = 1)
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // nUsers=3, n_1=2, n_2=3, n_3=2
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((1, 2, 2L), (1, 3, 1L), (2, 3, 2L)))
+    assert(out(0)._4 === 2.0 * 3 / (2 * 3)) // lift(1,2) = 1.0
+    assert(out(1)._4 === 1.0 * 3 / (2 * 2)) // lift(1,3) = 0.75
+    // cap = 2: every basket shrinks to its 2 smallest-hash items; the
+    // capped pair set must be a subset, counts never higher, and the
+    // cut must be identical under adversarial partitioning
+    val capped = Events.coOccurrence(rows.repartition(5), "view",
+      maxPerUser = 2, minSupport = 1)
+    val cap1 = capped.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val full = out.map(t => (t._1, t._2, t._3)).toSet
+    assert(cap1.map(t => (t._1, t._2)).subsetOf(full.map(t => (t._1, t._2))))
+    assert(cap1.forall { case (a, b, n) =>
+      full.find(f => f._1 == a && f._2 == b).exists(_._3 >= n) })
+    val cap2 = Events.coOccurrence(rows.repartition(2), "view",
+      maxPerUser = 2, minSupport = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(cap1 === cap2, "cap cut must be partitioning-invariant")
+  }
 }
