@@ -1038,6 +1038,41 @@ object PipelineQueries {
         FROM e LEFT JOIN c ON c.event_id = e.event_id AND c.rn = 1
         ORDER BY e.event_id""")),
 
+    QueryDef("q_range_join",
+      // interval containment join via the bucketed equi-join reduction
+      // (Temporal.rangeJoin): each event's synthetic cutoff (same
+      // formula as q_asof_join) against its user's 30-day order
+      // windows — multiplicity 0..n per event, overlapping windows
+      // included. The plan is an EQUI-join on (user_id, time-bucket)
+      // with the range predicate residual, never a per-key cross
+      // product; the oracle states the naive inequality join the plan
+      // avoids.
+      (s, dir) => {
+        val e = events(s, dir).select(col("event_id"), col("user_id"),
+          expr("timestamp(date_add(DATE '1995-01-01', CAST(event_id % 2500 AS INT)))")
+            .as("cutoff"))
+        val o = Temporal.loadOrders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("win_start"),
+          expr("o_orderdate + INTERVAL 30 DAY").as("win_end"))
+        Temporal.rangeJoin(e, o, "user_id", "o_custkey",
+            "cutoff", "win_start", "win_end", bucketSec = 30L * 86400L)
+          .select("event_id", "user_id", "cutoff", "o_orderkey", "win_start")
+          .orderBy("event_id", "o_orderkey")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id,
+            CAST(DATE '1995-01-01' + CAST(event_id % 2500 AS INTEGER) AS TIMESTAMP)
+              AS cutoff
+          FROM events),
+        o AS (SELECT o_custkey, o_orderkey,
+            make_timestamp(epoch_ns(o_orderdate) // 1000) AS win_start
+          FROM orders)
+        SELECT e.event_id, e.user_id, e.cutoff, o.o_orderkey, o.win_start
+        FROM e JOIN o ON o.o_custkey = e.user_id
+          AND e.cutoff >= o.win_start
+          AND e.cutoff < o.win_start + INTERVAL 30 DAY
+        ORDER BY event_id, o_orderkey""")),
+
     // ---- multimodal binary plumbing ----
 
     QueryDef("q_multimodal_meta",

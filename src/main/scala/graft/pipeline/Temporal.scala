@@ -87,6 +87,45 @@ object Temporal {
       .select(leftCols.map(col) ++ payload.map(c => col(s"__pl.$c").as(s"$prefix$c")): _*)
   }
 
+  /** Interval (range) join: every `points` row matched to every
+    * `intervals` row of the same key whose half-open window
+    * `[start, end)` contains the point's timestamp — inner-join
+    * multiplicity (0..n matches per point).
+    *
+    * Spark has no native range-join operator; the naive encoding
+    * (equi-join on the key alone + a range filter) materializes the
+    * per-key CROSS product first, which is quadratic exactly where
+    * event data is skewed. This is the standard bucketed reduction:
+    * intervals are exploded to the coarse time buckets they overlap,
+    * points compute their single bucket, and the join becomes an
+    * EQUI-join on `(key, bucket)` with the range predicate left as a
+    * residual filter. With `bucketSec` ≥ the typical interval width an
+    * interval lands in ~2 buckets, so the shuffle carries ~2× the
+    * interval relation instead of per-key cross products, and Catalyst
+    * plans a plain shuffled hash/sort-merge join. Degenerate
+    * ultra-long intervals replicate across many buckets — split those
+    * into a separate broadcast branch if they dominate. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointKey: String, intervalKey: String,
+                pointTs: String, startTs: String, endTs: String,
+                bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be > 0, got $bucketSec")
+    val w = bucketSec * 1000000L // micros
+    val p = points.withColumn("__b",
+      floor(unix_micros(col(pointTs)) / lit(w)))
+    val iv = intervals
+      .filter(col(endTs) > col(startTs)) // empty intervals match nothing
+      .withColumn("__b", explode(sequence(
+      floor(unix_micros(col(startTs)) / lit(w)),
+      // end is EXCLUSIVE: an interval ending exactly on a bucket edge
+      // does not reach into that bucket
+      floor((unix_micros(col(endTs)) - lit(1L)) / lit(w)))))
+    p.join(iv,
+        p("__b") === iv("__b") && p(pointKey) === iv(intervalKey) &&
+          p(pointTs) >= iv(startTs) && p(pointTs) < iv(endTs))
+      .drop("__b")
+  }
+
   /** Orders table, `o_orderdate` normalized to micro-precision
     * session-TZ TimestampType under either generator encoding (int64
     * epoch-nanos or parquet `timestamp[us]`) — same tolerance contract

@@ -2004,4 +2004,40 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
     assert(cap1 === cap2, "cap cut must be partitioning-invariant")
   }
+
+  test("rangeJoin: half-open boundaries, bucket edges, multi-bucket spans, multiplicity") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val bucket = 100L // seconds
+    val intervals = Seq(
+      (1L, 10L, ts(50), ts(150)),   // spans buckets 0-1
+      (1L, 11L, ts(100), ts(200)),  // starts exactly on a bucket edge; overlaps 10
+      (1L, 12L, ts(300), ts(300)),  // empty — must match nothing
+      (1L, 13L, ts(400), ts(701)),  // spans buckets 4,5,6,7
+      (2L, 20L, ts(50), ts(150)))   // other key
+      .toDF("k", "iid", "lo", "hi")
+    val points = Seq(
+      (100L, 1L, ts(49)),   // just before 10 → none
+      (101L, 1L, ts(50)),   // start INCLUSIVE → 10
+      (102L, 1L, ts(120)),  // overlap region → 10 and 11
+      (103L, 1L, ts(150)),  // 10's end EXCLUSIVE → 11 only
+      (104L, 1L, ts(300)),  // empty interval start → none
+      (105L, 1L, ts(699)),  // deep in the multi-bucket span → 13
+      (106L, 1L, ts(700)),  // last covered second of 13 (hi=701) → 13
+      (107L, 1L, ts(701)),  // 13's end exclusive → none
+      (108L, 2L, ts(120)),  // key isolation → 20
+      (109L, 3L, ts(120))) // unknown key → none
+      .toDF("pid", "k", "pts")
+    val got = Temporal.rangeJoin(points, intervals, "k", "k", "pts", "lo", "hi", bucket)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set(
+      (101L, 10L), (102L, 10L), (102L, 11L), (103L, 11L),
+      (105L, 13L), (106L, 13L), (108L, 20L)))
+    // bucket width must not change the answer, only the plan
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val g = Temporal.rangeJoin(points, intervals, "k", "k", "pts", "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(g === got, s"bucketSec=$w changed the result")
+    }
+  }
 }
