@@ -1830,6 +1830,44 @@ object PipelineQueries {
           floor((CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9 AS oov_rate
         FROM o ORDER BY doc_id""")),
 
+    QueryDef("q_bpe_train",
+      // BPE merge-rule training (Sennrich 2016) — the learned half of
+      // the tokenizer surface (q_tokens_bpe applies a FIXED
+      // pre-tokenizer; this LEARNS the merge table). Trains on the
+      // word-frequency dictionary, so corpus cost is one token-count
+      // agg regardless of merge count. The oracle replays all 12
+      // rounds declaratively: per round a weighted pair count, an
+      // argmax under (cnt DESC, lhs, rhs), and a list_reduce fold
+      // re-segmentation — any divergence in counting convention,
+      // tie-break, or left-to-right application breaks the hash.
+      (s, dir) => TextOps.bpeTrain(docs(s, dir), 12).orderBy("rank"),
+      Some {
+        val n = 12
+        val rounds = (1 to n).map { r =>
+          s"""pc$r AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+              CAST(sum(freq) AS BIGINT) AS cnt
+            FROM s${r - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+            GROUP BY 1, 2),
+          m$r AS (SELECT $r AS rank, a, b, cnt FROM pc$r
+            ORDER BY cnt DESC, a, b LIMIT 1),
+          s$r AS MATERIALIZED (SELECT word, freq, list_reduce(list_transform(syms, x -> [x]),
+              (acc, x) -> CASE WHEN acc[-1] = m$r.a AND x[1] = m$r.b
+                THEN list_concat(list_slice(acc, 1, len(acc) - 1), [m$r.a || m$r.b])
+                ELSE list_concat(acc, x) END) AS syms
+            FROM s${r - 1}, m$r)"""
+        }
+        s"""WITH tok AS ($tokCte),
+          w AS (SELECT unnest(tokens) AS word FROM tok),
+          wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+            WHERE length(word) >= 1 GROUP BY 1),
+          s0 AS (SELECT word, freq, list_transform(generate_series(1, length(word)),
+              i -> substr(word, i, 1)) AS syms FROM wf),
+          ${rounds.mkString(",\n")}
+          SELECT rank, a AS lhs, b AS rhs, a || b AS merged, cnt
+          FROM (${(1 to n).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+          ORDER BY rank"""
+      }),
+
     // ---- relational breadth on the star schema ----
 
     QueryDef("q_lineitem_pricing",

@@ -459,4 +459,81 @@ object TextOps {
         sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate", expr(
         "floor((CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9"))
+
+  /** BPE merge-rule TRAINING [Sennrich et al. 2016] — learn the
+    * `nMerges` highest-frequency adjacent-symbol merges over the
+    * corpus, the core of tokenizer construction. Returns one row per
+    * learned rule: `(rank, lhs, rhs, merged, cnt)` where `cnt` is the
+    * pair's corpus frequency at merge time.
+    *
+    * Classic BPE trains on the WORD-FREQUENCY DICTIONARY, not the
+    * corpus: one `explode(tokens) → groupBy(word).count` pass reduces
+    * 10¹² corpus tokens to a ~10⁷-row vocabulary, and every training
+    * round after that touches only the dictionary (pairs weighted by
+    * word freq). Per round: adjacent-pair explode → map-side-combined
+    * weighted count → a `limit(1)` argmax under the total order
+    * `(cnt DESC, lhs ASC, rhs ASC)` (TakeOrderedAndProject — never a
+    * full sort), then one narrow re-segmentation pass via the
+    * `aggregate` fold (left-to-right, non-overlapping — "aaa" under
+    * (a,a) → [aa, a]). The dictionary is re-cached per round and the
+    * previous round unpersisted, so lineage stays one round deep.
+    * Driver holds only the nMerges argmax rows. Pair counts follow the
+    * standard convention: ALL adjacent occurrences count, overlaps
+    * included ("aaa" contributes (a,a) twice). */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    // the dictionary is vocabulary-sized (≪ corpus) — coalesce to one
+    // partition so the 12 narrow per-round passes are single tasks,
+    // not 32 near-empty ones
+    var syms = withTokens(docs)
+      .selectExpr("explode(tokens) AS word")
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .selectExpr("word", "freq",
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1)) AS syms")
+      .coalesce(1)
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var prev: DataFrame = null
+    var r = 1
+    var dry = false
+    while (r <= nMerges && !dry) {
+      // ONE job per round: the argmax collect below also materializes
+      // this round's cached dictionary, after which the previous
+      // round's cache is safe to drop (deferred unpersist — a per-round
+      // count() would double the job count)
+      val top = syms
+        .filter(size(col("syms")) >= 2)
+        .selectExpr("freq",
+          """explode(transform(sequence(1, size(syms) - 1),
+             i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))) AS p""")
+        .groupBy("p.a", "p.b").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, a + b, cnt))
+        // left-to-right non-overlapping application of (a, b) -> ab;
+        // lit() columns, so symbols never pass through SQL-literal
+        // escaping
+        val next = syms.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))))
+          .cache()
+        prev = syms
+        syms = next
+        r += 1
+      }
+    }
+    if (prev != null) prev.unpersist()
+    syms.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "cnt")
+  }
 }

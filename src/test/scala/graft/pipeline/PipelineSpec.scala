@@ -2041,3 +2041,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 }
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("bpe-spec")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def corpus(texts: String*): DataFrame =
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src0", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("bpeTrain: hand-computed merge sequence, overlap counting, L2R application") {
+    // wf: aaab x2, ab x1
+    // round 1: (a,a) counts 4 (overlaps included: aaab has it twice),
+    //   (a,b) counts 3 → merge (a,a); aaab → [aa,a,b]
+    // round 2: (aa,a):2, (a,b):3 → merge (a,b); aaab → [aa,ab]
+    // round 3: (aa,ab):2 → merge (aa,ab)
+    val m = TextOps.bpeTrain(corpus("aaab aaab ab"), 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("bpeTrain: equal counts break ties by (lhs, rhs) ascending") {
+    val m = TextOps.bpeTrain(corpus("xz xz xy xy"), 1).collect()
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(4)) === (("x", "y", 2L)))
+  }
+
+  test("bpeTrain: runs dry when no pairs remain, returning fewer rules") {
+    val m = TextOps.bpeTrain(corpus("ab ab"), 5).orderBy("rank").collect()
+    assert(m.length === 1)
+    assert((m(0).getString(3), m(0).getLong(4)) === (("ab", 2L)))
+  }
+}
