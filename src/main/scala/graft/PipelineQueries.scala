@@ -1868,6 +1868,47 @@ object PipelineQueries {
           ORDER BY rank"""
       }),
 
+    QueryDef("q_bpe_apply",
+      // the learned tokenizer's APPLY path: per-source token/char/
+      // symbol totals and compression under the 12-rule BPE vocabulary
+      // of q_bpe_train. The corpus is segmented by joining tokens to
+      // the segmented DICTIONARY (vocabulary-sized → broadcast), never
+      // by re-folding per corpus row. Oracle = the same 12 replayed
+      // rounds + the dictionary join, stated declaratively.
+      (s, dir) => TextOps.bpeSegmentStats(docs(s, dir), 12).orderBy("source"),
+      Some {
+        val n = 12
+        val rounds = (1 to n).map { r =>
+          s"""pc$r AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+              CAST(sum(freq) AS BIGINT) AS cnt
+            FROM s${r - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+            GROUP BY 1, 2),
+          m$r AS (SELECT $r AS rank, a, b, cnt FROM pc$r
+            ORDER BY cnt DESC, a, b LIMIT 1),
+          s$r AS MATERIALIZED (SELECT word, freq, list_reduce(list_transform(syms, x -> [x]),
+              (acc, x) -> CASE WHEN acc[-1] = m$r.a AND x[1] = m$r.b
+                THEN list_concat(list_slice(acc, 1, len(acc) - 1), [m$r.a || m$r.b])
+                ELSE list_concat(acc, x) END) AS syms
+            FROM s${r - 1}, m$r)"""
+        }
+        s"""WITH tok AS ($tokCte),
+          w AS (SELECT unnest(tokens) AS word FROM tok),
+          wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+            WHERE length(word) >= 1 GROUP BY 1),
+          s0 AS (SELECT word, freq, list_transform(generate_series(1, length(word)),
+              i -> substr(word, i, 1)) AS syms FROM wf),
+          ${rounds.mkString(",\n")},
+          t AS (SELECT source, unnest(tokens) AS word FROM tok),
+          j AS (SELECT t.source, length(t.word) AS n_chars, len(d.syms) AS n_syms
+            FROM t JOIN s$n d ON t.word = d.word)
+          SELECT source, count(*) AS n_tokens,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            CAST(sum(n_syms) AS BIGINT) AS sum_syms,
+            floor((CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_syms) AS DOUBLE))
+              * 1.0e9 + 0.5e0) / 1.0e9 AS compression
+          FROM j GROUP BY source ORDER BY source"""
+      }),
+
     // ---- relational breadth on the star schema ----
 
     QueryDef("q_lineitem_pricing",

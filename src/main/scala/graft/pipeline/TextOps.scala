@@ -480,7 +480,37 @@ object TextOps {
     * Driver holds only the nMerges argmax rows. Pair counts follow the
     * standard convention: ALL adjacent occurrences count, overlaps
     * included ("aaa" contributes (a,a) twice). */
-  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeCore(docs, nMerges)._1
+
+  /** Corpus segmentation STATS under a freshly-trained `nMerges`-rule
+    * BPE vocabulary — the apply path: per source, token occurrences,
+    * total characters, total post-merge symbols, and the compression
+    * ratio chars/symbols. The corpus is never re-segmented row by row:
+    * tokens join the SEGMENTED DICTIONARY (vocabulary-sized → a
+    * broadcast hash join at any corpus scale), which is how a learned
+    * tokenizer is applied to 10¹² tokens in practice. */
+  def bpeSegmentStats(docs: DataFrame, nMerges: Int): DataFrame = {
+    val dict = bpeCore(docs, nMerges)._2
+      .select(col("word"), size(col("syms")).as("n_syms"))
+    withTokens(docs)
+      .selectExpr("source", "explode(tokens) AS word")
+      .join(broadcast(dict), "word")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("word"))).cast("long").as("sum_chars"),
+        sum(col("n_syms")).cast("long").as("sum_syms"))
+      .withColumn("compression", expr(
+        "floor((CAST(sum_chars AS DOUBLE) / CAST(sum_syms AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9"))
+  }
+
+  /** Shared BPE trainer: returns the merge table and the final
+    * segmented dictionary `(word, freq, syms)`. All per-round caches
+    * are unpersisted before returning — the returned frames stay valid
+    * through lineage (the learned merges are baked in as literals), so
+    * callers never hold sketch memory across queries. */
+  private def bpeCore(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
     // the dictionary is vocabulary-sized (≪ corpus) — coalesce to one
@@ -534,6 +564,6 @@ object TextOps {
     if (prev != null) prev.unpersist()
     syms.unpersist()
     import spark.implicits._
-    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "cnt")
+    (merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "cnt"), syms)
   }
 }
