@@ -995,6 +995,43 @@ object PipelineQueries {
         WHERE pr.n_co >= 2
         ORDER BY item_a, item_b""")),
 
+    QueryDef("q_graph_triangles",
+      // per-node triangle counts + local clustering coefficient over
+      // the co-view item graph (edges = q_item_cooccurrence pairs with
+      // support >= 2). The Spark plan uses degree orientation — wedges
+      // only at each node's out-neighbors, O(m^1.5) worst case, hub
+      // nodes emit nothing — while the oracle states the naive
+      // three-way self-join it replaces; identical per-node counts
+      // prove the orientation loses and double-counts nothing.
+      (s, dir) => Graphs.triangleStats(
+          Events.coOccurrence(events(s, dir), "view", 0, 2)
+            .select(col("item_a").as("a"), col("item_b").as("b")))
+        .orderBy("node"),
+      Some("""WITH it AS (SELECT DISTINCT user_id,
+            CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+          FROM events WHERE event_type = 'view'),
+        pr AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+          FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
+          GROUP BY 1, 2),
+        e AS (SELECT CAST(item_a AS BIGINT) AS a, CAST(item_b AS BIGINT) AS b
+          FROM pr WHERE n_co >= 2),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+            SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) GROUP BY 1)
+        SELECT deg.node, deg.degree,
+          coalesce(pn.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+          CASE WHEN deg.degree < 2 THEN 0.0e0
+            ELSE floor((2.0e0 * CAST(coalesce(pn.n_tri, 0) AS DOUBLE)
+              / (CAST(deg.degree AS DOUBLE) * CAST(deg.degree - 1 AS DOUBLE)))
+              * 1.0e9 + 0.5e0) / 1.0e9 END AS clustering
+        FROM deg LEFT JOIN pn ON deg.node = pn.node
+        ORDER BY deg.node""")),
+
     QueryDef("q_asof_join",
       // backward inclusive as-of join (point-in-time enrichment): each
       // event picks the latest order of its user at or before a

@@ -2042,6 +2042,40 @@ class PipelineSpec extends AnyFunSuite {
   }
 }
 
+class GraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graph-spec")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("triangleStats: K4 + pendant — known counts, coefficients, zero for leaves") {
+    // complete graph on {1,2,3,4} plus pendant 5-1
+    val k4 = for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)
+    val edges = (k4 :+ ((1L, 5L))).toDF("a", "b")
+    val got = Graphs.triangleStats(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // each K4 node sits in C(3,2)=3 triangles; node 1 has degree 4
+    assert(got(1L) === ((4L, 3L, 0.5))) // cc = 2*3/(4*3)
+    assert(got(2L) === ((3L, 3L, 1.0)))
+    assert(got(3L) === ((3L, 3L, 1.0)))
+    assert(got(4L) === ((3L, 3L, 1.0)))
+    assert(got(5L) === ((1L, 0L, 0.0)))
+  }
+
+  test("triangleStats: star graph has zero triangles; dup edges and order dedup") {
+    val star = (2 to 8).map(i => (1L, i.toLong))
+    val edges = (star ++ star).toDF("a", "b") // duplicated edges must dedup
+    val got = Graphs.triangleStats(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.forall(_._3 === 0L))
+    assert(got.find(_._1 == 1L).get._2 === 7L)
+    assert(got.forall(_._4 === 0.0))
+  }
+}
+
 class BpeSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
