@@ -1032,6 +1032,48 @@ object PipelineQueries {
         FROM deg LEFT JOIN pn ON deg.node = pn.node
         ORDER BY deg.node""")),
 
+    QueryDef("q_graph_pagerank",
+      // 5 rounds of fixed-point PageRank over the co-view item graph:
+      // ranks are BIGINT multiples of 1e-12, contributions integer
+      // divisions, so the result is bit-identical across engines,
+      // partitionings, and shuffle orders — float PageRank can't
+      // hash-gate, this can. Oracle replays the 5 rounds declaratively.
+      (s, dir) => Graphs.pageRankFixedPoint(
+          Events.coOccurrence(events(s, dir), "view", 0, 2)
+            .select(col("item_a").as("a"), col("item_b").as("b")), 5)
+        .orderBy("node"),
+      Some {
+        val iters = 5
+        val sc = Graphs.PrScale
+        val rounds = (1 to iters).map { r =>
+          s"""p$r AS MATERIALIZED (
+            SELECT od.src AS node,
+              (($sc * 15 // 100) // nn.n) + (coalesce(c.s, 0) * 85 // 100) AS pr
+            FROM od CROSS JOIN nn LEFT JOIN (
+              SELECT e.dst, CAST(sum(p${r - 1}.pr // od.od) AS BIGINT) AS s
+              FROM p${r - 1} JOIN od ON od.src = p${r - 1}.node
+                JOIN e ON e.src = p${r - 1}.node
+              GROUP BY 1) c ON c.dst = od.src)"""
+        }
+        s"""WITH it AS (SELECT DISTINCT user_id,
+            CAST(json_extract_string(props, '$$.k') AS INTEGER) AS item
+          FROM events WHERE event_type = 'view'),
+        co AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+          FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
+          GROUP BY 1, 2),
+        und AS (SELECT CAST(item_a AS BIGINT) AS a, CAST(item_b AS BIGINT) AS b
+          FROM co WHERE n_co >= 2),
+        e AS (SELECT a AS src, b AS dst FROM und
+          UNION ALL SELECT b AS src, a AS dst FROM und),
+        od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM od),
+        p0 AS (SELECT src AS node, ($sc // n) AS pr FROM od CROSS JOIN nn),
+        ${rounds.mkString(",\n")}
+        SELECT node, pr AS pr_fixed,
+          floor((CAST(pr AS DOUBLE) / $sc.0e0) * 1.0e9 + 0.5e0) / 1.0e9 AS pr
+        FROM p$iters ORDER BY node"""
+      }),
+
     QueryDef("q_asof_join",
       // backward inclusive as-of join (point-in-time enrichment): each
       // event picks the latest order of its user at or before a

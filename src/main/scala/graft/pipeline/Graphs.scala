@@ -78,4 +78,55 @@ object Graphs {
              * 1.0e9 + 0.5e0) / 1.0e9 END"""))
       .select("node", "degree", "n_tri", "clustering")
   }
+
+  /** Fixed-point scale for [[pageRankFixedPoint]]: ranks live in
+    * integer units of 10⁻¹². */
+  val PrScale: Long = 1000000000000L
+
+  /** PageRank over an undirected simple graph `(a, b)` (a < b), in
+    * FIXED-POINT integer arithmetic: ranks are BIGINT multiples of
+    * 10⁻¹², per-edge contributions are integer divisions
+    * `pr DIV out_degree`, and the damping update is
+    * `base + (85·Σcontrib) DIV 100`.
+    *
+    * Why fixed-point: float PageRank sums neighbor contributions in
+    * partition order, so the low bits differ run to run and engine to
+    * engine — fine for ranking, fatal for bit-reproducibility audits.
+    * Integer sums are associative-commutative EXACTLY, making the
+    * result independent of partitioning, shuffle order, and engine
+    * (the truncation the DIVs introduce is deterministic and bounded
+    * by 10⁻¹² per term). Each iteration is one equi-join of the rank
+    * relation with the directed edge list + a map-side-combinable sum
+    * — the standard distributed PageRank shape; at power-law scale the
+    * hub-destination skew is AQE's skew-join case. Dangling nodes
+    * cannot arise from an undirected edge list (every endpoint has
+    * out-degree ≥ 1). Output: `(node, pr_fixed, pr)` where `pr` is
+    * the readable double `pr_fixed / 10¹²` rounded to 9 decimals. */
+  def pageRankFixedPoint(edges0: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = edges0.select(col("a").cast("long"), col("b").cast("long"))
+      .where(col("a") < col("b")).distinct()
+    val directed = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val out = directed.groupBy("src").agg(count(lit(1)).as("od")).cache()
+    val nodes = out.select(col("src").as("node"))
+    val n = nodes.count()
+    // all driver-side Long arithmetic — replicated literally in SQL as
+    // (PrScale * 15 DIV 100) DIV n
+    val base = (PrScale * 15L / 100L) / n
+    var pr = nodes.withColumn("pr", lit(PrScale / n))
+    for (_ <- 1 to iters) {
+      val contrib = pr
+        .join(out, pr("node") === out("src"))
+        .join(directed, Seq("src"))
+        .selectExpr("dst", "pr DIV od AS c")
+        .groupBy("dst").agg(sum("c").as("s"))
+      pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("coalesce(s, CAST(0 AS BIGINT)) * 85 DIV 100")).as("pr"))
+    }
+    out.unpersist()
+    pr.select(col("node"), col("pr").as("pr_fixed"),
+      expr(s"floor((CAST(pr AS DOUBLE) / ${PrScale}.0e0) * 1.0e9 + 0.5e0) / 1.0e9").as("pr"))
+  }
 }

@@ -2074,6 +2074,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got.find(_._1 == 1L).get._2 === 7L)
     assert(got.forall(_._4 === 0.0))
   }
+
+  test("pageRankFixedPoint: symmetric graph stays uniform (hand-computed), star orders center first, partition-invariant") {
+    import spark.implicits._
+    // triangle: n=3, pr0 = 333333333333; od=2; each node receives
+    // 2 * (pr0 DIV 2) = 333333333332; pr1 = (1e12*15 DIV 100) DIV 3
+    //   + (333333333332*85) DIV 100 = 50000000000 + 283333333332
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val p1 = Graphs.pageRankFixedPoint(tri, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 === Map(1L -> 333333333332L, 2L -> 333333333332L, 3L -> 333333333332L))
+    // star: the center accumulates all leaf mass
+    val star = (2 to 9).map(i => (1L, i.toLong)).toDF("a", "b")
+    val ps = Graphs.pageRankFixedPoint(star, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val center = ps.find(_._1 == 1L).get._2
+    val leaves = ps.filter(_._1 != 1L).map(_._2)
+    assert(leaves.forall(_ < center) && leaves.distinct.length === 1)
+    // exact same bits under adversarial partitioning
+    val ps2 = Graphs.pageRankFixedPoint(star.repartition(7), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(ps2.toSeq === ps.sortBy(_._1).toSeq)
+  }
 }
 
 class BpeSpec extends AnyFunSuite {
