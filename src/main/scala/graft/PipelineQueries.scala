@@ -566,6 +566,87 @@ object PipelineQueries {
           ORDER BY metric, source"""
       }),
 
+    QueryDef("q_kmv_jaccard",
+      // pairwise source-overlap estimation from KMV sketches ALONE
+      // (sketches are closed under union: merge + re-truncate IS the
+      // union's sketch; inclusion–exclusion gives Jaccard) — corpus
+      // touched once for the sketch agg, then O(k) array algebra on
+      // |sources|² broadcast-sized rows. The exact per-pair Jaccard
+      // rides along (independently computed on both engines) to
+      // calibrate the estimates in the same gated artifact.
+      (s, dir) => {
+        val sh = TextOps.shingleSet(docs(s, dir), 5, carry = Seq("source"))
+        val est = Sketches.kmvPairSimilarity(sh, "source", col("s"), 128)
+        val v = sh.select(col("source"), Sketches.hash60(col("s")).as("h")).distinct()
+        val sizes = v.groupBy("source").agg(count(lit(1)).as("nd"))
+        val inter = v.toDF("ga", "h").join(v.toDF("gb", "h"), Seq("h"))
+          .where(col("ga") < col("gb"))
+          .groupBy("ga", "gb").agg(count(lit(1)).as("inter"))
+        est
+          .join(inter, est("group_a") === inter("ga") && est("group_b") === inter("gb"), "left")
+          .join(broadcast(sizes.toDF("group_a", "na")), "group_a")
+          .join(broadcast(sizes.toDF("group_b", "nb")), "group_b")
+          .withColumn("inter", coalesce(col("inter"), lit(0L)))
+          .withColumn("jaccard_exact", expr(
+            """floor((CAST(inter AS DOUBLE)
+               / CAST(na + nb - inter AS DOUBLE)) * 1.0e6 + 0.5e0) / 1.0e6"""))
+          .select("group_a", "group_b", "est_a", "est_b", "est_union",
+            "jaccard_est", "jaccard_exact")
+          .orderBy("group_a", "group_b")
+      },
+      Some {
+        val k = 128
+        def est(m: String) =
+          s"""CASE WHEN len($m) < $k THEN CAST(len($m) AS DOUBLE)
+              ELSE floor((${(k - 1).toDouble}e0
+                / (CAST($m[$k] AS DOUBLE) / 1.152921504606846976e18))
+                * 1.0e3 + 0.5e0) / 1.0e3 END"""
+        s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
+          v AS (SELECT DISTINCT source AS g, ${h60("s")} AS h FROM sh5),
+          sk AS (SELECT g, list_slice(list(h ORDER BY h), 1, $k) AS mins
+            FROM v GROUP BY g),
+          sz AS (SELECT g, CAST(count(*) AS BIGINT) AS nd FROM v GROUP BY g),
+          pairs AS (SELECT a.g AS group_a, b.g AS group_b, a.mins AS ma, b.mins AS mb,
+              list_slice(list_sort(list_distinct(list_concat(a.mins, b.mins))), 1, $k) AS mu
+            FROM sk a JOIN sk b ON a.g < b.g),
+          ij AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS inter
+            FROM v a JOIN v b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2),
+          e AS (SELECT group_a, group_b,
+              ${est("ma")} AS est_a, ${est("mb")} AS est_b, ${est("mu")} AS est_union
+            FROM pairs)
+          SELECT e.group_a, e.group_b, e.est_a, e.est_b, e.est_union,
+            floor((greatest(e.est_a + e.est_b - e.est_union, 0.0e0) / e.est_union)
+              * 1.0e6 + 0.5e0) / 1.0e6 AS jaccard_est,
+            floor((CAST(coalesce(ij.inter, 0) AS DOUBLE)
+              / CAST(sa.nd + sb.nd - coalesce(ij.inter, 0) AS DOUBLE))
+              * 1.0e6 + 0.5e0) / 1.0e6 AS jaccard_exact
+          FROM e LEFT JOIN ij ON ij.ga = e.group_a AND ij.gb = e.group_b
+            JOIN sz sa ON sa.g = e.group_a
+            JOIN sz sb ON sb.g = e.group_b
+          ORDER BY e.group_a, e.group_b"""
+      }),
+
+    QueryDef("q_corpus_rollup",
+      // OLAP subtotal lattice over the corpus: (source, lang) counts
+      // and char volumes with per-source and grand-total subtotals in
+      // ONE pass — Spark's rollup() emits the partial-agg-friendly
+      // grouping-sets plan (no per-level rescans). Aggregated-out
+      // keys are coalesced to 'ALL' on both engines so the subtotal
+      // rows hash-compare exactly.
+      (s, dir) => docs(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("sum_chars"))
+        .orderBy("source", "lang"),
+      Some("""SELECT coalesce(source, 'ALL') AS source,
+          coalesce(lang, 'ALL') AS lang,
+          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY ROLLUP(source, lang)
+        ORDER BY source, lang""")),
+
     QueryDef("q_doc_fingerprint",
       (s, dir) => TextOps.fingerprint(docs(s, dir)).orderBy("doc_id"),
       Some(s"""WITH tok AS ($tokCte)
@@ -738,6 +819,32 @@ object PipelineQueries {
                     ON sa.source = sb.source AND sa.s = sb.s AND sa.doc_id < sb.doc_id
                   GROUP BY 1, 2)
         SELECT * FROM ($jaccardSelect) j WHERE jaccard >= 0.3e0 ORDER BY a, b""")),
+
+    QueryDef("q_embedding_stats",
+      // per-(label, dim) embedding moments on the shared 1e-4
+      // quantization lattice: integer-exact sums make mean/variance
+      // bit-deterministic under any partitioning (raw float sums
+      // would drift in the low bits). One posexplode + one hash agg,
+      // map-side combined; output is 64x|labels| rows at any corpus
+      // size.
+      (s, dir) => Similarity.embeddingMoments(emb(s, dir), 64)
+        .orderBy("label", "pos"),
+      Some("""WITH q AS (SELECT label,
+            CAST(generate_subscripts(emb, 1) - 1 AS INTEGER) AS pos,
+            round(unnest(emb) * 10000.0e0) AS qv
+          FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)),
+        g AS (SELECT label, pos, count(*) AS n,
+            CAST(sum(qv) AS BIGINT) AS sum_q,
+            CAST(sum(qv * qv) AS BIGINT) AS sum_q2
+          FROM q GROUP BY 1, 2)
+        SELECT label, pos, n,
+          floor((CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e4)
+            * 1.0e9 + 0.5e0) / 1.0e9 AS mean,
+          floor(((CAST(sum_q2 AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))) / 1.0e8)
+            * 1.0e9 + 0.5e0) / 1.0e9 AS variance
+        FROM g ORDER BY label, pos""")),
 
     QueryDef("q_embedding_cosine",
       // EXACT all-pairs near-dup, distributed shape: block-pair

@@ -367,4 +367,35 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Per-(label, dimension) embedding moments — n, mean, variance —
+    * the drift-detection / whitening-prep statistic. Cross-ROW float
+    * sums are partition-order-dependent in the low bits, so the
+    * values are first quantized to integer-valued doubles
+    * (`round(x·10⁴)`, the same lattice the k-means path uses): integer
+    * sums are exact and associative up to 2⁵³ (|q| ≲ 2·10⁴ ⇒ Σq² safe
+    * beyond 10¹⁰ rows per cell), making mean and variance
+    * bit-deterministic under any partitioning. One posexplode + one
+    * (label, pos) hash agg, map-side combined; 64·|labels| output rows
+    * regardless of corpus size. Variance is the population
+    * `E[q²] − E[q]²` de-scaled by 10⁸, mean de-scaled by 10⁴, both
+    * rounded to 9 decimals with the shared floor-trick. */
+  def embeddingMoments(emb: DataFrame, dim: Int = 64): DataFrame =
+    emb.selectExpr("label",
+        s"""CASE WHEN size(embedding) = $dim THEN embedding
+            ELSE raise_error('bad embedding width') END AS embedding""")
+      .selectExpr("label", "posexplode(embedding) AS (pos, x)")
+      .selectExpr("label", "pos", "round(CAST(x AS DOUBLE) * 10000.0e0) AS q")
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).cast("long").as("sum_q"),
+        sum(col("q") * col("q")).cast("long").as("sum_q2"))
+      .withColumn("mean", expr(
+        "floor((CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e4) * 1.0e9 + 0.5e0) / 1.0e9"))
+      .withColumn("variance", expr(
+        """floor(((CAST(sum_q2 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))) / 1.0e8)
+           * 1.0e9 + 0.5e0) / 1.0e9"""))
+      .select("label", "pos", "n", "mean", "variance")
 }

@@ -114,4 +114,48 @@ object Sketches {
     s"""CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
         ELSE ${Rounding.sqlRoundN(
           s"${(k - 1).toDouble}e0 / (CAST(hk AS DOUBLE) / 1.152921504606846976e18)", 3)} END"""
+
+  /** Raw per-group KMV sketch: `(group, mins)` with `mins` the sorted
+    * ≤ k smallest distinct hashes — the mergeable summary
+    * [[kmvPairSimilarity]] and cross-snapshot unions consume. */
+  def kmvSketchBy(df: DataFrame, groupCol: String, value: Column, k: Int): DataFrame = {
+    require(k >= 3, s"KMV needs k >= 3, got $k")
+    val kmv = udaf(new KmvAgg(k), Encoders.scalaLong)
+    df.select(col(groupCol), hash60(value).as("__h"))
+      .groupBy(groupCol)
+      .agg(kmv(col("__h")).as("mins"))
+  }
+
+  /** Pairwise set-overlap estimation from SKETCHES ALONE — the
+    * corpus-overlap planning number ("how much of source A duplicates
+    * source B") computed without ever joining the underlying sets.
+    * KMV sketches are closed under union (the k smallest of a sorted
+    * distinct merge of two sketches IS the union's sketch), so
+    * |A∪B| is estimated from the merged sketch and Jaccard follows by
+    * inclusion–exclusion. Each pair costs O(k) array work on
+    * |groups|² broadcast-sized rows — the underlying corpus is
+    * touched ONCE (one sketch agg), which is the entire point at
+    * 100 TB. Estimate error compounds through the subtraction, so
+    * treat small jaccard_est as "≈ 0"; the k-smallest merge is exact
+    * set algebra, making the whole output bit-deterministic. */
+  def kmvPairSimilarity(df: DataFrame, groupCol: String, value: Column, k: Int): DataFrame = {
+    val sk = kmvSketchBy(df, groupCol, value, k)
+    val a = sk.select(col(groupCol).as("ga"), col("mins").as("ma"))
+    val b = sk.select(col(groupCol).as("gb"), col("mins").as("mb"))
+    def est(minsCol: String) =
+      s"""CASE WHEN size($minsCol) < $k THEN CAST(size($minsCol) AS DOUBLE)
+          ELSE floor((${(k - 1).toDouble}e0
+            / (CAST(element_at($minsCol, $k) AS DOUBLE) / 1.152921504606846976e18))
+            * 1.0e3 + 0.5e0) / 1.0e3 END"""
+    a.join(b, col("ga") < col("gb"))
+      .withColumn("mu", expr(s"slice(array_sort(array_distinct(concat(ma, mb))), 1, $k)"))
+      .withColumn("est_a", expr(est("ma")))
+      .withColumn("est_b", expr(est("mb")))
+      .withColumn("est_union", expr(est("mu")))
+      .withColumn("jaccard_est", expr(
+        """floor((greatest(est_a + est_b - est_union, 0.0e0) / est_union)
+           * 1.0e6 + 0.5e0) / 1.0e6"""))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("est_a"), col("est_b"), col("est_union"), col("jaccard_est"))
+  }
 }

@@ -1973,6 +1973,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(buf.length === 8 && buf === buf.sorted && buf.distinct === buf)
   }
 
+  test("kmvPairSimilarity: union closure is exact set algebra, planted overlap calibrates") {
+    // A = v0..v2999, B = v1500..v4499 → |A∩B|=1500, |A∪B|=4500, J=1/3
+    val rows = (0 until 3000).map(i => ("A", s"v$i")) ++
+      (1500 until 4500).map(i => ("B", s"v$i")) ++
+      (9000 until 12000).map(i => ("C", s"v$i")) // disjoint from both
+    val df = rows.toDF("g", "v")
+    val k = 256
+    // closure: the merged-and-truncated sketch of A and B equals the
+    // sketch of A∪B computed directly — exact, not statistical
+    val sk = Sketches.kmvSketchBy(df, "g", col("v"), k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val unionDirect = Sketches.kmvSketchBy(
+      df.filter(col("g") =!= "C").withColumn("g", lit("AB")).distinct(),
+      "g", col("v"), k).collect()(0).getSeq[Long](1)
+    val merged = (sk("A") ++ sk("B")).distinct.sorted.take(k)
+    assert(merged === unionDirect)
+    val est = Sketches.kmvPairSimilarity(df, "g", col("v"), k)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // k=256 → se ≈ 6%; the A-B estimate must land near 1/3
+    assert(math.abs(est(("A", "B")) - 1.0 / 3.0) < 0.15,
+      s"planted J=1/3 estimated as ${est(("A", "B"))}")
+    assert(est(("A", "C")) < 0.15 && est(("B", "C")) < 0.15)
+  }
+
   test("coOccurrence: pair counts exact, lift calibrated, skew cap bounds baskets deterministically") {
     // 3 users: u1 views items 1,2,3; u2 views 1,2 (twice each — dedup);
     // u3 views 2,3. Pairs: (1,2)x2, (1,3)x1, (2,3)x2
