@@ -60,7 +60,16 @@ import graft.pipeline._
   *  - `percentiles`: X38 exact order statistics at 60M values — a
   *                50M-value modular bijection (closed-form expected
   *                value at every rank) + a 10M-row tie block at the
-  *                median, 12 percentiles checked exactly.
+  *                median, 12 percentiles checked exactly;
+  *  - `asof`:     X42 as-of join at 30M left × 3M right over 100k
+  *                keys, closed-form expected winner per left row
+  *                (zero mismatches required);
+  *  - `rangejoin`: X43 interval join at 30M points × 3M intervals —
+  *                the exact containment count (half the points by
+  *                construction) is required;
+  *  - `kmv`:      X44 KMV sketch at 100M values / 32 groups with
+  *                closed-form cardinalities — estimates within the
+  *                5σ band, below-k group exact.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -77,7 +86,7 @@ object PipelineScaleProbe {
                        "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
                        "vocab", "pq", "weighted", "hotbucket", "incremental",
                        "simhash", "assign2level", "train4096", "ccrounds",
-                       "percentiles")
+                       "percentiles", "asof", "rangejoin", "kmv")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -705,6 +714,84 @@ object PipelineScaleProbe {
         f"  objective ratio=${st.getDouble(1)}%.6f")
       require(st.getDouble(1) < 1.05,
         s"two-level training objective inflation ${st.getDouble(1)}")
+    }
+
+    if (sections("asof")) {
+      // X42 as-of join at 30M × 3M over 100k keys, with a closed-form
+      // expected winner per left row: right rows sit at ts = 100·j
+      // (j = 0..29, rid = key·100 + j), left rows at ts = 10·i + 5
+      // (i = 0..299), so the latest right row at-or-before t is
+      // exactly j = t DIV 100 — any window-ordering or
+      // ignoreNulls-bleed fault shows up as a nonzero mismatch count.
+      val keys = 100000L
+      val left = spark.range(keys * 300)
+        .selectExpr(s"id AS lid", s"id DIV 300 AS k", "(id % 300) * 10 + 5 AS t")
+      val right = spark.range(keys * 30)
+        .selectExpr(s"id DIV 30 AS k", "(id % 30) * 100 AS rt", "id AS rid")
+      val j = Temporal.asofJoin(left, right, "k", "k", "t", "rt",
+        tieBreak = "rid", payload = Seq("rid"))
+      auditPlan("asof 30M x 3M", j)
+      time("as-of join, 30M left x 3M right, 100k keys") {
+        val bad = j.selectExpr(
+          "CASE WHEN asof_rid = k * 30 + t DIV 100 THEN 0 ELSE 1 END AS bad")
+          .agg(sum("bad")).head().getLong(0)
+        require(bad == 0L, s"$bad as-of rows picked the wrong right row")
+        keys * 300
+      }
+    }
+
+    if (sections("rangejoin")) {
+      // X43 interval join at 30M points × 3M half-open intervals
+      // (per key: [100j, 100j+50) seconds, points at 10i+5): a point
+      // matches exactly when (t mod 100) < 50, so the total match
+      // count is EXACTLY half the points — boundary or bucket-edge
+      // faults shift the count. Buckets = interval width (100 s).
+      val keys = 100000L
+      val pts = spark.range(keys * 300)
+        .selectExpr("id AS pid", "id DIV 300 AS k",
+          "timestamp_micros(((id % 300) * 10 + 5) * 1000000) AS pt")
+      val ivs = spark.range(keys * 30)
+        .selectExpr("id DIV 30 AS k", "id AS iid",
+          "timestamp_micros((id % 30) * 100 * 1000000) AS lo",
+          "timestamp_micros(((id % 30) * 100 + 50) * 1000000) AS hi")
+      val j = Temporal.rangeJoin(pts, ivs, "k", "k", "pt", "lo", "hi", bucketSec = 100L)
+      auditPlan("rangejoin 30M x 3M", j)
+      time("interval join, 30M points x 3M intervals, 100k keys") {
+        val n = j.count()
+        require(n == keys * 150, s"expected ${keys * 150} containments, got $n")
+        n
+      }
+    }
+
+    if (sections("kmv")) {
+      // X44 KMV sketch at 100M values over 32 groups with closed-form
+      // cardinalities (group g holds values id mod (1000·(g+1)), group
+      // population ~3.1M ≫ its cardinality, so true distinct counts
+      // are exactly 1000·(g+1)): one hash agg, ≤ k longs of state per
+      // (partition, group), estimates within the 5σ ≈ 45% KMV band at
+      // k = 128 — and the below-k group (g=0 capped to 120) exact.
+      val n = 100000000L
+      // per-group SEQUENTIAL index (id DIV 32) so residues mod C are
+      // covered exactly — id itself steps by 32 within a group and
+      // gcd(32, C) would shrink the residue set
+      val vals = spark.range(n).selectExpr(
+        "CAST(id % 32 AS INT) AS g",
+        """concat('v', CASE WHEN id % 32 = 0 THEN (id DIV 32) % 120
+                 ELSE (id DIV 32) % (1000 * (id % 32 + 1)) END) AS v""")
+      val q = Sketches.kmvDistinct(vals, "g", col("v"), 128)
+      auditPlan("kmv 100M", q)
+      time("KMV distinct sketch, 100M values, 32 groups, k=128") {
+        val got = q.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        require(got.length == 32, s"expected 32 groups, got ${got.length}")
+        got.foreach { case (g, exact, est) =>
+          val want = if (g == 0) 120L else 1000L * (g + 1)
+          require(exact == want, s"group $g exact $exact != $want")
+          require(est > 0.55 * want && est < 1.45 * want,
+            s"group $g KMV estimate $est outside 5-sigma of $want")
+        }
+        require(got.find(_._1 == 0).get._3 == 120.0, "below-k group must be exact")
+        n
+      }
     }
 
     println(s"== plan failures: $planFailures")
