@@ -75,6 +75,13 @@ object Sketches {
   /** 2⁶⁰ as an exact double — the hash space width. */
   val HashSpace: Double = 1.152921504606846976e18
 
+  /** Driver/executor-side estimate from a raw buffer — the same
+    * arithmetic the Column-expression path computes, for callers
+    * holding the sketch as a Scala array (streaming state). */
+  def estimate(mins: Array[Long], k: Int): Double =
+    if (mins.length < k) mins.length.toDouble
+    else math.floor(((k - 1).toDouble / (mins(k - 1).toDouble / HashSpace)) * 1.0e3 + 0.5) / 1.0e3
+
   /** Shared 60-bit hash of a string column (same bits as the oracle's
     * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`). */
   def hash60(c: Column): Column =

@@ -19,6 +19,10 @@ final case class SessState(startUs: Long, endUs: Long, n: Long, sumMicros: Long)
 final case class SessOut(user_id: Long, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+/** Running distinct-count estimate per group from the streaming KMV
+  * sketch — emitted each micro-batch that touches the group. */
+final case class KmvDistinctOut(g: String, n_kept: Int, est_distinct: Double)
+
 /** Structured Streaming forms of the engine's kernels. The reference
   * has no streaming story (SURVEY §2.8) — this is the Spark-native
   * extension: the same declarative transforms run unchanged on a
@@ -218,6 +222,35 @@ object StreamingOps {
     stream.join(broadcast(rates), Seq("source"))
       .where(expr(s"${Sampling.uExpr(salt)} < rate_u"))
       .drop("rate_u")
+  }
+
+  /** Streaming distinct-count estimation with PERMANENTLY BOUNDED
+    * state: the KMV sketch ([[graft.pipeline.Sketches]]) as
+    * `mapGroupsWithState` — per group the state is the ≤ k smallest
+    * distinct 60-bit hashes seen over the WHOLE stream lifetime, so
+    * unlike `dropDuplicates`-based distinct counting (state grows with
+    * every distinct key, unbounded without a watermark horizon) the
+    * sketch needs NO timeout and never evicts: k longs per group,
+    * forever, with the estimate stable under replays and duplicates.
+    * Because reduce/merge are the exact batch-aggregator operations,
+    * the streamed estimate over any prefix equals the batch
+    * [[graft.pipeline.Sketches.kmvDistinct]] estimate on the same
+    * rows bit-for-bit. Input: `(g STRING, h BIGINT)` — callers hash
+    * with [[graft.pipeline.Sketches.hash60]]. Update output mode. */
+  def kmvDistinctStream(spark: SparkSession, hashed: DataFrame,
+                        k: Int): Dataset[KmvDistinctOut] = {
+    import spark.implicits._
+    val agg = new graft.pipeline.Sketches.KmvAgg(k)
+    hashed.selectExpr("CAST(g AS STRING) AS g", "CAST(h AS BIGINT) AS h")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], KmvDistinctOut](GroupStateTimeout.NoTimeout) {
+        case (g, rows, state) =>
+          var buf = state.getOption.getOrElse(Array.emptyLongArray)
+          rows.foreach { case (_, h) => buf = agg.reduce(buf, h) }
+          state.update(buf)
+          KmvDistinctOut(g, buf.length, graft.pipeline.Sketches.estimate(buf, k))
+      }
   }
 
   /** Streaming regrid: the K1 join-agg kernel applied per micro-batch.

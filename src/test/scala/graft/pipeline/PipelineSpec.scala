@@ -1973,6 +1973,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(buf.length === 8 && buf === buf.sorted && buf.distinct === buf)
   }
 
+  test("streaming KMV distinct: bit-equal to batch, duplicate-immune, state bounded at k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val k = 64
+    val values = (0 until 5000).map(i => ("big", s"v$i")) ++
+      (0 until 20).map(i => ("small", s"w$i"))
+    val hashed = values.toDF("g", "v")
+      .select(col("g"), Sketches.hash60(col("v")).as("h"))
+      .as[(String, Long)].collect()
+    val stream = MemoryStream[(String, Long)]
+    val out = graft.streaming.StreamingOps.kmvDistinctStream(
+      spark, stream.toDF().toDF("g", "h"), k)
+    val q = out.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    // two batches, then a full REPLAY of batch 1 (duplicates must not
+    // move the estimate)
+    val (b1, b2) = hashed.splitAt(2500)
+    stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+    stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    val afterAll = spark.table("kmv_stream")
+      .groupBy("g").agg(max("n_kept").as("n_kept"), max("est_distinct").as("est"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+    val afterReplay = spark.table("kmv_stream")
+      .groupBy("g").agg(max("n_kept").as("n_kept"), max("est_distinct").as("est"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    q.stop()
+    assert(afterReplay === afterAll, "replayed rows moved the sketch")
+    // state bound + exact-below-k
+    assert(afterAll("big")._1 === k)
+    assert(afterAll("small") === ((20, 20.0)))
+    // bit-equality with the batch estimator on the same rows
+    val batch = Sketches.kmvDistinct(values.toDF("g", "v"), "g", col("v"), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(afterAll("big")._2 === batch("big"))
+    assert(afterAll("small")._2 === batch("small"))
+  }
+
   test("kmvPairSimilarity: union closure is exact set algebra, planted overlap calibrates") {
     // A = v0..v2999, B = v1500..v4499 → |A∩B|=1500, |A∪B|=4500, J=1/3
     val rows = (0 until 3000).map(i => ("A", s"v$i")) ++
