@@ -626,6 +626,29 @@ object PipelineQueries {
           ORDER BY e.group_a, e.group_b"""
       }),
 
+    QueryDef("q_skew_report",
+      // key-skew histogram over token frequencies (the Zipf tail that
+      // makes vocabulary joins straggle): per-key counts bucketed by
+      // bit length — exact integer bucketing via length(bin(cnt)), no
+      // float-log edge cases — with per-bucket key counts, row volume,
+      // worst key, and row share. One map-side-combined count agg +
+      // a tiny bucket agg.
+      (s, dir) => Diagnostics.keySkewReport(
+          TextOps.withTokens(docs(s, dir)).selectExpr("explode(tokens) AS token"),
+          Seq("token"))
+        .orderBy("bucket_bits"),
+      Some(s"""WITH tok AS ($tokCte),
+        x AS (SELECT unnest(tokens) AS token FROM tok),
+        c AS (SELECT token, count(*) AS cnt FROM x GROUP BY 1),
+        n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        SELECT CAST(length(bin(cnt)) AS INTEGER) AS bucket_bits,
+          count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+          max(cnt) AS max_count,
+          floor((CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE)
+            / CAST(n.total AS DOUBLE)) * 1.0e9 + 0.5e0) / 1.0e9 AS row_share
+        FROM c CROSS JOIN n
+        GROUP BY 1, n.total ORDER BY 1""")),
+
     QueryDef("q_corpus_rollup",
       // OLAP subtotal lattice over the corpus: (source, lang) counts
       // and char volumes with per-source and grand-total subtotals in

@@ -1973,6 +1973,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(buf.length === 8 && buf === buf.sorted && buf.distinct === buf)
   }
 
+  test("keySkewReport: exact bit-length buckets on a hand-built distribution") {
+    // counts: a=1, b=1, c=2, d=3, e=8 → buckets 1(two keys, 2 rows),
+    // 2(two keys, 5 rows, max 3), 4(one key, 8 rows); total 15
+    val rows = Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(3)("d") ++ Seq.fill(8)("e")
+    val got = Diagnostics.keySkewReport(rows.toDF("k"), Seq("k"))
+      .orderBy("bucket_bits").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1, 2L, 2L, 1L, math.floor(2.0 / 15.0 * 1e9 + 0.5) / 1e9),
+      (2, 2L, 5L, 3L, math.floor(5.0 / 15.0 * 1e9 + 0.5) / 1e9),
+      (4, 1L, 8L, 8L, math.floor(8.0 / 15.0 * 1e9 + 0.5) / 1e9)))
+  }
+
   test("streaming KMV distinct: bit-equal to batch, duplicate-immune, state bounded at k") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
