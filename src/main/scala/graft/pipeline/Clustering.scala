@@ -483,8 +483,9 @@ object Clustering {
           s"s -> named_struct('sub', s, 'qv', slice(v, s * $subDim + 1, $subDim)))")).as("sl"))
       .select(col("query_id"), col("sl.sub").as("sub"), col("sl.qv").as("qv"))
     val lut = qslices.join(broadcast(cents), "sub")
-      .withColumn("d", expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0.0D, (a, t) -> a + t)"))
+      // native codegen L2 kernel — same fold order as the
+      // aggregate(zip_with(...)) oracle text, bit-equal result
+      .withColumn("d", graft.functions.VectorKernels.l2sq(col("qv"), col("cv")))
       .select("query_id", "sub", "code", "d")
 
     // candidates: one broadcast LUT join per subspace — the FIRST join

@@ -34,27 +34,24 @@ object Similarity {
 
   private def vecs(emb: DataFrame, as: String): DataFrame =
     emb.selectExpr(s"vec_id AS ${as}_id", s"${toDouble("embedding")} AS ${as}_v")
-      .selectExpr(s"${as}_id", s"${as}_v",
-        s"sqrt(${dotExpr(s"${as}_v", s"${as}_v")}) AS ${as}_nrm")
+      // native codegen kernel — same left fold, bit-equal to dotExpr
+      .withColumn(s"${as}_nrm",
+        sqrt(graft.functions.VectorKernels.dot(col(s"${as}_v"), col(s"${as}_v"))))
 
-  /** Pair cosine as a typed kernel: the SAME sequential fold as the SQL
-    * `aggregate(zip_with(...))` oracle text (products left-folded from
-    * element 0, so bit-identical results), several times faster than
-    * evaluating interpreted higher-order functions per candidate pair.
+  /** Pair cosine via the native codegen kernel
+    * ([[graft.functions.DotProductD]]): the SAME sequential fold as
+    * the SQL `aggregate(zip_with(...))` oracle text (products
+    * left-folded from element 0, so bit-identical results). This used
+    * to be a typed `mapPartitions` kernel — faster than interpreted
+    * HOFs but paying an encoder round-trip and splitting whole-stage
+    * codegen; the native expression keeps the join → kernel → filter
+    * chain inside ONE codegen stage with a primitive double loop.
     * Input columns: (id1, id2, v1, n1, v2, n2). */
-  private def cosKernel(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    pairs.select(col("id1"), col("id2"), col("v1"), col("n1"), col("v2"), col("n2"))
-      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
-      .mapPartitions(_.map { case (i1, i2, v1, n1, v2, n2) =>
-        var acc = 0.0
-        var k = 0
-        while (k < v1.length) { acc += v1(k) * v2(k); k += 1 }
-        (i1, i2, math.floor(acc / (n1 * n2) * 1.0e9 + 0.5) / 1.0e9)
-      })
-      .toDF("id1", "id2", "cos")
-  }
+  private def cosKernel(pairs: DataFrame): DataFrame =
+    pairs.select(col("id1"), col("id2"),
+      graft.regrid.Rounding.roundN(
+        graft.functions.VectorKernels.dot(col("v1"), col("v2"))
+          / (col("n1") * col("n2")), 9).as("cos"))
 
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Exact but quadratic (theta-join → nested-loop) — only for small,

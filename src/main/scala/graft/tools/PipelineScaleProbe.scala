@@ -69,7 +69,11 @@ import graft.pipeline._
   *                construction) is required;
   *  - `kmv`:      X44 KMV sketch at 100M values / 32 groups with
   *                closed-form cardinalities — estimates within the
-  *                5σ band, below-k group exact.
+  *                5σ band, below-k group exact;
+  *  - `vectorkernel`: native codegen dot-product expression vs the
+  *                interpreted `aggregate(zip_with(...))` HOF on
+  *                cached 3M × 64-dim pairs — identical bits required,
+  *                wall ratio printed.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -86,7 +90,7 @@ object PipelineScaleProbe {
                        "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
                        "vocab", "pq", "weighted", "hotbucket", "incremental",
                        "simhash", "assign2level", "train4096", "ccrounds",
-                       "percentiles", "asof", "rangejoin", "kmv")
+                       "percentiles", "asof", "rangejoin", "kmv", "vectorkernel")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -761,6 +765,36 @@ object PipelineScaleProbe {
         require(n == keys * 150, s"expected ${keys * 150} containments, got $n")
         n
       }
+    }
+
+    if (sections("vectorkernel")) {
+      // native codegen fold vs interpreted HOF on MATERIALIZED 3M ×
+      // 64-dim pairs (the arrays are cached first — generating them is
+      // itself HOF work that would otherwise dominate both sides), two
+      // passes each, min taken; identical summed result required.
+      val n = 3000000L
+      val pairsDf = spark.range(n).selectExpr("id",
+        "transform(sequence(0, 63), j -> CAST(hash(id, j) AS DOUBLE)) AS a",
+        "transform(sequence(0, 63), j -> CAST(hash(id, j, 2) AS DOUBLE)) AS b")
+        .cache()
+      pairsDf.count()
+      def run(df: => DataFrame): (Double, Double) = {
+        def once(): (Double, Double) = {
+          val t0 = System.nanoTime()
+          val s = df.agg(sum("d")).head().getDouble(0)
+          (s, (System.nanoTime() - t0) / 1e9)
+        }
+        val (s1, w1) = once(); val (s2, w2) = once()
+        require(s1 == s2); (s1, math.min(w1, w2))
+      }
+      val (sNative, wNative) = run(pairsDf.select(
+        graft.functions.VectorKernels.dot(col("a"), col("b")).as("d")))
+      val (sHof, wHof) = run(pairsDf.selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d"))
+      println(f"vector kernel, 3M x 64-dim cached: native $wNative%.2f s, HOF $wHof%.2f s" +
+        f" (x${wHof / wNative}%.1f)")
+      pairsDf.unpersist()
+      require(sNative == sHof, s"kernel results diverged: $sNative vs $sHof")
     }
 
     if (sections("kmv")) {

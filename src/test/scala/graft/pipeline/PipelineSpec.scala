@@ -1973,6 +1973,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(buf.length === 8 && buf === buf.sorted && buf.distinct === buf)
   }
 
+  test("VectorKernels: native dot/l2sq bit-equal to the HOF fold, null on length mismatch, codegen survives") {
+    import graft.functions.VectorKernels
+    val df = Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (2L, Array(0.1, 0.2), Array(0.3, 0.7)),
+      (3L, Array.empty[Double], Array.empty[Double]))
+      .toDF("id", "a", "b")
+    val native = df.select(col("id"), VectorKernels.dot(col("a"), col("b")).as("d"),
+        VectorKernels.l2sq(col("a"), col("b")).as("l"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val hof = df.selectExpr("id",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d",
+        "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS l")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(native.toSeq === hof.toSeq) // bit-equal, same fold order
+    // unequal lengths → null (zip_with pads with null and poisons the fold)
+    val mix = Seq((1L, Array(1.0, 2.0), Array(1.0))).toDF("id", "a", "b")
+    assert(mix.select(VectorKernels.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
+    // 10k-row run through the codegen path (would fall back loudly on bad Java)
+    val big = spark.range(10000).selectExpr("id",
+      "transform(sequence(0, 63), j -> CAST(hash(id, j) AS DOUBLE)) AS a",
+      "transform(sequence(0, 63), j -> CAST(hash(id, j, 2) AS DOUBLE)) AS b")
+    val s1 = big.select(VectorKernels.dot(col("a"), col("b")).as("d"))
+      .agg(sum("d")).head().getDouble(0)
+    val s2 = big.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d")
+      .agg(sum("d")).head().getDouble(0)
+    assert(s1 === s2)
+  }
+
   test("keySkewReport: exact bit-length buckets on a hand-built distribution") {
     // counts: a=1, b=1, c=2, d=3, e=8 → buckets 1(two keys, 2 rows),
     // 2(two keys, 5 rows, max 3), 4(one key, 8 rows); total 15
