@@ -59,8 +59,10 @@ object Similarity {
     * [[nearDupPairsBucketed]]. */
   def nearDupPairs(emb: DataFrame, minCos: Double): DataFrame =
     vecs(emb, "a").join(vecs(emb, "b"), col("a_id") < col("b_id"))
-      .selectExpr("a_id AS a", "b_id AS b",
-        s"${cosFromNorms(dotExpr("a_v", "b_v"), "a_nrm", "b_nrm")} AS cos")
+      .select(col("a_id").as("a"), col("b_id").as("b"),
+        graft.regrid.Rounding.roundN(
+          graft.functions.VectorKernels.dot(col("a_v"), col("b_v"))
+            / (col("a_nrm") * col("b_nrm")), 9).as("cos"))
       .filter(col("cos") >= minCos)
 
   /** Exact all-pairs cosine ≥ threshold, distributed: block-pair
