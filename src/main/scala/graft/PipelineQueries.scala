@@ -1009,6 +1009,47 @@ object PipelineQueries {
         SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
       }),
 
+    QueryDef("q_decontam_semantic",
+      // embedding-space decontamination: train vectors within cosine
+      // 0.8 of any EVAL vector, candidates via the same Hamming-1
+      // multi-probe sign-bucket equi-join as q_ann_ivf_mp with the
+      // SMALL eval side replicated — catches paraphrase-level
+      // benchmark leakage that the token-level q_decontam /
+      // q_decontam_fuzzy passes cannot. The eval split is a planted
+      // LEAK: every 50th corpus vector, scaled + offset (cos ≈ 1 to
+      // its source, while the corpus's own max cross-pair cosine is
+      // 0.44) — so the gate checks that exactly the leaked partners
+      // surface, through the bucket discipline, not a full scan.
+      (s, dir) => {
+        val base = emb(s, dir)
+        val planted = base.filter("vec_id % 50 = 0")
+          .selectExpr("vec_id + 1000000 AS vec_id",
+            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.02e0 + 0.01e0 AS FLOAT)) AS embedding",
+            "label")
+        Similarity.semanticDecontamFlags(
+            base.unionByName(planted), "vec_id >= 1000000", 0.8e0)
+          .orderBy("train_id", "eval_id")
+      },
+      Some {
+        val flips = (0L +: (0 until 6).map(i => 1L << i)).map(f => s"($f)").mkString(", ")
+        s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT vec_id, v FROM e0
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                list_transform(v, x -> CAST(CAST(x * 1.02e0 + 0.01e0 AS FLOAT) AS DOUBLE)) AS v
+              FROM e0 WHERE vec_id % 50 = 0),
+        eb AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+        qp AS (SELECT vec_id, v, xor(CAST(bucket AS BIGINT), f) AS bucket
+               FROM eb CROSS JOIN (VALUES $flips) t(f)
+               WHERE vec_id >= 1000000),
+        c AS (SELECT n.vec_id AS train_id, q.vec_id AS eval_id,
+                ${cosSql("n.v", "q.v")} AS cos
+              FROM qp q JOIN eb n ON q.bucket = CAST(n.bucket AS BIGINT)
+              WHERE n.vec_id < 1000000)
+        SELECT train_id, eval_id, cos FROM c WHERE cos >= 0.8e0
+        ORDER BY train_id, eval_id"""
+      }),
+
     // ---- events / time series ----
 
     QueryDef("q_events_window",

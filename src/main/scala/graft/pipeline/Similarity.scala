@@ -367,6 +367,33 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** SEMANTIC decontamination flags: train vectors whose cosine to any
+    * EVAL-split vector reaches `minCos` — the embedding-space
+    * complement of the exact n-gram ([[Decontam]]) and fuzzy-MinHash
+    * decontamination passes, catching paraphrased benchmark leakage
+    * that no token-level check can see. Same candidate discipline as
+    * multi-probe IVF: the EVAL side (small by construction) is
+    * replicated to its sign bucket + every Hamming-1 neighbor bucket,
+    * the corpus side computes one bucket, the join is a pure bucket
+    * equi-join, and the exact cosine (native codegen kernel) + the
+    * threshold run on candidates only. Output:
+    * `(train_id, eval_id, cos)`, one row per flagged pair. */
+  def semanticDecontamFlags(emb: DataFrame, evalFilter: String, minCos: Double,
+                            bits: Int = 6): DataFrame = {
+    val withB = (as: String) => vecs(emb, as)
+      .withColumn("bucket", expr(bucketExpr(s"${as}_v", bits)).cast("long"))
+    val ev = hammingProbed(
+      withB("q").filter(expr(evalFilter.replace("vec_id", "q_id"))), bits)
+    val train = withB("n")
+      .filter(expr(s"NOT (${evalFilter.replace("vec_id", "n_id")})"))
+      .withColumnRenamed("bucket", "n_bucket")
+    val pairs = ev.join(train, col("bucket") === col("n_bucket"))
+      .selectExpr("n_id AS id1", "q_id AS id2",
+        "n_v AS v1", "n_nrm AS n1", "q_v AS v2", "q_nrm AS n2")
+    cosKernel(pairs).toDF("train_id", "eval_id", "cos")
+      .filter(col("cos") >= minCos)
+  }
+
   /** Per-(label, dimension) embedding moments — n, mean, variance —
     * the drift-detection / whitening-prep statistic. Cross-ROW float
     * sums are partition-order-dependent in the low bits, so the

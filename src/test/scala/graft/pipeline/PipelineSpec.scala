@@ -1973,6 +1973,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(buf.length === 8 && buf === buf.sorted && buf.distinct === buf)
   }
 
+  test("semanticDecontamFlags: planted leaks surface through the bucket discipline, clean corpus stays clean") {
+    val base = emb
+    val planted = base.filter("vec_id % 20 = 0")
+      .selectExpr("vec_id + 1000000 AS vec_id",
+        "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.02e0 + 0.01e0 AS FLOAT)) AS embedding",
+        "label")
+    val flags = Similarity.semanticDecontamFlags(
+        base.unionByName(planted), "vec_id >= 1000000", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nPlanted = planted.count()
+    // near-identity perturbation: at most one sign bit flips per
+    // component band, so the Hamming-1 probes recover (nearly) all
+    // partners; every flag must BE a partner at cos ≈ 1
+    assert(flags.forall { case (t, e, c) => e === t + 1000000 && c > 0.99 })
+    assert(flags.length >= (nPlanted * 0.8).toInt,
+      s"only ${flags.length}/$nPlanted planted leaks recovered")
+    // without planted leaks nothing reaches 0.8
+    val clean = Similarity.semanticDecontamFlags(base, "vec_id % 20 = 0", 0.8)
+    assert(clean.count() === 0L)
+  }
+
   test("VectorKernels: native dot/l2sq bit-equal to the HOF fold, null on length mismatch, codegen survives") {
     import graft.functions.VectorKernels
     val df = Seq(
