@@ -869,6 +869,35 @@ object PipelineQueries {
             * 1.0e9 + 0.5e0) / 1.0e9 AS variance
         FROM g ORDER BY label, pos""")),
 
+    QueryDef("q_embedding_robust_stats",
+      // exact per-dimension median + MAD on the quantization lattice
+      // (outlier-immune drift stats) — the exact-order-statistics
+      // machinery keyed per dimension, median re-centering via a
+      // broadcast 64-row join, no per-dimension sorts. Oracle = the
+      // declarative per-pos row_number ranks both passes avoid.
+      (s, dir) => Similarity.embeddingRobustStats(emb(s, dir), 64)
+        .orderBy("pos"),
+      Some("""WITH qv AS (SELECT
+            CAST(generate_subscripts(emb, 1) - 1 AS INTEGER) AS pos,
+            CAST(round(unnest(emb) * 10000.0e0) AS BIGINT) AS q
+          FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)),
+        n AS (SELECT pos, count(*) AS c FROM qv GROUP BY 1),
+        r AS (SELECT pos, q, row_number() OVER
+            (PARTITION BY pos ORDER BY q) AS rn FROM qv),
+        med AS (SELECT r.pos, r.q AS med_q FROM r JOIN n ON r.pos = n.pos
+          AND r.rn = (50 * n.c + 99) // 100),
+        d AS (SELECT qv.pos, abs(qv.q - med.med_q) AS adev
+          FROM qv JOIN med ON qv.pos = med.pos),
+        r2 AS (SELECT pos, adev, row_number() OVER
+            (PARTITION BY pos ORDER BY adev) AS rn FROM d),
+        mad AS (SELECT r2.pos, r2.adev AS mad_q FROM r2 JOIN n ON r2.pos = n.pos
+          AND r2.rn = (50 * n.c + 99) // 100)
+        SELECT n.pos, n.c AS n,
+          floor((CAST(med.med_q AS DOUBLE) / 1.0e4) * 1.0e9 + 0.5e0) / 1.0e9 AS median,
+          floor((CAST(mad.mad_q AS DOUBLE) / 1.0e4) * 1.0e9 + 0.5e0) / 1.0e9 AS mad
+        FROM n JOIN med ON n.pos = med.pos JOIN mad ON n.pos = mad.pos
+        ORDER BY n.pos""")),
+
     QueryDef("q_embedding_cosine",
       // EXACT all-pairs near-dup, distributed shape: block-pair
       // replication → shuffled hash EQUI-join (no nested loop), pair
@@ -2186,6 +2215,43 @@ object PipelineQueries {
           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q_shipping_priority",
+      // TPC-H Q3 shape: unshipped-revenue top-10 for one market
+      // segment — the three-way selective join (segment-filtered
+      // customer BROADCAST into orders, then an orderkey equi-join to
+      // post-cutoff lineitems), milli-rounded decimal revenue, and a
+      // TakeOrdered top-10 under the (revenue DESC, o_orderdate,
+      // l_orderkey) total order instead of a full sort.
+      (s, dir) => {
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = Temporal.loadOrders(s, dir)
+          .filter(expr("o_orderdate < TIMESTAMP '1998-06-01 00:00:00'"))
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+          .filter(expr("l_shipdate > TIMESTAMP '1998-06-01 00:00:00'"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(expr(
+            """floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+               * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               * 1.0e3 + 0.5e0) / 1.0e3""").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+          floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+            * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
+            * 1.0e3 + 0.5e0) / 1.0e3 AS revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")),
 
     QueryDef("q_orders_revenue",
       (s, dir) => {

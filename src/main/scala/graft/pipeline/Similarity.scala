@@ -367,6 +367,33 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Robust per-dimension statistics — exact MEDIAN and MAD (median
+    * absolute deviation) on the shared 1e-4 quantization lattice: the
+    * outlier-immune complement of [[embeddingMoments]] (one corrupted
+    * vector can move a mean arbitrarily; it moves a median by at most
+    * one rank). Exactness comes from [[Sampling.exactPercentilesBy]]
+    * keyed on the dimension — NO per-dimension sort or corpus window;
+    * the MAD pass re-centers by a broadcast join of the 64-row median
+    * relation and runs the same machinery on |q − median|. */
+  def embeddingRobustStats(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val q = emb.selectExpr(
+        s"""CASE WHEN size(embedding) = $dim THEN embedding
+            ELSE raise_error('bad embedding width') END AS embedding""")
+      .selectExpr("posexplode(embedding) AS (pos, x)")
+      .selectExpr("pos", "CAST(round(CAST(x AS DOUBLE) * 10000.0e0) AS BIGINT) AS q")
+    val med = Sampling.exactPercentilesBy(q, "q", Seq(50), Seq("pos"))
+      .select(col("pos"), col("value").as("med_q"))
+    val dev = q.join(broadcast(med), "pos")
+      .selectExpr("pos", "abs(q - med_q) AS adev")
+    val mad = Sampling.exactPercentilesBy(dev, "adev", Seq(50), Seq("pos"))
+      .select(col("pos"), col("value").as("mad_q"))
+    val n = q.groupBy("pos").agg(count(lit(1)).as("n"))
+    n.join(med, "pos").join(mad, "pos")
+      .selectExpr("pos", "n",
+        "floor((CAST(med_q AS DOUBLE) / 1.0e4) * 1.0e9 + 0.5e0) / 1.0e9 AS median",
+        "floor((CAST(mad_q AS DOUBLE) / 1.0e4) * 1.0e9 + 0.5e0) / 1.0e9 AS mad")
+  }
+
   /** SEMANTIC decontamination flags: train vectors whose cosine to any
     * EVAL-split vector reaches `minCos` — the embedding-space
     * complement of the exact n-gram ([[Decontam]]) and fuzzy-MinHash

@@ -1973,6 +1973,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(buf.length === 8 && buf === buf.sorted && buf.distinct === buf)
   }
 
+  test("embeddingRobustStats: outlier immunity — one corrupted vector moves the mean, not the median") {
+    val base = emb
+    val stats0 = Similarity.embeddingRobustStats(base).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val outlier = base.limit(1).selectExpr("vec_id + 900000 AS vec_id",
+      "transform(embedding, x -> CAST(1.0e6 AS FLOAT)) AS embedding", "label")
+    val poisoned = base.unionByName(outlier)
+    val stats1 = Similarity.embeddingRobustStats(poisoned).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val mean0 = Similarity.embeddingMoments(base)
+      .agg(avg("mean")).head().getDouble(0)
+    val mean1 = Similarity.embeddingMoments(poisoned)
+      .agg(avg("mean")).head().getDouble(0)
+    assert(math.abs(mean1 - mean0) > 100.0, "planted outlier must drag the mean")
+    // the median shifts by at most one rank per dimension
+    stats0.foreach { case (pos, (m0, _)) =>
+      assert(math.abs(stats1(pos)._1 - m0) < 0.5,
+        s"median at dim $pos moved from $m0 to ${stats1(pos)._1}")
+    }
+  }
+
   test("semanticDecontamFlags: planted leaks surface through the bucket discipline, clean corpus stays clean") {
     val base = emb
     val planted = base.filter("vec_id % 20 = 0")
