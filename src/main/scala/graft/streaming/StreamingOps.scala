@@ -224,6 +224,37 @@ object StreamingOps {
       .drop("rate_u")
   }
 
+  /** Streaming AS-OF enrichment against a STATIC dimension: each
+    * stream row takes the latest right row at or before its timestamp
+    * (inclusive, greatest-`tieBreak` winner — the same contract as
+    * [[graft.pipeline.Temporal.asofJoin]], which batch callers should
+    * prefer). The union-window plan is unavailable on a stream (a
+    * global per-key sort over past AND future rows), so the dimension
+    * is folded ONCE into a per-key SORTED ARRAY of (ts, tie, payload)
+    * structs, broadcast, and each stream row binary-searches nothing —
+    * it takes `element_at(filter(history, e -> e.ts <= row.ts), -1)`,
+    * an ordered-array suffix pick. Stateless per row, so any output
+    * mode works and nothing accumulates; the dimension must be
+    * broadcast-sized per key-history (the normal case for slowly
+    * changing dimensions). */
+  def asofEnrichStream(stream: DataFrame, dim: DataFrame,
+                       key: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       tieBreak: String, payload: Seq[String],
+                       prefix: String = "asof_"): DataFrame = {
+    val hist = dim.groupBy(col(rightKey).as(key))
+      .agg(sort_array(collect_list(struct(
+        col(rightTs).as("__t") +: col(tieBreak).as("__tie") +:
+          payload.map(col): _*))).as("__hist"))
+    stream.join(broadcast(hist), Seq(key), "left")
+      .withColumn("__w", expr(
+        // try_element_at: an empty suffix (no right row at-or-before
+        // ts, or an unknown key) is NULL, not an ANSI index error
+        s"try_element_at(filter(__hist, e -> e.__t <= $leftTs), -1)"))
+      .select(stream.columns.map(col) ++
+        payload.map(c => col(s"__w.$c").as(s"$prefix$c")): _*)
+  }
+
   /** Streaming distinct-count estimation with PERMANENTLY BOUNDED
     * state: the KMV sketch ([[graft.pipeline.Sketches]]) as
     * `mapGroupsWithState` — per group the state is the ≤ k smallest

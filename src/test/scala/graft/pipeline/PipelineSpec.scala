@@ -1973,6 +1973,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(buf.length === 8 && buf === buf.sorted && buf.distinct === buf)
   }
 
+  test("asofEnrichStream: streamed enrichment equals the batch as-of join row for row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val right = Seq(
+      (1L, ts(10), 100L, 1.0), (1L, ts(10), 101L, 2.0), (1L, ts(30), 103L, 4.0),
+      (2L, ts(50), 200L, 9.0))
+      .toDF("k", "rts", "rid", "v")
+    val leftRows = Seq(
+      (0L, 1L, ts(5)), (1L, 1L, ts(10)), (2L, 1L, ts(25)),
+      (3L, 1L, ts(99)), (4L, 2L, ts(49)), (5L, 2L, ts(50)), (6L, 9L, ts(50)))
+    val batch = Temporal.asofJoin(leftRows.toDF("id", "k", "lts"), right,
+        "k", "k", "lts", "rts", "rid", Seq("rid", "v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val stream = MemoryStream[(Long, Long, Timestamp)]
+    val out = graft.streaming.StreamingOps.asofEnrichStream(
+      stream.toDF().toDF("id", "k", "lts"), right,
+      "k", "k", "lts", "rts", "rid", Seq("rid", "v"))
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    stream.addData(leftRows.take(4)); q.processAllAvailable()
+    stream.addData(leftRows.drop(4)); q.processAllAvailable()
+    val streamed = spark.table("asof_stream").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    q.stop()
+    // batch has no row for unknown key 9 in this projection? it does —
+    // left-outer: id 6 with null payload; both must agree exactly
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.length === 7 && streamed.last === ((6L, -1L)))
+  }
+
   test("embeddingRobustStats: outlier immunity — one corrupted vector moves the mean, not the median") {
     val base = emb
     val stats0 = Similarity.embeddingRobustStats(base).collect()
