@@ -55,6 +55,22 @@ object Temporal {
                prefix: String = "asof_"): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     val leftCols = left.columns.toSeq
+    unionWinner(left, right, leftKey, rightKey, leftTs, rightTs,
+      tieBreak, payload, extraPart = Nil)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__pl.$c").as(s"$prefix$c")): _*)
+  }
+
+  /** Shared union-tag window core: left columns plus `__pl` — the
+    * winning right payload struct (null when no right row qualifies).
+    * `extraPart` columns must exist under the same names on BOTH
+    * sides and join the window's partitioning key (the bucketed
+    * variant passes the time bucket). */
+  private def unionWinner(left: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          leftTs: String, rightTs: String,
+                          tieBreak: String, payload: Seq[String],
+                          extraPart: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
 
     val l = left
       .withColumn("__k", col(leftKey))
@@ -69,13 +85,15 @@ object Temporal {
       Seq(col(rightKey).as("__k"), col(rightTs).as("__t"),
         lit(0).as("__side"), col(tieBreak).as("__tie"),
         struct(payload.map(col): _*).as("__p")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        extraPart.map(col) ++
+        leftCols.filterNot(extraPart.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))
     val r = right.select(rCols: _*)
 
     // right (side 0) sorts BEFORE the left row at an equal timestamp →
     // inclusive rightTs <= leftTs; ties among right rows resolve to the
     // greatest tieBreak because `last` reads the window bottom-up
-    val w = Window.partitionBy("__k")
+    val w = Window.partitionBy(("__k" +: extraPart).map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -84,7 +102,67 @@ object Temporal {
       .unionByName(r)
       .withColumn("__pl", last("__p", ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__pl.$c").as(s"$prefix$c")): _*)
+  }
+
+  /** [[asofJoin]] for MEGA-KEYS — the time-bucket pre-split the plain
+    * operator's scaladoc promises. The single-window form serializes
+    * each key on one task; here both sides split into
+    * `floor(ts / bucketWidth)` buckets and the same union-window runs
+    * per `(key, bucket)` — a 10⁹-row key becomes ts-range/bucketWidth
+    * parallel tasks. Left rows that precede their bucket's first
+    * right row are seeded by CARRY-FORWARD: per (key, bucket) the
+    * greatest right row is reduced to a one-row summary (hash agg,
+    * map-side combined), and each left bucket looks up the latest
+    * summary of any EARLIER bucket — itself a plain [[asofJoin]] on
+    * the tiny summary relation (one row per key×bucket-with-rights).
+    * Results are identical to [[asofJoin]] provided `(rightTs,
+    * tieBreak)` is unique per key — the same uniqueness the plain
+    * operator already needs for a deterministic answer.
+    *
+    * `bucketWidth` is in the timestamp column's native units
+    * (microseconds for TIMESTAMP columns, raw units for numeric ts);
+    * pick it so a bucket holds ~10⁵–10⁶ rows of the heaviest key. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       tieBreak: String, payload: Seq[String],
+                       bucketWidth: Long,
+                       prefix: String = "asof_"): DataFrame = {
+    require(payload.nonEmpty, "asofJoinBucketed needs at least one payload column")
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    def tsNum(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__b",
+      floor(tsNum(left, leftTs) / lit(bucketWidth)).cast("long"))
+    val r = right.withColumn("__b",
+      floor(tsNum(right, rightTs) / lit(bucketWidth)).cast("long"))
+
+    // pass 1: in-bucket winners (null for left rows preceding their
+    // bucket's first right row)
+    val inBucket = unionWinner(l, r, leftKey, rightKey, leftTs, rightTs,
+      tieBreak, payload, extraPart = Seq("__b"))
+
+    // pass 2: per (key, bucket) one-row summary of the greatest right
+    // row — max over a struct ordered (ts, tie, payload)
+    val sums = r.groupBy(col(rightKey).as("__sk"), col("__b").as("__sb"))
+      .agg(max(struct(col(rightTs).as("__t"), col(tieBreak).as("__tie"),
+        struct(payload.map(col): _*).as("__p"))).as("__s"))
+
+    // pass 3: carry-in per distinct left (key, bucket) = latest summary
+    // of any STRICTLY earlier bucket — an as-of join on bucket - 1
+    val lb = l.select(col(leftKey).as("__ck"), col("__b")).distinct()
+      .withColumn("__cb", col("__b") - 1)
+    val carry = asofJoin(lb, sums, "__ck", "__sk", "__cb", "__sb",
+        tieBreak = "__sb", payload = Seq("__s"), prefix = "c_")
+      .select(col("__ck"), col("__b").as("__jb"), col("c___s.__p").as("__carry"))
+
+    inBucket
+      .join(carry, col(leftKey) === col("__ck") && col("__b") === col("__jb"), "left")
+      .withColumn("__w", coalesce(col("__pl"), col("__carry")))
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__w.$c").as(s"$prefix$c")): _*)
   }
 
   /** Interval (range) join: every `points` row matched to every

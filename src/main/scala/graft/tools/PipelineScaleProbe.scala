@@ -73,7 +73,11 @@ import graft.pipeline._
   *  - `vectorkernel`: native codegen dot-product expression vs the
   *                interpreted `aggregate(zip_with(...))` HOF on
   *                cached 3M × 64-dim pairs — identical bits required,
-  *                wall ratio printed.
+  *                wall ratio printed;
+  *  - `asofskew`: the mega-key as-of regime — ONE key, 10M left ×
+  *                1M right: plain (single-task window) vs bucketed
+  *                (1000-way time-split + carry-forward), closed-form
+  *                winner required on both.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -90,7 +94,7 @@ object PipelineScaleProbe {
                        "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
                        "vocab", "pq", "weighted", "hotbucket", "incremental",
                        "simhash", "assign2level", "train4096", "ccrounds",
-                       "percentiles", "asof", "rangejoin", "kmv", "vectorkernel")
+                       "percentiles", "asof", "rangejoin", "kmv", "vectorkernel", "asofskew")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -764,6 +768,33 @@ object PipelineScaleProbe {
         val n = j.count()
         require(n == keys * 150, s"expected ${keys * 150} containments, got $n")
         n
+      }
+    }
+
+    if (sections("asofskew")) {
+      // the mega-key regime the plain as-of join serializes on: ONE key
+      // with 10M left rows and 1M right rows. Plain = one task sorts
+      // 11M rows; bucketed (10k-unit buckets → 1000 buckets) spreads
+      // the same work across the cluster. Both must produce the same
+      // closed-form winner (right rows every 10 units, rid = t DIV 10).
+      val nL = 10000000L
+      val left = spark.range(nL).selectExpr("id AS lid", "CAST(1 AS BIGINT) AS k",
+        "id AS t")
+      val right = spark.range(nL / 10).selectExpr("id AS rid",
+        "CAST(1 AS BIGINT) AS k", "id * 10 AS rt")
+      def check(df: DataFrame): Long = {
+        val bad = df.selectExpr(
+          "CASE WHEN asof_rid = t DIV 10 THEN 0 ELSE 1 END AS bad")
+          .agg(sum("bad")).head().getLong(0)
+        require(bad == 0L, s"$bad wrong winners"); nL
+      }
+      time("as-of MEGA-KEY, plain (1 key, 10M x 1M)") {
+        check(Temporal.asofJoin(left, right, "k", "k", "t", "rt",
+          "rid", Seq("rid")))
+      }
+      time("as-of MEGA-KEY, bucketed (1000 buckets)") {
+        check(Temporal.asofJoinBucketed(left, right, "k", "k", "t", "rt",
+          "rid", Seq("rid"), bucketWidth = 10000L))
       }
     }
 

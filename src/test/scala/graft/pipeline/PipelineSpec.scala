@@ -2186,6 +2186,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(cap1 === cap2, "cap cut must be partitioning-invariant")
   }
 
+  test("asofJoinBucketed: identical to the plain as-of join on pseudo-random data, any bucket width") {
+    // hash-derived fixture: 3 keys, 400 left rows, 60 right rows with
+    // unique (ts, tie) per key; ts ranges force empty buckets, carry
+    // chains across several buckets, and no-match prefixes
+    val left = spark.range(400).selectExpr("id AS lid", "id % 3 AS k",
+      "pmod(hash(id, 1), 1000) AS t")
+    val right = spark.range(60).selectExpr("id AS rid", "id % 3 AS k",
+      // ts = unique per key by construction (id DIV 3 spaced x16 + key)
+      "(id DIV 3) * 16 + id % 3 AS rt", "CAST(pmod(hash(id, 2), 100) AS DOUBLE) AS v")
+    val plain = Temporal.asofJoin(left, right, "k", "k", "t", "rt",
+        "rid", Seq("rid", "v"))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    for (w <- Seq(7L, 64L, 1000L, 100000L)) {
+      val bucketed = Temporal.asofJoinBucketed(left, right, "k", "k", "t", "rt",
+          "rid", Seq("rid", "v"), bucketWidth = w)
+        .orderBy("lid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      assert(bucketed.toSeq === plain.toSeq, s"bucketWidth=$w diverged")
+    }
+    // timestamp columns route through unix_micros bucketing
+    val lts = left.selectExpr("lid", "k", "timestamp_micros(t * 1000000) AS t")
+    val rts = right.selectExpr("rid", "k", "timestamp_micros(rt * 1000000) AS rt", "v")
+    val bts = Temporal.asofJoinBucketed(lts, rts, "k", "k", "t", "rt",
+        "rid", Seq("rid", "v"), bucketWidth = 64L * 1000000L)
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(bts.toSeq === plain.toSeq)
+  }
+
   test("rangeJoin: half-open boundaries, bucket edges, multi-bucket spans, multiplicity") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
