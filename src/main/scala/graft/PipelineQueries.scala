@@ -626,6 +626,53 @@ object PipelineQueries {
           ORDER BY e.group_a, e.group_b"""
       }),
 
+    QueryDef("q_cm_frequency",
+      // Count-Min frequency sketch (Sketches.cmSketch): token
+      // frequencies of the full corpus compressed to a 4×1024
+      // additive counter matrix (map-side combined — the exchange
+      // carries ≤ d·w rows per partition at any corpus size), then
+      // point-queried for the fixed language-marker vocabulary with
+      // the exact counts riding along for calibration. CM is the
+      // frequency complement of the KMV distinct sketch; additivity
+      // makes it partitioning-invariant and mergeable across corpus
+      // snapshots, so even the ESTIMATES hash-gate (est_cm ≥ n_exact
+      // always — the one-sided error bound — pinned in scalatest).
+      (s, dir) => {
+        import s.implicits._
+        val toks = TextOps.withTokens(docs(s, dir)).selectExpr("explode(tokens) AS token")
+        val sk = Sketches.cmSketch(toks, col("token"), depth = 4, width = 1024)
+        val probes = TextOps.langMarkers.flatMap(_._2).distinct.sorted.toDF("token")
+        val exact = toks.join(broadcast(probes), Seq("token"), "left_semi")
+          .groupBy("token").agg(count(lit(1)).as("n_exact"))
+        Sketches.cmEstimate(sk, probes, "token", depth = 4, width = 1024)
+          .join(exact, Seq("token"), "left")
+          .na.fill(0L, Seq("n_exact"))
+          .select("token", "n_exact", "est_cm")
+          .orderBy("token")
+      },
+      Some {
+        val probeVals = TextOps.langMarkers.flatMap(_._2).distinct.sorted
+          .map(w => s"('$w')").mkString(", ")
+        def bucket(tok: String) =
+          s"${h60(s"$tok || '#' || CAST(r.r AS VARCHAR)")} % 1024"
+        s"""WITH tok AS ($tokCte),
+          t AS (SELECT unnest(tokens) AS token FROM tok),
+          probes(token) AS (VALUES $probeVals),
+          r(r) AS (VALUES (0), (1), (2), (3)),
+          sk AS (SELECT r.r AS r, ${bucket("t.token")} AS c,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM t CROSS JOIN r GROUP BY 1, 2),
+          pe AS (SELECT p.token, min(coalesce(sk.cnt, 0)) AS est_cm
+            FROM probes p CROSS JOIN r
+            LEFT JOIN sk ON sk.r = r.r AND sk.c = ${bucket("p.token")}
+            GROUP BY 1),
+          ex AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+            FROM t WHERE token IN (SELECT token FROM probes) GROUP BY 1)
+          SELECT pe.token, coalesce(ex.n_exact, 0) AS n_exact, pe.est_cm
+          FROM pe LEFT JOIN ex ON ex.token = pe.token
+          ORDER BY pe.token"""
+      }),
+
     QueryDef("q_skew_report",
       // key-skew histogram over token frequencies (the Zipf tail that
       // makes vocabulary joins straggle): per-key counts bucketed by
@@ -2270,6 +2317,56 @@ object PipelineQueries {
           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3 AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q_local_supplier_volume",
+      // TPC-H Q5 shape: revenue from lineitems where the supplier and
+      // the customer share a nation, restricted to one region and a
+      // date window, grouped by nation. The scale-relevant plan: the
+      // two big fact tables (lineitem, orders) hash-join on orderkey;
+      // EVERY dimension (customer 1.5k, supplier 0.1k, nation 25,
+      // region 5 rows per SF... all ≪ fact) broadcasts, so the only
+      // shuffle in the whole query is the lineitem⋈orders equi-join +
+      // the final 25-group agg. The region filter prunes through the
+      // broadcast chain before the fact join; revenue is an exact
+      // DECIMAL sum (order-invariant) floored to 1e-3 at the end.
+      (s, dir) => {
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+        val o = Temporal.loadOrders(s, dir)
+          .filter(expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
+            expr("o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+        val c = s.read.parquet(s"$dir/customer.parquet")
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+        val n = s.read.parquet(s"$dir/nation.parquet")
+        val r = s.read.parquet(s"$dir/region.parquet")
+        val asiaNations = n.join(broadcast(r.filter(col("r_name") === "ASIA")),
+          n("n_regionkey") === r("r_regionkey"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(asiaNations), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            count(lit(1)).as("n_lineitems"),
+            expr("""floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                * 1.0e3 + 0.5e0) / 1.0e3""").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_lineitems,
+          floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+            * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
+            * 1.0e3 + 0.5e0) / 1.0e3 AS revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1 ORDER BY revenue DESC, n_name"""))
   )
 }

@@ -165,4 +165,52 @@ object Sketches {
       .select(col("ga").as("group_a"), col("gb").as("group_b"),
         col("est_a"), col("est_b"), col("est_union"), col("jaccard_est"))
   }
+
+  // ---- Count-Min frequency sketch ----
+
+  /** Count-Min bucket id for row `r`: shared 60-bit hash of
+    * `value + "#" + r`, reduced mod `width`. The hash is non-negative
+    * (60 bits < 63), so plain `%` is already the canonical bucket. */
+  def cmBucket(value: Column, r: Column, width: Int): Column =
+    hash60(concat(value.cast("string"), lit("#"), r.cast("string"))) % width
+
+  /** Count-Min frequency sketch [Cormode & Muthukrishnan 2005] as a
+    * RELATION: `(r, c, cnt)` — `depth` hash rows × `width` buckets,
+    * `cnt` = Σ weight of the values hashing to that bucket. Point
+    * estimate for x = min over rows of its bucket counter: always ≥
+    * the true count (one-sided), over by ≤ 2·N/width with probability
+    * 1 − 2^−depth.
+    *
+    * Scale shape: counters are ADDITIVE, so the groupBy combines
+    * map-side and the exchange carries ≤ depth·width rows per
+    * partition no matter the input size — the frequency complement of
+    * [[KmvAgg]] (KMV answers "how many distinct", CM answers "how
+    * often is x") with the same bounded-state discipline. Additivity
+    * also makes the sketch mergeable across corpora/days (elementwise
+    * sum) and bit-deterministic under any partitioning — unlike
+    * sampled counters, even the ESTIMATES hash-gate against the SQL
+    * oracle. */
+  def cmSketch(df: DataFrame, value: Column, depth: Int, width: Int,
+               weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1, s"CM needs depth >= 1, got $depth")
+    require(width >= 2, s"CM needs width >= 2, got $width")
+    df.select(value.cast("string").as("__v"), weight.cast("long").as("__w"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("__v"), col("__w"))
+      .withColumn("c", cmBucket(col("__v"), col("r"), width))
+      .groupBy("r", "c").agg(sum("__w").as("cnt"))
+  }
+
+  /** Point-query estimates from a CM sketch for the `itemCol` values
+    * of `items`: `(item, est_cm)` with `est_cm = min_r cnt[r][h_r(x)]`
+    * (0 for a value whose every bucket is empty). The sketch side is
+    * ≤ depth·width rows and broadcasts; `items` can be
+    * arbitrarily large — the probe never shuffles. */
+  def cmEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
+                 depth: Int, width: Int): DataFrame =
+    items.select(col(itemCol))
+      .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", cmBucket(col(itemCol), col("r"), width))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(itemCol).agg(min("cnt").as("est_cm"))
 }

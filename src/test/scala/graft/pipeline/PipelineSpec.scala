@@ -2154,6 +2154,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(est(("A", "C")) < 0.15 && est(("B", "C")) < 0.15)
   }
 
+  test("cmSketch: bounded state, one-sided error, additive merge, partition-invariant") {
+    val depth = 4; val width = 64
+    // zipf-ish: value i appears (2000 / (i+1)) times over 50 distinct
+    val rows = (0 until 50).flatMap(i => Seq.fill(2000 / (i + 1))(s"t$i"))
+    val df = rows.toDF("v")
+    val sk = Sketches.cmSketch(df, col("v"), depth, width)
+    // state bound: the whole sketch is at most depth*width counters,
+    // no matter the input volume; total mass per row = n inputs
+    val cells = sk.collect()
+    assert(cells.length <= depth * width)
+    val perRow = cells.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perRow.values.toSet === Set(rows.size.toLong),
+      s"every hash row must carry the full mass, got $perRow")
+    // point estimates: est >= exact for EVERY value (one-sided error)
+    val items = (0 until 50).map(i => s"t$i").toDF("v")
+    val est = Sketches.cmEstimate(sk, items, "v", depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until 50).foreach { i =>
+      val exact = 2000 / (i + 1)
+      assert(est(s"t$i") >= exact, s"t$i: est ${est(s"t$i")} < exact $exact")
+      // CM error bound: over by <= 2N/width w.p. 1-2^-depth; allow 4x slack
+      assert(est(s"t$i") - exact <= 8L * rows.size / width,
+        s"t$i: est ${est(s"t$i")} vs exact $exact exceeds the error bound")
+    }
+    // absent value: min over its buckets — bounded by the same noise
+    val ghost = Sketches.cmEstimate(sk, Seq("never-seen").toDF("v"), "v", depth, width)
+      .collect()(0).getLong(1)
+    assert(ghost <= 8L * rows.size / width, s"ghost estimate $ghost")
+    // partition invariance: counters are additive, so any partitioning
+    // yields the same bits
+    val sk2 = Sketches.cmSketch(df.repartition(13), col("v"), depth, width)
+    assert(sk2.orderBy("r", "c").collect().toSeq ===
+      sk.orderBy("r", "c").collect().toSeq)
+    // mergeability: sketch(a ++ b) = elementwise sum of the two sketches
+    val (a, b) = rows.splitAt(rows.size / 3)
+    val skA = Sketches.cmSketch(a.toDF("v"), col("v"), depth, width)
+    val skB = Sketches.cmSketch(b.toDF("v"), col("v"), depth, width)
+    val summed = skA.unionByName(skB).groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      .orderBy("r", "c").collect().toSeq
+    assert(summed === sk.orderBy("r", "c").collect().toSeq)
+  }
+
   test("coOccurrence: pair counts exact, lift calibrated, skew cap bounds baskets deterministically") {
     // 3 users: u1 views items 1,2,3; u2 views 1,2 (twice each — dedup);
     // u3 views 2,3. Pairs: (1,2)x2, (1,3)x1, (2,3)x2
