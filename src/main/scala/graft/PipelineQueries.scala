@@ -654,7 +654,7 @@ object PipelineQueries {
         val probeVals = TextOps.langMarkers.flatMap(_._2).distinct.sorted
           .map(w => s"('$w')").mkString(", ")
         def bucket(tok: String) =
-          s"${h60(s"$tok || '#' || CAST(r.r AS VARCHAR)")} % 1024"
+          Sketches.cmBucketSql(s"md5($tok)", "r.r", 1024)
         s"""WITH tok AS ($tokCte),
           t AS (SELECT unnest(tokens) AS token FROM tok),
           probes(token) AS (VALUES $probeVals),

@@ -168,11 +168,24 @@ object Sketches {
 
   // ---- Count-Min frequency sketch ----
 
-  /** Count-Min bucket id for row `r`: shared 60-bit hash of
-    * `value + "#" + r`, reduced mod `width`. The hash is non-negative
-    * (60 bits < 63), so plain `%` is already the canonical bucket. */
-  def cmBucket(value: Column, r: Column, width: Int): Column =
-    hash60(concat(value.cast("string"), lit("#"), r.cast("string"))) % width
+  /** Largest depth the single-digest bucket scheme supports: md5's 32
+    * hex chars give four disjoint 8-char (32-bit) row hashes. */
+  val cmMaxDepth = 4
+
+  /** Count-Min bucket id for hash row `r` (0-based): the r-th disjoint
+    * 32-bit slice of ONE md5 digest of the value, reduced mod `width`.
+    * One digest serves all rows — strictly less hashing than `depth`
+    * salted digests per value, and disjoint slices of a 128-bit digest
+    * are as independent as four salted digests. The slice is
+    * non-negative (32 bits < 63), so plain `%` is already the
+    * canonical bucket. `digest` must be `md5(value)` (hex string). */
+  def cmBucket(digest: Column, r: Column, width: Int): Column =
+    conv(digest.substr(r * lit(8) + lit(1), lit(8)), 16, 10).cast("long") % width
+
+  /** Oracle-side fragment: the same bucket in DuckDB SQL (`digest` an
+    * md5 hex expression, `r` the hash-row column/expression). */
+  def cmBucketSql(digest: String, r: String, width: Int): String =
+    s"CAST('0x' || substr($digest, ($r) * 8 + 1, 8) AS BIGINT) % $width"
 
   /** Count-Min frequency sketch [Cormode & Muthukrishnan 2005] as a
     * RELATION: `(r, c, cnt)` — `depth` hash rows × `width` buckets,
@@ -192,11 +205,12 @@ object Sketches {
     * oracle. */
   def cmSketch(df: DataFrame, value: Column, depth: Int, width: Int,
                weight: Column = lit(1L)): DataFrame = {
-    require(depth >= 1, s"CM needs depth >= 1, got $depth")
+    require(depth >= 1 && depth <= cmMaxDepth,
+      s"CM needs 1 <= depth <= $cmMaxDepth, got $depth")
     require(width >= 2, s"CM needs width >= 2, got $width")
-    df.select(value.cast("string").as("__v"), weight.cast("long").as("__w"))
-      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("__v"), col("__w"))
-      .withColumn("c", cmBucket(col("__v"), col("r"), width))
+    df.select(md5(value.cast("string")).as("__d"), weight.cast("long").as("__w"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("__d"), col("__w"))
+      .withColumn("c", cmBucket(col("__d"), col("r"), width))
       .groupBy("r", "c").agg(sum("__w").as("cnt"))
   }
 
@@ -207,9 +221,10 @@ object Sketches {
     * arbitrarily large — the probe never shuffles. */
   def cmEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
                  depth: Int, width: Int): DataFrame =
-    items.select(col(itemCol))
-      .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .withColumn("c", cmBucket(col(itemCol), col("r"), width))
+    items.select(col(itemCol), md5(col(itemCol).cast("string")).as("__d"))
+      .select(col(itemCol), col("__d"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("c", cmBucket(col("__d"), col("r"), width))
       .join(broadcast(sketch), Seq("r", "c"), "left")
       .na.fill(0L, Seq("cnt"))
       .groupBy(itemCol).agg(min("cnt").as("est_cm"))

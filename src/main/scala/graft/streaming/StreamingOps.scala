@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -283,6 +283,25 @@ object StreamingOps {
           KmvDistinctOut(g, buf.length, graft.pipeline.Sketches.estimate(buf, k))
       }
   }
+
+  /** Streaming Count-Min frequency sketch: the additive `(r, c)`
+    * counter aggregation run as a NATIVE streaming aggregation —
+    * no custom state function needed, because the grouping key space
+    * is finite by construction (depth·width cells), so state is
+    * permanently bounded with no watermark, timeout, or eviction, and
+    * Spark's own streaming-agg state store IS the sketch. Counters
+    * are additive, so after any processed prefix the latest value per
+    * cell equals the batch [[graft.pipeline.Sketches.cmSketch]] of the
+    * same rows bit-for-bit (spec-pinned), and the stream's sketch can
+    * be merged with any batch/day sketch by elementwise sum. Update
+    * output mode. */
+  def cmSketchStream(stream: DataFrame, value: Column,
+                     depth: Int, width: Int): DataFrame =
+    stream.select(md5(value.cast("string")).as("__d"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("__d"))
+      .withColumn("c",
+        graft.pipeline.Sketches.cmBucket(col("__d"), col("r"), width))
+      .groupBy("r", "c").agg(sum(lit(1L)).as("cnt"))
 
   /** Streaming regrid: the K1 join-agg kernel applied per micro-batch.
     * Weights are a static broadcast side (the exact analog of the

@@ -70,6 +70,10 @@ import graft.pipeline._
   *  - `kmv`:      X44 KMV sketch at 100M values / 32 groups with
   *                closed-form cardinalities — estimates within the
   *                5σ band, below-k group exact;
+  *  - `cm`:       X53 Count-Min at 100M values / 10M distinct with 5
+  *                planted heavy hitters — state ≤ d·w counters, heavy
+  *                estimates inside the one-sided CM bound, rare
+  *                estimates under the noise ceiling;
   *  - `vectorkernel`: native codegen dot-product expression vs the
   *                interpreted `aggregate(zip_with(...))` HOF on
   *                cached 3M × 64-dim pairs — identical bits required,
@@ -94,7 +98,8 @@ object PipelineScaleProbe {
                        "kmeans", "spans", "bm25", "shuffle", "mix", "fuzzydecontam",
                        "vocab", "pq", "weighted", "hotbucket", "incremental",
                        "simhash", "assign2level", "train4096", "ccrounds",
-                       "percentiles", "asof", "rangejoin", "kmv", "vectorkernel", "asofskew")
+                       "percentiles", "asof", "rangejoin", "kmv", "cm",
+                       "vectorkernel", "asofskew")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -856,6 +861,53 @@ object PipelineScaleProbe {
         }
         require(got.find(_._1 == 0).get._3 == 120.0, "below-k group must be exact")
         n
+      }
+    }
+
+    if (sections("cm")) {
+      // X53 Count-Min at 100M values with closed-form counts: 5 heavy
+      // tokens take half the mass (10M occurrences each), the other
+      // half spreads over 10M rare tokens (exactly 5 each) — the
+      // heavy-hitter regime CM exists for. d=4 × w=4096 = 16k counters
+      // summarize 10M distinct tokens; heavy estimates must land in
+      // [exact, exact + 4·2N/w] (the one-sided CM bound with slack)
+      // and rare estimates stay under the same noise ceiling, so a
+      // heavy hitter is unambiguous at 512× the bound separation.
+      val n = 100000000L
+      val depth = 4; val width = 4096
+      val vals = spark.range(n).selectExpr(
+        """CASE WHEN id % 10 < 5 THEN concat('h', id % 5)
+           ELSE concat('r', (id DIV 10) % 10000000) END AS v""")
+      val sk = Sketches.cmSketch(vals, col("v"), depth, width)
+      auditPlan("cm sketch 100M", sk)
+      val slack = 8L * n / width // 4x the 2N/w bound
+      time(s"CM sketch, 100M values, 10M distinct, d=$depth w=$width") {
+        val cells = sk.collect()
+        require(cells.length <= depth * width,
+          s"state ${cells.length} exceeds $depth x $width")
+        val perRow = cells.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+        require(perRow.values.forall(_ == n), s"row mass != $n: $perRow")
+        cells.length.toLong
+      }
+      val probes = {
+        import spark.implicits._
+        ((0 until 5).map(i => s"h$i") ++
+          (0 until 10).map(i => s"r${i * 999999}")).toDF("v")
+      }
+      val est = Sketches.cmEstimate(sk, probes, "v", depth, width)
+      auditPlan("cm estimate probes", est)
+      time("CM point estimates, 15 probes vs closed-form counts") {
+        val got = est.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        (0 until 5).foreach { i =>
+          val e = got(s"h$i")
+          require(e >= 10000000L && e <= 10000000L + slack,
+            s"heavy h$i estimate $e outside [1e7, 1e7+$slack]")
+        }
+        (0 until 10).foreach { i =>
+          val e = got(s"r${i * 999999}")
+          require(e >= 5L && e <= slack, s"rare estimate $e outside [5, $slack]")
+        }
+        got.size.toLong
       }
     }
 

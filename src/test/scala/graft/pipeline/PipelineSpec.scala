@@ -2130,6 +2130,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(afterAll("small")._2 === batch("small"))
   }
 
+  test("streaming CM sketch: prefix-equal to batch, state bounded at depth*width") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val depth = 4; val width = 32
+    val rows = (0 until 30).flatMap(i => Seq.fill(100 / (i + 1))(s"t$i"))
+    val stream = MemoryStream[String]
+    val out = graft.streaming.StreamingOps.cmSketchStream(
+      stream.toDF().toDF("v"), col("v"), depth, width)
+    val q = out.writeStream.format("memory").queryName("cm_stream")
+      .outputMode("update").start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      // counters only grow, so max per cell = the cell's latest value
+      def latest() = spark.table("cm_stream")
+        .groupBy("r", "c").agg(max("cnt").as("cnt"))
+        .orderBy("r", "c").collect().toSeq
+      val afterB1 = latest()
+      val batchB1 = Sketches.cmSketch(b1.toDF("v"), col("v"), depth, width)
+        .orderBy("r", "c").collect().toSeq
+      assert(afterB1 === batchB1, "prefix sketch must equal the batch sketch")
+      stream.addData(b2); q.processAllAvailable()
+      val afterAll = latest()
+      val batchAll = Sketches.cmSketch(rows.toDF("v"), col("v"), depth, width)
+        .orderBy("r", "c").collect().toSeq
+      assert(afterAll === batchAll)
+      // state bound: never more than depth*width live cells
+      assert(afterAll.size <= depth * width)
+    } finally q.stop()
+  }
+
   test("kmvPairSimilarity: union closure is exact set algebra, planted overlap calibrates") {
     // A = v0..v2999, B = v1500..v4499 → |A∩B|=1500, |A∪B|=4500, J=1/3
     val rows = (0 until 3000).map(i => ("A", s"v$i")) ++
