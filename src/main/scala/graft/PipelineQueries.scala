@@ -1571,6 +1571,49 @@ object PipelineQueries {
         FROM tr JOIN ev ON tr.s = ev.s
         GROUP BY 1 ORDER BY doc_id""")),
 
+    QueryDef("q_decontam_bloom",
+      // decontamination against a BLOOM filter of the eval shingle set
+      // (Sketches.bloomBits/bloomMaybeContains): the eval index ships
+      // as ≤ m set-bit positions instead of the raw n-gram relation —
+      // the fixed-size-index variant of q_decontam for when the eval
+      // side is itself huge (every benchmark's n-grams). Zero false
+      // negatives by construction (spec-pinned: flagged ⊇ the exact
+      // q_decontam doc set); false positives at the standard rate and
+      // DETERMINISTIC (same md5-slice positions on both engines), so
+      // the per-doc maybe-counts hash-gate exactly. Train side scanned
+      // once, never shuffled before the broadcast-bits match.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val m = 65536; val k = 3
+        val bits = Sketches.bloomBits(
+          TextOps.shingleSet(d.filter(evalPred), 5), col("s"), m, k)
+        Sketches.bloomMaybeContains(bits,
+            TextOps.shingleSet(d.filter(s"NOT ($evalPred)"), 5)
+              .select("doc_id", "s"),
+            "s", m, k, carry = Seq("doc_id"))
+          .filter(col("maybe_present"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_maybe"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val m = 65536; val k = 3
+        def bucket(e: String) = Sketches.cmBucketSql(s"md5($e)", "r.r", m)
+        s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
+          r(r) AS (VALUES (0), (1), (2)),
+          ev AS (SELECT DISTINCT s FROM sh5 WHERE $evalPred),
+          bits AS (SELECT DISTINCT ${bucket("ev.s")} AS pos
+            FROM ev CROSS JOIN r),
+          tr AS (SELECT DISTINCT doc_id, s FROM sh5 WHERE NOT ($evalPred)),
+          pp AS (SELECT tr.doc_id, tr.s, r.r, ${bucket("tr.s")} AS pos
+            FROM tr CROSS JOIN r),
+          hit AS (SELECT doc_id, s, count(bits.pos) AS nset
+            FROM pp LEFT JOIN bits ON bits.pos = pp.pos
+            GROUP BY 1, 2)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe
+          FROM hit WHERE nset = $k
+          GROUP BY 1 ORDER BY doc_id"""
+      }),
+
     QueryDef("q_decontam_keep",
       // the surviving corpus after "any overlap → drop": left-anti join
       // against the contaminated ids, per-source survivor counts

@@ -228,4 +228,52 @@ object Sketches {
       .join(broadcast(sketch), Seq("r", "c"), "left")
       .na.fill(0L, Seq("cnt"))
       .groupBy(itemCol).agg(min("cnt").as("est_cm"))
+
+  // ---- Bloom membership filter ----
+
+  /** Bloom filter over a value set, as a relation of SET BIT
+    * positions: the distinct union of each value's `kHashes` positions
+    * (disjoint 32-bit slices of one md5 digest mod `mBits` — the
+    * [[cmBucket]] scheme). Bounded at ≤ min(mBits, kHashes·n) rows no
+    * matter the input, and mergeable: the filter of a union is the
+    * distinct union of the filters (it's a set).
+    *
+    * The relational form keeps positions as rows rather than a packed
+    * bitset: for the sparse regime it is sized for (set bits ≪ mBits,
+    * the regime where a Bloom index makes sense) the row relation is
+    * within ~an order of magnitude of the packed array while staying
+    * pure equi-join/distinct — no stateful aggregator, oracle-
+    * replayable bit-for-bit. */
+  def bloomBits(df: DataFrame, value: Column, mBits: Int, kHashes: Int): DataFrame = {
+    require(kHashes >= 1 && kHashes <= cmMaxDepth,
+      s"Bloom needs 1 <= kHashes <= $cmMaxDepth, got $kHashes")
+    require(mBits >= 2, s"Bloom needs mBits >= 2, got $mBits")
+    df.select(md5(value.cast("string")).as("__d"))
+      .select(explode(sequence(lit(0), lit(kHashes - 1))).as("r"), col("__d"))
+      .select(cmBucket(col("__d"), col("r"), mBits).as("pos"))
+      .distinct()
+  }
+
+  /** Membership probe: each (carry…, item) row gains `maybe_present` —
+    * true iff ALL `kHashes` of the item's positions are set in `bits`.
+    * ZERO false negatives by construction (an inserted value's
+    * positions are all set); false positives at the standard
+    * `(1 − e^{−kn/m})^k` rate, and DETERMINISTIC — both engines flag
+    * the same values, so even the false positives hash-gate. The bits
+    * side is ≤ mBits rows and broadcasts; the probe side never
+    * shuffles before the match — the 100 TB decontamination shape
+    * where the eval index ships as a fixed-size filter instead of the
+    * raw n-gram set. */
+  def bloomMaybeContains(bits: DataFrame, items: DataFrame, itemCol: String,
+                         mBits: Int, kHashes: Int,
+                         carry: Seq[String] = Nil): DataFrame = {
+    val keys = carry :+ itemCol
+    items.select(keys.map(col) :+ md5(col(itemCol).cast("string")).as("__d"): _*)
+      .select(keys.map(col) :+ col("__d") :+
+        explode(sequence(lit(0), lit(kHashes - 1))).as("r"): _*)
+      .select(keys.map(col) :+ cmBucket(col("__d"), col("r"), mBits).as("pos"): _*)
+      .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"), "left")
+      .groupBy(keys.map(col): _*)
+      .agg((count(col("__hit")) === kHashes).as("maybe_present"))
+  }
 }

@@ -2130,6 +2130,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(afterAll("small")._2 === batch("small"))
   }
 
+  test("bloom filter: zero false negatives, bounded FP rate, mergeable bits") {
+    val m = 4096; val k = 3
+    val vals = (0 until 500).map(i => s"s$i").toDF("s")
+    val bits = Sketches.bloomBits(vals, col("s"), m, k)
+    assert(bits.count() <= math.min(m.toLong, 3L * 500))
+    // every inserted value must be flagged — the no-false-negative law
+    val ins = Sketches.bloomMaybeContains(bits, vals, "s", m, k)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(ins.size === 500 && ins.values.forall(identity))
+    // absent values: FP rate ~ (1-e^{-kn/m})^k ≈ 2.9% here; 4x slack
+    val absent = (0 until 2000).map(i => s"x$i").toDF("s")
+    val fp = Sketches.bloomMaybeContains(bits, absent, "s", m, k)
+      .filter(col("maybe_present")).count()
+    assert(fp < 240, s"FP count $fp implausibly high for m=$m k=$k n=500")
+    // set semantics: filter of a union = distinct union of filters
+    val (a, b) = (0 until 500).map(i => s"s$i").splitAt(200)
+    val merged = Sketches.bloomBits(a.toDF("s"), col("s"), m, k)
+      .unionByName(Sketches.bloomBits(b.toDF("s"), col("s"), m, k))
+      .distinct().orderBy("pos").collect().toSeq
+    assert(merged === bits.orderBy("pos").collect().toSeq)
+    // carry columns ride through the probe
+    val carried = Sketches.bloomMaybeContains(bits,
+        Seq((7L, "s1"), (7L, "x1"), (9L, "s2")).toDF("doc_id", "s"),
+        "s", m, k, carry = Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(carried((7L, "s1")) && carried((9L, "s2")))
+  }
+
   test("streaming CM sketch: prefix-equal to batch, state bounded at depth*width") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
