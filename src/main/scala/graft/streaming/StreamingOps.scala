@@ -251,7 +251,7 @@ object StreamingOps {
         // try_element_at: an empty suffix (no right row at-or-before
         // ts, or an unknown key) is NULL, not an ANSI index error
         s"try_element_at(filter(__hist, e -> e.__t <= $leftTs), -1)"))
-      .select(stream.columns.map(col) ++
+      .select(stream.columns.toIndexedSeq.map(col) ++
         payload.map(c => col(s"__w.$c").as(s"$prefix$c")): _*)
   }
 
