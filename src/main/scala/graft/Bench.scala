@@ -202,7 +202,7 @@ object Bench {
     // every attempt keeps (round, wall, ok) so a flaky kernel is
     // visible as ok_rounds < runs (never conflated with a clean min)
     // and the load gate can prefer minima from uncontaminated rounds
-    case class Sample(round: Int, sec: Double, ok: Boolean)
+    case class Sample(round: Int, sec: Double, ok: Boolean, gcSec: Double)
     case class RoundTel(round: Int, wallSec: Double, loadStart: Double,
                         loadEnd: Double, gcSec: Double,
                         foreignCores: Double, contaminated: Boolean)
@@ -229,6 +229,10 @@ object Bench {
         val bj0 = busyJiffies(); val sc0 = selfCpuSec()
         kernels.zipWithIndex.foreach { case ((name, fn), i) =>
           var ok = true
+          // per-kernel GC bracket (r8 verdict #1: a kernel whose wall
+          // number triples with no in-artifact attribution is 'weak' —
+          // this splits collector time out of every reported second)
+          val kg0 = gcMillis()
           val t = time {
             try fn()
             catch { case e: Throwable =>
@@ -236,7 +240,7 @@ object Bench {
               lastError(name) = s"r$r ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
             }
           }
-          samples(i) = samples(i) :+ Sample(r, t, ok)
+          samples(i) = samples(i) :+ Sample(r, t, ok, (gcMillis() - kg0) / 1000.0)
         }
         val wall = (System.nanoTime() - rt0) / 1e9
         // foreign cpu = box busy − this JVM, in sustained cores over
@@ -273,6 +277,12 @@ object Bench {
       // spread rows: negative value = crashed attempt
       def spreadJson: Seq[(String, String)] = kernels.zipWithIndex.map { case ((name, _), i) =>
         name -> samples(i).map(s => num(if (s.ok) s.sec else -s.sec)).mkString("[", ",", "]")
+      }
+      // per-kernel GC seconds, per round, parallel to `spread`: a wall
+      // reading whose GC share is near the wall itself is a collector
+      // artifact, not a plan regression — attributable without a re-run
+      def gcSpreadJson: Seq[(String, String)] = kernels.zipWithIndex.map { case ((name, _), i) =>
+        name -> samples(i).map(s => num(s.gcSec)).mkString("[", ",", "]")
       }
       def telJson: String = roundTel.map(rt => obj(Seq(
         "round" -> rt.round.toString, "wall_sec" -> num(rt.wallSec),
@@ -403,6 +413,7 @@ object Bench {
         "contract_total_clean_sec" -> num(contractTotalClean),
         "load_contaminated" -> loadContamQueries.map(jq).mkString("[", ",", "]"),
         "queries" -> qs, "ok_rounds" -> ok, "spread" -> spread,
+        "gc_spread" -> obj(contractPhase.gcSpreadJson),
         "errors" -> errs, "round_telemetry" -> contractPhase.telJson,
         "headline" -> head,
         // r7 verdict #1: the headline kernels' own gated-round evidence
@@ -414,6 +425,7 @@ object Bench {
         "headline_load_contaminated" -> headPhase.loadContam.map(jq).mkString("[", ",", "]"),
         "headline_ok_rounds" -> obj(headPhase.okRounds.map { case (k, v) => k -> v.toString }),
         "headline_spread" -> obj(headPhase.spreadJson),
+        "headline_gc_spread" -> obj(headPhase.gcSpreadJson),
         "headline_round_telemetry" -> headPhase.telJson,
         // whole-JVM GC split by phase (r7 verdict #1: an 89 GB-heap,
         // 46-GC-sec run must be diagnosable in-artifact): warmup =

@@ -118,7 +118,20 @@ object Multimodal {
       fill(px)
       img.setRGB(0, 0, w, h, px, 0, w)    // bulk transfer — per-pixel setRGB is ~10× slower
       baos.reset()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      // EXPLICIT memory-cache stream (r8 verdict #1): the convenience
+      // factory ImageIO.createImageOutputStream honors the global
+      // useCache=true default and backs even this pure in-memory
+      // ByteArrayOutputStream with a DISK temp file (create/write/
+      // read/delete in java.io.tmpdir per image, names from a
+      // JVM-global SecureRandom) — ~40k temp-file cycles per
+      // q_multimodal_frames round from 32 concurrent tasks in one
+      // directory. That made the whole image family's bench cost a
+      // property of the host's /tmp (1.09 s builder vs 10.5–18.2 s
+      // driver, same binary). MultimodalProbe measures the two paths:
+      // 32-thread encode+decode of 40k frames 1.58 s file-cache vs
+      // 0.21 s memory-cache on a FAST /tmp — 7.6×, unboundedly worse
+      // on a contended one. Bytes produced are identical.
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
       writer.setOutput(ios)
       writer.write(img)
       ios.close()
@@ -139,7 +152,10 @@ object Multimodal {
   def mkDecoder(): Array[Byte] => (Array[Int], Int, Int) = {
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
     (bytes: Array[Byte]) => {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // explicit memory-cache stream — see mkPixelEncoder: the
+      // ImageIO.createImageInputStream factory would wrap this
+      // in-memory source in a disk-backed FileCacheImageInputStream
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val img =
         try {
