@@ -28,11 +28,22 @@ object Graphs {
     * 2·n_tri / (degree·(degree−1)), 0 when degree < 2, rounded to 9
     * decimals with the shared floor-trick.
     *
-    * Plan shape: degree agg (map-side combined) → broadcast degree
-    * rank onto edges for orientation → self equi-join on the wedge
+    * Plan shape: degree agg (map-side combined) → join degree rank
+    * onto edges for orientation → self equi-join on the wedge
     * center → equi-join against oriented edges to close → explode each
     * triangle to its 3 corners → hash agg. All joins are equi-joins on
-    * node ids; nothing is quadratic in hub degree. */
+    * node ids; nothing is quadratic in hub degree.
+    *
+    * The three degree joins carry NO broadcast hint (r8 verdict #2:
+    * a forced `broadcast(deg)` is O(V) driver+executor memory — an OOM,
+    * not a plan choice, at the 10⁹-node co-occurrence graphs this
+    * engine targets). They are plain equi-joins on the node id; AQE
+    * sees the degree aggregate's true runtime size and picks a
+    * broadcast join itself whenever it actually fits
+    * (`spark.sql.adaptive.autoBroadcastJoinThreshold`), and degrades to
+    * a shuffled join — same answer, bounded memory — when it doesn't.
+    * PipelineScaleProbe's `graphTriangles10x` pins the shuffled plan's
+    * viability at 10× contract edges. */
   def triangleStats(edges0: DataFrame): DataFrame = {
     val edges = edges0.select(col("a").cast("long"), col("b").cast("long"))
       .where(col("a") < col("b")).distinct()
@@ -44,15 +55,15 @@ object Graphs {
     // direction is unambiguous and every triangle has exactly one
     // all-outgoing corner
     val withRanks = edges
-      .join(broadcast(deg.select(col("node").as("a"), col("degree").as("da"))), "a")
-      .join(broadcast(deg.select(col("node").as("b"), col("degree").as("db"))), "b")
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
     val oriented = withRanks.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       // carry the rank of v for the wedge-side ordering
-      .join(broadcast(deg.select(col("node").as("v"), col("degree").as("dv"))), "v")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
 
     // wedges at u over its out-neighborhood, ordered so (v, w) is
     // emitted once; close against the oriented edge (v, w)
@@ -102,6 +113,9 @@ object Graphs {
     * cannot arise from an undirected edge list (every endpoint has
     * out-degree ≥ 1). Output: `(node, pr_fixed, pr)` where `pr` is
     * the readable double `pr_fixed / 10¹²` rounded to 9 decimals. */
+  /** Lineage-truncation period for [[pageRankFixedPoint]]'s loop. */
+  val checkpointEvery: Int = 4
+
   def pageRankFixedPoint(edges0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val und = edges0.select(col("a").cast("long"), col("b").cast("long"))
@@ -115,7 +129,7 @@ object Graphs {
     // (PrScale * 15 DIV 100) DIV n
     val base = (PrScale * 15L / 100L) / n
     var pr = nodes.withColumn("pr", lit(PrScale / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = pr
         .join(out, pr("node") === out("src"))
         .join(directed, Seq("src"))
@@ -124,6 +138,13 @@ object Graphs {
       pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(base) + expr("coalesce(s, CAST(0 AS BIGINT)) * 85 DIV 100")).as("pr"))
+      // truncate lineage every few rounds (r8 verdict #2, same
+      // discipline as Dedup.clusters' pointer-jumping loop): without
+      // this the plan nests one join+agg deeper per iteration, so a
+      // 50-round run re-optimizes — and on executor loss would
+      // recompute — a 50-deep tree. localCheckpoint is EAGER; blocks
+      // are freed by the ContextCleaner once the plan is collected.
+      if (i % checkpointEvery == 0 && i < iters) pr = pr.localCheckpoint()
     }
     out.unpersist()
     pr.select(col("node"), col("pr").as("pr_fixed"),

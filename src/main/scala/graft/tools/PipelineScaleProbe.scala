@@ -99,7 +99,7 @@ object PipelineScaleProbe {
                        "vocab", "pq", "weighted", "hotbucket", "incremental",
                        "simhash", "assign2level", "train4096", "ccrounds",
                        "percentiles", "asof", "rangejoin", "kmv", "cm",
-                       "vectorkernel", "asofskew")
+                       "vectorkernel", "asofskew", "graphs10x")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -908,6 +908,65 @@ object PipelineScaleProbe {
           require(e >= 5L && e <= slack, s"rare estimate $e outside [5, $slack]")
         }
         got.size.toLong
+      }
+    }
+
+    if (sections("graphs10x")) {
+      // ~100x the contract graph's edges (q_graph_* runs on ~20k
+      // co-view pairs; this is 3M edges / 1M+1 nodes) with BOTH
+      // broadcast thresholds disabled, so the degree joins that r8
+      // force-broadcast MUST run as shuffled joins — proving the
+      // unhinted plan (r9, verdict #2) holds when the O(V) degree
+      // relation no longer fits a broadcast. The graph has closed-form
+      // truth and a deliberate mega-hub: ring nodes 0..n-1 with edges
+      // (i, i+1 mod n) and chords (i, i+2 mod n), plus node n adjacent
+      // to every ring node. Per ring node: degree 5, 7 triangles
+      // (3 ring/chord + 4 with the hub); hub: degree n, 2n triangles
+      // (one per ring/chord edge). Degree orientation directs every
+      // hub edge INTO the hub (max degree), so the hub emits zero
+      // wedges — the O(m^1.5) bound in action at the worst skew.
+      val thrOld = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      // default is null (falls back to the non-AQE threshold), and
+      // conf.get returns that null rather than throwing
+      val aqeThrOld = Option(
+        try spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        catch { case _: Exception => null }).getOrElse("")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val n = 1000000L
+        val ring = spark.range(n).selectExpr(
+          s"id AS i", s"(id + 1) % $n AS j1", s"(id + 2) % $n AS j2")
+        val edges = ring.selectExpr("least(i, j1) AS a", "greatest(i, j1) AS b")
+          .unionAll(ring.selectExpr("least(i, j2) AS a", "greatest(i, j2) AS b"))
+          .unionAll(spark.range(n).selectExpr("id AS a", s"CAST($n AS BIGINT) AS b"))
+        val tri = Graphs.triangleStats(edges)
+        auditPlan("triangles 3M edges + mega-hub", tri)
+        time("triangles, 3M edges, 1M nodes + full hub, NO broadcast") {
+          val rows = tri.selectExpr(
+            s"CASE WHEN node < $n THEN (CASE WHEN degree = 5 AND n_tri = 7 THEN 0 ELSE 1 END)" +
+            s" ELSE (CASE WHEN degree = $n AND n_tri = ${2 * n} THEN 0 ELSE 1 END) END AS bad")
+            .agg(sum("bad"), count(lit(1))).head()
+          require(rows.getLong(0) == 0L, s"${rows.getLong(0)} nodes off closed form")
+          rows.getLong(1)
+        }
+        val pr = Graphs.pageRankFixedPoint(edges, iters = 9) // 2 checkpoint cycles
+        time("pagerank, 9 iters (2 lineage checkpoints), 6M directed") {
+          val r = pr.agg(sum("pr_fixed"), min("pr_fixed"), count(lit(1))).head()
+          // integer truncation only LOSES mass: sum <= scale, > 90% kept
+          require(r.getLong(0) <= Graphs.PrScale && r.getLong(0) > Graphs.PrScale * 9 / 10,
+            s"rank mass ${r.getLong(0)} outside (0.9, 1] of scale")
+          require(r.getLong(1) > 0L, "non-positive rank")
+          val hubPr = pr.where(col("node") === n).head().getLong(1)
+          val maxPr = pr.agg(max("pr_fixed")).head().getLong(0)
+          require(hubPr == maxPr, s"hub not top-ranked: $hubPr < $maxPr")
+          r.getLong(2)
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thrOld)
+        if (aqeThrOld.nonEmpty)
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeThrOld)
+        else spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       }
     }
 
