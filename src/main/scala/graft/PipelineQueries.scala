@@ -2372,7 +2372,8 @@ object PipelineQueries {
       // shuffle in the whole query is the lineitem⋈orders equi-join +
       // the final 25-group agg. The region filter prunes through the
       // broadcast chain before the fact join; revenue is an exact
-      // DECIMAL sum (order-invariant) floored to 1e-3 at the end.
+      // DECIMAL sum (order-invariant) rounded half-up to 1e-3 at the
+      // end (the floor(x*1e3 + 0.5)/1e3 trick, identical both engines).
       (s, dir) => {
         val l = s.read.parquet(s"$dir/lineitem.parquet")
         val o = Temporal.loadOrders(s, dir)

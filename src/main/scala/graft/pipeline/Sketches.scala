@@ -175,8 +175,13 @@ object Sketches {
   /** Count-Min bucket id for hash row `r` (0-based): the r-th disjoint
     * 32-bit slice of ONE md5 digest of the value, reduced mod `width`.
     * One digest serves all rows — strictly less hashing than `depth`
-    * salted digests per value, and disjoint slices of a 128-bit digest
-    * are as independent as four salted digests. The slice is
+    * salted digests per value. Caveat (ADVICE r8): the textbook
+    * Count-Min 1−2^−depth bound assumes independently drawn hash
+    * functions per row; disjoint slices of ONE digest are correlated
+    * by construction, so that bound is heuristic here, not proven —
+    * empirically adequate (md5 slices show no detectable slice-to-slice
+    * structure), and the probes/specs budget 4× slack over the ε·N
+    * error line rather than leaning on the exact bound. The slice is
     * non-negative (32 bits < 63), so plain `%` is already the
     * canonical bucket. `digest` must be `md5(value)` (hex string). */
   def cmBucket(digest: Column, r: Column, width: Int): Column =
@@ -274,6 +279,12 @@ object Sketches {
       .select(keys.map(col) :+ cmBucket(col("__d"), col("r"), mBits).as("pos"): _*)
       .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"), "left")
       .groupBy(keys.map(col): _*)
-      .agg((count(col("__hit")) === kHashes).as("maybe_present"))
+      // compare hits to the GROUP'S OWN row count, not the constant
+      // kHashes: a (carry, item) key appearing in j > 1 input rows
+      // yields j*k probe rows in its group, and an inserted item then
+      // hits all j*k of them — `=== kHashes` would read that as
+      // absent, a false negative violating the zero-false-negative
+      // invariant (ADVICE r8, armed for any non-distinct caller)
+      .agg((count(col("__hit")) === count(lit(1))).as("maybe_present"))
   }
 }

@@ -293,15 +293,23 @@ object StreamingOps {
     * are additive, so after any processed prefix the latest value per
     * cell equals the batch [[graft.pipeline.Sketches.cmSketch]] of the
     * same rows bit-for-bit (spec-pinned), and the stream's sketch can
-    * be merged with any batch/day sketch by elementwise sum. Update
+    * be merged with any batch/day sketch by elementwise sum. `weight`
+    * mirrors the batch signature (ADVICE r8: it was hardwired to 1, so
+    * the batch equivalence silently held only for unit weight); default
+    * `lit(1L)` keeps every existing caller byte-identical. Update
     * output mode. */
   def cmSketchStream(stream: DataFrame, value: Column,
-                     depth: Int, width: Int): DataFrame =
-    stream.select(md5(value.cast("string")).as("__d"))
-      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("__d"))
+                     depth: Int, width: Int,
+                     weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && depth <= graft.pipeline.Sketches.cmMaxDepth,
+      s"CM needs 1 <= depth <= ${graft.pipeline.Sketches.cmMaxDepth}, got $depth")
+    require(width >= 2, s"CM needs width >= 2, got $width")
+    stream.select(md5(value.cast("string")).as("__d"), weight.cast("long").as("__w"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("__d"), col("__w"))
       .withColumn("c",
         graft.pipeline.Sketches.cmBucket(col("__d"), col("r"), width))
-      .groupBy("r", "c").agg(sum(lit(1L)).as("cnt"))
+      .groupBy("r", "c").agg(sum(col("__w")).as("cnt"))
+  }
 
   /** Streaming regrid: the K1 join-agg kernel applied per micro-batch.
     * Weights are a static broadcast side (the exact analog of the

@@ -2156,6 +2156,16 @@ class PipelineSpec extends AnyFunSuite {
         "s", m, k, carry = Seq("doc_id"))
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
     assert(carried((7L, "s1")) && carried((9L, "s2")))
+    // DUPLICATED probe rows (ADVICE r8): a (carry, item) key appearing
+    // j > 1 times holds j*k exploded rows — comparing hits to the
+    // constant k read an inserted item as ABSENT (false negative).
+    // The no-false-negative law must hold for non-distinct callers too.
+    val duped = Sketches.bloomMaybeContains(bits,
+        (Seq.fill(3)((7L, "s1")) ++ Seq.fill(2)((7L, "x1"))).toDF("doc_id", "s"),
+        "s", m, k, carry = Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(duped.size === 2, "probe output stays one row per (carry, item)")
+    assert(duped((7L, "s1")), "duplicated inserted item must still be flagged present")
   }
 
   test("streaming CM sketch: prefix-equal to batch, state bounded at depth*width") {
@@ -2187,6 +2197,25 @@ class PipelineSpec extends AnyFunSuite {
       // state bound: never more than depth*width live cells
       assert(afterAll.size <= depth * width)
     } finally q.stop()
+    // WEIGHTED stream (ADVICE r8: weight was hardwired to 1, making a
+    // weighted streaming sketch impossible): same prefix-equality law
+    // against the weighted batch sketch
+    val wRows = (0 until 30).map(i => (s"t$i", (i % 5 + 1).toLong))
+    val wStream = MemoryStream[(String, Long)]
+    val wOut = graft.streaming.StreamingOps.cmSketchStream(
+      wStream.toDF().toDF("v", "w"), col("v"), depth, width, weight = col("w"))
+    val wq = wOut.writeStream.format("memory").queryName("cm_stream_w")
+      .outputMode("update").start()
+    try {
+      wStream.addData(wRows); wq.processAllAvailable()
+      val got = spark.table("cm_stream_w")
+        .groupBy("r", "c").agg(max("cnt").as("cnt"))
+        .orderBy("r", "c").collect().toSeq
+      val want = Sketches.cmSketch(wRows.toDF("v", "w"), col("v"), depth, width,
+          weight = col("w"))
+        .orderBy("r", "c").collect().toSeq
+      assert(got === want, "weighted stream sketch must equal weighted batch sketch")
+    } finally wq.stop()
   }
 
   test("kmvPairSimilarity: union closure is exact set algebra, planted overlap calibrates") {
