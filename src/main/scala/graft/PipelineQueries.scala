@@ -52,6 +52,27 @@ object PipelineQueries {
 
   private def r9(e: String) = s"floor(($e) * 1.0e9 + 0.5e0) / 1.0e9"
 
+  /** Backward-inclusive as-of oracle, shared VERBATIM by q_asof_join
+    * and q_asof_join_bucketed — the two plans must be result-identical,
+    * and giving them one SQL string makes the gate prove exactly that. */
+  private val asofOracleSql =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+            CAST(DATE '1995-01-01' + CAST(event_id % 2500 AS INTEGER) AS TIMESTAMP)
+              AS cutoff
+          FROM events),
+        o AS (SELECT o_custkey, o_orderkey,
+            make_timestamp(epoch_ns(o_orderdate) // 1000) AS odate, o_totalprice
+          FROM orders),
+        c AS (SELECT e.event_id, o.o_orderkey, o.odate, o.o_totalprice,
+            row_number() OVER (PARTITION BY e.event_id
+              ORDER BY o.odate DESC, o.o_orderkey DESC) AS rn
+          FROM e JOIN o ON o.o_custkey = e.user_id AND o.odate <= e.cutoff)
+        SELECT e.event_id, e.user_id, e.event_type, e.cutoff,
+          c.o_orderkey AS last_o_orderkey, c.odate AS last_o_orderdate,
+          c.o_totalprice AS last_o_totalprice
+        FROM e LEFT JOIN c ON c.event_id = e.event_id AND c.rn = 1
+        ORDER BY e.event_id"""
+
   /** MinHash band-signature CTE prefix (tok → shingles → minhash →
     * bands) — shared by the in-corpus LSH chain below and the fuzzy
     * decontamination oracle. */
@@ -1347,22 +1368,37 @@ object PipelineQueries {
             prefix = "last_")
           .orderBy("event_id")
       },
-      Some(s"""WITH e AS (SELECT event_id, user_id, event_type,
-            CAST(DATE '1995-01-01' + CAST(event_id % 2500 AS INTEGER) AS TIMESTAMP)
-              AS cutoff
-          FROM events),
-        o AS (SELECT o_custkey, o_orderkey,
-            make_timestamp(epoch_ns(o_orderdate) // 1000) AS odate, o_totalprice
-          FROM orders),
-        c AS (SELECT e.event_id, o.o_orderkey, o.odate, o.o_totalprice,
-            row_number() OVER (PARTITION BY e.event_id
-              ORDER BY o.odate DESC, o.o_orderkey DESC) AS rn
-          FROM e JOIN o ON o.o_custkey = e.user_id AND o.odate <= e.cutoff)
-        SELECT e.event_id, e.user_id, e.event_type, e.cutoff,
-          c.o_orderkey AS last_o_orderkey, c.odate AS last_o_orderdate,
-          c.o_totalprice AS last_o_totalprice
-        FROM e LEFT JOIN c ON c.event_id = e.event_id AND c.rn = 1
-        ORDER BY e.event_id""")),
+      Some(asofOracleSql)),
+
+    QueryDef("q_asof_join_bucketed",
+      // the MEGA-KEY as-of variant through the oracle channel (r8
+      // verdict #4): same inputs, same semantics, but the plan splits
+      // each key's timeline into fixed-width buckets — per-(key,bucket)
+      // windows plus a one-row-per-bucket carry-forward summary join —
+      // so ONE hot key spreads across the cluster instead of
+      // serializing one task (asofskew probe: 15.8 s single-task →
+      // 5.9 s at 1000 buckets on a 10M-row key). Result-identical to
+      // asofJoin by construction; the oracle SQL is the q_asof_join
+      // oracle VERBATIM, so the hash gate proves it, exactly as
+      // q_kmeans_twolevel did for two-level training. Bucket width
+      // 180 days (micros) puts the 1995–2001 order range across ~14
+      // buckets, exercising both the in-bucket and the carried-summary
+      // match paths.
+      (s, dir) => {
+        val e = events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          expr("timestamp(date_add(DATE '1995-01-01', CAST(event_id % 2500 AS INT)))")
+            .as("cutoff"))
+        Temporal.asofJoinBucketed(e, Temporal.loadOrders(s, dir),
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTs = "cutoff", rightTs = "o_orderdate",
+            tieBreak = "o_orderkey",
+            payload = Seq("o_orderkey", "o_orderdate", "o_totalprice"),
+            bucketWidth = 180L * 86400L * 1000000L,
+            prefix = "last_")
+          .orderBy("event_id")
+      },
+      Some(asofOracleSql)),
 
     QueryDef("q_range_join",
       // interval containment join via the bucketed equi-join reduction

@@ -57,6 +57,22 @@ object PlanAudit {
         println(f"$name%-28s PLAN ERROR: ${e.getMessage.take(120)}")
       }
     }
+    // targeted skew guard (r8 verdict #7): the bucketed as-of variant
+    // exists precisely so one mega key cannot serialize into a single
+    // window task — assert its physical Window really partitions by
+    // (key, __b), i.e. the bucket column survives into the window
+    // spec. A refactor that dropped __b from the partition list would
+    // still be result-correct (hash gate blind) but single-task again.
+    locally {
+      val plan = graft.SparkEntry.queries("q_asof_join_bucketed")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val winPartitionedByBucket =
+        "(?s)Window .*windowspecdefinition\\([^)]*__b".r.findFirstIn(plan).isDefined
+      if (!winPartitionedByBucket) {
+        flagged += 1
+        println("q_asof_join_bucketed  <-- WINDOW NOT PARTITIONED BY (key, __b): mega-key serialization regression")
+      } else println("q_asof_join_bucketed window partitioned by (key, __b): OK")
+    }
     println(s"== flagged: $flagged")
     spark.stop()
   }
