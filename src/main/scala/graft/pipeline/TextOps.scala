@@ -479,9 +479,19 @@ object TextOps {
     * previous round unpersisted, so lineage stays one round deep.
     * Driver holds only the nMerges argmax rows. Pair counts follow the
     * standard convention: ALL adjacent occurrences count, overlaps
-    * included ("aaa" contributes (a,a) twice). */
-  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame =
-    bpeCore(docs, nMerges)._1
+    * included ("aaa" contributes (a,a) twice).
+    *
+    * `dictPartitions` spreads the per-round dictionary re-segmentation
+    * fold: the default 1 is right for real vocabularies (the word-type
+    * dictionary of even a 10¹²-token corpus is ~10⁷ rows — a single
+    * comfortable task, and 32 near-empty tasks per round would cost
+    * more in scheduling than they save), but it is a CEILING of about
+    * 10⁸ word types; past that, pass a real partition count — the
+    * merge table is identical either way (probe `bpefold` pins 1 vs 8
+    * bit-equal), because the argmax is a global orderBy-limit and the
+    * fold is per-row. */
+  def bpeTrain(docs: DataFrame, nMerges: Int, dictPartitions: Int = 1): DataFrame =
+    bpeCore(docs, nMerges, dictPartitions)._1
 
   /** Corpus segmentation STATS under a freshly-trained `nMerges`-rule
     * BPE vocabulary — the apply path: per source, token occurrences,
@@ -490,8 +500,9 @@ object TextOps {
     * tokens join the SEGMENTED DICTIONARY (vocabulary-sized → a
     * broadcast hash join at any corpus scale), which is how a learned
     * tokenizer is applied to 10¹² tokens in practice. */
-  def bpeSegmentStats(docs: DataFrame, nMerges: Int): DataFrame = {
-    val dict = bpeCore(docs, nMerges)._2
+  def bpeSegmentStats(docs: DataFrame, nMerges: Int,
+                      dictPartitions: Int = 1): DataFrame = {
+    val dict = bpeCore(docs, nMerges, dictPartitions)._2
       .select(col("word"), size(col("syms")).as("n_syms"))
     withTokens(docs)
       .selectExpr("source", "explode(tokens) AS word")
@@ -510,19 +521,25 @@ object TextOps {
     * are unpersisted before returning — the returned frames stay valid
     * through lineage (the learned merges are baked in as literals), so
     * callers never hold sketch memory across queries. */
-  private def bpeCore(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
+  private def bpeCore(docs: DataFrame, nMerges: Int,
+                      dictPartitions: Int = 1): (DataFrame, DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(dictPartitions >= 1, s"dictPartitions must be >= 1, got $dictPartitions")
     val spark = docs.sparkSession
-    // the dictionary is vocabulary-sized (≪ corpus) — coalesce to one
-    // partition so the 12 narrow per-round passes are single tasks,
-    // not 32 near-empty ones
+    // the dictionary is vocabulary-sized (≪ corpus) — at the default
+    // dictPartitions = 1 the narrow per-round passes are single tasks,
+    // not 32 near-empty ones; callers past ~10⁸ word types raise it
+    // (see bpeTrain scaladoc — merge table identical either way)
     var syms = withTokens(docs)
       .selectExpr("explode(tokens) AS word")
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .selectExpr("word", "freq",
         "transform(sequence(1, length(word)), i -> substring(word, i, 1)) AS syms")
-      .coalesce(1)
+      // coalesce can only shrink; repartition when the caller asks for
+      // real parallelism (one vocabulary-sized shuffle, paid once)
+      .transform(d => if (dictPartitions == 1) d.coalesce(1)
+                      else d.repartition(dictPartitions))
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var prev: DataFrame = null

@@ -99,7 +99,7 @@ object PipelineScaleProbe {
                        "vocab", "pq", "weighted", "hotbucket", "incremental",
                        "simhash", "assign2level", "train4096", "ccrounds",
                        "percentiles", "asof", "rangejoin", "kmv", "cm",
-                       "vectorkernel", "asofskew", "graphs10x")
+                       "vectorkernel", "asofskew", "graphs10x", "bpefold")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -908,6 +908,31 @@ object PipelineScaleProbe {
           require(e >= 5L && e <= slack, s"rare estimate $e outside [5, $slack]")
         }
         got.size.toLong
+      }
+    }
+
+    if (sections("bpefold")) {
+      // the BPE re-segmentation fold past one task (r8 verdict #6):
+      // same corpus trained at dictPartitions = 1 (the single-task
+      // default, right for ~1e7-word real vocabularies) and 8 — the
+      // merge tables must be BIT-EQUAL (the argmax is a global
+      // orderBy-limit under a total order; the fold is per-row), which
+      // is what licenses raising the partition count past the ~1e8
+      // word-type ceiling the default serializes at.
+      val c = corpus(300000L)
+      def train(p: Int): Seq[String] =
+        TextOps.bpeTrain(c, 8, dictPartitions = p)
+          .orderBy("rank")
+          .selectExpr("concat(rank, ':', lhs, '+', rhs, '=', cnt) AS m")
+          .collect().map(_.getString(0)).toSeq
+      var m1: Seq[String] = null
+      time("BPE train 8 merges, 300k docs, dictPartitions=1") {
+        m1 = train(1); m1.size.toLong
+      }
+      time("BPE train 8 merges, 300k docs, dictPartitions=8") {
+        val m8 = train(8)
+        require(m8 == m1, s"merge tables diverge:\n 1: $m1\n 8: $m8")
+        m8.size.toLong
       }
     }
 
