@@ -23,8 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// SPARK_DRIVER_MEM is honored up to a 31g CAP: this workload measured
+// strictly FASTER at small heaps on the same binary (PLANS.md: the full
+// 125-query sf0.1 contract runs comfortably at 8g in ~107 s vs ~123 s
+// at 89-96g with 2-4x per-query swings; a 100M-row md5 projection read
+// 3.9 s at 8g vs 154 s at 64g), and past ~32g the JVM additionally
+// loses compressed oops. 31g keeps 4x headroom over the proven 8g
+// requirement. SPARK_GRAFT_HEAP_UNCAPPED=1 restores the raw value.
+def capHeap(v: String): String = {
+  val uncapped = sys.env.get("SPARK_GRAFT_HEAP_UNCAPPED").contains("1")
+  val mb = v.trim.toLowerCase match {
+    case s if s.endsWith("g") => s.dropRight(1).toDouble * 1024
+    case s if s.endsWith("m") => s.dropRight(1).toDouble
+    case s => s.toDouble / (1024 * 1024) // bytes
+  }
+  if (!uncapped && mb > 31 * 1024) "31g" else v
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${capHeap(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
 )

@@ -587,6 +587,48 @@ object PipelineQueries {
           ORDER BY metric, source"""
       }),
 
+    QueryDef("q_hll_distinct",
+      // HyperLogLog register file (Sketches.hllSketch/hllEstimate) —
+      // the FIXED-SIZE distinct sketch next to X44's KMV order
+      // statistic: 256 single-long max-rank registers per group,
+      // mergeable by elementwise max, ≤ 2^p rows per group in the
+      // exchange at any corpus size. Bit-deterministic (integer
+      // bin()-length ranks + an exact integer harmonic denominator
+      // spent in ONE double division), so unlike engine-native HLL++
+      // the ESTIMATES hash-gate. Same two metrics as q_kmv_distinct:
+      // per-source 5-shingle cardinality exercises the raw
+      // harmonic-mean branch, per-source languages the
+      // linear-counting (zeros) branch.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Sketches.hllDistinct(TextOps.shingleSet(d, 5, carry = Seq("source")),
+            "source", col("s"), 8)
+          .withColumn("metric", lit("shingles_5"))
+          .unionByName(
+            Sketches.hllDistinct(d, "source", col("lang"), 8)
+              .withColumn("metric", lit("langs")))
+          .orderBy("metric", "source")
+      },
+      Some {
+        def est(v: String, metric: String) =
+          s"""SELECT '$metric' AS metric, ex.g AS source, ex.n_exact,
+              ${Sketches.hllEstSql(8)} AS est_hll
+            FROM (SELECT g, count(DISTINCT h) AS n_exact FROM $v GROUP BY g) ex
+            JOIN (SELECT g, 256 - present AS zeros,
+                dpres + (256 - present) * (CAST(1 AS BIGINT) << 53) AS dscaled
+              FROM (SELECT g, count(*) AS present,
+                  sum(CAST(1 AS BIGINT) << (53 - r)) AS dpres
+                FROM (SELECT g, h % 256 AS bucket,
+                    max(CASE WHEN h // 256 = 0 THEN 53
+                        ELSE 53 - length(bin(h // 256)) END) AS r
+                  FROM $v GROUP BY 1, 2) GROUP BY g)) e ON e.g = ex.g"""
+        s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
+          v1 AS (SELECT source AS g, ${h60("s")} AS h FROM sh5),
+          v2 AS (SELECT source AS g, ${h60("lang")} AS h FROM documents)
+          ${est("v1", "shingles_5")} UNION ALL ${est("v2", "langs")}
+          ORDER BY metric, source"""
+      }),
+
     QueryDef("q_kmv_jaccard",
       // pairwise source-overlap estimation from KMV sketches ALONE
       // (sketches are closed under union: merge + re-truncate IS the

@@ -113,8 +113,12 @@ object Graphs {
     * cannot arise from an undirected edge list (every endpoint has
     * out-degree ≥ 1). Output: `(node, pr_fixed, pr)` where `pr` is
     * the readable double `pr_fixed / 10¹²` rounded to 9 decimals. */
-  /** Lineage-truncation period for [[pageRankFixedPoint]]'s loop. */
-  val checkpointEvery: Int = 4
+  /** Lineage-truncation period for [[pageRankFixedPoint]]'s loop.
+    * Chosen above the contract query's 5 rounds so shallow runs pay no
+    * eager materialization (a checkpoint measured ~+2 s on the sf0.1
+    * graph), while deep runs truncate every 6 joins — the graphs10x
+    * probe runs 9 iterations to exercise the checkpointed path. */
+  val checkpointEvery: Int = 6
 
   def pageRankFixedPoint(edges0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

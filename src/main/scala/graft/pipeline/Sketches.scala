@@ -166,6 +166,91 @@ object Sketches {
         col("est_a"), col("est_b"), col("est_union"), col("jaccard_est"))
   }
 
+  // ---- HyperLogLog distinct sketch ----
+
+  /** HLL register relation for `2^p` buckets: per (group, bucket) the
+    * MAX rank, where rank = leading zeros of the (60−p)-bit suffix of
+    * the shared 60-bit hash, plus one (range [1, 61−p]; an all-zero
+    * suffix takes the cap). The relation form keeps the sketch pure
+    * relational algebra: ≤ 2^p rows per group no matter the input,
+    * map-side combinable (max), and MERGEABLE — the sketch of a union
+    * is the elementwise max of the sketches (spec-pinned), the same
+    * set-algebra closure the KMV and Bloom relations enjoy. Unlike KMV
+    * (k-th order statistic) the register file is FIXED SIZE per group
+    * with single-long registers — the shape to ship per-day / per-split
+    * distinct summaries at 100 TB.
+    *
+    * Bit-deterministic: ranks are integer string-length arithmetic on
+    * `bin(w)` (minimal binary — identical output in Spark and DuckDB),
+    * so the sketch AND its estimates hash-gate. `p` is bounded to
+    * [7, 14] so the single high-range alpha formula applies (m ≥ 128)
+    * and the scaled harmonic denominator stays well inside BIGINT
+    * (≤ 2^p · 2^(61−p) = 2^61). */
+  def hllSketch(df: DataFrame, groupCol: String, value: Column, p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 14, s"HLL needs 7 <= p <= 14, got $p")
+    val m = 1 << p
+    val rMax = 60 - p + 1
+    df.select(col(groupCol), hash60(value).as("__h"))
+      .selectExpr(groupCol, s"CAST(__h % $m AS INT) AS bucket", s"__h DIV $m AS __w")
+      .selectExpr(groupCol, "bucket",
+        s"CAST(CASE WHEN __w = 0 THEN $rMax ELSE $rMax - length(bin(__w)) END AS INT) AS r")
+      .groupBy(col(groupCol), col("bucket")).agg(max("r").as("r"))
+  }
+
+  /** Engine-neutral estimate fragment over columns `(dscaled BIGINT,
+    * zeros BIGINT)` — used verbatim by BOTH the Spark plan and the
+    * DuckDB oracle, so the float path is the same expression text:
+    * one literal/integer division for the raw estimate, the standard
+    * linear-counting branch `m·ln(m/zeros)` when raw ≤ 2.5m with empty
+    * buckets, floor-rounded to 1e-6 to absorb ln() last-ULP skew. */
+  def hllEstSql(p: Int): String = {
+    val m = 1 << p
+    val rMax = 60 - p + 1
+    // alpha_m · m² · 2^rMax: raw = alpha·m²/D with D = dscaled / 2^rMax
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numerLit = Rounding.sqlLit(alpha * m * m * math.pow(2.0, rMax))
+    val raw = s"($numerLit / CAST(dscaled AS DOUBLE))"
+    Rounding.sqlRoundN(
+      s"""CASE WHEN $raw <= ${Rounding.sqlLit(2.5 * m)} AND zeros > 0
+          THEN ${Rounding.sqlLit(m.toDouble)} * ln(${Rounding.sqlLit(m.toDouble)} / CAST(zeros AS DOUBLE))
+          ELSE $raw END""", 6)
+  }
+
+  /** Distinct-count estimate from an [[hllSketch]] relation:
+    * `(group, est_hll)`. The harmonic denominator is computed as the
+    * EXACT integer `Σ 2^(rMax − r) + zeros·2^rMax` (sum order
+    * irrelevant — integer adds commute exactly, unlike the float
+    * `Σ 2^(−r)` whose rounding would depend on partitioning), then
+    * spent in one double division. */
+  def hllEstimate(sketch: DataFrame, groupCol: String, p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 14, s"HLL needs 7 <= p <= 14, got $p")
+    val m = 1 << p
+    val rMax = 60 - p + 1
+    sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("present"),
+        expr(s"sum(shiftleft(CAST(1 AS BIGINT), $rMax - r))").as("__dpres"))
+      .withColumn("zeros", lit(m.toLong) - col("present"))
+      .withColumn("dscaled", col("__dpres") + col("zeros") * lit(1L << rMax))
+      .withColumn("est_hll", expr(hllEstSql(p)))
+      .select(col(groupCol), col("est_hll"))
+  }
+
+  /** Per-group HLL distinct estimate alongside the exact count for
+    * calibration — the HLL twin of [[kmvDistinct]]. Output:
+    * `(group, n_exact, est_hll)`. The exact branch is one extra
+    * aggregation joined on the (tiny, one-row-per-group) estimate
+    * relation, present only for the oracle comparison; a production
+    * caller at 10¹⁰ distinct values keeps the sketch-only plan. */
+  def hllDistinct(df: DataFrame, groupCol: String, value: Column, p: Int = 8): DataFrame = {
+    val est = hllEstimate(hllSketch(df, groupCol, value, p), groupCol, p)
+    // exact branch counts distinct HASHES (same convention as
+    // kmvDistinct) so the calibration number measures exactly what the
+    // sketch saw
+    df.select(col(groupCol), hash60(value).as("__h"))
+      .groupBy(col(groupCol)).agg(countDistinct(col("__h")).as("n_exact"))
+      .join(est, groupCol)
+  }
+
   // ---- Count-Min frequency sketch ----
 
   /** Largest depth the single-digest bucket scheme supports: md5's 32

@@ -311,6 +311,28 @@ object StreamingOps {
       .groupBy("r", "c").agg(sum(col("__w")).as("cnt"))
   }
 
+  /** Streaming HyperLogLog register file: like [[cmSketchStream]], a
+    * NATIVE streaming aggregation whose key space is finite by
+    * construction (≤ 2^p buckets), so state is permanently bounded
+    * with no watermark or timeout. Registers are max-monotone, so
+    * after any processed prefix the latest value per bucket equals the
+    * batch [[graft.pipeline.Sketches.hllSketch]] of the same rows
+    * bit-for-bit (spec-pinned), and the stream's register file merges
+    * with any batch/day sketch by elementwise max. Update output
+    * mode. Output columns `(bucket, r)` (single global sketch — group
+    * with an outer key column upstream if needed, the key just rides
+    * the groupBy). */
+  def hllSketchStream(stream: DataFrame, value: Column, p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 14, s"HLL needs 7 <= p <= 14, got $p")
+    val m = 1 << p
+    val rMax = 60 - p + 1
+    stream.select(graft.pipeline.Sketches.hash60(value).as("__h"))
+      .selectExpr(s"CAST(__h % $m AS INT) AS bucket", s"__h DIV $m AS __w")
+      .selectExpr("bucket",
+        s"CAST(CASE WHEN __w = 0 THEN $rMax ELSE $rMax - length(bin(__w)) END AS INT) AS r")
+      .groupBy("bucket").agg(max("r").as("r"))
+  }
+
   /** Streaming regrid: the K1 join-agg kernel applied per micro-batch.
     * Weights are a static broadcast side (the exact analog of the
     * reference's dask strategy — every chunk sees the full W,

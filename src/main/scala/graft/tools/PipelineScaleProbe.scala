@@ -975,8 +975,8 @@ object PipelineScaleProbe {
           require(rows.getLong(0) == 0L, s"${rows.getLong(0)} nodes off closed form")
           rows.getLong(1)
         }
-        val pr = Graphs.pageRankFixedPoint(edges, iters = 9) // 2 checkpoint cycles
-        time("pagerank, 9 iters (2 lineage checkpoints), 6M directed") {
+        val pr = Graphs.pageRankFixedPoint(edges, iters = 9) // crosses checkpointEvery=6
+        time("pagerank, 9 iters (1 lineage checkpoint), 6M directed") {
           val r = pr.agg(sum("pr_fixed"), min("pr_fixed"), count(lit(1))).head()
           // integer truncation only LOSES mass: sum <= scale, > 90% kept
           require(r.getLong(0) <= Graphs.PrScale && r.getLong(0) > Graphs.PrScale * 9 / 10,

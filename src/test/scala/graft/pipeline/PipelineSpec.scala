@@ -2218,6 +2218,62 @@ class PipelineSpec extends AnyFunSuite {
     } finally wq.stop()
   }
 
+  test("HLL sketch: mergeable registers, calibrated estimates, both branches") {
+    val p = 8
+    val big = (0 until 5000).map(i => ("big", s"v$i"))     // raw harmonic branch
+    val small = (0 until 20).map(i => ("small", s"w$i"))   // linear-counting branch
+    val out = Sketches.hllDistinct((big ++ small).toDF("g", "v"), "g", col("v"), p)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("big")._1 === 5000L)
+    // sigma = 1.04/sqrt(256) = 6.5%; 4-sigma slack
+    assert(math.abs(out("big")._2 - 5000) / 5000.0 < 0.26, s"big est ${out("big")._2}")
+    assert(out("small")._1 === 20L)
+    // n << m: linear counting is tight
+    assert(math.abs(out("small")._2 - 20) / 20.0 < 0.25, s"small est ${out("small")._2}")
+    // duplicates never move a register (max of equal ranks)
+    val dup = Sketches.hllDistinct(
+      (big ++ big).toDF("g", "v"), "g", col("v"), p).head()
+    assert(dup.getDouble(2) === out("big")._2)
+    // set closure: sketch of A ∪ B = elementwise max of the sketches
+    val (a, b) = (0 until 5000).map(i => s"v$i").splitAt(2000)
+    def sk(xs: Seq[String]) =
+      Sketches.hllSketch(xs.map(("g", _)).toDF("g", "v"), "g", col("v"), p)
+    val merged = sk(a).unionByName(sk(b)).groupBy("g", "bucket")
+      .agg(max("r").as("r")).orderBy("bucket").collect().toSeq
+    val direct = sk(a ++ b).orderBy("bucket").collect().toSeq
+    assert(merged === direct)
+    // register file is fixed-size: <= 2^p rows however large the set
+    assert(direct.size <= (1 << p))
+  }
+
+  test("streaming HLL: prefix-equal to batch registers, state bounded at 2^p") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val p = 8
+    val rows = (0 until 3000).map(i => s"v$i")
+    val stream = MemoryStream[String]
+    val out = graft.streaming.StreamingOps.hllSketchStream(
+      stream.toDF().toDF("v"), col("v"), p)
+    val q = out.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    def batchSk(xs: Seq[String]) =
+      Sketches.hllSketch(xs.map(("x", _)).toDF("g", "v"), "g", col("v"), p)
+        .select("bucket", "r").orderBy("bucket").collect().toSeq
+    // registers only grow, so the latest value per bucket is its max
+    def latest() = spark.table("hll_stream")
+      .groupBy("bucket").agg(max("r").as("r"))
+      .orderBy("bucket").collect().toSeq
+    val (b1, b2) = rows.splitAt(1500)
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      assert(latest() === batchSk(b1), "prefix registers must equal the batch sketch")
+      stream.addData(b2); q.processAllAvailable()
+      val all = latest()
+      assert(all === batchSk(rows))
+      assert(all.size <= (1 << p))
+    } finally q.stop()
+  }
+
   test("kmvPairSimilarity: union closure is exact set algebra, planted overlap calibrates") {
     // A = v0..v2999, B = v1500..v4499 → |A∩B|=1500, |A∪B|=4500, J=1/3
     val rows = (0 until 3000).map(i => ("A", s"v$i")) ++
