@@ -151,8 +151,12 @@ object Events {
     * skewed, so `maxPerUser > 0` caps each user's basket at the
     * maxPerUser smallest-hash items (deterministic, unbiased-ish
     * sampling by the shared 60-bit hash; a 10⁶-item crawler bot
-    * contributes C(cap,2) pairs, not 10¹²). Per-item user counts for
-    * lift are a tiny relation — broadcast joined. */
+    * contributes C(cap,2) pairs, not 10¹²). The per-item user counts
+    * for lift join UNHINTED (r9, same discipline as
+    * [[Graphs.triangleStats]]): the relation is O(distinct items) —
+    * tiny for a shop catalog, an OOM to force-broadcast at a 10⁸-item
+    * web-entity graph — so AQE picks broadcast from its true runtime
+    * size and falls back to a shuffled equi-join above the threshold. */
   def coOccurrence(events: DataFrame, eventType: String = "view",
                    maxPerUser: Int = 0, minSupport: Int = 2): DataFrame = {
     val items0 = events.filter(col("event_type") === eventType)
@@ -175,8 +179,8 @@ object Events {
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= minSupport)
-      .join(broadcast(perItem.toDF("item_a", "n_a")), "item_a")
-      .join(broadcast(perItem.toDF("item_b", "n_b")), "item_b")
+      .join(perItem.toDF("item_a", "n_a"), "item_a")
+      .join(perItem.toDF("item_b", "n_b"), "item_b")
       .withColumn("lift", graft.regrid.Rounding.roundN(
         col("n_co").cast("double") * lit(nUsers.toDouble) /
           (col("n_a").cast("double") * col("n_b").cast("double")), 9))

@@ -72,7 +72,11 @@ object Search {
       .filter(col("term").isNotNull)
       .select("term", "df", "n", "tot")
 
-    val scored = tf.join(broadcast(df), "term")
+    // unhinted (r9): df is O(vocabulary) — broadcastable for a corpus's
+    // ~1e5 frequent terms, not for a 1e8-term open vocabulary; AQE
+    // broadcasts when the aggregate's runtime size fits, shuffles when
+    // it doesn't (plain equi-join on term either way)
+    val scored = tf.join(df, "term")
       .withColumn("sq", expr(
         s"""CAST(floor((ln(1.0e0 + (CAST(n AS DOUBLE) - df + 0.5e0) / (df + 0.5e0))
             * (tf * ${dlit(k1p1)})

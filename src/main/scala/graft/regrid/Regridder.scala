@@ -377,7 +377,10 @@ final class Regridder(
     val out = apply(field, extraDims, valueCols)
     val coords = gridOut.cells(spark, withBounds = false)
       .select(col("cell_id"), col("lon"), col("lat"))
-    out.join(broadcast(coords), "cell_id")
+    // unhinted (r9): coords is O(destination cells) — fine to broadcast
+    // for a 300×400 target, not for a 0.05° global one; AQE decides
+    // from the true size (plain cell_id equi-join either way)
+    out.join(coords, "cell_id")
       .withColumn("regrid_method", lit(method.name))
   }
 

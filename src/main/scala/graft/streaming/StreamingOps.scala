@@ -311,6 +311,28 @@ object StreamingOps {
       .groupBy("r", "c").agg(sum(col("__w")).as("cnt"))
   }
 
+  /** Streaming Bloom-filter ingestion: the set-bit relation of
+    * [[graft.pipeline.Sketches.bloomBits]] maintained as a NATIVE
+    * streaming aggregation — the key space is finite by construction
+    * (≤ mBits positions), so state is permanently bounded with no
+    * watermark. The BIT SET is the aggregation's key set: after any
+    * processed prefix, the distinct `pos` values equal the batch
+    * `bloomBits` of the same rows exactly (spec-pinned); `cnt` (how
+    * many insertions set the bit) rides along for fill-rate
+    * diagnostics. Update output mode; the filter of a union stays the
+    * distinct union of filters, so a day's streamed bits merge with
+    * any batch filter by plain distinct-union. */
+  def bloomBitsStream(stream: DataFrame, value: Column,
+                      mBits: Int, kHashes: Int): DataFrame = {
+    require(kHashes >= 1 && kHashes <= graft.pipeline.Sketches.cmMaxDepth,
+      s"Bloom needs 1 <= kHashes <= ${graft.pipeline.Sketches.cmMaxDepth}, got $kHashes")
+    require(mBits >= 2, s"Bloom needs mBits >= 2, got $mBits")
+    stream.select(md5(value.cast("string")).as("__d"))
+      .select(explode(sequence(lit(0), lit(kHashes - 1))).as("r"), col("__d"))
+      .select(graft.pipeline.Sketches.cmBucket(col("__d"), col("r"), mBits).as("pos"))
+      .groupBy("pos").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming HyperLogLog register file: like [[cmSketchStream]], a
     * NATIVE streaming aggregation whose key space is finite by
     * construction (≤ 2^p buckets), so state is permanently bounded

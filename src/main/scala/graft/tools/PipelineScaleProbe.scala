@@ -99,7 +99,8 @@ object PipelineScaleProbe {
                        "vocab", "pq", "weighted", "hotbucket", "incremental",
                        "simhash", "assign2level", "train4096", "ccrounds",
                        "percentiles", "asof", "rangejoin", "kmv", "cm",
-                       "vectorkernel", "asofskew", "graphs10x", "bpefold")
+                       "vectorkernel", "asofskew", "graphs10x", "bpefold",
+                       "hll100m")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -908,6 +909,30 @@ object PipelineScaleProbe {
           require(e >= 5L && e <= slack, s"rare estimate $e outside [5, $slack]")
         }
         got.size.toLong
+      }
+    }
+
+    if (sections("hll100m")) {
+      // X55 HLL at 100M rows / 10M distinct values in ONE pass: the
+      // register relation must stay ≤ 2^p rows (fixed size regardless
+      // of cardinality — the property that licenses shipping per-split
+      // distinct summaries at 100 TB) and the estimate must land
+      // within 4σ = 4·1.04/√256 = 26% of the true 1e7 (known md5-hash
+      // determinism ⇒ the "randomness" is fixed; the bound is the
+      // design slack, same convention as the cm/kmv probes).
+      val n = 100000000L
+      val p = 8
+      val vals = spark.range(n)
+        .selectExpr("'all' AS g", "concat('v', id % 10000000) AS v")
+      val sk = Sketches.hllSketch(vals, "g", col("v"), p)
+      auditPlan("hll sketch 100M", sk)
+      time(s"HLL sketch+estimate, 100M rows, 10M distinct, p=$p") {
+        val regs = sk.collect()
+        require(regs.length <= (1 << p), s"register file ${regs.length} > 2^$p")
+        val est = Sketches.hllEstimate(sk, "g", p).head().getDouble(1)
+        require(math.abs(est - 1e7) / 1e7 < 0.26,
+          s"HLL estimate $est outside 26% of 1e7")
+        regs.length.toLong
       }
     }
 

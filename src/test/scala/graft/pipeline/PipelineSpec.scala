@@ -2218,6 +2218,32 @@ class PipelineSpec extends AnyFunSuite {
     } finally wq.stop()
   }
 
+  test("streaming bloom bits: prefix bit-set equals batch, state bounded at mBits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val m = 4096; val k = 3
+    val rows = (0 until 800).map(i => s"s$i")
+    val stream = MemoryStream[String]
+    val out = graft.streaming.StreamingOps.bloomBitsStream(
+      stream.toDF().toDF("v"), col("v"), m, k)
+    val q = out.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("update").start()
+    def bits() = spark.table("bloom_stream").select("pos").distinct()
+      .orderBy("pos").collect().toSeq
+    def batchBits(xs: Seq[String]) =
+      Sketches.bloomBits(xs.toDF("v"), col("v"), m, k)
+        .orderBy("pos").collect().toSeq
+    val (b1, b2) = rows.splitAt(400)
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      assert(bits() === batchBits(b1), "prefix bit set must equal batch bloomBits")
+      stream.addData(b2); q.processAllAvailable()
+      val all = bits()
+      assert(all === batchBits(rows))
+      assert(all.size <= m)
+    } finally q.stop()
+  }
+
   test("HLL sketch: mergeable registers, calibrated estimates, both branches") {
     val p = 8
     val big = (0 until 5000).map(i => ("big", s"v$i"))     // raw harmonic branch
