@@ -629,6 +629,53 @@ object PipelineQueries {
           ORDER BY metric, source"""
       }),
 
+    QueryDef("q_hll_overlap",
+      // pairwise source overlap from HLL register files ALONE — the
+      // fixed-size twin of q_kmv_jaccard's sketch algebra: register
+      // files are closed under elementwise max (max-merge = the
+      // union's file, exactly), |A∪B| estimated from the merged file,
+      // overlap by inclusion-exclusion. Corpus touched once; each pair
+      // costs <= 2·2^p register rows of integer work. Every float step
+      // is the shared engine-neutral fragment, so even the compounded
+      // overlap estimates hash-gate.
+      (s, dir) => Sketches.hllPairOverlap(
+          TextOps.shingleSet(docs(s, dir), 5, carry = Seq("source")),
+          "source", col("s"), 8)
+        .orderBy("group_a", "group_b"),
+      Some {
+        val estFrag = Sketches.hllEstSql(8)
+        s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
+          v AS (SELECT source AS g, ${h60("s")} AS h FROM sh5),
+          rg AS (SELECT g, h % 256 AS bucket,
+              max(CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END) AS r
+            FROM v GROUP BY 1, 2),
+          e AS (SELECT g, 256 - present AS zeros,
+              dpres + (256 - present) * (CAST(1 AS BIGINT) << 53) AS dscaled
+            FROM (SELECT g, count(*) AS present,
+                sum(CAST(1 AS BIGINT) << (53 - r)) AS dpres
+              FROM rg GROUP BY g)),
+          se AS (SELECT g, $estFrag AS est FROM e),
+          pr AS (SELECT a.g AS ga, b.g AS gb FROM se a JOIN se b ON a.g < b.g),
+          mg AS (SELECT ga, gb, bucket, max(r) AS r FROM (
+              SELECT pr.ga, pr.gb, rg.bucket, rg.r FROM pr JOIN rg ON rg.g = pr.ga
+              UNION ALL
+              SELECT pr.ga, pr.gb, rg.bucket, rg.r FROM pr JOIN rg ON rg.g = pr.gb)
+            GROUP BY 1, 2, 3),
+          eu AS (SELECT ga, gb, 256 - present AS zeros,
+              dpres + (256 - present) * (CAST(1 AS BIGINT) << 53) AS dscaled
+            FROM (SELECT ga, gb, count(*) AS present,
+                sum(CAST(1 AS BIGINT) << (53 - r)) AS dpres
+              FROM mg GROUP BY 1, 2)),
+          su AS (SELECT ga, gb, $estFrag AS est_union FROM eu)
+          SELECT su.ga AS group_a, su.gb AS group_b,
+            sa.est AS est_a, sb.est AS est_b, su.est_union,
+            ${graft.regrid.Rounding.sqlRoundN(
+              "greatest(sa.est + sb.est - su.est_union, 0.0e0)", 6)} AS overlap_est
+          FROM su JOIN se sa ON sa.g = su.ga JOIN se sb ON sb.g = su.gb
+          ORDER BY group_a, group_b"""
+      }),
+
     QueryDef("q_kmv_jaccard",
       // pairwise source-overlap estimation from KMV sketches ALONE
       // (sketches are closed under union: merge + re-truncate IS the

@@ -203,16 +203,17 @@ object Sketches {
     * one literal/integer division for the raw estimate, the standard
     * linear-counting branch `m·ln(m/zeros)` when raw ≤ 2.5m with empty
     * buckets, floor-rounded to 1e-6 to absorb ln() last-ULP skew. */
-  def hllEstSql(p: Int): String = {
+  def hllEstSql(p: Int, dscaledCol: String = "dscaled",
+                zerosCol: String = "zeros"): String = {
     val m = 1 << p
     val rMax = 60 - p + 1
     // alpha_m · m² · 2^rMax: raw = alpha·m²/D with D = dscaled / 2^rMax
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val numerLit = Rounding.sqlLit(alpha * m * m * math.pow(2.0, rMax))
-    val raw = s"($numerLit / CAST(dscaled AS DOUBLE))"
+    val raw = s"($numerLit / CAST($dscaledCol AS DOUBLE))"
     Rounding.sqlRoundN(
-      s"""CASE WHEN $raw <= ${Rounding.sqlLit(2.5 * m)} AND zeros > 0
-          THEN ${Rounding.sqlLit(m.toDouble)} * ln(${Rounding.sqlLit(m.toDouble)} / CAST(zeros AS DOUBLE))
+      s"""CASE WHEN $raw <= ${Rounding.sqlLit(2.5 * m)} AND $zerosCol > 0
+          THEN ${Rounding.sqlLit(m.toDouble)} * ln(${Rounding.sqlLit(m.toDouble)} / CAST($zerosCol AS DOUBLE))
           ELSE $raw END""", 6)
   }
 
@@ -241,6 +242,51 @@ object Sketches {
     * aggregation joined on the (tiny, one-row-per-group) estimate
     * relation, present only for the oracle comparison; a production
     * caller at 10¹⁰ distinct values keeps the sketch-only plan. */
+  /** Pairwise set-overlap planning from HLL REGISTER FILES ALONE — the
+    * fixed-size twin of [[kmvPairSimilarity]]: register files are
+    * closed under elementwise max (the max-merge of two groups'
+    * registers IS the union's register file, exactly), so |A∪B| is
+    * estimated from the merged file and the overlap follows by
+    * inclusion–exclusion. The corpus is touched ONCE (one sketch agg);
+    * each pair then costs ≤ 2·2^p register rows through one equi-join
+    * on (pair, bucket) — at 10⁴ sources that is ~10⁸·2^p bounded rows
+    * of pure integer max/sum work, never a second corpus pass.
+    * `overlap_est = max(est_a + est_b − est_union, 0)` compounds three
+    * estimate errors, so treat small overlaps as ≈ 0 (same caveat as
+    * the KMV variant); every float step is the shared fragment text,
+    * so the output hash-gates. Output: `(group_a, group_b, est_a,
+    * est_b, est_union, overlap_est)`. */
+  def hllPairOverlap(df: DataFrame, groupCol: String, value: Column,
+                     p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val rMax = 60 - p + 1
+    val sk = hllSketch(df, groupCol, value, p)
+    val est = hllEstimate(sk, groupCol, p)
+    val pairs = est.select(col(groupCol).as("ga")).distinct()
+      .join(est.select(col(groupCol).as("gb")).distinct(), col("ga") < col("gb"))
+    // every group's registers, replicated to each pair it joins —
+    // union max-merge per (pair, bucket) = the union's register file
+    val eA = sk.toDF("ga", "bucket", "r").join(pairs, "ga")
+    val eB = sk.toDF("gb", "bucket", "r").join(pairs, "gb")
+    val merged = eA.select("ga", "gb", "bucket", "r")
+      .unionByName(eB.select("ga", "gb", "bucket", "r"))
+      .groupBy("ga", "gb", "bucket").agg(max("r").as("r"))
+    val estU = merged.groupBy("ga", "gb")
+      .agg(count(lit(1)).as("present"),
+        expr(s"sum(shiftleft(CAST(1 AS BIGINT), $rMax - r))").as("__dpres"))
+      .withColumn("zeros", lit(m.toLong) - col("present"))
+      .withColumn("dscaled", col("__dpres") + col("zeros") * lit(1L << rMax))
+      .withColumn("est_union", expr(hllEstSql(p)))
+      .select("ga", "gb", "est_union")
+    estU
+      .join(est.toDF("ga", "est_a"), "ga")
+      .join(est.toDF("gb", "est_b"), "gb")
+      .withColumn("overlap_est", expr(Rounding.sqlRoundN(
+        "greatest(est_a + est_b - est_union, 0.0e0)", 6)))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("est_a"), col("est_b"), col("est_union"), col("overlap_est"))
+  }
+
   def hllDistinct(df: DataFrame, groupCol: String, value: Column, p: Int = 8): DataFrame = {
     val est = hllEstimate(hllSketch(df, groupCol, value, p), groupCol, p)
     // exact branch counts distinct HASHES (same convention as

@@ -2270,6 +2270,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(merged === direct)
     // register file is fixed-size: <= 2^p rows however large the set
     assert(direct.size <= (1 << p))
+    // pairwise overlap from register files alone: planted A∩B = 1500,
+    // |A∪B| = 4500, plus a disjoint C — inclusion-exclusion compounds
+    // three ~6.5%-sigma estimates, so bounds are wide but directional
+    val pairRows = (0 until 3000).map(i => ("A", s"v$i")) ++
+      (1500 until 4500).map(i => ("B", s"v$i")) ++
+      (9000 until 12000).map(i => ("C", s"v$i"))
+    val ov = Sketches.hllPairOverlap(pairRows.toDF("g", "v"), "g", col("v"), p)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (estA, _, estU, estOv) = ov(("A", "B"))
+    assert(math.abs(estA - 3000) / 3000.0 < 0.26, s"est_a $estA")
+    assert(math.abs(estU - 4500) / 4500.0 < 0.26, s"est_union $estU")
+    assert(math.abs(estOv - 1500) < 1200, s"overlap $estOv vs 1500")
+    assert(ov(("A", "C"))._4 < 700, s"disjoint overlap ${ov(("A", "C"))._4}")
+    assert(ov(("B", "C"))._4 < 700, s"disjoint overlap ${ov(("B", "C"))._4}")
   }
 
   test("streaming HLL: prefix-equal to batch registers, state bounded at 2^p") {
