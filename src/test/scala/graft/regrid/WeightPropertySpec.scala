@@ -158,4 +158,46 @@ class WeightPropertySpec extends AnyFunSuite {
       assert(got.count() === m, s"seed $seed")
     }
   }
+
+  test("property: regrid of a constant field is that constant (bilinear + conservative, random grids)") {
+    (1 to cases).foreach { seed =>
+      val (gs, gd) = randGrids(300 + seed)
+      val c = 3.25 // exactly representable, so w-sum error is the only noise
+      val fld = Grids.cells(spark, gs).select(col("cell_id"), lit(c).as("value"))
+      val wB = Weights.bilinear(gs, Grids.cells(spark, gd), periodic = true)
+      val outB = Apply.regrid(wB, fld, Grids.cells(spark, gd))
+      // periodic global source maps every destination, so no zero-pad rows
+      assert(outB.filter(abs(col("value") - c) > 1e-6).count() === 0, s"seed $seed bilinear")
+      val wC = Weights.conservative(
+        Grids.cells(spark, gs, withBounds = true),
+        Grids.cells(spark, gd, withBounds = true))
+      val outC = Apply.regrid(wC, fld, Grids.cells(spark, gd))
+      assert(outC.filter(abs(col("value") - c) > 1e-6).count() === 0, s"seed $seed conservative")
+    }
+  }
+
+  test("property: conservative regrid preserves the global integral on random global tilings") {
+    (1 to cases).foreach { seed =>
+      val (gs, gd) = randGrids(400 + seed)
+      // non-trivial smooth field — constant fields cannot see overlap mistakes
+      val fld = Grids.cells(spark, gs)
+        .select(col("cell_id"), TestFields.waveSmooth(col("lon"), col("lat")).as("value"))
+      val w = Weights.conservative(
+        Grids.cells(spark, gs, withBounds = true),
+        Grids.cells(spark, gd, withBounds = true))
+      val out = Apply.regrid(w, fld, Grids.cells(spark, gd), roundDigits = 12)
+      // spherical rectangle area: dlon_rad * (sin lat1 - sin lat0) —
+      // computed from bounds on BOTH sides, same formula
+      def integral(df: org.apache.spark.sql.DataFrame): Double = df.selectExpr(
+        """sum(value * radians(lon_e - lon_w)
+           * (sin(radians(lat_n)) - sin(radians(lat_s)))) AS s""")
+        .head().getDouble(0)
+      val src = integral(fld.join(Grids.cells(spark, gs, withBounds = true)
+        .select("cell_id", "lon_w", "lon_e", "lat_s", "lat_n"), "cell_id"))
+      val dst = integral(out.join(Grids.cells(spark, gd, withBounds = true)
+        .select("cell_id", "lon_w", "lon_e", "lat_s", "lat_n"), "cell_id"))
+      assert(math.abs(dst - src) / math.abs(src) < 1e-6,
+        s"seed $seed: integral $src -> $dst (${math.abs(dst - src) / math.abs(src)} rel)")
+    }
+  }
 }
