@@ -23,7 +23,12 @@ import org.apache.spark.sql.SparkSession
   *    cross (×2 — the locating branch is referenced twice); both
   *    sides bounded by |pcts| / histogram size, never the corpus.
   *    The grouped variant (q_length_quantiles_by_source) equi-joins
-  *    on the group key — zero BNLJs.
+  *    on the group key — zero BNLJs;
+  *  - `Sketches.hllPairOverlap` (q_hll_overlap, r9): the `ga < gb`
+  *    pair enumeration over the one-row-per-group estimate relation
+  *    (×2 — referenced by both register-replication branches) — the
+  *    same |sources|²-bounded shape as q_kmv_jaccard's pair join,
+  *    never the corpus or the register file itself.
   *
   * Usage: runMain graft.tools.PlanAudit [sfDir]
   */
