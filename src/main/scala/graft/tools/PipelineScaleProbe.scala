@@ -100,7 +100,7 @@ object PipelineScaleProbe {
                        "simhash", "assign2level", "train4096", "ccrounds",
                        "percentiles", "asof", "rangejoin", "kmv", "cm",
                        "vectorkernel", "asofskew", "graphs10x", "bpefold",
-                       "hll100m")
+                       "hll100m", "robuststats")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -910,6 +910,39 @@ object PipelineScaleProbe {
         }
         got.size.toLong
       }
+    }
+
+    if (sections("robuststats")) {
+      // X50 robust stats at 500k × 64-dim (32M exploded rows): the
+      // exploded quantized relation is referenced ~5× per action —
+      // measure recompute (the lazy default) vs the opt-in
+      // localCheckpoint, and require identical rows (the flag's
+      // contract). Both must stay exact: median of the planted
+      // distribution is closed-form (values are hash-uniform).
+      // values on the operator's documented domain: [-1, 1] on the
+      // 1e-4 lattice (the raw `vectors()` hash doubles span ±2e9,
+      // which after quantization makes every value its own histogram
+      // bucket — a misuse the scaladoc's broadcast-small contract
+      // excludes, and an OOM at the probe heap). NOT cached: caching
+      // 512 MB of vectors squeezes execution memory under 8g, and the
+      // generator is cheap hash math both variants re-run equally.
+      val emb = spark.range(500000L).selectExpr("id AS vec_id",
+        """transform(sequence(0, 63),
+           j -> CAST(pmod(hash(id, j), 20001) - 10000 AS DOUBLE) / 10000.0e0)
+           AS embedding""")
+      def run(persist: Boolean): (Double, Seq[String]) = {
+        val t0 = System.nanoTime()
+        val rows = Similarity.embeddingRobustStats(emb, 64, persistExploded = persist)
+          .orderBy("pos")
+          .selectExpr("concat(pos, ':', n, ':', median, ':', mad) AS row")
+          .collect().map(_.getString(0)).toSeq
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (wLazy, rowsLazy) = run(persist = false)
+      val (wPersist, rowsPersist) = run(persist = true)
+      require(rowsLazy == rowsPersist, "persistExploded changed rows")
+      println(f"[info-probe] robust stats 500k x 64-dim: lazy $wLazy%.2f s, " +
+        f"persistExploded $wPersist%.2f s (rows identical)")
     }
 
     if (sections("hll100m")) {
