@@ -32,11 +32,14 @@ val jdk17AddOpens = Seq(
 // requirement. SPARK_GRAFT_HEAP_UNCAPPED=1 restores the raw value.
 def capHeap(v: String): String = {
   val uncapped = sys.env.get("SPARK_GRAFT_HEAP_UNCAPPED").contains("1")
-  val mb = v.trim.toLowerCase match {
-    case s if s.endsWith("g") => s.dropRight(1).toDouble * 1024
-    case s if s.endsWith("m") => s.dropRight(1).toDouble
-    case s => s.toDouble / (1024 * 1024) // bytes
-  }
+  val mb = try {
+    v.trim.toLowerCase.stripSuffix("b") match { // tolerate "96gb"/"96g"
+      case s if s.endsWith("g") => s.dropRight(1).toDouble * 1024
+      case s if s.endsWith("m") => s.dropRight(1).toDouble
+      case s if s.endsWith("k") => s.dropRight(1).toDouble / 1024
+      case s => s.toDouble / (1024 * 1024) // bytes
+    }
+  } catch { case _: NumberFormatException => 0.0 } // unparseable → pass through
   if (!uncapped && mb > 31 * 1024) "31g" else v
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
