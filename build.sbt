@@ -32,15 +32,23 @@ val jdk17AddOpens = Seq(
 // requirement. SPARK_GRAFT_HEAP_UNCAPPED=1 restores the raw value.
 def capHeap(v: String): String = {
   val uncapped = sys.env.get("SPARK_GRAFT_HEAP_UNCAPPED").contains("1")
-  val mb = try {
-    v.trim.toLowerCase.stripSuffix("b") match { // tolerate "96gb"/"96g"
+  val mb: Option[Double] = try {
+    Some(v.trim.toLowerCase.stripSuffix("b") match { // tolerate "96gb"/"96g"
       case s if s.endsWith("g") => s.dropRight(1).toDouble * 1024
       case s if s.endsWith("m") => s.dropRight(1).toDouble
       case s if s.endsWith("k") => s.dropRight(1).toDouble / 1024
       case s => s.toDouble / (1024 * 1024) // bytes
-    }
-  } catch { case _: NumberFormatException => 0.0 } // unparseable → pass through
-  if (!uncapped && mb > 31 * 1024) "31g" else v
+    })
+  } catch { case _: NumberFormatException => None }
+  // Always emit a canonical "<N>m": inputs like "8gb" parse here but are
+  // NOT valid -Xmx flags, and an unparseable/nonpositive value must fall
+  // back to the proven 8g default rather than abort JVM startup.
+  mb match {
+    case None                                      => "8192m"
+    case Some(m) if m < 1                          => "8192m"
+    case Some(m) if !uncapped && m > 31 * 1024     => "31744m"
+    case Some(m)                                   => s"${m.toLong}m"
+  }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -103,6 +103,17 @@ object Bench {
       f.sum - f(3) - (if (f.length > 4) f(4) else 0L)
     } catch { case _: Throwable => -1L }
 
+  /** Box-wide cumulative iowait jiffies (/proc/stat field 5): time
+    * cpus sat idle WITH outstanding disk I/O — the counter that names a
+    * wall spike gc_sec can't (slow scratch disk, a co-tenant hammering
+    * the same spindle). -1 when /proc is unreadable. */
+  def iowaitJiffies(): Long =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      if (f.length > 4) f(4) else -1L
+    } catch { case _: Throwable => -1L }
+
   /** This JVM's cumulative cpu seconds (utime+stime from
     * /proc/self/stat; split after the last ')' guards against spaces
     * in the comm field). */
@@ -130,6 +141,31 @@ object Bench {
       .config("spark.local.dir", "/root/repo/target/spark-tmp")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The "No Partition Defined for Window operation" warnings here are
+    // all adjudicated-benign (post-agg / post-limit BOUNDED relations —
+    // r8/r9 verdicts), but they print once per window per round and the
+    // driver keeps only the LAST 2000 chars of output: enough of them
+    // can push the compact JSON contract line out of the captured tail
+    // (r9 verdict #5). Silence exactly that logger package; real scale
+    // risk is the enforcing PlanAudit's job, not a log line's.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+
+    // r9 verdict #2: one-round wall spikes with gc = 0 and low foreign
+    // load (q_dupspan r3: 33.9 s vs 2.6 s min) had no in-artifact cause
+    // left to name — track box-wide IOWAIT and this session's
+    // shuffle/agg SPILL alongside GC in every per-kernel and per-round
+    // bracket. Listener events are posted asynchronously, so a kernel's
+    // spill delta can lag into the next bracket by a few tasks — fine
+    // for attribution (the round totals are exact).
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    })
+    def spillMbNow(): Double = spillBytes.get() / 1048576.0
 
     def time(f: => Any): Double = {
       val t0 = System.nanoTime()
@@ -202,10 +238,12 @@ object Bench {
     // every attempt keeps (round, wall, ok) so a flaky kernel is
     // visible as ok_rounds < runs (never conflated with a clean min)
     // and the load gate can prefer minima from uncontaminated rounds
-    case class Sample(round: Int, sec: Double, ok: Boolean, gcSec: Double)
+    case class Sample(round: Int, sec: Double, ok: Boolean, gcSec: Double,
+                      iowaitSec: Double, spillMb: Double)
     case class RoundTel(round: Int, wallSec: Double, loadStart: Double,
                         loadEnd: Double, gcSec: Double,
-                        foreignCores: Double, contaminated: Boolean)
+                        foreignCores: Double, contaminated: Boolean,
+                        iowaitSec: Double, spillMb: Double)
     // per-kernel min: over OK samples from CLEAN rounds when any exist,
     // else over all OK samples with the kernel flagged load-contaminated;
     // null (None) when no round succeeded at all
@@ -227,12 +265,15 @@ object Bench {
         System.gc()
         val l0 = loadavg(); val g0 = gcMillis(); val rt0 = System.nanoTime()
         val bj0 = busyJiffies(); val sc0 = selfCpuSec()
+        val io0 = iowaitJiffies(); val sp0 = spillMbNow()
         kernels.zipWithIndex.foreach { case ((name, fn), i) =>
           var ok = true
-          // per-kernel GC bracket (r8 verdict #1: a kernel whose wall
-          // number triples with no in-artifact attribution is 'weak' —
-          // this splits collector time out of every reported second)
-          val kg0 = gcMillis()
+          // per-kernel GC + iowait + spill brackets (r8 verdict #1 /
+          // r9 verdict #2: a kernel whose wall number triples with no
+          // in-artifact attribution is 'weak' — these split collector
+          // time, disk-wait time, and shuffle/agg spill out of every
+          // reported second)
+          val kg0 = gcMillis(); val kio0 = iowaitJiffies(); val ksp0 = spillMbNow()
           val t = time {
             try fn()
             catch { case e: Throwable =>
@@ -240,7 +281,10 @@ object Bench {
               lastError(name) = s"r$r ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
             }
           }
-          samples(i) = samples(i) :+ Sample(r, t, ok, (gcMillis() - kg0) / 1000.0)
+          val kio1 = iowaitJiffies()
+          samples(i) = samples(i) :+ Sample(r, t, ok, (gcMillis() - kg0) / 1000.0,
+            if (kio0 < 0 || kio1 < 0) -1.0 else (kio1 - kio0) / 100.0,
+            spillMbNow() - ksp0)
         }
         val wall = (System.nanoTime() - rt0) / 1e9
         // foreign cpu = box busy − this JVM, in sustained cores over
@@ -248,8 +292,11 @@ object Bench {
         val foreign =
           if (bj0 < 0 || sc0 < 0) -1.0
           else math.max(0.0, ((busyJiffies() - bj0) / 100.0 - (selfCpuSec() - sc0)) / wall)
+        val io1 = iowaitJiffies()
         roundTel += RoundTel(r, wall, l0, loadavg(), (gcMillis() - g0) / 1000.0,
-          foreign, foreign > loadGateCores)
+          foreign, foreign > loadGateCores,
+          if (io0 < 0 || io1 < 0) -1.0 else (io1 - io0) / 100.0,
+          spillMbNow() - sp0)
       }
       def run(baseRounds: Int, extraMax: Int): Unit = {
         (1 to baseRounds).foreach(runRound)
@@ -284,12 +331,24 @@ object Bench {
       def gcSpreadJson: Seq[(String, String)] = kernels.zipWithIndex.map { case ((name, _), i) =>
         name -> samples(i).map(s => num(s.gcSec)).mkString("[", ",", "]")
       }
+      // per-kernel iowait seconds / spill MB per round, parallel to
+      // `spread` (r9 verdict #2): a spike round whose iowait tracks the
+      // wall is a disk stall; one whose spill jumps is a memory-pressure
+      // repartition — both now named without a re-run
+      def ioSpreadJson: Seq[(String, String)] = kernels.zipWithIndex.map { case ((name, _), i) =>
+        name -> samples(i).map(s => num(s.iowaitSec)).mkString("[", ",", "]")
+      }
+      def spillSpreadJson: Seq[(String, String)] = kernels.zipWithIndex.map { case ((name, _), i) =>
+        name -> samples(i).map(s => num(s.spillMb)).mkString("[", ",", "]")
+      }
       def telJson: String = roundTel.map(rt => obj(Seq(
         "round" -> rt.round.toString, "wall_sec" -> num(rt.wallSec),
         "loadavg_start" -> num(rt.loadStart), "loadavg_end" -> num(rt.loadEnd),
         "gc_sec" -> num(rt.gcSec),
         "foreign_cores" -> num(rt.foreignCores),
-        "contaminated" -> rt.contaminated.toString))).mkString("[", ",", "]")
+        "contaminated" -> rt.contaminated.toString,
+        "iowait_sec" -> num(rt.iowaitSec),
+        "spill_mb" -> num(rt.spillMb)))).mkString("[", ",", "]")
     }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -414,6 +473,8 @@ object Bench {
         "load_contaminated" -> loadContamQueries.map(jq).mkString("[", ",", "]"),
         "queries" -> qs, "ok_rounds" -> ok, "spread" -> spread,
         "gc_spread" -> obj(contractPhase.gcSpreadJson),
+        "iowait_spread" -> obj(contractPhase.ioSpreadJson),
+        "spill_spread" -> obj(contractPhase.spillSpreadJson),
         "errors" -> errs, "round_telemetry" -> contractPhase.telJson,
         "headline" -> head,
         // r7 verdict #1: the headline kernels' own gated-round evidence
@@ -426,6 +487,8 @@ object Bench {
         "headline_ok_rounds" -> obj(headPhase.okRounds.map { case (k, v) => k -> v.toString }),
         "headline_spread" -> obj(headPhase.spreadJson),
         "headline_gc_spread" -> obj(headPhase.gcSpreadJson),
+        "headline_iowait_spread" -> obj(headPhase.ioSpreadJson),
+        "headline_spill_spread" -> obj(headPhase.spillSpreadJson),
         "headline_round_telemetry" -> headPhase.telJson,
         // whole-JVM GC split by phase (r7 verdict #1: an 89 GB-heap,
         // 46-GC-sec run must be diagnosable in-artifact): warmup =

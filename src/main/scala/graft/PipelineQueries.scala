@@ -52,6 +52,29 @@ object PipelineQueries {
 
   private def r9(e: String) = s"floor(($e) * 1.0e9 + 0.5e0) / 1.0e9"
 
+  /** Per-process sketch-snapshot directory for the persistence-cycle
+    * queries — same per-PID + dead-orphan housekeeping as the G8
+    * weight-file round-trips (RegridQueries.weightsIoPath): concurrent
+    * JVMs must not race on one file, and the no-clobber writer must
+    * never see a same-PID leftover from a prior invocation. */
+  private def sketchIoPath(s: SparkSession): String = {
+    val dir = "/root/repo/target/sketch_io"
+    val self = ProcessHandle.current().pid()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val re = "snap_(\\d+)".r
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      f.getName match {
+        case re(pid) if pid.toLong == self ||
+            !ProcessHandle.of(pid.toLong).isPresent =>
+          fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true)
+        case _ => ()
+      }
+    }
+    s"$dir/snap_$self"
+  }
+
   /** Backward-inclusive as-of oracle, shared VERBATIM by q_asof_join
     * and q_asof_join_bucketed — the two plans must be result-identical,
     * and giving them one SQL string makes the gate prove exactly that. */
@@ -674,6 +697,48 @@ object PipelineQueries {
               "greatest(sa.est + sb.est - su.est_union, 0.0e0)", 6)} AS overlap_est
           FROM su JOIN se sa ON sa.g = su.ga JOIN se sb ON sb.g = su.gb
           ORDER BY group_a, group_b"""
+      }),
+
+    QueryDef("q_hll_merge",
+      // the sketch PERSISTENCE lifecycle (SketchIO), oracle-proven: the
+      // corpus is split into two snapshots (doc_id parity — the per-day
+      // ingest stand-in), each snapshot's HLL register file is WRITTEN
+      // to Parquet (V8 no-clobber), read back, and max-merged; the
+      // estimate over the merged file must equal the direct full-corpus
+      // register replay BIT-FOR-BIT (max-merge of register files IS the
+      // union's file — exact, not approximate), which is exactly what
+      // the oracle computes without ever seeing the snapshot files.
+      // The 100 TB shape: per-day distinct accounting from persisted
+      // 2^p-row summaries, old corpora never re-scanned.
+      (s, dir) => {
+        val sh5 = TextOps.shingleSet(docs(s, dir), 5, carry = Seq("source"))
+        val base = sketchIoPath(s)
+        SketchIO.writeSketch(
+          Sketches.hllSketch(sh5.filter(col("doc_id") % 2 === 0), "source", col("s"), 8),
+          s"$base/hll_even.parquet")
+        SketchIO.writeSketch(
+          Sketches.hllSketch(sh5.filter(col("doc_id") % 2 === 1), "source", col("s"), 8),
+          s"$base/hll_odd.parquet")
+        Sketches.hllEstimate(
+          SketchIO.mergeHll(Seq(
+            SketchIO.readSketch(s, s"$base/hll_even.parquet"),
+            SketchIO.readSketch(s, s"$base/hll_odd.parquet")), "source"),
+          "source", 8).orderBy("source")
+      },
+      Some {
+        s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
+          v AS (SELECT source AS g, ${h60("s")} AS h FROM sh5),
+          rg AS (SELECT g, h % 256 AS bucket,
+              max(CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END) AS r
+            FROM v GROUP BY 1, 2),
+          e AS (SELECT g, 256 - present AS zeros,
+              dpres + (256 - present) * (CAST(1 AS BIGINT) << 53) AS dscaled
+            FROM (SELECT g, count(*) AS present,
+                sum(CAST(1 AS BIGINT) << (53 - r)) AS dpres
+              FROM rg GROUP BY g))
+          SELECT g AS source, ${Sketches.hllEstSql(8)} AS est_hll
+          FROM e ORDER BY source"""
       }),
 
     QueryDef("q_kmv_jaccard",

@@ -191,6 +191,12 @@ object Sketches {
     val m = 1 << p
     val rMax = 60 - p + 1
     df.select(col(groupCol), hash60(value).as("__h"))
+      // NULL values hash to NULL (md5(NULL) = NULL) and would otherwise
+      // materialize a NULL-bucket register row that hllEstimate counts
+      // in `present` while its NULL rank drops out of the harmonic sum,
+      // silently biasing zeros AND dscaled. Sets don't contain NULL;
+      // drop them here (ADVICE r9).
+      .filter(col("__h").isNotNull)
       .selectExpr(groupCol, s"CAST(__h % $m AS INT) AS bucket", s"__h DIV $m AS __w")
       .selectExpr(groupCol, "bucket",
         s"CAST(CASE WHEN __w = 0 THEN $rMax ELSE $rMax - length(bin(__w)) END AS INT) AS r")
@@ -236,12 +242,6 @@ object Sketches {
       .select(col(groupCol), col("est_hll"))
   }
 
-  /** Per-group HLL distinct estimate alongside the exact count for
-    * calibration — the HLL twin of [[kmvDistinct]]. Output:
-    * `(group, n_exact, est_hll)`. The exact branch is one extra
-    * aggregation joined on the (tiny, one-row-per-group) estimate
-    * relation, present only for the oracle comparison; a production
-    * caller at 10¹⁰ distinct values keeps the sketch-only plan. */
   /** Pairwise set-overlap planning from HLL REGISTER FILES ALONE — the
     * fixed-size twin of [[kmvPairSimilarity]]: register files are
     * closed under elementwise max (the max-merge of two groups'
@@ -287,6 +287,12 @@ object Sketches {
         col("est_a"), col("est_b"), col("est_union"), col("overlap_est"))
   }
 
+  /** Per-group HLL distinct estimate alongside the exact count for
+    * calibration — the HLL twin of [[kmvDistinct]]. Output:
+    * `(group, n_exact, est_hll)`. The exact branch is one extra
+    * aggregation joined on the (tiny, one-row-per-group) estimate
+    * relation, present only for the oracle comparison; a production
+    * caller at 10¹⁰ distinct values keeps the sketch-only plan. */
   def hllDistinct(df: DataFrame, groupCol: String, value: Column, p: Int = 8): DataFrame = {
     val est = hllEstimate(hllSketch(df, groupCol, value, p), groupCol, p)
     // exact branch counts distinct HASHES (same convention as
