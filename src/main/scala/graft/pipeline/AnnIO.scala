@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ index persistence — the serving half of the ANN family and
+  * the weights-Parquet analog of [[graft.regrid.WeightsIO]]: train
+  * once ([[Clustering.trainPqIndex]], m + 1 Lloyd chains over the
+  * corpus), persist, and every later query batch loads the index and
+  * hits [[Clustering.pqQueryTopK]] without re-training — the
+  * `reuse_weights` discipline (reference `frontend.py:144-146`) for
+  * embeddings instead of regrid weights.
+  *
+  * On-disk layout under one index directory:
+  *  - `meta.parquet` — one row of hyperparameters `(m, codebook_k,
+  *    dim, coarse_cells)`; its existence IS the reuse check;
+  *  - `codebooks.parquet` — `(sub, code, cv)`, m·k tiny rows;
+  *  - `coarse.parquet` — `(cell, cv)` coarse centroids (when IVF-on);
+  *  - the CODE RELATION — the only corpus-sized piece — as a Parquet
+  *    table BUCKETED on `cell` (G9's `writeBucketed` discipline,
+  *    [[graft.regrid.WeightsIO.writeBucketed]]): the contract plan
+  *    broadcasts the per-cell LUT onto the codes, but when a query
+  *    BATCH is too large to broadcast (the bulk-serving regime) the
+  *    probe join becomes a shuffled join on `cell` — a bucketed code
+  *    relation is read pre-partitioned and the index side never
+  *    shuffles, only the (small) probe side moves. Without coarse
+  *    cells there is no join key to bucket; codes land as plain
+  *    Parquet (`codes.parquet`) and every LUT join stays broadcast.
+  *
+  * No-clobber (V8, `backend.py:269-272`): an index is immutable
+  * history; retrain to a NEW path. [[loadOrTrain]] is the
+  * `reuse_weights=True` entry point.
+  */
+object AnnIO {
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The reuse check: a complete index was saved here. */
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/meta.parquet"))
+
+  /** Persist a trained [[Clustering.PqIndex]]. `table` names the
+    * bucketed code relation in the session catalog (bucketing needs
+    * `saveAsTable`); it is recorded in `meta.parquet` so [[load]]
+    * finds it from the path alone. */
+  def save(index: Clustering.PqIndex, path: String, table: String,
+           buckets: Int = 16): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    if (exists(spark, path))
+      throw new IllegalStateException(
+        s"ANN index $path already exists! Delete it or load it " +
+          "(no-clobber, reference backend.py:269-272)")
+    val codeCols = (0 until index.m).map(s0 => col(s"code_$s0"))
+    if (index.coarse.isDefined) {
+      // one file per bucket, sorted — same reasoning as writeBucketed:
+      // multiple files per bucket would drop the sortedness guarantee
+      index.codes.select((col("vec_id") +: col("cell") +: codeCols): _*)
+        .repartition(buckets, col("cell"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(table)
+      index.coarse.get.toSeq.map { case (cell, cv) => (cell, cv) }
+        .toDF("cell", "cv").coalesce(1).write.parquet(s"$path/coarse.parquet")
+    } else {
+      index.codes.select((col("vec_id") +: codeCols): _*)
+        .write.parquet(s"$path/codes.parquet")
+    }
+    index.codebooks.flatMap { case (s0, cs) =>
+      cs.map { case (code, cv) => (s0, code, cv) }
+    }.toDF("sub", "code", "cv").coalesce(1).write.parquet(s"$path/codebooks.parquet")
+    // meta LAST: its existence asserts the other pieces are complete,
+    // so a crashed half-written save never passes the reuse check
+    Seq((index.m, index.codebookK, index.dim,
+        index.coarse.map(_.length).getOrElse(0), if (index.coarse.isDefined) table else ""))
+      .toDF("m", "codebook_k", "dim", "coarse_cells", "codes_table")
+      .coalesce(1).write.parquet(s"$path/meta.parquet")
+  }
+
+  /** Load a persisted index. The corpus-sized code relation comes back
+    * as the bucketed catalog table (pre-partitioned on `cell` — no
+    * index-side Exchange in a shuffled probe join) or the plain Parquet
+    * file; codebooks and coarse centroids collect to driver arrays
+    * (m·k and `cells` rows — parameters, not data). */
+  def load(spark: SparkSession, path: String): Clustering.PqIndex = {
+    val meta = spark.read.parquet(s"$path/meta.parquet").collect()(0)
+    val m = meta.getAs[Int]("m")
+    val codebookK = meta.getAs[Int]("codebook_k")
+    val dim = meta.getAs[Int]("dim")
+    val coarseCells = meta.getAs[Int]("coarse_cells")
+    val table = meta.getAs[String]("codes_table")
+    val cbRows = spark.read.parquet(s"$path/codebooks.parquet").collect()
+    val codebooks = (0 until m).map { s0 =>
+      (s0, cbRows.filter(_.getAs[Int]("sub") == s0)
+        .map(r => (r.getAs[Int]("code"), r.getAs[Seq[Double]]("cv").toArray))
+        .sortBy(_._1))
+    }
+    if (coarseCells > 0) {
+      val coarse = spark.read.parquet(s"$path/coarse.parquet").collect()
+        .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("cv").toArray))
+        .sortBy(_._1)
+      Clustering.PqIndex(spark.table(table), None, codebooks, Some(coarse),
+        m, codebookK, dim)
+    } else {
+      Clustering.PqIndex(spark.read.parquet(s"$path/codes.parquet"), None,
+        codebooks, None, m, codebookK, dim)
+    }
+  }
+
+  /** `reuse_weights=True` (`frontend.py:144-146`): load the index at
+    * `path` when one exists, else train on `emb`, save, and return the
+    * trained index. */
+  def loadOrTrain(spark: SparkSession, emb: => DataFrame, path: String,
+                  table: String, m: Int, codebookK: Int, iters: Int,
+                  dim: Int = 64, coarseCells: Int = 0, coarseIters: Int = 2,
+                  buckets: Int = 16): Clustering.PqIndex =
+    if (exists(spark, path)) load(spark, path)
+    else {
+      val idx = Clustering.trainPqIndex(emb, m, codebookK, iters, dim,
+        coarseCells, coarseIters)
+      save(idx, path, table, buckets)
+      idx
+    }
+}

@@ -430,9 +430,39 @@ object Clustering {
              codebookK: Int, iters: Int, dim: Int = 64,
              coarseCells: Int = 0, coarseIters: Int = 2,
              coarseNprobe: Int = 1): DataFrame = {
-    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(kNN >= 1, s"kNN must be >= 1, got $kNN")
-    val spark = emb.sparkSession
+    pqQueryTopK(trainPqIndex(emb, m, codebookK, iters, dim, coarseCells, coarseIters),
+      emb, probeFilter, kNN, coarseNprobe)
+  }
+
+  /** A trained IVF-PQ index — everything [[pqQueryTopK]] needs to
+    * serve queries WITHOUT re-training, and everything [[AnnIO]]
+    * persists (the `reuse_weights` analog for the ANN family,
+    * reference `frontend.py:144-146`):
+    *  - `codes`: one row per corpus vector — `vec_id`,
+    *    `code_0..code_{m-1}`, plus `cell` when coarse IVF is on. The
+    *    only corpus-sized relation; everything else is parameters.
+    *  - `cellAsg`: the (vec_id, cell) view used to key probes at
+    *    nprobe = 1 (a column-pruned projection of `codes` for a loaded
+    *    index; the checkpointed training assignment when trained here).
+    *  - `codebooks`: per-subspace centroid arrays (m·k tiny rows).
+    *  - `coarse`: coarse IVF centroids, when trained with them. */
+  case class PqIndex(codes: DataFrame,
+                     cellAsg: Option[DataFrame],
+                     codebooks: Seq[(Int, Array[(Int, Array[Double])])],
+                     coarse: Option[Array[(Int, Array[Double])]],
+                     m: Int, codebookK: Int, dim: Int)
+
+  /** Train the IVF-PQ model of [[pqTopK]] and return it as a reusable
+    * [[PqIndex]]: per-subspace Lloyd codebooks, the code pivot, and
+    * (with `coarseCells > 0`) the coarse cell assignment. Training is
+    * the expensive pass — m + 1 Lloyd chains over the corpus — which is
+    * exactly why the index persists ([[AnnIO.save]]) instead of
+    * re-deriving per query batch. */
+  def trainPqIndex(emb: DataFrame, m: Int, codebookK: Int, iters: Int,
+                   dim: Int = 64, coarseCells: Int = 0,
+                   coarseIters: Int = 2): PqIndex = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
 
     // per-subspace codebooks (Lloyd on each slice) + the code pivot.
@@ -451,30 +481,50 @@ object Clustering {
     // coarse IVF cells (the scale path): the ADC scan is restricted to
     // the query's cell, so per-query work is corpus/cells, not corpus.
     // coarseCells = 0 is the exhaustive ADC scan (exact PQ ranking).
-    val qcells = if (coarseCells > 0) {
+    val coarse = if (coarseCells > 0) {
       val (casg, ccents) = kmeansFull(emb, coarseCells, coarseIters, dim)
       val cells = casg
         .select(col("vec_id"), col("cluster").as("cell")).localCheckpoint()
       codes = codes.join(cells, "vec_id")
+      (Some(cells), Some(ccents))
+    } else (None, None)
+    PqIndex(codes, coarse._1, subs.map { case (s0, _, cs) => (s0, cs) },
+      coarse._2, m, codebookK, dim)
+  }
+
+  /** Serve ANN top-k from a trained (or loaded) [[PqIndex]] — the
+    * query half of [[pqTopK]], touching only the index relations and
+    * the PROBE vectors of `emb` (LUT slices + multi-probe ranking);
+    * the corpus embeddings are never re-read. */
+  def pqQueryTopK(index: PqIndex, emb: DataFrame, probeFilter: String,
+                  kNN: Int, coarseNprobe: Int = 1): DataFrame = {
+    require(kNN >= 1, s"kNN must be >= 1, got $kNN")
+    val spark = emb.sparkSession
+    val m = index.m
+    val dim = index.dim
+    val subDim = dim / m
+
+    val qcells = index.coarse.map { ccents =>
       // probeFilter only references vec_id, so at nprobe=1 the probes'
-      // cells are a direct filter of the checkpointed assignment — no
-      // second corpus scan. nprobe > 1 (multi-probe IVF-PQ) widens each
+      // cells are a direct filter of the cell assignment — no second
+      // corpus scan. nprobe > 1 (multi-probe IVF-PQ) widens each
       // query to its nprobe nearest coarse centroids — still an
       // equi-join on the cell, nprobe probe rows per query, and each
       // (query, vector) pair matches at most once (one cell per
       // corpus vector).
-      Some(
-        if (coarseNprobe <= 1) cells.filter(expr(probeFilter))
-        else probeCells(emb, probeFilter, ccents, coarseNprobe)
-          .select(col("vec_id"), col("g").as("cell")))
-    } else None
+      if (coarseNprobe <= 1)
+        index.cellAsg.getOrElse(index.codes.select(col("vec_id"), col("cell")))
+          .filter(expr(probeFilter))
+      else probeCells(emb, probeFilter, ccents, coarseNprobe)
+        .select(col("vec_id"), col("g").as("cell"))
+    }
 
     // ADC lookup tables: per (query, subspace, code) the exact squared
     // distance from the query's quantized slice to that centroid —
     // an equi-join of the probe slices against the m·k-row broadcast
     // codebook relation, fixed-index-order fold
     import spark.implicits._
-    val cents = subs.flatMap { case (s0, _, cs) =>
+    val cents = index.codebooks.flatMap { case (s0, cs) =>
       cs.map { case (code, c) => (s0, code, c) }
     }.toDF("sub", "code", "cv")
     val qslices = quantized(emb.filter(probeFilter), dim)
@@ -492,7 +542,7 @@ object Clustering {
     // carries the coarse cell key when IVF is on, so the fan-out is
     // (queries in this cell) per vector, not (all queries) per vector —
     // then the fixed-order ADC sum and the per-query exact top-k cut
-    var cand = codes
+    var cand = index.codes
     for (s0 <- 0 until m) {
       var l = lut.filter(col("sub") === s0)
         .select(col("query_id"), col("code").as(s"code_$s0"), col("d").as(s"d_$s0"))

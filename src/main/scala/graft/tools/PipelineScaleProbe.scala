@@ -81,7 +81,10 @@ import graft.pipeline._
   *  - `asofskew`: the mega-key as-of regime — ONE key, 10M left ×
   *                1M right: plain (single-task window) vs bucketed
   *                (1000-way time-split + carry-forward), closed-form
-  *                winner required on both.
+  *                winner required on both;
+  *  - `annio`:    IVF-PQ index persistence at 1M × 64-dim — train,
+  *                save (bucketed codes), load, and serve: load+query
+  *                vs retrain+query wall, loaded top-5 bit-identical.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -100,7 +103,7 @@ object PipelineScaleProbe {
                        "simhash", "assign2level", "train4096", "ccrounds",
                        "percentiles", "asof", "rangejoin", "kmv", "cm",
                        "vectorkernel", "asofskew", "graphs10x", "bpefold",
-                       "hll100m", "robuststats")
+                       "hll100m", "robuststats", "annio")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -609,6 +612,37 @@ object PipelineScaleProbe {
       }
       println(s"  planted-partner recall in top-5: $hit/1000")
       require(hit >= 750L, s"IVF-PQ planted recall $hit/1000 (793 at probe authoring)")
+    }
+
+    if (sections("annio")) {
+      // index persistence (AnnIO): train the 1M-vector IVF-PQ index
+      // once, persist it (bucketed code relation), and serve from the
+      // LOADED index — load+query must dodge the m+1 Lloyd training
+      // chains, and the loaded results must be bit-identical to the
+      // trained index's.
+      val emb = vectors(1000000L)
+      val dir = java.nio.file.Files.createTempDirectory("annio_probe").toString
+      spark.sql("DROP TABLE IF EXISTS annio_probe_codes")
+      var idx: Clustering.PqIndex = null
+      time("IVF-PQ TRAIN (64 cells, m=4, k=16), 1M x 64-dim") {
+        idx = Clustering.trainPqIndex(emb, 4, 16, 2, coarseCells = 64)
+        idx.codes.count()
+      }
+      time("  + save index (codes bucketed on cell, 16 buckets)") {
+        AnnIO.save(idx, s"$dir/idx", "annio_probe_codes"); 1L
+      }
+      val qTrained = Clustering.pqQueryTopK(idx, emb, "vec_id % 1000 = 0", 5)
+      time("  query from trained index, 1000 probes") { qTrained.count() }
+      var loaded: Clustering.PqIndex = null
+      time("  LOAD index (reuse path, no Lloyd)") {
+        loaded = AnnIO.load(spark, s"$dir/idx"); 1L
+      }
+      val qLoaded = Clustering.pqQueryTopK(loaded, emb, "vec_id % 1000 = 0", 5)
+      auditPlan("IVF-PQ query from loaded index", qLoaded)
+      time("  query from LOADED index, 1000 probes") { qLoaded.count() }
+      val drift = qLoaded.exceptAll(qTrained).count() + qTrained.exceptAll(qLoaded).count()
+      require(drift == 0L, s"loaded-index results drifted from trained: $drift rows")
+      println("  loaded-index top-5 bit-identical to trained: OK")
     }
 
     if (sections("weighted")) {
