@@ -23,6 +23,16 @@ final case class SessOut(user_id: Long, session_start: java.sql.Timestamp,
   * sketch — emitted each micro-batch that touches the group. */
 final case class KmvDistinctOut(g: String, n_kept: Int, est_distinct: Double)
 
+/** Input row for the streaming funnel (step is the 1-based funnel
+  * index, already resolved from event_type by the broadcast step join). */
+final case class FunnelEvent(user_id: Long, step: Int, ts: java.sql.Timestamp)
+
+/** Per-user funnel state: the earliest-chain times t1..tn in epoch
+  * micros (Long.MinValue = step not reached) — FIXED SIZE (n longs)
+  * per user no matter how many events they produce — plus the newest
+  * event-time seen, anchoring the eviction timeout. */
+final case class FunnelState(us: Seq[Long], lastMs: Long)
+
 /** Structured Streaming forms of the engine's kernels. The reference
   * has no streaming story (SURVEY §2.8) — this is the Spark-native
   * extension: the same declarative transforms run unchanged on a
@@ -135,6 +145,122 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(run)
   }
+
+  /** Streaming ordered-step funnel — the in-flight form of
+    * [[graft.pipeline.Events.funnel]]: per user, the earliest
+    * `t1 ≤ t2 ≤ … ≤ tn` chain over the step events, updated as events
+    * stream in. Output (Update mode): the user's current chain row
+    * `(user_id, t1..tn)` whenever a micro-batch improves it — the
+    * latest row per user is the live funnel relation.
+    *
+    * Plan shape: step resolution is a STATELESS broadcast equi-join of
+    * the stream against the n-row step-definition relation (non-step
+    * events never reach the stateful operator — the filter runs at the
+    * source); chain state is n longs per user via
+    * `flatMapGroupsWithState`, evicted `horizonMinutes` of EVENT TIME
+    * after the user's newest event (the attribution horizon), so state
+    * is bounded by (active users within horizon) × n.
+    *
+    * Parity contract (spec-pinned): within a micro-batch events fold
+    * in event-time order, so for any prefix of batches whose
+    * cross-batch delivery respects event-time order per user, the
+    * latest emitted chains equal the batch [[graft.pipeline.Events
+    * .funnel]] of the same events row-for-row. A LATE event (older than
+    * a previous batch's, within the watermark) still folds in and can
+    * improve the chain — but step events it would have unlocked that
+    * were already discarded are not revisited (the standard streaming
+    * trade; the batch funnel remains the retrospective truth). Events
+    * older than the watermark are dropped by the stateful operator. */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+                   steps: Seq[String], watermark: String = "30 minutes",
+                   horizonMinutes: Int = 24 * 60): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps, got $steps")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    import spark.implicits._
+    val n = steps.size
+    val horizonMs = horizonMinutes.toLong * 60000L
+    val stepDefs = steps.zipWithIndex.map { case (s, i) => (s, i + 1) }
+      .toDF("event_type", "step")
+
+    def toUs(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def run(userId: Long, evs: Iterator[FunnelEvent],
+            state: GroupState[FunnelState]): Iterator[(Long, Seq[Long])] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        // event-time order inside the batch: a step-i event must see
+        // every same-batch improvement of t_{i-1} at or before it
+        val sorted = evs.toIndexedSeq.sortBy(e => (toUs(e.ts), e.step))
+        val us = state.getOption.map(_.us.toArray)
+          .getOrElse(Array.fill(n)(Long.MinValue))
+        var changed = false
+        sorted.foreach { e =>
+          val t = toUs(e.ts)
+          val i = e.step - 1
+          val prevOk = i == 0 || (us(i - 1) != Long.MinValue && t >= us(i - 1))
+          if (prevOk && (us(i) == Long.MinValue || t < us(i))) {
+            us(i) = t; changed = true
+          }
+        }
+        val lastMs = math.max(
+          state.getOption.map(_.lastMs).getOrElse(Long.MinValue),
+          sorted.lastOption.map(_.ts.getTime).getOrElse(Long.MinValue))
+        if (us(0) != Long.MinValue) {
+          // only users who reached step 1 carry state — same population
+          // as the batch funnel's output
+          state.update(FunnelState(us.toSeq, lastMs))
+          state.setTimeoutTimestamp(lastMs + horizonMs)
+        }
+        if (changed) Iterator.single((userId, us.toSeq)) else Iterator.empty
+      }
+    }
+
+    val chains = events
+      .selectExpr("CAST(user_id AS LONG) AS user_id", "event_type", "ts")
+      .join(broadcast(stepDefs), "event_type")
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("step"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(run)
+      .toDF("user_id", "us")
+    // sentinel test is `< 0`: Long.MinValue is not expressible as a SQL
+    // literal (the parser rejects the positive magnitude before the
+    // unary minus applies), and post-epoch event times are non-negative
+    chains.select(col("user_id") +: (1 to n).map(i =>
+      expr(s"IF(us[${i - 1}] < 0, NULL, timestamp_micros(us[${i - 1}]))")
+        .as(s"t$i")): _*)
+  }
+
+  /** Streaming cohort retention against STATIC cohorts — the in-flight
+    * form of [[graft.pipeline.Events.retentionCohorts]] for the live
+    * side of the triangle: `cohorts` is the (user_id, cohort_week)
+    * relation (from the batch op or a persisted table — signups are
+    * history), and the event stream increments `(cohort_week,
+    * week_offset, n_users)` as activity arrives. Per-user-week
+    * first-touch dedup is `dropDuplicatesWithinWatermark` (state
+    * bounded by the horizon — a user's 10⁴ events in one week count
+    * once), the cohort attach is a stateless broadcast equi-join, and
+    * the count is a native streaming agg over the (tiny) triangle key
+    * space. Update mode; latest value per key is the triangle cell.
+    * Parity (spec-pinned): for any processed prefix with per-(user,
+    * week) re-deliveries inside the horizon, the latest counts equal
+    * the batch op's on the same events. */
+  def retentionStream(events: DataFrame, cohorts: DataFrame,
+                      horizon: String = "14 days"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .select(col("user_id"), col("ts"),
+        date_trunc("week", col("ts")).cast("date").as("act_week"))
+      .dropDuplicatesWithinWatermark("user_id", "act_week")
+      .join(broadcast(cohorts), "user_id")
+      .where(col("act_week") >= col("cohort_week"))
+      .withColumn("week_offset",
+        expr("CAST(datediff(act_week, cohort_week) DIV 7 AS INT)"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
 
   /** Streaming decontamination: flag training documents that share any
     * n-token shingle with a STATIC eval corpus as they stream in — the
