@@ -575,6 +575,46 @@ object PipelineQueries {
               AND r.rn = (CAST(p.pct AS BIGINT) * n.c + 99) // 100
         ORDER BY n.source, p.pct""")),
 
+    QueryDef("q_quantiles_merged",
+      // X38's histogram as a PERSISTED, MERGEABLE summary: the corpus
+      // splits into two snapshots (doc_id parity), each snapshot's
+      // per-source (val, cnt) histogram of n_chars is WRITTEN to
+      // Parquet, read back, summed elementwise, and ranked — counts
+      // are additive, so the merged percentiles must equal the direct
+      // full-corpus exact percentiles, which is what the oracle
+      // computes (same SQL shape as q_length_quantiles_by_source)
+      // without seeing the snapshot files. The 100 TB shape:
+      // cross-snapshot exact order statistics from histogram-sized
+      // summaries, old corpora never re-scanned.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val base = sketchIoPath(s)
+        SketchIO.writeSketch(
+          Sampling.valueHistogram(d.filter(col("doc_id") % 2 === 0), "n_chars", Seq("source")),
+          s"$base/lenhist_even.parquet")
+        SketchIO.writeSketch(
+          Sampling.valueHistogram(d.filter(col("doc_id") % 2 === 1), "n_chars", Seq("source")),
+          s"$base/lenhist_odd.parquet")
+        Sampling.percentilesFromHistogram(
+          Sampling.mergeValueHistograms(Seq(
+            SketchIO.readSketch(s, s"$base/lenhist_even.parquet"),
+            SketchIO.readSketch(s, s"$base/lenhist_odd.parquet")), Seq("source")),
+          Seq(25, 50, 75, 99), Seq("source"))
+          .orderBy("source", "pct")
+      },
+      Some("""WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS val FROM documents),
+        n AS (SELECT source, count(*) AS c FROM v GROUP BY 1),
+        r AS (SELECT source, val,
+                row_number() OVER (PARTITION BY source ORDER BY val) AS rn
+              FROM v),
+        p(pct) AS (VALUES (25), (50), (75), (99))
+        SELECT n.source, p.pct,
+          (CAST(p.pct AS BIGINT) * n.c + 99) // 100 AS n_rank, r.val AS value
+        FROM p CROSS JOIN n
+        JOIN r ON r.source = n.source
+              AND r.rn = (CAST(p.pct AS BIGINT) * n.c + 99) // 100
+        ORDER BY n.source, p.pct""")),
+
     QueryDef("q_kmv_distinct",
       // mergeable KMV distinct-count sketch (Sketches.kmvDistinct):
       // per-source distinct 5-shingle cardinality — the corpus-dedup

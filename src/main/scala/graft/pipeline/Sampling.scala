@@ -327,6 +327,85 @@ object Sampling {
       .select(g :+ col("pct") :+ col("rk").as("n_rank") :+ col("val").as("value"): _*)
   }
 
+  /** Per-value count histogram `(by…, val, cnt)` of an integer-valued
+    * expression — the PERSISTABLE, MERGEABLE summary behind
+    * cross-snapshot exact percentiles ([[percentilesFromHistogram]]).
+    * One agg-only scan, map-side combined; the relation is bounded by
+    * #groups × |value domain|, which for the metrics this serves
+    * (lengths, token counts, quality deciles) is thousands of rows per
+    * group no matter the corpus size. Counts are ADDITIVE, so the
+    * histogram of a corpus union is the elementwise sum
+    * ([[mergeValueHistograms]]) — persist one histogram per
+    * day/snapshot (e.g. [[Sketches]]-family `SketchIO.writeSketch`)
+    * and answer exact rank queries over ANY union of snapshots without
+    * re-scanning old corpora. For unbounded 64-bit value domains use
+    * [[exactPercentilesBy]] instead (its second pass re-scans only the
+    * target buckets rather than aggregating every distinct value). */
+  def valueHistogram(df: DataFrame, valueExpr: String,
+                     by: Seq[String] = Nil): DataFrame = {
+    val g = by.map(col)
+    df.select(g :+ expr(valueExpr).cast("long").as("val"): _*)
+      .groupBy(g :+ col("val"): _*).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge [[valueHistogram]] relations: elementwise count sum per
+    * (by…, val). EXACT — the merged histogram equals the histogram of
+    * the concatenated corpora, so percentiles over the merge are the
+    * true percentiles of the union (spec-pinned). */
+  def mergeValueHistograms(hists: Seq[DataFrame],
+                           by: Seq[String] = Nil): DataFrame = {
+    require(hists.nonEmpty, "mergeValueHistograms needs at least one histogram")
+    val g = by.map(col)
+    hists.reduce(_.unionByName(_))
+      .groupBy(g :+ col("val"): _*).agg(sum("cnt").as("cnt"))
+  }
+
+  /** Exact percentiles FROM a [[valueHistogram]] relation alone — the
+    * same rank semantics and output as [[exactPercentilesBy]]
+    * (`(by…, pct, n_rank, value)`, rank ⌈p·n/100⌉ ascending), but the
+    * corpus is never touched: both ranking passes run over the
+    * histogram (coarse `bucketWidth` roll-up for rank location, the
+    * per-value counts for the final pick — the second corpus scan of
+    * the two-pass algorithm is already materialized in the summary).
+    * This is the cross-snapshot read path: load per-snapshot
+    * histograms, [[mergeValueHistograms]], then this — exact
+    * percentiles over a year of corpora in histogram-sized work. */
+  def percentilesFromHistogram(hist: DataFrame, pcts: Seq[Int],
+                               by: Seq[String] = Nil,
+                               bucketWidth: Long = 64): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $pcts")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val g = by.map(col)
+    val v = hist
+      .select(g :+ col("val").cast("long").as("val") :+ col("cnt").cast("long").as("cnt"): _*)
+      .withColumn("bucket",
+        expr(s"(val - pmod(val, ${bucketWidth}L)) DIV ${bucketWidth}L"))
+    val coarse = v.groupBy(g :+ col("bucket"): _*).agg(sum("cnt").as("cnt"))
+    val offs = coarse.withColumn("off", coalesce(sum(col("cnt")).over(
+      Window.partitionBy(g: _*).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val targets = coarse.groupBy(g: _*).agg(sum(col("cnt")).as("n"))
+      .withColumn("pct", explode(lit(pcts.toArray)))
+      .withColumn("rk", expr("(CAST(pct AS BIGINT) * n + 99L) DIV 100L"))
+      .select(g :+ col("pct") :+ col("rk"): _*)
+    val joined = if (by.isEmpty) targets.crossJoin(broadcast(offs))
+                 else targets.join(broadcast(offs), by)
+    val located = joined
+      .where(col("rk") > col("off") && col("rk") <= col("off") + col("cnt"))
+      .select(g :+ col("pct") :+ col("rk") :+ col("bucket") :+ col("off"): _*)
+    val needed = located.select(g :+ col("bucket"): _*).distinct()
+    val perVal = v.join(broadcast(needed), by :+ "bucket")
+      .groupBy(g :+ col("bucket") :+ col("val"): _*).agg(sum("cnt").as("cnt2"))
+      .withColumn("off2", coalesce(sum(col("cnt2")).over(
+        Window.partitionBy(g :+ col("bucket"): _*).orderBy(col("val"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    located.join(broadcast(perVal), by :+ "bucket")
+      .where(col("rk") > col("off") + col("off2") &&
+        col("rk") <= col("off") + col("off2") + col("cnt2"))
+      .select(g :+ col("pct") :+ col("rk").as("n_rank") :+ col("val").as("value"): _*)
+  }
+
   /** Deterministic train/val/test split assignment: the same stateless
     * hash draw as [[stratified]], cut at per-mille thresholds —
     * `(…, u, split)` with split ∈ {train, val, test}. Assignment is a

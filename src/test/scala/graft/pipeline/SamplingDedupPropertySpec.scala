@@ -67,6 +67,43 @@ class SamplingDedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: merged snapshot histograms give the union's exact percentiles, any split, any width") {
+    (1 to cases).foreach { seed =>
+      val r = new scala.util.Random(9100 + seed)
+      val rows = (0 until 900).map { _ =>
+        (s"g${r.nextInt(3)}", (r.nextInt(500) - 250).toLong)
+      }
+      val byGroup = rows.groupBy(_._1).map { case (g, xs) =>
+        g -> xs.map(_._2).sorted.toVector
+      }
+      // random 3-way snapshot split — histogram additivity must hold
+      // for ANY partition of the corpus, not just halves
+      val tagged = rows.map(t => (t, r.nextInt(3)))
+      val hists = (0 until 3).map { s0 =>
+        Sampling.valueHistogram(
+          tagged.filter(_._2 == s0).map(_._1).toDF("g", "x"), "x", Seq("g"))
+      }
+      Seq(1L, 16L, 1000L).foreach { w =>
+        val got = Sampling.percentilesFromHistogram(
+            Sampling.mergeValueHistograms(hists, Seq("g")), pcts,
+            by = Seq("g"), bucketWidth = w)
+          .collect().map(row => (row.getString(0), row.getInt(1)) ->
+            (row.getLong(2), row.getLong(3))).toMap
+        byGroup.foreach { case (g, sorted) =>
+          pcts.foreach { p =>
+            assert(got((g, p)) === nearestRank(sorted, p), s"seed $seed g=$g w=$w p=$p")
+          }
+        }
+        // and the histogram path agrees with the two-pass corpus path
+        val direct = Sampling.exactPercentilesBy(rows.toDF("g", "x"), "x", pcts,
+            by = Seq("g"), bucketWidth = w)
+          .collect().map(row => (row.getString(0), row.getInt(1)) ->
+            (row.getLong(2), row.getLong(3))).toMap
+        assert(got === direct, s"seed $seed w=$w")
+      }
+    }
+  }
+
   test("property: minhashLsh reports the EXACT Jaccard for every candidate pair and recovers planted dups") {
     (1 to cases).foreach { seed =>
       val r = new scala.util.Random(9700 + seed)
