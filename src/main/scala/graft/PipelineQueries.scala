@@ -75,6 +75,59 @@ object PipelineQueries {
     s"$dir/snap_$self"
   }
 
+  /** Count-Min point-estimate oracle, shared VERBATIM by
+    * q_cm_frequency (direct full-corpus sketch) and q_cm_merge (two
+    * persisted snapshot sketches, elementwise-summed) — counters are
+    * linear, so the two plans must be result-identical, and one SQL
+    * string makes the gate prove exactly that (the asofOracleSql
+    * precedent). */
+  private lazy val cmFrequencyOracleSql: String = {
+    val probeVals = TextOps.langMarkers.flatMap(_._2).distinct.sorted
+      .map(w => s"('$w')").mkString(", ")
+    def bucket(tok: String) =
+      Sketches.cmBucketSql(s"md5($tok)", "r.r", 1024)
+    s"""WITH tok AS ($tokCte),
+      t AS (SELECT unnest(tokens) AS token FROM tok),
+      probes(token) AS (VALUES $probeVals),
+      r(r) AS (VALUES (0), (1), (2), (3)),
+      sk AS (SELECT r.r AS r, ${bucket("t.token")} AS c,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM t CROSS JOIN r GROUP BY 1, 2),
+      pe AS (SELECT p.token, min(coalesce(sk.cnt, 0)) AS est_cm
+        FROM probes p CROSS JOIN r
+        LEFT JOIN sk ON sk.r = r.r AND sk.c = ${bucket("p.token")}
+        GROUP BY 1),
+      ex AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+        FROM t WHERE token IN (SELECT token FROM probes) GROUP BY 1)
+      SELECT pe.token, coalesce(ex.n_exact, 0) AS n_exact, pe.est_cm
+      FROM pe LEFT JOIN ex ON ex.token = pe.token
+      ORDER BY pe.token"""
+  }
+
+  /** Bloom decontamination oracle, shared VERBATIM by q_decontam_bloom
+    * (filter built from the whole eval set) and q_bloom_merge (filter
+    * distinct-unioned from two persisted snapshot bit files) — a Bloom
+    * filter is a set of positions, so the two plans must be
+    * result-identical, and one SQL string makes the gate prove it. */
+  private lazy val bloomDecontamOracleSql: String = {
+    val m = 65536; val k = 3
+    def bucket(e: String) = Sketches.cmBucketSql(s"md5($e)", "r.r", m)
+    s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
+      r(r) AS (VALUES (0), (1), (2)),
+      ev AS (SELECT DISTINCT s FROM sh5 WHERE $evalPred),
+      bits AS (SELECT DISTINCT ${bucket("ev.s")} AS pos
+        FROM ev CROSS JOIN r),
+      tr AS (SELECT DISTINCT doc_id, s FROM sh5 WHERE NOT ($evalPred)),
+      pp AS (SELECT tr.doc_id, tr.s, r.r, ${bucket("tr.s")} AS pos
+        FROM tr CROSS JOIN r),
+      hit AS (SELECT doc_id, s, count(bits.pos) AS nset
+        FROM pp LEFT JOIN bits ON bits.pos = pp.pos
+        GROUP BY 1, 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe
+      FROM hit WHERE nset = $k
+      GROUP BY 1 ORDER BY doc_id"""
+  }
+
   /** Backward-inclusive as-of oracle, shared VERBATIM by q_asof_join
     * and q_asof_join_bucketed — the two plans must be result-identical,
     * and giving them one SQL string makes the gate prove exactly that. */
@@ -865,28 +918,42 @@ object PipelineQueries {
           .select("token", "n_exact", "est_cm")
           .orderBy("token")
       },
-      Some {
-        val probeVals = TextOps.langMarkers.flatMap(_._2).distinct.sorted
-          .map(w => s"('$w')").mkString(", ")
-        def bucket(tok: String) =
-          Sketches.cmBucketSql(s"md5($tok)", "r.r", 1024)
-        s"""WITH tok AS ($tokCte),
-          t AS (SELECT unnest(tokens) AS token FROM tok),
-          probes(token) AS (VALUES $probeVals),
-          r(r) AS (VALUES (0), (1), (2), (3)),
-          sk AS (SELECT r.r AS r, ${bucket("t.token")} AS c,
-              CAST(count(*) AS BIGINT) AS cnt
-            FROM t CROSS JOIN r GROUP BY 1, 2),
-          pe AS (SELECT p.token, min(coalesce(sk.cnt, 0)) AS est_cm
-            FROM probes p CROSS JOIN r
-            LEFT JOIN sk ON sk.r = r.r AND sk.c = ${bucket("p.token")}
-            GROUP BY 1),
-          ex AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
-            FROM t WHERE token IN (SELECT token FROM probes) GROUP BY 1)
-          SELECT pe.token, coalesce(ex.n_exact, 0) AS n_exact, pe.est_cm
-          FROM pe LEFT JOIN ex ON ex.token = pe.token
-          ORDER BY pe.token"""
-      }),
+      Some(cmFrequencyOracleSql)),
+
+    QueryDef("q_cm_merge",
+      // X57's Count-Min leg, oracle-proven: two doc_id-parity snapshot
+      // counter matrices are WRITTEN to Parquet, read back, and summed
+      // elementwise (counters are linear, so the merge IS the sketch of
+      // the concatenated corpora — exact); the point estimates over the
+      // merged sketch must equal q_cm_frequency's direct full-corpus
+      // sketch BIT-FOR-BIT, which is what the SHARED oracle SQL
+      // (verbatim — result identity proven through the oracle channel,
+      // the asofOracleSql precedent) computes without seeing the files.
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        def toks(dd: org.apache.spark.sql.DataFrame) =
+          TextOps.withTokens(dd).selectExpr("explode(tokens) AS token")
+        val base = sketchIoPath(s)
+        SketchIO.writeSketch(
+          Sketches.cmSketch(toks(d.filter(col("doc_id") % 2 === 0)), col("token"), 4, 1024),
+          s"$base/cm_even.parquet")
+        SketchIO.writeSketch(
+          Sketches.cmSketch(toks(d.filter(col("doc_id") % 2 === 1)), col("token"), 4, 1024),
+          s"$base/cm_odd.parquet")
+        val sk = SketchIO.mergeCm(Seq(
+          SketchIO.readSketch(s, s"$base/cm_even.parquet"),
+          SketchIO.readSketch(s, s"$base/cm_odd.parquet")))
+        val probes = TextOps.langMarkers.flatMap(_._2).distinct.sorted.toDF("token")
+        val exact = toks(d).join(broadcast(probes), Seq("token"), "left_semi")
+          .groupBy("token").agg(count(lit(1)).as("n_exact"))
+        Sketches.cmEstimate(sk, probes, "token", depth = 4, width = 1024)
+          .join(exact, Seq("token"), "left")
+          .na.fill(0L, Seq("n_exact"))
+          .select("token", "n_exact", "est_cm")
+          .orderBy("token")
+      },
+      Some(cmFrequencyOracleSql)),
 
     QueryDef("q_skew_report",
       // key-skew histogram over token frequencies (the Zipf tail that
@@ -1825,24 +1892,40 @@ object PipelineQueries {
           .groupBy("doc_id").agg(count(lit(1)).as("n_maybe"))
           .orderBy("doc_id")
       },
-      Some {
+      Some(bloomDecontamOracleSql)),
+
+    QueryDef("q_bloom_merge",
+      // X57's Bloom leg, oracle-proven: the eval index is built as two
+      // doc_id-parity snapshot bit relations WRITTEN to Parquet, read
+      // back, and distinct-unioned (the filter of a union is the union
+      // of the filters — a set, exact); probing the train side against
+      // the merged filter must flag exactly q_decontam_bloom's docs
+      // with the same maybe-counts, which the SHARED oracle SQL
+      // (verbatim) computes from the whole eval set without seeing the
+      // snapshot files. The per-benchmark workflow: each new eval suite
+      // ships its own bit file; decontamination probes the merged set.
+      (s, dir) => {
+        val d = docs(s, dir)
         val m = 65536; val k = 3
-        def bucket(e: String) = Sketches.cmBucketSql(s"md5($e)", "r.r", m)
-        s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
-          r(r) AS (VALUES (0), (1), (2)),
-          ev AS (SELECT DISTINCT s FROM sh5 WHERE $evalPred),
-          bits AS (SELECT DISTINCT ${bucket("ev.s")} AS pos
-            FROM ev CROSS JOIN r),
-          tr AS (SELECT DISTINCT doc_id, s FROM sh5 WHERE NOT ($evalPred)),
-          pp AS (SELECT tr.doc_id, tr.s, r.r, ${bucket("tr.s")} AS pos
-            FROM tr CROSS JOIN r),
-          hit AS (SELECT doc_id, s, count(bits.pos) AS nset
-            FROM pp LEFT JOIN bits ON bits.pos = pp.pos
-            GROUP BY 1, 2)
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_maybe
-          FROM hit WHERE nset = $k
-          GROUP BY 1 ORDER BY doc_id"""
-      }),
+        val base = sketchIoPath(s)
+        def bitsOf(pred: String) = Sketches.bloomBits(
+          TextOps.shingleSet(d.filter(pred), 5), col("s"), m, k)
+        SketchIO.writeSketch(bitsOf(s"($evalPred) AND doc_id % 2 = 0"),
+          s"$base/bloom_even.parquet")
+        SketchIO.writeSketch(bitsOf(s"($evalPred) AND doc_id % 2 = 1"),
+          s"$base/bloom_odd.parquet")
+        val bits = SketchIO.mergeBloom(Seq(
+          SketchIO.readSketch(s, s"$base/bloom_even.parquet"),
+          SketchIO.readSketch(s, s"$base/bloom_odd.parquet")))
+        Sketches.bloomMaybeContains(bits,
+            TextOps.shingleSet(d.filter(s"NOT ($evalPred)"), 5)
+              .select("doc_id", "s"),
+            "s", m, k, carry = Seq("doc_id"))
+          .filter(col("maybe_present"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_maybe"))
+          .orderBy("doc_id")
+      },
+      Some(bloomDecontamOracleSql)),
 
     QueryDef("q_decontam_keep",
       // the surviving corpus after "any overlap → drop": left-anti join
