@@ -109,6 +109,59 @@ object AnnIO {
     }
   }
 
+  /** Append a [[Clustering.encodePqBatch]] batch to a persisted
+    * index's code relation — the O(batch) daily-ingest path: new
+    * vectors join the serving index without touching the existing
+    * codes or re-training anything. The append lands bucketed on the
+    * same key, so bucket-wise distribution (the no-index-side-shuffle
+    * property) survives; what an append DOES trade away is the
+    * one-file-per-bucket sortedness guarantee (now ≥ 2 files per
+    * bucket — Spark may re-sort within tasks where it previously
+    * didn't). Periodic compaction — rewrite the table once via
+    * [[save]]'s discipline — restores it; the same trade G9's
+    * bucketed-weights append would make. Plain-Parquet (no-coarse)
+    * indexes append as additional files. */
+  def appendCodes(index: Clustering.PqIndex, newCodes: DataFrame,
+                  path: String, buckets: Int = 16): Unit = {
+    val spark = newCodes.sparkSession
+    require(exists(spark, path), s"no ANN index at $path to append to")
+    val meta = spark.read.parquet(s"$path/meta.parquet").collect()(0)
+    val m = meta.getAs[Int]("m")
+    val table = meta.getAs[String]("codes_table")
+    val codeCols = (0 until m).map(s0 => col(s"code_$s0"))
+    if (meta.getAs[Int]("coarse_cells") > 0)
+      newCodes.select((col("vec_id") +: col("cell") +: codeCols): _*)
+        .repartition(buckets, col("cell"))
+        .write.mode("append")
+        .bucketBy(buckets, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(table)
+    else
+      newCodes.select((col("vec_id") +: codeCols): _*)
+        .write.mode("append").parquet(s"$path/codes.parquet")
+  }
+
+  /** Compact an appended code relation back to one file per bucket —
+    * the periodic maintenance pass that restores [[save]]'s sortedness
+    * guarantee after a run of [[appendCodes]] batches (each append
+    * adds a file per bucket; reads stay correct but within-task sorts
+    * creep back in). Rewrites the SAME rows through the same
+    * repartition-then-bucketed write; results are untouched
+    * (spec-pinned), only the file layout changes. */
+  def compactCodes(spark: SparkSession, path: String, buckets: Int = 16): Unit = {
+    require(exists(spark, path), s"no ANN index at $path to compact")
+    val meta = spark.read.parquet(s"$path/meta.parquet").collect()(0)
+    val table = meta.getAs[String]("codes_table")
+    if (meta.getAs[Int]("coarse_cells") > 0) {
+      // materialize off the table before overwriting it
+      val rows = spark.table(table).localCheckpoint()
+      rows.repartition(buckets, col("cell"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(table)
+    }
+    // plain-Parquet (no-coarse) indexes have no bucket layout to restore
+  }
+
   /** `reuse_weights=True` (`frontend.py:144-146`): load the index at
     * `path` when one exists, else train on `emb`, save, and return the
     * trained index. */

@@ -492,6 +492,36 @@ object Clustering {
       coarse._2, m, codebookK, dim)
   }
 
+  /** Encode a NEW ingest batch against a trained (or loaded)
+    * [[PqIndex]] WITHOUT re-training — the incremental-corpus path for
+    * the ANN family, mirroring [[assignToCentroids]]'s contract for
+    * plain k-means: per-subspace code assignment and (when the index
+    * carries coarse IVF) cell assignment all run against the FIXED
+    * persisted codebooks as stateless broadcast maps, O(batch) work
+    * with the corpus untouched. Same quantization / fixed-order fold /
+    * id tie-break as training, so encoding the training corpus itself
+    * reproduces the trained code relation BIT-FOR-BIT (spec-pinned).
+    * Returns rows in the index's code-relation schema, ready for
+    * [[AnnIO.appendCodes]]. */
+  def encodePqBatch(index: PqIndex, emb: DataFrame): DataFrame = {
+    val subDim = index.dim / index.m
+    val subs = (0 until index.m).map { s0 =>
+      val sliced = emb.selectExpr("vec_id",
+        s"slice(embedding, ${s0 * subDim + 1}, $subDim) AS embedding")
+      assignToCentroids(sliced,
+          index.codebooks.find(_._1 == s0)
+            .getOrElse(throw new IllegalStateException(s"no codebook for subspace $s0"))._2)
+        .select(col("vec_id"), col("cluster").as(s"code_$s0"))
+    }
+    val codes = subs.reduce((a, b) => a.join(b, "vec_id"))
+    index.coarse match {
+      case Some(cc) => codes.join(
+        assignToCentroids(emb, cc)
+          .select(col("vec_id"), col("cluster").as("cell")), "vec_id")
+      case None => codes
+    }
+  }
+
   /** Serve ANN top-k from a trained (or loaded) [[PqIndex]] — the
     * query half of [[pqTopK]], touching only the index relations and
     * the PROBE vectors of `emb` (LUT slices + multi-probe ranking);

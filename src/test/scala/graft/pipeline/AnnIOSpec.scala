@@ -44,6 +44,9 @@ class AnnIOSpec extends AnyFunSuite {
   private def res(df: DataFrame): Set[(Long, Long, Double, Int)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
 
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
   test("coarse IVF-PQ index round-trips: loaded index serves bit-equal top-k, single and multi-probe") {
     val v = vecs
     val idx = Clustering.trainPqIndex(v, m = 4, codebookK = 16, iters = 2,
@@ -85,6 +88,55 @@ class AnnIOSpec extends AnyFunSuite {
       val exchanges = "Exchange".r.findAllIn(plan).size
       assert(exchanges === 1, s"expected only the probe-side Exchange, plan:\n$plan")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("encodePqBatch on the training corpus reproduces the trained code relation bit-for-bit") {
+    val v = vecs
+    val idx = Clustering.trainPqIndex(v, m = 4, codebookK = 16, iters = 2, coarseCells = 4)
+    val cols = "vec_id" +: (0 until 4).map(i => s"code_$i") :+ "cell"
+    val trained = rows(idx.codes.select(cols.map(col): _*))
+    val encoded = rows(Clustering.encodePqBatch(idx, v).select(cols.map(col): _*))
+    assert(encoded === trained)
+  }
+
+  test("appendCodes: new batch joins the serving index; reloaded results equal the unioned index") {
+    val v = vecs                                    // ids 0..1199 — the trained corpus
+    val fresh = spark.range(1200L, 1400L)           // the new ingest batch
+      .selectExpr("id AS vec_id",
+        """transform(sequence(0, 63), j -> CAST(
+             CAST(hash(id, j) AS DOUBLE) / 2.147483647e9 AS FLOAT)) AS embedding""")
+    val all = v.unionByName(fresh)
+    val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)
+    val base = tmpBase()
+    AnnIO.save(idx, s"$base/idx", "annio_codes_append")
+    // files per bucketed write = non-empty (cell-hash) partitions — a
+    // baseline captured from the fresh save, NOT assumed = buckets
+    def bucketFiles(): Int = spark.sql(s"DESCRIBE EXTENDED annio_codes_append")
+      .collect().collectFirst {
+        case r if r.getString(0) == "Location" => r.getString(1)
+      }.map(loc => new java.io.File(loc.stripPrefix("file:"))
+        .listFiles().count(_.getName.endsWith(".parquet"))).getOrElse(-1)
+    val filesAfterSave = bucketFiles()
+    assert(filesAfterSave > 0)
+    val batch = Clustering.encodePqBatch(idx, fresh)
+    AnnIO.appendCodes(idx, batch, s"$base/idx")
+    val reloaded = AnnIO.load(spark, s"$base/idx")
+    assert(reloaded.codes.count() === 1400)
+    // truth: the in-memory index with the union of old and new codes
+    val unioned = idx.copy(codes = idx.codes.unionByName(batch), cellAsg = None)
+    val got = res(Clustering.pqQueryTopK(reloaded, all, "vec_id % 40 = 0", 3))
+    assert(got === res(Clustering.pqQueryTopK(unioned, all, "vec_id % 40 = 0", 3)))
+    // the new vectors are genuinely servable: they appear as neighbors
+    assert(got.exists(_._2 >= 1200L), "no appended vector ever surfaced as a neighbor")
+    // compaction: the append added a second file set; compact returns
+    // to the fresh-save layout with results untouched
+    assert(bucketFiles() > filesAfterSave,
+      s"expected more files after append, got ${bucketFiles()} vs $filesAfterSave")
+    AnnIO.compactCodes(spark, s"$base/idx")
+    assert(bucketFiles() <= filesAfterSave,
+      s"expected <= $filesAfterSave files after compaction, got ${bucketFiles()}")
+    assert(res(Clustering.pqQueryTopK(AnnIO.load(spark, s"$base/idx"), all,
+      "vec_id % 40 = 0", 3)) === got)
   }
 
   test("no-clobber save + loadOrTrain reuse (the reuse_weights analog)") {
