@@ -72,10 +72,15 @@ object AnnIO {
       cs.map { case (code, cv) => (s0, code, cv) }
     }.toDF("sub", "code", "cv").coalesce(1).write.parquet(s"$path/codebooks.parquet")
     // meta LAST: its existence asserts the other pieces are complete,
-    // so a crashed half-written save never passes the reuse check
+    // so a crashed half-written save never passes the reuse check.
+    // `buckets` is part of the index's identity — appendCodes/compact
+    // must reuse it (a mismatched append would fail or, worse, change
+    // the table's bucket spec), so it travels in meta, never as a
+    // caller-remembered parameter.
     Seq((index.m, index.codebookK, index.dim,
-        index.coarse.map(_.length).getOrElse(0), if (index.coarse.isDefined) table else ""))
-      .toDF("m", "codebook_k", "dim", "coarse_cells", "codes_table")
+        index.coarse.map(_.length).getOrElse(0),
+        if (index.coarse.isDefined) table else "", buckets))
+      .toDF("m", "codebook_k", "dim", "coarse_cells", "codes_table", "buckets")
       .coalesce(1).write.parquet(s"$path/meta.parquet")
   }
 
@@ -122,12 +127,13 @@ object AnnIO {
     * bucketed-weights append would make. Plain-Parquet (no-coarse)
     * indexes append as additional files. */
   def appendCodes(index: Clustering.PqIndex, newCodes: DataFrame,
-                  path: String, buckets: Int = 16): Unit = {
+                  path: String): Unit = {
     val spark = newCodes.sparkSession
     require(exists(spark, path), s"no ANN index at $path to append to")
     val meta = spark.read.parquet(s"$path/meta.parquet").collect()(0)
     val m = meta.getAs[Int]("m")
     val table = meta.getAs[String]("codes_table")
+    val buckets = meta.getAs[Int]("buckets")
     val codeCols = (0 until m).map(s0 => col(s"code_$s0"))
     if (meta.getAs[Int]("coarse_cells") > 0)
       newCodes.select((col("vec_id") +: col("cell") +: codeCols): _*)
@@ -147,10 +153,11 @@ object AnnIO {
     * creep back in). Rewrites the SAME rows through the same
     * repartition-then-bucketed write; results are untouched
     * (spec-pinned), only the file layout changes. */
-  def compactCodes(spark: SparkSession, path: String, buckets: Int = 16): Unit = {
+  def compactCodes(spark: SparkSession, path: String): Unit = {
     require(exists(spark, path), s"no ANN index at $path to compact")
     val meta = spark.read.parquet(s"$path/meta.parquet").collect()(0)
     val table = meta.getAs[String]("codes_table")
+    val buckets = meta.getAs[Int]("buckets")
     if (meta.getAs[Int]("coarse_cells") > 0) {
       // materialize off the table before overwriting it
       val rows = spark.table(table).localCheckpoint()
