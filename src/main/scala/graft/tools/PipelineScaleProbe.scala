@@ -84,7 +84,11 @@ import graft.pipeline._
   *                winner required on both;
   *  - `annio`:    IVF-PQ index persistence at 1M × 64-dim — train,
   *                save (bucketed codes), load, and serve: load+query
-  *                vs retrain+query wall, loaded top-5 bit-identical.
+  *                vs retrain+query wall, loaded top-5 bit-identical;
+  *  - `funnelstream`: the streaming funnel at 1M events / 100k users
+  *                through MemoryStream micro-batches — throughput,
+  *                state bounded by the reached-step-1 population, and
+  *                final chains row-equal to the batch funnel.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -103,7 +107,7 @@ object PipelineScaleProbe {
                        "simhash", "assign2level", "train4096", "ccrounds",
                        "percentiles", "asof", "rangejoin", "kmv", "cm",
                        "vectorkernel", "asofskew", "graphs10x", "bpefold",
-                       "hll100m", "robuststats", "annio")
+                       "hll100m", "robuststats", "annio", "funnelstream")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -1093,6 +1097,61 @@ object PipelineScaleProbe {
           spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeThrOld)
         else spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       }
+    }
+
+    if (sections("funnelstream")) {
+      // the streaming funnel at 1M events / 100k users — the scale
+      // evidence the 10k-row scalatest cannot give: throughput through
+      // the broadcast-step-join + flatMapGroupsWithState plan, state
+      // BOUNDED at (users who reached step 1) rows regardless of event
+      // volume, and the final chains equal to the batch funnel
+      // ROW-FOR-ROW under ordered delivery.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val nEv = 1000000
+      val nUsers = 100000L
+      val types = Array("view", "click", "purchase", "error", "other")
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      // event i: user i%nUsers, type hash-derived, ts strictly increasing
+      // (global event-time order => the documented exact-parity regime)
+      val rows: IndexedSeq[(Long, String, java.sql.Timestamp)] =
+        (0 until nEv).map { i =>
+          (i % nUsers, types(math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s"e$i"), 5)),
+            new java.sql.Timestamp(t0 + i * 100L))
+        }
+      val batchDf = rows.toDF("user_id", "event_type", "ts")
+      val steps = Seq("view", "click", "purchase")
+      val static = Events.funnel(batchDf, steps)
+        .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+
+      val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = graft.streaming.StreamingOps.funnelStream(spark,
+        stream.toDF().toDF("user_id", "event_type", "ts"), steps,
+        horizonMinutes = 7 * 24 * 60)
+      val latest = new java.util.concurrent.ConcurrentHashMap[Long, (Any, Any, Any)]()
+      val q = out.writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r => latest.put(r.getLong(0), (r.get(1), r.get(2), r.get(3))))
+        }.start()
+      time("streaming funnel, 1M events / 100k users, 10 batches") {
+        rows.grouped(nEv / 10).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+        latest.size.toLong
+      }
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val streamed = latest.asScala.map { case (u, (a, b, c)) => (u, a, b, c) }.toSet
+      require(streamed == static,
+        s"streamed chains != batch funnel: ${streamed.size} vs ${static.size} rows")
+      println(s"  final chains row-equal to batch funnel (${static.size} users); " +
+        s"state rows: $stateRows (bound: users reaching step 1 = ${static.size})")
+      require(stateRows <= static.size,
+        s"state $stateRows exceeds the reached-step-1 population ${static.size}")
     }
 
     println(s"== plan failures: $planFailures")
