@@ -53,6 +53,19 @@ object AnnIO {
       throw new IllegalStateException(
         s"ANN index $path already exists! Delete it or load it " +
           "(no-clobber, reference backend.py:269-272)")
+    // No COMPLETE index here (meta is written last and absent) — but a
+    // crashed previous save, or a previous JVM whose in-memory catalog
+    // forgot the managed table while its warehouse directory survived,
+    // can leave the codes table/location behind; saveAsTable would then
+    // refuse with LOCATION_ALREADY_EXISTS forever. Clearing a partial
+    // artifact is correct — the no-clobber contract protects complete
+    // indexes, which the meta check above already did.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    locally {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     val codeCols = (0 until index.m).map(s0 => col(s"code_$s0"))
     if (index.coarse.isDefined) {
       // one file per bucket, sorted — same reasoning as writeBucketed:

@@ -625,16 +625,9 @@ object PipelineScaleProbe {
       // chains, and the loaded results must be bit-identical to the
       // trained index's.
       val emb = vectors(1000000L)
+      // stale table/location cleanup is AnnIO.save's job (a previous
+      // JVM's warehouse directory survives the in-memory catalog)
       val dir = java.nio.file.Files.createTempDirectory("annio_probe").toString
-      spark.sql("DROP TABLE IF EXISTS annio_probe_codes")
-      // a PREVIOUS JVM's managed-table directory survives the
-      // in-memory catalog (which forgot the table, making the DROP a
-      // no-op) — saveAsTable then refuses the stale location. Clear it.
-      locally {
-        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        val p = new org.apache.hadoop.fs.Path(wh, "annio_probe_codes")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      }
       var idx: Clustering.PqIndex = null
       time("IVF-PQ TRAIN (64 cells, m=4, k=16), 1M x 64-dim") {
         idx = Clustering.trainPqIndex(emb, 4, 16, 2, coarseCells = 64)
