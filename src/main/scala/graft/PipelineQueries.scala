@@ -75,6 +75,28 @@ object PipelineQueries {
     s"$dir/snap_$self"
   }
 
+  /** Per-process catalog table name for q_ann_pq_persisted's bucketed
+    * code relation, with dead-orphan sweeping over the warehouse
+    * directory (same discipline as [[sketchIoPath]]): concurrent JVMs
+    * get distinct tables, dead PIDs' leftovers are reaped, and
+    * AnnIO.save's own stale-location clearing handles the same-PID
+    * repeat invocation. */
+  private def annPqTable(s: SparkSession): String = {
+    val self = ProcessHandle.current().pid()
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val re = "graft_annpq_codes_(\\d+)".r
+    Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach { f =>
+        f.getName match {
+          case re(pid) if !ProcessHandle.of(pid.toLong).isPresent =>
+            val p = new org.apache.hadoop.fs.Path(f.getPath)
+            p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          case _ => ()
+        }
+      }
+    s"graft_annpq_codes_$self"
+  }
+
   /** Count-Min point-estimate oracle, shared VERBATIM by
     * q_cm_frequency (direct full-corpus sketch) and q_cm_merge (two
     * persisted snapshot sketches, elementwise-summed) — counters are
@@ -371,6 +393,15 @@ object PipelineQueries {
     * ends in `rr (query_id, neighbor_id, adist, rank)`. Shared by
     * q_ann_pq (the ADC cut) and q_ann_pq_rerank (exact refinement of
     * the ADC top-20). */
+  /** IVF-PQ ADC top-5 oracle, shared VERBATIM by q_ann_pq (in-memory
+    * train-and-query) and q_ann_pq_persisted (train → AnnIO.save →
+    * load → pqQueryTopK) — the persisted index must serve identical
+    * results, and one SQL string makes the gate prove exactly that. */
+  private lazy val annPqOracleSql: String =
+    s"""WITH $pqCtes
+      SELECT query_id, neighbor_id, adist, rank FROM rr WHERE rank <= 5
+      ORDER BY query_id, rank"""
+
   private lazy val pqCtes: String = pqCtesWith(
     "qc AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id % 50 = 0)")
 
@@ -2088,9 +2119,29 @@ object PipelineQueries {
       (s, dir) => Clustering.pqTopK(emb(s, dir), "vec_id % 50 = 0", 5,
           pqM, pqK, pqIters, coarseCells = pqCells)
         .orderBy("query_id", "rank"),
-      Some(s"""WITH $pqCtes
-        SELECT query_id, neighbor_id, adist, rank FROM rr WHERE rank <= 5
-        ORDER BY query_id, rank""")),
+      Some(annPqOracleSql)),
+
+    QueryDef("q_ann_pq_persisted",
+      // X58's serving lifecycle under the ORACLE, not just the spec:
+      // the same IVF-PQ model is trained, SAVED (meta-last no-clobber,
+      // codes bucketed on the coarse cell), LOADED, and queried through
+      // pqQueryTopK — and must reproduce q_ann_pq bit-for-bit, proven
+      // by sharing its oracle SQL verbatim (the asofOracleSql
+      // precedent). What the gate now covers: codebook/centroid/code
+      // round-trip through Parquet, the meta existence check, and the
+      // loaded-index query path — the serve-from-disk workflow a
+      // 100 TB corpus runs daily.
+      (s, dir) => {
+        val e = emb(s, dir)
+        val base = sketchIoPath(s)
+        val idx = Clustering.trainPqIndex(e, pqM, pqK, pqIters,
+          coarseCells = pqCells)
+        AnnIO.save(idx, s"$base/pq_idx", annPqTable(s))
+        Clustering.pqQueryTopK(AnnIO.load(s, s"$base/pq_idx"), e,
+            "vec_id % 50 = 0", 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(annPqOracleSql)),
 
     QueryDef("q_ann_pq_mp",
       // multi-probe IVF-PQ: queries scan their 2 nearest coarse cells
