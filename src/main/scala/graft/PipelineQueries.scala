@@ -81,10 +81,10 @@ object PipelineQueries {
     * get distinct tables, dead PIDs' leftovers are reaped, and
     * AnnIO.save's own stale-location clearing handles the same-PID
     * repeat invocation. */
-  private def annPqTable(s: SparkSession): String = {
+  private def perPidTable(s: SparkSession, prefix: String): String = {
     val self = ProcessHandle.current().pid()
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val re = "graft_annpq_codes_(\\d+)".r
+    val re = (java.util.regex.Pattern.quote(prefix) + "(\\d+)").r
     Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach { f =>
         f.getName match {
@@ -94,8 +94,11 @@ object PipelineQueries {
           case _ => ()
         }
       }
-    s"graft_annpq_codes_$self"
+    s"$prefix$self"
   }
+
+  private def annPqTable(s: SparkSession): String =
+    perPidTable(s, "graft_annpq_codes_")
 
   /** Count-Min point-estimate oracle, shared VERBATIM by
     * q_cm_frequency (direct full-corpus sketch) and q_cm_merge (two
@@ -393,6 +396,26 @@ object PipelineQueries {
     * ends in `rr (query_id, neighbor_id, adist, rank)`. Shared by
     * q_ann_pq (the ADC cut) and q_ann_pq_rerank (exact refinement of
     * the ADC top-20). */
+  /** Learned-IVF exact-within-cell top-5 oracle, shared VERBATIM by
+    * q_ann_ivf_learned (in-memory train-and-query) and
+    * q_ann_ivf_persisted (train → AnnIO.saveIvf → loadIvf →
+    * ivfQueryTopK) — the persisted index must serve identical results,
+    * proven through the one SQL string. */
+  private lazy val annIvfOracleSql: String =
+    s"""WITH $kmeansCtes,
+      g AS (SELECT vec_id, cl FROM a$kmIters),
+      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              ${cosSql("qv.v", "nv.v")} AS cos
+            FROM g q JOIN g n ON q.cl = n.cl AND q.vec_id <> n.vec_id
+            JOIN ev qv ON qv.vec_id = q.vec_id
+            JOIN ev nv ON nv.vec_id = n.vec_id
+            WHERE q.vec_id % 50 = 0),
+      r AS (SELECT *, CAST(row_number() OVER
+              (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+            FROM c)
+      SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** IVF-PQ ADC top-5 oracle, shared VERBATIM by q_ann_pq (in-memory
     * train-and-query) and q_ann_pq_persisted (train → AnnIO.save →
     * load → pqQueryTopK) — the persisted index must serve identical
@@ -2063,19 +2086,26 @@ object PipelineQueries {
           kmK, kmIters)
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank"),
-      Some(s"""WITH $kmeansCtes,
-        g AS (SELECT vec_id, cl FROM a$kmIters),
-        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-                ${cosSql("qv.v", "nv.v")} AS cos
-              FROM g q JOIN g n ON q.cl = n.cl AND q.vec_id <> n.vec_id
-              JOIN ev qv ON qv.vec_id = q.vec_id
-              JOIN ev nv ON nv.vec_id = n.vec_id
-              WHERE q.vec_id % 50 = 0),
-        r AS (SELECT *, CAST(row_number() OVER
-                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-              FROM c)
-        SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank""")),
+      Some(annIvfOracleSql)),
+
+    QueryDef("q_ann_ivf_persisted",
+      // the learned-IVF index under the persistence gate — the
+      // IvfIndex sibling of q_ann_pq_persisted: train, saveIvf (cell
+      // assignment bucketed on vec_id, the key it joins the embedding
+      // table on; centroids + meta alongside, meta last), loadIvf, and
+      // serve through ivfQueryTopK. Must reproduce q_ann_ivf_learned
+      // bit-for-bit — the shared oracle SQL proves it through the gate.
+      (s, dir) => {
+        val e = emb(s, dir)
+        val base = sketchIoPath(s)
+        val idx = Clustering.trainIvfIndex(e, kmK, kmIters)
+        AnnIO.saveIvf(idx, s"$base/ivf_idx", perPidTable(s, "graft_annivf_asg_"))
+        Clustering.ivfQueryTopK(AnnIO.loadIvf(s, s"$base/ivf_idx"), e,
+            "vec_id % 50 = 0", 5)
+          .select("query_id", "neighbor_id", "cos", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(annIvfOracleSql)),
 
     QueryDef("q_ann_ivf_learned_mp",
       // multi-probe learned IVF: each query scans its 2 nearest

@@ -182,6 +182,50 @@ object AnnIO {
     // plain-Parquet (no-coarse) indexes have no bucket layout to restore
   }
 
+  /** Persist a trained [[Clustering.IvfIndex]] — the learned-IVF
+    * sibling of [[save]]: centroids as tiny Parquet, the cell
+    * assignment (the only corpus-sized piece) as a table BUCKETED on
+    * `vec_id`, the key [[Similarity.topKWithinGroups]] joins it to the
+    * embedding table on — co-bucketed with a `vec_id`-bucketed
+    * embedding table (the G9 co-bucketed-field discipline) that join
+    * needs no Exchange on either side. Meta written last; same
+    * no-clobber + stale-location rules as [[save]]. */
+  def saveIvf(index: Clustering.IvfIndex, path: String, table: String,
+              buckets: Int = 16): Unit = {
+    val spark = index.asg.sparkSession
+    import spark.implicits._
+    if (exists(spark, path))
+      throw new IllegalStateException(
+        s"ANN index $path already exists! Delete it or load it " +
+          "(no-clobber, reference backend.py:269-272)")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    locally {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    index.asg.select(col("vec_id").cast("long"), col("g").cast("int"))
+      .repartition(buckets, col("vec_id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(table)
+    index.cents.toSeq.map { case (cl, cv) => (cl, cv) }
+      .toDF("cl", "cv").coalesce(1).write.parquet(s"$path/cents.parquet")
+    Seq((index.cents.length, index.dim, table, buckets))
+      .toDF("cells", "dim", "asg_table", "buckets")
+      .coalesce(1).write.parquet(s"$path/meta.parquet")
+  }
+
+  /** Load a persisted learned-IVF index (see [[saveIvf]]). */
+  def loadIvf(spark: SparkSession, path: String): Clustering.IvfIndex = {
+    val meta = spark.read.parquet(s"$path/meta.parquet").collect()(0)
+    val cents = spark.read.parquet(s"$path/cents.parquet").collect()
+      .map(r => (r.getAs[Int]("cl"), r.getAs[Seq[Double]]("cv").toArray))
+      .sortBy(_._1)
+    Clustering.IvfIndex(spark.table(meta.getAs[String]("asg_table")),
+      cents, meta.getAs[Int]("dim"))
+  }
+
   /** `reuse_weights=True` (`frontend.py:144-146`): load the index at
     * `path` when one exists, else train on `emb`, save, and return the
     * trained index. */

@@ -388,13 +388,38 @@ object Clustering {
     * probe rows per query), recovering neighbors that land just across
     * a Voronoi boundary at `nprobe×` the candidate volume. */
   def ivfLearnedTopK(emb: DataFrame, probeFilter: String, k: Int,
-                     cells: Int, iters: Int, nprobe: Int = 1): DataFrame = {
-    val (asgRaw, cents) = kmeansFull(emb, cells, iters)
-    val asg = asgRaw
-      .select(col("vec_id"), col("cluster").as("g")).localCheckpoint()
+                     cells: Int, iters: Int, nprobe: Int = 1): DataFrame =
+    ivfQueryTopK(trainIvfIndex(emb, cells, iters), emb, probeFilter, k, nprobe)
+
+  /** A trained learned-IVF index — the exact-within-cell sibling of
+    * [[PqIndex]]: the cell assignment `(vec_id, g)` (the only
+    * corpus-sized relation) plus the k-means centroids (parameters).
+    * Persisted/loaded by [[AnnIO.saveIvf]]/[[AnnIO.loadIvf]]. Unlike
+    * IVF-PQ the candidate scoring reads TRUE vectors, so queries need
+    * the embedding table alongside — the index only prunes. */
+  case class IvfIndex(asg: DataFrame,
+                      cents: Array[(Int, Array[Double])],
+                      dim: Int)
+
+  /** Train the learned-IVF model of [[ivfLearnedTopK]] as a reusable
+    * [[IvfIndex]] (the Lloyd chain is the expensive pass — persist it,
+    * don't re-run it per query batch). */
+  def trainIvfIndex(emb: DataFrame, cells: Int, iters: Int,
+                    dim: Int = 64): IvfIndex = {
+    val (asgRaw, cents) = kmeansFull(emb, cells, iters, dim)
+    IvfIndex(asgRaw.select(col("vec_id"), col("cluster").as("g"))
+      .localCheckpoint(), cents, dim)
+  }
+
+  /** Serve learned-IVF ANN top-k from a trained (or loaded)
+    * [[IvfIndex]] — the query half of [[ivfLearnedTopK]]: cell
+    * equi-join candidate pruning from the index, exact cosine rank
+    * over the true vectors within. */
+  def ivfQueryTopK(index: IvfIndex, emb: DataFrame, probeFilter: String,
+                   k: Int, nprobe: Int = 1): DataFrame = {
     val qg = if (nprobe <= 1) None
-             else Some(probeCells(emb, probeFilter, cents, nprobe))
-    Similarity.topKWithinGroups(emb, asg, probeFilter, k, qg)
+             else Some(probeCells(emb, probeFilter, index.cents, nprobe))
+    Similarity.topKWithinGroups(emb, index.asg, probeFilter, k, qg)
   }
 
   /** Product-quantization ANN (the IVF-PQ compression path): each

@@ -139,6 +139,26 @@ class AnnIOSpec extends AnyFunSuite {
       "vec_id % 40 = 0", 3)) === got)
   }
 
+  test("learned-IVF index round-trips: loaded IvfIndex serves bit-equal top-k, single and multi-probe") {
+    val v = vecs
+    val idx = Clustering.trainIvfIndex(v, cells = 8, iters = 2)
+    val trained = res(Clustering.ivfQueryTopK(idx, v, "vec_id % 20 = 0", 3)
+      .select("query_id", "neighbor_id", "cos", "rank"))
+    val trainedMp = res(Clustering.ivfQueryTopK(idx, v, "vec_id % 20 = 0", 3, nprobe = 2)
+      .select("query_id", "neighbor_id", "cos", "rank"))
+    // the train+query composition is exactly ivfLearnedTopK
+    assert(trained === res(Clustering.ivfLearnedTopK(v, "vec_id % 20 = 0", 3, 8, 2)
+      .select("query_id", "neighbor_id", "cos", "rank")))
+    val base = tmpBase()
+    AnnIO.saveIvf(idx, s"$base/ivf", "annio_ivf_rt")
+    val loaded = AnnIO.loadIvf(spark, s"$base/ivf")
+    assert(loaded.dim === 64 && loaded.cents.length === 8)
+    assert(res(Clustering.ivfQueryTopK(loaded, v, "vec_id % 20 = 0", 3)
+      .select("query_id", "neighbor_id", "cos", "rank")) === trained)
+    assert(res(Clustering.ivfQueryTopK(loaded, v, "vec_id % 20 = 0", 3, nprobe = 2)
+      .select("query_id", "neighbor_id", "cos", "rank")) === trainedMp)
+  }
+
   test("no-clobber save + loadOrTrain reuse (the reuse_weights analog)") {
     val v = vecs
     val base = tmpBase()
