@@ -498,6 +498,13 @@ object PipelineQueries {
   private val bm25Terms = Seq("spark", "vector", "merge")
   private val bm25K = 20
 
+  /** Phrase-search contract queries: mixed 2- and 3-token phrases,
+    * including one with a repeated term (the `count(*) = plen`
+    * exactness case). */
+  private val phraseSet: Seq[Seq[String]] = Seq(
+    Seq("scan", "query"), Seq("the", "table"), Seq("fast", "scan"),
+    Seq("table", "table"), Seq("value", "table", "part"))
+
   /** DuckDB single-quoted literal for a portable regex (RE2 strings
     * take backslashes verbatim — no doubling, unlike Spark literals). */
   private def rx(p: String) = s"'$p'"
@@ -1578,6 +1585,45 @@ object PipelineQueries {
         WHERE pr.n_co >= 2
         ORDER BY item_a, item_b""")),
 
+    QueryDef("q_rolling_anomaly",
+      // X61: rolling trailing-window anomaly detection — each event's
+      // z-score against the mean/std of the PRIOR 8 values of its own
+      // (user, event_type) metric stream, flagged at |z| > 3 with >= 4
+      // rows of history. Plan: one (user_id, event_type) exchange +
+      // within-partition sort, a single WindowExec buffering <= 8 rows
+      // per frame — no global sort, no self-join. Window sums in exact
+      // DECIMAL; the double mean/var/std/z expressions and the flag
+      // predicate are mirrored verbatim in the oracle.
+      (s, dir) => Events.rollingAnomaly(events(s, dir)).orderBy("event_id"),
+      Some(s"""WITH ev AS ($evCte),
+        w AS (SELECT event_id, user_id, event_type, ts, value,
+                CAST(value AS DECIMAL(18,6)) AS vd
+              FROM ev),
+        x AS (SELECT *,
+                CAST(count(vd) OVER wnd AS INTEGER) AS n_prior,
+                sum(vd) OVER wnd AS s,
+                sum(CAST(vd * vd AS DECIMAL(38,12))) OVER wnd AS sq
+              FROM w
+              WINDOW wnd AS (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id
+                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+        y AS (SELECT *,
+                CASE WHEN n_prior > 0
+                  THEN CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE) END AS mean,
+                CASE WHEN n_prior > 0 THEN greatest(0.0e0,
+                  (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n_prior AS DOUBLE)) / CAST(n_prior AS DOUBLE)) END AS var
+              FROM x),
+        zz AS (SELECT *, sqrt(var) AS std FROM y),
+        a AS (SELECT *, CASE WHEN std > 0.0e0
+                THEN (value - mean) / std END AS zs FROM zz)
+        SELECT event_id, user_id, event_type, ts, value, n_prior,
+          ${r9("mean")} AS roll_mean, ${r9("std")} AS roll_std,
+          ${r9("zs")} AS z,
+          coalesce(n_prior >= 4 AND std > 0.0e0 AND abs(zs) > 3.0e0, false)
+            AS is_anomaly
+        FROM a ORDER BY event_id""")),
+
     QueryDef("q_graph_triangles",
       // per-node triangle counts + local clustering coefficient over
       // the co-view item graph (edges = q_item_cooccurrence pairs with
@@ -2304,6 +2350,39 @@ object PipelineQueries {
           coalesce(ag.clean_text, '') AS clean_text
         FROM tok LEFT JOIN ag USING (doc_id) ORDER BY doc_id""")),
 
+    QueryDef("q_phrase_search",
+      // X63: exact positional phrase search — documents containing
+      // each query phrase's tokens CONSECUTIVELY, with occurrence
+      // count and first position; the adjacency reduction over a
+      // positional inverted index (one term-filtered postings
+      // projection + a broadcast join against the (phrase, offset,
+      // term) relation + two hash aggs — no postings self-join). The
+      // oracle restates the same reduction from DuckDB's positional
+      // unnest.
+      (s, dir) => Search.phraseMatch(docs(s, dir), phraseSet)
+        .orderBy("phrase", "doc_id"),
+      Some {
+        val vals = phraseSet.flatMap { p =>
+          p.zipWithIndex.map { case (w, k) =>
+            s"('${p.mkString(" ")}', $k, '$w', ${p.size})" }
+        }.mkString(", ")
+        s"""WITH tok AS ($tokCte),
+        pp AS (SELECT doc_id, unnest(generate_series(0, len(tokens) - 1)) AS i,
+                 tokens FROM tok),
+        pos AS (SELECT doc_id, CAST(i AS INTEGER) AS i, tokens[i + 1] AS t
+                FROM pp),
+        terms(phrase, k, term, plen) AS (VALUES $vals),
+        c AS (SELECT tm.phrase, tm.plen, p.doc_id, p.i - tm.k AS start
+              FROM pos p JOIN terms tm ON p.t = tm.term
+              WHERE p.i - tm.k >= 0),
+        g AS (SELECT phrase, plen, doc_id, start, count(*) AS n_terms
+              FROM c GROUP BY 1, 2, 3, 4),
+        m AS (SELECT phrase, doc_id, start FROM g WHERE n_terms = plen)
+        SELECT phrase, doc_id, count(*) AS n_matches,
+          CAST(min(start) AS INTEGER) AS first_pos
+        FROM m GROUP BY 1, 2 ORDER BY phrase, doc_id"""
+      }),
+
     QueryDef("q_bm25_topk",
       // Okapi BM25 keyword retrieval, exact top-20: query-term filter
       // inside the scan projection, tiny per-term df aggregate
@@ -2366,6 +2445,71 @@ object PipelineQueries {
           CASE WHEN u < 980000 THEN 'train'
                WHEN u < 990000 THEN 'val' ELSE 'test' END AS split
         FROM u ORDER BY doc_id""")),
+
+    QueryDef("q_pipeline_e2e",
+      // X62: the operators composed as a USER would run them — one
+      // Catalyst plan chaining exact dedup → benchmark decontamination
+      // → quality filter → split assignment → per-(source, split)
+      // report card. Each stage is the already-gated kernel (Dedup
+      // .exact's keeper ids, Decontam.decontaminate's broadcast
+      // anti-join, TextOps.qualityScore's single-scan projection,
+      // Sampling.splitAssign's stateless hash cut), so the only
+      // exchanges are the dedup agg, the shingle-flag agg, and the
+      // final 60-key report agg — the quality filter and the split
+      // decision never leave their scan stage. The oracle restates the
+      // whole chain declaratively from the shared fragments.
+      (s, dir) => {
+        val d = docs(s, dir)
+        val keep = Dedup.exact(d).select(col("keep_id").as("doc_id"))
+        val deduped = d.join(keep, "doc_id")
+        val clean = Decontam.decontaminate(
+          deduped.filter(s"NOT ($evalPred)"), d.filter(evalPred), 5)
+        val kept = TextOps.qualityScore(clean, carry = Seq("source"))
+          .filter("score >= 0.45e0")
+        Sampling.splitAssign(kept, "e2e", 900, 50)
+          .selectExpr("source", "split", "CAST(n_tokens AS BIGINT) AS n_tok",
+            "CAST(floor(score * 1.0e9 + 0.5e0) AS BIGINT) AS score_n")
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+            sum("score_n").as("sum_score_n"))
+          .selectExpr("source", "split", "n_docs", "n_tokens",
+            "floor((CAST(sum_score_n AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1.0e9) * 1.0e9 + 0.5e0) / 1.0e9 AS mean_quality")
+          .orderBy("source", "split")
+      },
+      Some(s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+                 GROUP BY md5(lower(trim(text)))),
+        dd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        tok AS ($tokCte),
+        sh5 AS (${sh(5)}),
+        ev AS (SELECT DISTINCT s FROM sh5 WHERE $evalPred),
+        flag AS (SELECT DISTINCT t.doc_id FROM sh5 t JOIN ev USING (s)
+                 WHERE NOT (t.doc_id % 20 = 0)),
+        clean AS (SELECT dd.* FROM dd WHERE NOT (dd.doc_id % 20 = 0)
+                  AND dd.doc_id NOT IN (SELECT doc_id FROM flag)),
+        m AS (SELECT tok.doc_id, tok.source,
+                CAST(len(tok.tokens) AS INTEGER) AS n_tokens,
+                CAST(${hits(TextOps.langMarkers.head._2)} AS DOUBLE) / len(tokens) AS stop_ratio,
+                CAST(length(regexp_replace(tok.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(tok.text) AS alpha_ratio
+              FROM tok JOIN clean ON tok.doc_id = clean.doc_id),
+        q AS (SELECT doc_id, source, n_tokens,
+                floor((0.3e0 * stop_ratio + 0.4e0 * alpha_ratio +
+                  0.3e0 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0)) * 1.0e9 + 0.5e0) / 1.0e9 AS score
+              FROM m),
+        f AS (SELECT * FROM q WHERE score >= 0.45e0),
+        u AS (SELECT *, ${uSql("e2e")} AS u FROM f),
+        sp AS (SELECT source,
+                 CASE WHEN u < 900000 THEN 'train'
+                      WHEN u < 950000 THEN 'val' ELSE 'test' END AS split,
+                 n_tokens,
+                 CAST(floor(score * 1.0e9 + 0.5e0) AS BIGINT) AS score_n
+               FROM u),
+        g AS (SELECT source, split, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                CAST(sum(score_n) AS BIGINT) AS sum_score_n
+              FROM sp GROUP BY 1, 2)
+        SELECT source, split, n_docs, n_tokens,
+          floor((CAST(sum_score_n AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1.0e9) * 1.0e9 + 0.5e0) / 1.0e9 AS mean_quality
+        FROM g ORDER BY source, split""")),
 
     QueryDef("q_shuffle_order",
       // deterministic global shuffle (training order): hash draw →

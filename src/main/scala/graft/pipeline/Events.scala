@@ -138,6 +138,63 @@ object Events {
       .selectExpr(s"stack(${steps.size}, $stack) AS (step_idx, event_type, n_users)")
   }
 
+  /** Rolling trailing-window anomaly detection over per-key metric
+    * streams: for each event, mean/std of the PRIOR `n` values of the
+    * same (user, event_type) stream and the current value's z-score
+    * against them — the "is this reading off its own recent baseline"
+    * monitor (trailing frame excludes the current row, so an outlier
+    * never pollutes its own baseline). Flags rows with at least
+    * `minPrior` history, positive spread, and |z| > `zThresh`.
+    *
+    * Parity: the window sums run in DECIMAL (exact and
+    * order-independent, so Spark's frame accumulation and the oracle's
+    * agree bit-for-bit); mean/var/std/z are fixed-order double
+    * expressions mirrored verbatim in the oracle SQL, outputs
+    * r9-rounded, and the flag is computed from the UNROUNDED values by
+    * the identical expression on both engines.
+    *
+    * Scale shape: one hash exchange on (user_id, event_type) + a
+    * within-partition sort, then a single WindowExec pass buffering at
+    * most `n` rows per frame — no global sort, no self-join, per-key
+    * work linear in that key's events. Keys are (user, metric) so
+    * parallelism is corpus-wide; order-dependent stats cannot salt a
+    * hot key, so the standard mitigation at retention scale is
+    * processing by time slice with the streaming twin
+    * ([[graft.streaming.StreamingOps.rollingAnomalyStream]]) carrying
+    * the n-value baseline across slices in bounded state. */
+  def rollingAnomaly(events: DataFrame, n: Int = 8, zThresh: Double = 3.0,
+                     minPrior: Int = 4): DataFrame = {
+    require(n >= 1 && minPrior >= 1 && minPrior <= n,
+      s"need 1 <= minPrior <= n, got n=$n minPrior=$minPrior")
+    val byKey = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val trail = byKey.rowsBetween(-n, -1)
+    val zLit = graft.regrid.Rounding.sqlLit(zThresh)
+    events
+      .withColumn("__vd", expr("CAST(value AS DECIMAL(18,6))"))
+      .withColumn("__vq", expr("CAST(__vd * __vd AS DECIMAL(38,12))"))
+      .withColumn("n_prior", count(col("__vd")).over(trail).cast("int"))
+      .withColumn("__sum", sum(col("__vd")).over(trail))
+      .withColumn("__sumsq", sum(col("__vq")).over(trail))
+      .withColumn("__mean", expr(
+        "CASE WHEN n_prior > 0 THEN CAST(__sum AS DOUBLE) / CAST(n_prior AS DOUBLE) END"))
+      .withColumn("__var", expr(
+        """CASE WHEN n_prior > 0 THEN greatest(0.0e0,
+          (CAST(__sumsq AS DOUBLE) - CAST(__sum AS DOUBLE) * CAST(__sum AS DOUBLE)
+             / CAST(n_prior AS DOUBLE)) / CAST(n_prior AS DOUBLE)) END"""))
+      .withColumn("__std", expr("sqrt(__var)"))
+      .withColumn("__z", expr(
+        "CASE WHEN __std > 0.0e0 THEN (value - __mean) / __std END"))
+      .withColumn("is_anomaly", expr(
+        s"coalesce(n_prior >= $minPrior AND __std > 0.0e0 AND abs(__z) > $zLit, false)"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value"), col("n_prior"),
+        graft.regrid.Rounding.r9(col("__mean")).as("roll_mean"),
+        graft.regrid.Rounding.r9(col("__std")).as("roll_std"),
+        graft.regrid.Rounding.r9(col("__z")).as("z"),
+        col("is_anomaly"))
+  }
+
   /** Item co-occurrence ("viewed together"): for every unordered item
     * pair, the number of users who interacted with BOTH, plus lift
     * `P(a,b) / (P(a)·P(b))` — the association-mining / co-view

@@ -92,4 +92,45 @@ object Search {
         Window.orderBy(col("score_u").desc, col("doc_id"))).cast("int"))
       .selectExpr("doc_id", "CAST(score_u AS DOUBLE) / 1.0e6 AS score", "rank")
   }
+
+  /** Exact positional phrase search over the token streams — the
+    * inverted-index complement of [[bm25TopK]]'s bag-of-words scoring:
+    * for every phrase, each document containing its tokens CONSECUTIVELY,
+    * with occurrence count and first position. Returns
+    * `(phrase, doc_id, n_matches, first_pos)`.
+    *
+    * Plan: ONE positional-postings projection (posexplode, filtered to
+    * the union of all phrase terms while still in the scan stage — the
+    * corpus is read once and only query-term positions survive), a
+    * broadcast equi-join against the tiny (phrase, offset, term)
+    * relation, and two hash aggs: a position `start = i − k` groups to
+    * a match iff all `plen` offsets are present (each position can
+    * satisfy an offset at most once, so `count(*) = plen` is exact even
+    * for phrases with repeated terms), then matches group per doc. No
+    * self-joins: an m-term phrase costs m posting rows per query-term
+    * hit, never a postings×postings product — the standard adjacency
+    * reduction over a positional inverted index. */
+  def phraseMatch(docs: DataFrame, phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty), "need non-empty phrases")
+    require(phrases.map(_.mkString(" ")).distinct.size == phrases.size,
+      s"duplicate phrases: $phrases")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = phrases.flatMap { p =>
+      p.zipWithIndex.map { case (w, k) => (p.mkString(" "), k, w, p.size) }
+    }.toDF("phrase", "k", "term", "plen")
+    val vocab = phrases.flatten.distinct
+    val postings = TextOps.withTokens(docs)
+      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("i", "t")))
+      .filter(col("t").isin(vocab: _*))
+    postings.join(broadcast(terms), col("t") === col("term"))
+      .select(col("phrase"), col("plen"), col("doc_id"),
+        (col("i") - col("k")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy("phrase", "plen", "doc_id", "start")
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === col("plen"))
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("start").cast("int").as("first_pos"))
+  }
 }

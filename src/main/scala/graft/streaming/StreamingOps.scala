@@ -33,6 +33,23 @@ final case class FunnelEvent(user_id: Long, step: Int, ts: java.sql.Timestamp)
   * event-time seen, anchoring the eviction timeout. */
 final case class FunnelState(us: Seq[Long], lastMs: Long)
 
+/** Input row for the streaming rolling-anomaly monitor. */
+final case class RollEvent(event_id: Long, user_id: Long, event_type: String,
+                           ts: java.sql.Timestamp, value: Double)
+
+/** Per-(user, metric) rolling baseline: the last <= n values as exact
+  * DECIMAL(18,6)-equivalent micros, oldest first — FIXED SIZE no
+  * matter how many events the key produces — plus the newest event
+  * time anchoring eviction. */
+final case class RollState(ring: Seq[Long], lastMs: Long)
+
+/** Scored event emitted by the streaming rolling-anomaly monitor —
+  * the same row shape as [[graft.pipeline.Events.rollingAnomaly]]. */
+final case class RollOut(event_id: Long, user_id: Long, event_type: String,
+                         ts: java.sql.Timestamp, value: Double, n_prior: Int,
+                         roll_mean: Option[Double], roll_std: Option[Double],
+                         z: Option[Double], is_anomaly: Boolean)
+
 /** Structured Streaming forms of the engine's kernels. The reference
   * has no streaming story (SURVEY §2.8) — this is the Spark-native
   * extension: the same declarative transforms run unchanged on a
@@ -232,6 +249,99 @@ object StreamingOps {
     chains.select(col("user_id") +: (1 to n).map(i =>
       expr(s"IF(us[${i - 1}] < 0, NULL, timestamp_micros(us[${i - 1}]))")
         .as(s"t$i")): _*)
+  }
+
+  /** Streaming rolling-anomaly monitor — the in-flight form of
+    * [[graft.pipeline.Events.rollingAnomaly]]: each event is scored
+    * against the mean/std of the PRIOR `n` values of its own
+    * (user, event_type) stream, held as fixed-size state (<= n scaled
+    * longs per live key, evicted `horizonMinutes` of event time after
+    * the key's newest event). Append mode: every event emits exactly
+    * one scored row when processed.
+    *
+    * Parity contract (spec-pinned): values fold through the SAME
+    * DECIMAL(18,6)-micros quantization and the same fixed-order double
+    * mean/var/std/z expressions as the batch op (BigDecimal sums are
+    * exact; `BigDecimal.doubleValue` is the correctly-rounded cast
+    * both engines use), and within a micro-batch events fold in
+    * (event-time, event_id) order — so for any prefix of batches whose
+    * cross-batch delivery respects event-time order per key, the
+    * emitted rows equal the batch op's row-for-row. A late event
+    * (within the watermark) is scored against the CURRENT ring rather
+    * than its historical position — already-scored rows are never
+    * revised (the standard streaming trade; the batch op is the
+    * retrospective truth). Events older than the watermark are dropped
+    * by the stateful operator. */
+  def rollingAnomalyStream(spark: SparkSession, events: DataFrame,
+                           n: Int = 8, zThresh: Double = 3.0, minPrior: Int = 4,
+                           watermark: String = "30 minutes",
+                           horizonMinutes: Int = 24 * 60): Dataset[RollOut] = {
+    require(n >= 1 && minPrior >= 1 && minPrior <= n,
+      s"need 1 <= minPrior <= n, got n=$n minPrior=$minPrior")
+    import spark.implicits._
+    val horizonMs = horizonMinutes.toLong * 60000L
+
+    def toUs(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    // the exact cast chain of CAST(value AS DECIMAL(18,6)) — see
+    // sessionizeStream's valueMicros for why BigDecimal.valueOf
+    def valueMicros(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .scaleByPowerOfTen(6).longValueExact
+    def r9(x: Double): Double = math.floor(x * 1.0e9 + 0.5) / 1.0e9
+
+    def score(e: RollEvent, ring: Seq[Long]): RollOut = {
+      val nPrior = ring.size
+      if (nPrior == 0)
+        RollOut(e.event_id, e.user_id, e.event_type, e.ts, e.value, 0,
+          None, None, None, is_anomaly = false)
+      else {
+        // exact decimal sums -> correctly-rounded double casts, then
+        // the batch op's expression order verbatim
+        val dSum = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(ring.sum), 6).doubleValue
+        val dSumsq = new java.math.BigDecimal(
+          ring.map(m => BigInt(m) * BigInt(m)).sum.bigInteger, 12).doubleValue
+        val dN = nPrior.toDouble
+        val mean = dSum / dN
+        val vr = math.max(0.0, (dSumsq - dSum * dSum / dN) / dN)
+        val std = math.sqrt(vr)
+        val z = if (std > 0.0) Some((e.value - mean) / std) else None
+        val flag = nPrior >= minPrior && std > 0.0 && math.abs(z.get) > zThresh
+        RollOut(e.event_id, e.user_id, e.event_type, e.ts, e.value, nPrior,
+          Some(r9(mean)), Some(r9(std)), z.map(r9), flag)
+      }
+    }
+
+    def run(key: (Long, String), evs: Iterator[RollEvent],
+            state: GroupState[RollState]): Iterator[RollOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = evs.toIndexedSeq.sortBy(e => (toUs(e.ts), e.event_id))
+        var ring = state.getOption.map(_.ring).getOrElse(Seq.empty)
+        val out = sorted.map { e =>
+          val scored = score(e, ring)
+          ring = (ring :+ valueMicros(e.value)).takeRight(n)
+          scored
+        }
+        val lastMs = math.max(
+          state.getOption.map(_.lastMs).getOrElse(Long.MinValue),
+          sorted.lastOption.map(_.ts.getTime).getOrElse(Long.MinValue))
+        state.update(RollState(ring, lastMs))
+        state.setTimeoutTimestamp(lastMs + horizonMs)
+        out.iterator
+      }
+    }
+
+    events.selectExpr("CAST(event_id AS LONG) AS event_id",
+        "CAST(user_id AS LONG) AS user_id", "event_type", "ts",
+        "CAST(value AS DOUBLE) AS value")
+      .withWatermark("ts", watermark)
+      .as[RollEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(run)
   }
 
   /** Streaming cohort retention against STATIC cohorts — the in-flight
