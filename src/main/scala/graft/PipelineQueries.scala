@@ -1597,29 +1597,36 @@ object PipelineQueries {
       (s, dir) => Events.rollingAnomaly(events(s, dir)).orderBy("event_id"),
       Some(s"""WITH ev AS ($evCte),
         w AS (SELECT event_id, user_id, event_type, ts, value,
-                CAST(value AS DECIMAL(18,6)) AS vd
+                CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
               FROM ev),
         x AS (SELECT *,
-                CAST(count(vd) OVER wnd AS INTEGER) AS n_prior,
-                sum(vd) OVER wnd AS s,
-                sum(CAST(vd * vd AS DECIMAL(38,12))) OVER wnd AS sq
+                CAST(count(vu) OVER wnd AS INTEGER) AS n_prior,
+                sum(CAST(vu AS DECIMAL(18,0))) OVER wnd AS su,
+                sum(CAST(vu AS DECIMAL(18,0)) * CAST(vu AS DECIMAL(18,0)))
+                  OVER wnd AS ssq
               FROM w
               WINDOW wnd AS (PARTITION BY user_id, event_type
                 ORDER BY ts, event_id
                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+        nm AS (SELECT *,
+                CAST(n_prior AS DECIMAL(2,0)) * CAST(ssq AS DECIMAL(36,0))
+                  - CAST(su AS DECIMAL(19,0)) * CAST(su AS DECIMAL(19,0)) AS num
+              FROM x),
         y AS (SELECT *,
                 CASE WHEN n_prior > 0
-                  THEN CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE) END AS mean,
-                CASE WHEN n_prior > 0 THEN greatest(0.0e0,
-                  (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                     / CAST(n_prior AS DOUBLE)) / CAST(n_prior AS DOUBLE)) END AS var
-              FROM x),
+                  THEN CAST(su AS DOUBLE) / 1.0e6 / CAST(n_prior AS DOUBLE) END AS mean,
+                CASE WHEN n_prior > 0 THEN CAST(num AS DOUBLE)
+                  / (CAST(n_prior AS DOUBLE) * CAST(n_prior AS DOUBLE)) / 1.0e12 END AS var
+              FROM nm),
         zz AS (SELECT *, sqrt(var) AS std FROM y),
-        a AS (SELECT *, CASE WHEN std > 0.0e0
-                THEN (value - mean) / std END AS zs FROM zz)
+        a AS (SELECT *,
+                CASE WHEN std > 0.0e0 THEN (value - mean) / std END AS zs,
+                CASE WHEN std > 0.0e0 THEN
+                  least(greatest((value - mean) / std, -1.0e9), 1.0e9) END AS zc
+              FROM zz)
         SELECT event_id, user_id, event_type, ts, value, n_prior,
           ${r9("mean")} AS roll_mean, ${r9("std")} AS roll_std,
-          ${r9("zs")} AS z,
+          ${r9("zc")} AS z,
           coalesce(n_prior >= 4 AND std > 0.0e0 AND abs(zs) > 3.0e0, false)
             AS is_anomaly
         FROM a ORDER BY event_id""")),

@@ -146,12 +146,24 @@ object Events {
     * never pollutes its own baseline). Flags rows with at least
     * `minPrior` history, positive spread, and |z| > `zThresh`.
     *
-    * Parity: the window sums run in DECIMAL (exact and
-    * order-independent, so Spark's frame accumulation and the oracle's
-    * agree bit-for-bit); mean/var/std/z are fixed-order double
-    * expressions mirrored verbatim in the oracle SQL, outputs
-    * r9-rounded, and the flag is computed from the UNROUNDED values by
-    * the identical expression on both engines.
+    * Parity AND numerical honesty share one mechanism: values quantize
+    * to DECIMAL(18,6) micros, and the variance NUMERATOR
+    * `n·Σm² − (Σm)²` is computed exactly in integer decimals — a
+    * constant baseline yields var = EXACTLY 0 (no flag), where the
+    * textbook float form `Σv²/n − mean²` leaves cancellation noise
+    * (~1 ulp of Σv²) that both fabricates spurious ~1e-6 "spreads"
+    * under constant baselines and, divided into a real deviation,
+    * z-scores in the 1e10 range (seen at sf0.1: z = 3.6e10, where
+    * Spark's LONG-returning floor() clamps the r9 quantization at
+    * 2^63 and DuckDB's double floor() does not — the one divergence
+    * this operator ever produced). The double mean/var/std/z chain is
+    * fixed-order and mirrored verbatim in the oracle; the reported z
+    * is clamped to ±1e9 identically on both engines (exact-integer
+    * var bounds a nonzero numerator at ≥ 1, so z is finite, but its
+    * scale is data-dependent; the clamp keeps the nano-quantization
+    * in Long range for ANY input) while the flag evaluates the
+    * unclamped value. Exactness contract: |value| ≤ ~1e12 keeps
+    * Σm² within DECIMAL(38,0) for any n ≤ 100.
     *
     * Scale shape: one hash exchange on (user_id, event_type) + a
     * within-partition sort, then a single WindowExec pass buffering at
@@ -171,27 +183,34 @@ object Events {
     val trail = byKey.rowsBetween(-n, -1)
     val zLit = graft.regrid.Rounding.sqlLit(zThresh)
     events
-      .withColumn("__vd", expr("CAST(value AS DECIMAL(18,6))"))
-      .withColumn("__vq", expr("CAST(__vd * __vd AS DECIMAL(38,12))"))
-      .withColumn("n_prior", count(col("__vd")).over(trail).cast("int"))
-      .withColumn("__sum", sum(col("__vd")).over(trail))
-      .withColumn("__sumsq", sum(col("__vq")).over(trail))
+      .withColumn("__vu", expr(
+        "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+      .withColumn("n_prior", count(col("__vu")).over(trail).cast("int"))
+      .withColumn("__su", sum(expr("CAST(__vu AS DECIMAL(18,0))")).over(trail))
+      .withColumn("__ssq", sum(expr(
+        "CAST(__vu AS DECIMAL(18,0)) * CAST(__vu AS DECIMAL(18,0))")).over(trail))
+      // n·Σm² − (Σm)² — exact integer decimals throughout (the casts
+      // keep every product within both engines' 38-digit ceiling)
+      .withColumn("__num", expr(
+        """CAST(n_prior AS DECIMAL(2,0)) * CAST(__ssq AS DECIMAL(36,0))
+           - CAST(__su AS DECIMAL(19,0)) * CAST(__su AS DECIMAL(19,0))"""))
       .withColumn("__mean", expr(
-        "CASE WHEN n_prior > 0 THEN CAST(__sum AS DOUBLE) / CAST(n_prior AS DOUBLE) END"))
+        "CASE WHEN n_prior > 0 THEN CAST(__su AS DOUBLE) / 1.0e6 / CAST(n_prior AS DOUBLE) END"))
       .withColumn("__var", expr(
-        """CASE WHEN n_prior > 0 THEN greatest(0.0e0,
-          (CAST(__sumsq AS DOUBLE) - CAST(__sum AS DOUBLE) * CAST(__sum AS DOUBLE)
-             / CAST(n_prior AS DOUBLE)) / CAST(n_prior AS DOUBLE)) END"""))
+        """CASE WHEN n_prior > 0 THEN CAST(__num AS DOUBLE)
+           / (CAST(n_prior AS DOUBLE) * CAST(n_prior AS DOUBLE)) / 1.0e12 END"""))
       .withColumn("__std", expr("sqrt(__var)"))
       .withColumn("__z", expr(
         "CASE WHEN __std > 0.0e0 THEN (value - __mean) / __std END"))
+      .withColumn("__zc", expr(
+        "CASE WHEN __std > 0.0e0 THEN least(greatest(__z, -1.0e9), 1.0e9) END"))
       .withColumn("is_anomaly", expr(
         s"coalesce(n_prior >= $minPrior AND __std > 0.0e0 AND abs(__z) > $zLit, false)"))
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
         col("value"), col("n_prior"),
         graft.regrid.Rounding.r9(col("__mean")).as("roll_mean"),
         graft.regrid.Rounding.r9(col("__std")).as("roll_std"),
-        graft.regrid.Rounding.r9(col("__z")).as("z"),
+        graft.regrid.Rounding.r9(col("__zc")).as("z"),
         col("is_anomaly"))
   }
 

@@ -297,20 +297,23 @@ object StreamingOps {
         RollOut(e.event_id, e.user_id, e.event_type, e.ts, e.value, 0,
           None, None, None, is_anomaly = false)
       else {
-        // exact decimal sums -> correctly-rounded double casts, then
-        // the batch op's expression order verbatim
-        val dSum = new java.math.BigDecimal(
-          java.math.BigInteger.valueOf(ring.sum), 6).doubleValue
-        val dSumsq = new java.math.BigDecimal(
-          ring.map(m => BigInt(m) * BigInt(m)).sum.bigInteger, 12).doubleValue
+        // the batch op's exact-integer variance numerator n·Σm² − (Σm)²
+        // (BigInt = the decimal(38,0) arithmetic; toDouble below is the
+        // same correctly-rounded cast as CAST(decimal AS DOUBLE)), then
+        // its double expression order verbatim
+        val su = ring.sum
+        val num = BigInt(nPrior) * ring.map(m => BigInt(m) * BigInt(m)).sum -
+          BigInt(su) * BigInt(su)
         val dN = nPrior.toDouble
-        val mean = dSum / dN
-        val vr = math.max(0.0, (dSumsq - dSum * dSum / dN) / dN)
+        val mean = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(su)).doubleValue / 1.0e6 / dN
+        val vr = new java.math.BigDecimal(num.bigInteger).doubleValue / (dN * dN) / 1.0e12
         val std = math.sqrt(vr)
         val z = if (std > 0.0) Some((e.value - mean) / std) else None
+        val zc = z.map(v => math.min(math.max(v, -1.0e9), 1.0e9))
         val flag = nPrior >= minPrior && std > 0.0 && math.abs(z.get) > zThresh
         RollOut(e.event_id, e.user_id, e.event_type, e.ts, e.value, nPrior,
-          Some(r9(mean)), Some(r9(std)), z.map(r9), flag)
+          Some(r9(mean)), Some(r9(std)), zc.map(r9), flag)
       }
     }
 
