@@ -107,7 +107,8 @@ object PipelineScaleProbe {
                        "simhash", "assign2level", "train4096", "ccrounds",
                        "percentiles", "asof", "rangejoin", "kmv", "cm",
                        "vectorkernel", "asofskew", "graphs10x", "bpefold",
-                       "hll100m", "robuststats", "annio", "funnelstream")
+                       "hll100m", "robuststats", "annio", "funnelstream",
+                       "rolling", "phrase")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -1145,6 +1146,79 @@ object PipelineScaleProbe {
         s"state rows: $stateRows (bound: users reaching step 1 = ${static.size})")
       require(stateRows <= static.size,
         s"state $stateRows exceeds the reached-step-1 population ${static.size}")
+    }
+
+    if (sections("rolling")) {
+      // X61 rolling anomaly at 10M events / 100k keys, closed-form
+      // truth: per key, positions i = 0..99 at 1 s spacing cycle value
+      // i mod 5 with a 1000.0 spike at i ≡ 49 (mod 50). Every spike
+      // lands on a varied low baseline (z ≈ 7e2 ≫ 3 → flagged) and
+      // every post-spike normal divides a spike-inflated std
+      // (z ≈ 0.4 ≪ 3 → silent), so the expected flag set is EXACTLY
+      // the spikes: 2 per key, nothing else — any frame-bounds,
+      // ordering, or variance fault shows as a count/placement drift.
+      val keys = 100000L
+      val ev = spark.range(keys * 100).selectExpr(
+        "id AS event_id", "id DIV 100 AS user_id", "'m' AS event_type",
+        "timestamp_micros((id % 100) * 1000000) AS ts",
+        "CASE WHEN id % 50 = 49 THEN 1000.0e0 ELSE CAST(id % 5 AS DOUBLE) END AS value")
+      val ra = Events.rollingAnomaly(ev)
+      auditPlan("rolling anomaly 10M x 100k keys", ra)
+      time("rolling anomaly, 10M events / 100k keys") {
+        val agg = ra.selectExpr(
+          "CAST(is_anomaly AS INT) AS f",
+          "CASE WHEN is_anomaly AND event_id % 50 != 49 THEN 1 ELSE 0 END AS off")
+          .agg(sum("f"), sum("off"), count(lit(1))).head()
+        require(agg.getLong(2) == keys * 100, s"row count ${agg.getLong(2)}")
+        require(agg.getLong(1) == 0L, s"${agg.getLong(1)} flags off the spike positions")
+        require(agg.getLong(0) == keys * 2, s"flags ${agg.getLong(0)} != ${keys * 2}")
+        keys * 100
+      }
+      // per-key work is inherently sequential (order-dependent stats):
+      // the mega-key regime is one task folding the key's whole run —
+      // linear, just not parallel; time it to keep the claim honest
+      val mega = spark.range(1000000).selectExpr(
+        "id AS event_id", "CAST(0 AS BIGINT) AS user_id", "'m' AS event_type",
+        "timestamp_micros(id * 1000000) AS ts",
+        "CASE WHEN id % 50 = 49 THEN 1000.0e0 ELSE CAST(id % 5 AS DOUBLE) END AS value")
+      time("rolling anomaly, mega-key: 1M events on ONE key") {
+        val f = Events.rollingAnomaly(mega)
+          .agg(sum(expr("CAST(is_anomaly AS INT)"))).head().getLong(0)
+        require(f == 2 * 1000000 / 100, s"mega-key flags $f")
+        1000000L
+      }
+    }
+
+    if (sections("phrase")) {
+      // X63 phrase search at 10M docs: a planted phrase with an exact
+      // closed-form answer (' p q' appended to ids ≡ 0 mod 100 — the
+      // p/q tokens exist nowhere else in the w### vocabulary, so
+      // exactly nDocs/100 docs match, once each, at position 20) plus
+      // an organic phrase cross-checked against an independent regexp
+      // scan of the same corpus (doc-set equality, not just counts).
+      val nDocs = 10000000L
+      val docs = corpus(nDocs).selectExpr("doc_id",
+        "concat(text, CASE WHEN doc_id % 100 = 0 THEN ' p q' ELSE '' END) AS text")
+      val pm = Search.phraseMatch(docs, Seq(Seq("p", "q"), Seq("w1", "w2")))
+      auditPlan("phrase search 10M docs", pm)
+      time("phrase search, 10M docs, planted + organic phrase") {
+        val planted = pm.filter("phrase = 'p q'")
+        val pAgg = planted.selectExpr(
+          "CASE WHEN n_matches = 1 AND first_pos = 20 AND doc_id % 100 = 0 THEN 0 ELSE 1 END AS bad")
+          .agg(count(lit(1)), sum("bad")).head()
+        require(pAgg.getLong(0) == nDocs / 100,
+          s"planted matches ${pAgg.getLong(0)} != ${nDocs / 100}")
+        require(pAgg.getLong(1) == 0L, s"${pAgg.getLong(1)} malformed planted matches")
+        pAgg.getLong(0)
+      }
+      time("phrase search organic vs regexp scan, 10M docs") {
+        val got = pm.filter("phrase = 'w1 w2'").select("doc_id")
+        val want = docs.filter("text rlike '(^| )w1 w2( |$)'").select("doc_id")
+        val diff = got.unionAll(want).groupBy("doc_id").agg(count(lit(1)).as("c"))
+          .filter("c != 2").count()
+        require(diff == 0L, s"$diff docs disagree with the regexp scan")
+        want.count()
+      }
     }
 
     println(s"== plan failures: $planFailures")
