@@ -108,7 +108,7 @@ object PipelineScaleProbe {
                        "percentiles", "asof", "rangejoin", "kmv", "cm",
                        "vectorkernel", "asofskew", "graphs10x", "bpefold",
                        "hll100m", "robuststats", "annio", "funnelstream",
-                       "rolling", "phrase")
+                       "rolling", "phrase", "rollingstream")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -1146,6 +1146,66 @@ object PipelineScaleProbe {
         s"state rows: $stateRows (bound: users reaching step 1 = ${static.size})")
       require(stateRows <= static.size,
         s"state $stateRows exceeds the reached-step-1 population ${static.size}")
+    }
+
+    if (sections("rollingstream")) {
+      // the streaming rolling-anomaly monitor at 1M events / 10k keys
+      // through 10 ordered micro-batches: throughput through the
+      // flatMapGroupsWithState plan, state BOUNDED at (live keys) rows
+      // regardless of event volume, and the emitted rows equal to the
+      // batch operator ROW-FOR-ROW under ordered delivery.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val nEv = 1000000
+      // 100 events per key => the closed-form spike positions (49, 99)
+      // actually occur, exercising the flag path at volume
+      val nUsers = 10000L
+      val t0us = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime * 1000L
+      def tsOf(i: Int) = {
+        val us = t0us + i * 100000L
+        val t = new java.sql.Timestamp(us / 1000L)
+        t.setNanos(((us % 1000000L) * 1000L).toInt)
+        t
+      }
+      // event i: user i%nUsers, value cycles 0..4 with a 1000.0 spike
+      // every 50th event of a key — the rolling probe's closed form
+      val rows: IndexedSeq[(Long, Long, String, java.sql.Timestamp, Double)] =
+        (0 until nEv).map { i =>
+          val pos = i / nUsers.toInt
+          (i.toLong, i % nUsers, "m", tsOf(i),
+            if (pos % 50 == 49) 1000.0 else (pos % 5).toDouble)
+        }
+      val batchDf = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      val static = Events.rollingAnomaly(batchDf).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(5), r.get(6), r.get(7), r.get(8),
+          r.getBoolean(9)))).toMap
+      val stream = MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+      val out = graft.streaming.StreamingOps.rollingAnomalyStream(spark,
+        stream.toDF().toDF("event_id", "user_id", "event_type", "ts", "value"),
+        horizonMinutes = 7 * 24 * 60)
+      val got = new java.util.concurrent.ConcurrentHashMap[Long, (Int, Any, Any, Any, Boolean)]()
+      val q = out.toDF().writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r => got.put(r.getLong(0),
+            (r.getInt(5), r.get(6), r.get(7), r.get(8), r.getBoolean(9))))
+        }.start()
+      time("streaming rolling anomaly, 1M events / 10k keys, 10 batches") {
+        rows.grouped(nEv / 10).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+        got.size.toLong
+      }
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      q.stop()
+      require(got.size == nEv, s"emitted ${got.size} rows != $nEv")
+      val diffs = static.keysIterator.count(k => got.get(k) != static(k))
+      require(diffs == 0, s"$diffs streamed rows differ from the batch operator")
+      println(s"  all $nEv streamed rows equal batch rollingAnomaly; " +
+        s"state rows: $stateRows (bound: live keys = $nUsers)")
+      require(stateRows <= nUsers, s"state $stateRows exceeds the key population $nUsers")
     }
 
     if (sections("rolling")) {
