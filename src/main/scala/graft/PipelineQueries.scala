@@ -895,6 +895,40 @@ object PipelineQueries {
           FROM e ORDER BY source"""
       }),
 
+    QueryDef("q_corpus_layout",
+      // the corpus STORAGE-LAYOUT lifecycle (CorpusIO), oracle-proven
+      // layout-invariant: the corpus is rewritten partitioned by lang
+      // (hive directories → planning-time partition pruning) and
+      // range-clustered + sorted on n_chars (parquet footer stats →
+      // read-time file/row-group skipping), then a selective question
+      // — one language, one length band — is answered THROUGH the
+      // layout round-trip. The oracle computes the same answer from
+      // the raw pile, so the gate proves the layout changes the scan
+      // cost (probe section `layout`) and nothing else. The 100 TB
+      // shape: every selective downstream job reads only its
+      // directory's files instead of the whole corpus.
+      (s, dir) => {
+        val base = sketchIoPath(s)
+        val path = s"$base/corpus_lang"
+        CorpusIO.writeLayout(docs(s, dir), path,
+          partitionCols = Seq("lang"), sortCols = Seq("n_chars"),
+          fileTargets = 8)
+        CorpusIO.readLayout(s, path)
+          .filter(col("lang") === "en" && col("n_chars").between(200, 800))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents
+        WHERE lang = 'en' AND n_chars BETWEEN 200 AND 800
+        GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("q_kmv_jaccard",
       // pairwise source-overlap estimation from KMV sketches ALONE
       // (sketches are closed under union: merge + re-truncate IS the

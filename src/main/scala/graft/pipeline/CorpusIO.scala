@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage layout for the corpus itself — the G9 persist-once
+  * discipline (reference `frontend.py:264-280`: build the expensive
+  * artifact once, every later consumer reads it cheaply) applied to
+  * the 100 TB document store rather than to a derived summary.
+  *
+  * At 100 TB the dominant cost of every downstream job is the scan,
+  * and most jobs are SELECTIVE: one language, one source, one length
+  * band, one ingest day. A corpus written as an unordered pile of
+  * Parquet files makes every such job read all of it. Two layout
+  * decisions at WRITE time make the selective read cheap forever:
+  *
+  *  - hive-style directory partitioning on the low-cardinality
+  *    predicate columns (`partitionBy`) → Catalyst partition pruning
+  *    eliminates whole directories at PLANNING time (the scan's
+  *    `PartitionFilters`; zero I/O for pruned values);
+  *  - range-clustering + in-file ordering on the high-cardinality
+  *    predicate columns (`repartitionByRange` + `sortWithinPartitions`)
+  *    → each file covers a narrow, non-overlapping slice of the sort
+  *    key, so Parquet min/max footer stats let pushed-down range
+  *    predicates (`PushedFilters`) skip whole files and row groups at
+  *    READ time.
+  *
+  * Both prunings are visible in the plan and measured in
+  * `PipelineScaleProbe` (section `layout`): the selective read touches
+  * only the matching directory's files, the full-pile read touches all
+  * of them. Range partitioning SAMPLES the combined key, so a skewed
+  * partition value (one dominant language) spreads over proportionally
+  * many tasks instead of wedging one writer — the layout write itself
+  * survives skew. Results are layout-invariant (hash-gated by
+  * `q_corpus_layout`, which answers through a round-trip).
+  */
+object CorpusIO {
+
+  /** Write `docs` under `path` partitioned by `partitionCols`
+    * (hive-style directories) and range-clustered + sorted on
+    * `partitionCols ++ sortCols`. `fileTargets` is the shuffle width
+    * of the clustering (≈ output file count before directory
+    * boundaries); 0 = the session's shuffle partitions. No-clobber
+    * (V8, reference `backend.py:269-272`): a corpus snapshot is
+    * immutable history — new data gets a new snapshot directory.
+    *
+    * The combined range key `(partitionCols, sortCols)` keeps each
+    * writer task inside one (or few) hive directories — total file
+    * count stays ≈ `fileTargets`, not `fileTargets × |partitions|` —
+    * while giving non-overlapping sort ranges per file WITHIN each
+    * directory, which is what makes the footer-stats skipping
+    * effective. */
+  def writeLayout(docs: DataFrame, path: String, partitionCols: Seq[String],
+                  sortCols: Seq[String], fileTargets: Int = 0): Unit = {
+    require(partitionCols.nonEmpty, "writeLayout needs >= 1 partition column")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      throw new IllegalStateException(
+        s"Corpus layout $path already exists! Write a new snapshot directory " +
+          "(no-clobber, reference backend.py:269-272)")
+    val n = if (fileTargets > 0) fileTargets
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = (partitionCols ++ sortCols).map(col)
+    docs.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Read a layout back. Partition columns are reconstructed from the
+    * directory names (they come LAST in the read schema — select by
+    * name, not position). String partition values round-trip exactly
+    * (URL-escaped in the path); numeric-LOOKING strings would be
+    * re-typed by partition-column type inference, so callers with such
+    * values should disable
+    * `spark.sql.sources.partitionColumnTypeInference.enabled`. */
+  def readLayout(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

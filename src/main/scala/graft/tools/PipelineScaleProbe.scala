@@ -88,7 +88,11 @@ import graft.pipeline._
   *  - `funnelstream`: the streaming funnel at 1M events / 100k users
   *                through MemoryStream micro-batches — throughput,
   *                state bounded by the reached-step-1 population, and
-  *                final chains row-equal to the batch funnel.
+  *                final chains row-equal to the batch funnel;
+  *  - `layout`:   X64 corpus layout at 4M docs — the same selective
+  *                question against an unordered pile vs a CorpusIO
+  *                layout; partition pruning + footer skipping must
+  *                show in the files-read METRIC, answers identical.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -108,7 +112,7 @@ object PipelineScaleProbe {
                        "percentiles", "asof", "rangejoin", "kmv", "cm",
                        "vectorkernel", "asofskew", "graphs10x", "bpefold",
                        "hll100m", "robuststats", "annio", "funnelstream",
-                       "rolling", "phrase", "rollingstream")
+                       "rolling", "phrase", "rollingstream", "layout")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -1206,6 +1210,66 @@ object PipelineScaleProbe {
       println(s"  all $nEv streamed rows equal batch rollingAnomaly; " +
         s"state rows: $stateRows (bound: live keys = $nUsers)")
       require(stateRows <= nUsers, s"state $stateRows exceeds the key population $nUsers")
+    }
+
+    if (sections("layout")) {
+      // X64 corpus layout at 4M docs / 16 langs: the same selective
+      // question (one lang, one n_chars band) against an unordered
+      // pile vs a CorpusIO layout — partition pruning + footer-stats
+      // skipping must show up in the files-read METRIC, not just the
+      // plan text, and the answers must be identical.
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(scans)
+      }
+      def filesRead(df: DataFrame): Long =
+        scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+      val n = 4000000L
+      val base = "/root/repo/target/probe_layout"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docsDf = spark.range(n).select(
+        col("id").as("doc_id"),
+        md5(col("id").cast("string")).as("text"),
+        concat(lit("l"), (col("id") % 16).cast("string")).as("lang"),
+        concat(lit("s"), (col("id") % 50).cast("string")).as("source"),
+        (lit(50) + pmod(col("id") * 37, lit(2000))).as("n_chars"))
+      time("layout: 4M-doc pile write (64 unordered files)") {
+        docsDf.repartition(64).write.parquet(s"$base/pile"); n
+      }
+      time("layout: CorpusIO write, partitionBy lang / sort n_chars") {
+        CorpusIO.writeLayout(docsDf, s"$base/layout",
+          Seq("lang"), Seq("n_chars"), fileTargets = 64)
+        n
+      }
+      def ask(df: DataFrame): (DataFrame, Array[org.apache.spark.sql.Row]) = {
+        val q = df.filter(col("lang") === "l3" && col("n_chars").between(1800, 1899))
+          .groupBy("source").agg(count(lit(1)).as("n"), sum("n_chars").as("sc"))
+          .orderBy("source")
+        (q, q.collect())
+      }
+      var pile: Array[org.apache.spark.sql.Row] = null
+      var laid: Array[org.apache.spark.sql.Row] = null
+      var pileFiles = 0L; var laidFiles = 0L
+      time("layout: selective question over the PILE") {
+        val (q, r) = ask(spark.read.parquet(s"$base/pile"))
+        auditPlan("pile scan", q); pileFiles = filesRead(q); pile = r; r.length.toLong
+      }
+      time("layout: selective question over the LAYOUT") {
+        val (q, r) = ask(CorpusIO.readLayout(spark, s"$base/layout"))
+        auditPlan("layout scan", q); laidFiles = filesRead(q); laid = r; r.length.toLong
+      }
+      require(pile.map(_.toSeq).toSeq == laid.map(_.toSeq).toSeq,
+        "layout changed the ANSWER — it may only change the scan cost")
+      println(s"  files read: pile $pileFiles vs layout $laidFiles")
+      require(pileFiles > 0, "files-read metric walk found no scan — walk is broken")
+      require(laidFiles * 8 <= pileFiles,
+        s"layout read $laidFiles of $pileFiles files — pruning is not engaging")
     }
 
     if (sections("rolling")) {

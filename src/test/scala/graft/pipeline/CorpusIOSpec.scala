@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The corpus storage-layout lifecycle (CorpusIO): q_corpus_layout
+  * proves layout-INVARIANCE of results through the oracle; this spec
+  * proves the layout actually BUYS the scan reduction it exists for —
+  * partition pruning visible in the plan AND in the files-read metric,
+  * footer-stats pushdown on the sort column, exact round-trip of every
+  * row, and the V8 no-clobber contract. */
+class CorpusIOSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("corpus-io")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def tmpBase(): String = {
+    val d = java.nio.file.Files.createTempDirectory("corpus_io_spec").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  // 8 langs × uneven sizes, n_chars spread wide enough that the range
+  // clustering produces multiple files per hot directory
+  private def corpus: DataFrame =
+    (0 until 4000).map { i =>
+      (i.toLong, s"doc text $i", s"l${i % 8}", s"s${i % 5}", 50L + (i * 37) % 900)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case q: QueryStageExec => scans(q.plan)
+    case s: FileSourceScanExec => Seq(s)
+    case o => o.children.flatMap(scans)
+  }
+  private def filesRead(df: DataFrame): Long = {
+    df.collect()
+    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
+
+  test("round trip preserves every row exactly (partition cols reconstructed)") {
+    val path = s"${tmpBase()}/layout"
+    CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 6)
+    val back = CorpusIO.readLayout(spark, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.collect().map(_.toSeq).toSet === corpus.collect().map(_.toSeq).toSet)
+    assert(back.schema("lang").dataType.typeName === "string",
+      "partition-column type inference must not re-type a plain-string lang")
+  }
+
+  test("selective read prunes directories at planning time and files at read time") {
+    val path = s"${tmpBase()}/layout"
+    CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 6)
+    val all = CorpusIO.readLayout(spark, path)
+    val total = filesRead(all.select("doc_id"))
+    val sel = CorpusIO.readLayout(spark, path)
+      .filter(col("lang") === "l3" && col("n_chars") >= 700)
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang predicate must prune at planning time, got:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(n_chars,700)"),
+      s"n_chars range must reach the parquet footer (PushedFilters), got:\n$plan")
+    val selFiles = filesRead(sel)
+    assert(selFiles < total,
+      s"selective scan read $selFiles of $total files — no pruning happened")
+    // correctness of the pruned answer vs the in-memory truth
+    assert(sel.count() ===
+      corpus.filter(col("lang") === "l3" && col("n_chars") >= 700).count())
+  }
+
+  test("no-clobber: a second write to the same snapshot path refuses") {
+    val path = s"${tmpBase()}/layout"
+    CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 2)
+    val e = intercept[IllegalStateException] {
+      CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 2)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+}
