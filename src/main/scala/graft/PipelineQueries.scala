@@ -929,6 +929,39 @@ object PipelineQueries {
         WHERE lang = 'en' AND n_chars BETWEEN 200 AND 800
         GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("q_corpus_zorder",
+      // the multi-column layout (CorpusIO z-order), oracle-proven
+      // layout-invariant: the corpus is rewritten clustered on the
+      // Morton interleave of (n_chars, doc_id) equal-frequency ranks,
+      // then a TWO-column selective question is answered through the
+      // round-trip while the oracle reads the raw pile. The scan
+      // economics — either column's range predicate alone skips files
+      // — are measured in probe `zorder` (single-key sort: 2% on its
+      // key, 73% off it; z-order: ≤13% on both) and pinned in
+      // CorpusIOSpec; the gate proves the curve changes nothing else.
+      (s, dir) => {
+        val base = sketchIoPath(s)
+        val path = s"$base/corpus_z"
+        CorpusIO.writeLayoutZordered(docs(s, dir), path,
+          partitionCols = Nil, zCols = Seq("n_chars", "doc_id"),
+          bits = 4, fileTargets = 8)
+        CorpusIO.readLayout(s, path)
+          .filter(col("n_chars").between(250, 600) &&
+            col("doc_id").between(100, 400))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            min("doc_id").as("min_doc"),
+            max("doc_id").as("max_doc"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM documents
+        WHERE n_chars BETWEEN 250 AND 600 AND doc_id BETWEEN 100 AND 400
+        GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("q_kmv_jaccard",
       // pairwise source-overlap estimation from KMV sketches ALONE
       // (sketches are closed under union: merge + re-truncate IS the

@@ -67,6 +67,61 @@ object CorpusIO {
       .write.partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Z-order (Morton) variant of [[writeLayout]]: clusters on the
+    * bit-interleaving of equal-frequency bucket ranks of `zCols`, so
+    * range predicates on ANY of the z columns — not just a leading
+    * sort key — skip files and row groups via the parquet footer
+    * stats. The trade a single-key sort cannot make: sorting on
+    * `(x, y)` gives perfect locality on `x` and NONE on `y`; the
+    * z-curve gives ~|files|^(1/k) locality on each of the k columns.
+    *
+    * Scale shape: one `approx_percentile` aggregate over the corpus
+    * (map-side combinable; 2^bits−1 boundaries per column come back
+    * to the driver and re-enter the plan as literals — bounded by the
+    * parameters, never the corpus), then a literal-array rank +
+    * bit-interleave projection per row (O(bits·k) bit ops) feeding the
+    * same range-cluster + in-file sort as [[writeLayout]]. Equal-
+    * FREQUENCY buckets (not equal-width) keep the curve balanced under
+    * skewed value distributions. `partitionCols` may be empty (pure
+    * z-file layout). The helper z columns are dropped before the
+    * write; the projection after `sortWithinPartitions` is narrow, so
+    * in-file order is preserved. */
+  def writeLayoutZordered(docs: DataFrame, path: String,
+                          partitionCols: Seq[String], zCols: Seq[String],
+                          bits: Int = 8, fileTargets: Int = 0): Unit = {
+    val k = zCols.size
+    require(k >= 2, s"z-ordering needs >= 2 columns, got $zCols")
+    require(bits >= 1 && bits * k <= 63, s"bits * |zCols| must fit a BIGINT, got $bits * $k")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      throw new IllegalStateException(
+        s"Corpus layout $path already exists! Write a new snapshot directory " +
+          "(no-clobber, reference backend.py:269-272)")
+    val nB = 1 << bits
+    val probs = (1 until nB).map(i => i.toDouble / nB)
+    val bounds = docs.select(zCols.map(c => expr(
+        s"approx_percentile(CAST(`$c` AS DOUBLE), array(${probs.mkString(",")}), 10000)")): _*)
+      .head()
+    val staged = zCols.zipWithIndex.foldLeft(docs) { case (d, (c, j)) =>
+      val bs = bounds.getSeq[Double](j)
+      // rank against the literal boundary array: one codegen'd loop,
+      // 2^bits comparisons per row; NULLs rank 0
+      d.withColumn(s"__zb$j", expr(
+        s"size(filter(array(${bs.mkString(",")}), b -> b <= CAST(`$c` AS DOUBLE)))"))
+    }
+    val terms = for (j <- 0 until k; i <- 0 until bits)
+      yield s"shiftleft(CAST((__zb$j >> $i) & 1 AS BIGINT), ${i * k + j})"
+    val withZ = staged.withColumn("__z", expr(terms.mkString(" + ")))
+    val n = if (fileTargets > 0) fileTargets
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = partitionCols.map(col) :+ col("__z")
+    withZ.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("__z" +: (0 until k).map(j => s"__zb$j"): _*)
+      .write.partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Read a layout back. Partition columns are reconstructed from the
     * directory names (they come LAST in the read schema — select by
     * name, not position). String partition values round-trip exactly

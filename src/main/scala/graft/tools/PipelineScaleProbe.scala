@@ -92,7 +92,12 @@ import graft.pipeline._
   *  - `layout`:   X64 corpus layout at 4M docs — the same selective
   *                question against an unordered pile vs a CorpusIO
   *                layout; partition pruning + footer skipping must
-  *                show in the files-read METRIC, answers identical.
+  *                show in the files-read METRIC, answers identical;
+  *  - `zorder`:   X65 z-order at 4M rows — x-only and y-only range
+  *                questions over pile / sort-on-x / z-order layouts;
+  *                the sort must fail the off-key question, the
+  *                z-curve must serve both (numOutputRows), answers
+  *                identical across all three.
   *
   * Each probe's physical plan is scanned for
   * BroadcastNestedLoopJoin/CartesianProduct — any hit fails the probe
@@ -112,7 +117,8 @@ object PipelineScaleProbe {
                        "percentiles", "asof", "rangejoin", "kmv", "cm",
                        "vectorkernel", "asofskew", "graphs10x", "bpefold",
                        "hll100m", "robuststats", "annio", "funnelstream",
-                       "rolling", "phrase", "rollingstream", "layout")
+                       "rolling", "phrase", "rollingstream", "layout",
+                       "zorder")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -132,6 +138,20 @@ object PipelineScaleProbe {
       val n = f
       println(f"$tag%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
+
+    // scan-metric walk for the storage-layout sections: file scans
+    // hide inside AQE QueryStageExec LEAVES — a naive children
+    // traversal finds zero scans and silently reports 0
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(fileScans)
+    }
+    def scanMetric(df: DataFrame, metric: String): Long =
+      fileScans(df.queryExecution.executedPlan).map(_.metrics(metric).value).sum
 
     // ---- synthetic corpora (hash-derived, fully distributed) ----
 
@@ -1218,16 +1238,7 @@ object PipelineScaleProbe {
       // pile vs a CorpusIO layout — partition pruning + footer-stats
       // skipping must show up in the files-read METRIC, not just the
       // plan text, and the answers must be identical.
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case q: QueryStageExec => scans(q.plan)
-        case s: FileSourceScanExec => Seq(s)
-        case o => o.children.flatMap(scans)
-      }
-      def filesRead(df: DataFrame): Long =
-        scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+      def filesRead(df: DataFrame): Long = scanMetric(df, "numFiles")
       val n = 4000000L
       val base = "/root/repo/target/probe_layout"
       val fs = new org.apache.hadoop.fs.Path(base)
@@ -1270,6 +1281,70 @@ object PipelineScaleProbe {
       require(pileFiles > 0, "files-read metric walk found no scan — walk is broken")
       require(laidFiles * 8 <= pileFiles,
         s"layout read $laidFiles of $pileFiles files — pruning is not engaging")
+    }
+
+    if (sections("zorder")) {
+      // X65 z-order at 4M rows: two independent uniform columns,
+      // three layouts — unordered pile, single-key sort on x, z-order
+      // on (x, y) — and the same two selective questions (an x-only
+      // and a y-only range). The single-key sort must serve x and FAIL
+      // y; the z-curve must serve BOTH. Skipping is measured in the
+      // scan's numOutputRows (row groups surviving footer-stats
+      // pruning), answers must be identical everywhere.
+      val n = 4000000L
+      val base = "/root/repo/target/probe_zorder"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val df = spark.range(n).select(
+        col("id"),
+        (col("id") * 2654435761L % 65536).as("x"),
+        (col("id") * 40503L % 65536).as("y"))
+      time("zorder: pile write (64 unordered files)") {
+        df.repartition(64).write.parquet(s"$base/pile"); n
+      }
+      time("zorder: single-key layout, sort on x") {
+        CorpusIO.writeLayout(df.withColumn("all", lit("a")), s"$base/sortx",
+          Seq("all"), Seq("x"), fileTargets = 64)
+        n
+      }
+      time("zorder: z-order layout on (x, y), 8 bits") {
+        CorpusIO.writeLayoutZordered(df, s"$base/zord",
+          Nil, Seq("x", "y"), bits = 8, fileTargets = 64)
+        n
+      }
+      // top-1/64 range on one column only
+      def ask(df: DataFrame, c: String): (Long, Long, Long) = {
+        val q = df.filter(col(c) >= 64512L)
+          .agg(count(lit(1)).as("n"), sum(col(c)).as("s"))
+        val r = q.collect()(0)
+        auditPlan(s"zorder $c", q)
+        (r.getLong(0), r.getLong(1), scanMetric(q, "numOutputRows"))
+      }
+      val layouts = Seq(
+        "pile " -> spark.read.parquet(s"$base/pile"),
+        "sortx" -> CorpusIO.readLayout(spark, s"$base/sortx"),
+        "zord " -> CorpusIO.readLayout(spark, s"$base/zord"))
+      val res = for (c <- Seq("x", "y"); (tag, d) <- layouts) yield {
+        var out: (Long, Long, Long) = null
+        time(s"zorder: $c-range question over $tag") { out = ask(d, c); out._1 }
+        (c, tag.trim, out)
+      }
+      // identical answers across layouts, per question
+      Seq("x", "y").foreach { c =>
+        val answers = res.filter(_._1 == c).map { case (_, _, (n1, s1, _)) => (n1, s1) }
+        require(answers.distinct.size == 1, s"$c answers differ across layouts: $answers")
+      }
+      res.foreach { case (c, tag, (_, _, scanned)) =>
+        println(s"  $c over $tag: scanned $scanned of $n rows")
+      }
+      def scanned(c: String, tag: String) =
+        res.find(r => r._1 == c && r._2 == tag).get._3._3
+      require(scanned("x", "sortx") * 8 <= n, "sorted layout failed to skip on its own key")
+      require(scanned("x", "zord") * 3 <= n && scanned("y", "zord") * 3 <= n,
+        "z-order layout must skip on BOTH columns")
+      require(scanned("y", "sortx") * 2 > n,
+        "single-key sort unexpectedly skipped on the non-key column (probe premise broken)")
     }
 
     if (sections("rolling")) {

@@ -76,6 +76,29 @@ class CorpusIOSpec extends AnyFunSuite {
       corpus.filter(col("lang") === "l3" && col("n_chars") >= 700).count())
   }
 
+  test("z-order: range predicates on EITHER z column skip row groups; answers exact") {
+    // two independent-ish uniform columns — a single-key sort would
+    // give y-queries nothing; the z-curve must serve both
+    val df = (0 until 4000).map { i =>
+      (i.toLong, (i * 2654435761L) % 4096, (i * 40503L) % 4096)
+    }.toDF("id", "x", "y")
+    val path = s"${tmpBase()}/zlayout"
+    CorpusIO.writeLayoutZordered(df, path, Nil, Seq("x", "y"), bits = 3, fileTargets = 8)
+    val total = CorpusIO.readLayout(spark, path).count()
+    assert(total === 4000L)
+    Seq("x", "y").foreach { c =>
+      val sel = CorpusIO.readLayout(spark, path).filter(col(c) >= 3584)
+      val got = sel.count()
+      val want = df.filter(col(c) >= 3584).count()
+      assert(got === want, s"z-order changed the $c answer")
+      sel.collect()
+      val scanned = scans(sel.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+      assert(scanned < (total * 6) / 10,
+        s"$c-only predicate scanned $scanned of $total rows — no multi-column skipping")
+    }
+  }
+
   test("no-clobber: a second write to the same snapshot path refuses") {
     val path = s"${tmpBase()}/layout"
     CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 2)
