@@ -104,7 +104,9 @@ object CorpusIO {
         s"approx_percentile(CAST(`$c` AS DOUBLE), array(${probs.mkString(",")}), 10000)")): _*)
       .head()
     val staged = zCols.zipWithIndex.foldLeft(docs) { case (d, (c, j)) =>
-      val bs = bounds.getSeq[Double](j)
+      // an all-NULL (or empty-corpus) column has no percentiles — every
+      // row ranks 0 and the column simply stops contributing bits
+      val bs = if (bounds.isNullAt(j)) Seq(0.0) else bounds.getSeq[Double](j)
       // rank against the literal boundary array: one codegen'd loop,
       // 2^bits comparisons per row; NULLs rank 0
       d.withColumn(s"__zb$j", expr(

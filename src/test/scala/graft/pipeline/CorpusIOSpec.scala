@@ -99,6 +99,14 @@ class CorpusIOSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order: an all-NULL z column stops contributing bits instead of crashing the write") {
+    val df = (0 until 100).map(i => (i.toLong, (i * 7L) % 64))
+      .toDF("id", "x").withColumn("y", lit(null).cast("double"))
+    val path = s"${tmpBase()}/znull"
+    CorpusIO.writeLayoutZordered(df, path, Nil, Seq("x", "y"), bits = 3, fileTargets = 2)
+    assert(CorpusIO.readLayout(spark, path).count() === 100L)
+  }
+
   test("no-clobber: a second write to the same snapshot path refuses") {
     val path = s"${tmpBase()}/layout"
     CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 2)
