@@ -114,6 +114,19 @@ object Bench {
       if (f.length > 4) f(4) else -1L
     } catch { case _: Throwable => -1L }
 
+  /** Box-wide cumulative steal jiffies (/proc/stat field 8): time the
+    * HYPERVISOR withheld cpu from this guest — the one wall-spike cause
+    * invisible to gc (this JVM), iowait (this guest's disks), spill
+    * (this app's memory) and foreign-cores (this guest's other
+    * processes) alike. On a shared-host microVM this is the only
+    * in-guest witness to a noisy co-tenant VM. -1 when unreadable. */
+  def stealJiffies(): Long =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      if (f.length > 7) f(7) else -1L
+    } catch { case _: Throwable => -1L }
+
   /** This JVM's cumulative cpu seconds (utime+stime from
     * /proc/self/stat; split after the last ')' guards against spaces
     * in the comm field). */
@@ -239,11 +252,11 @@ object Bench {
     // visible as ok_rounds < runs (never conflated with a clean min)
     // and the load gate can prefer minima from uncontaminated rounds
     case class Sample(round: Int, sec: Double, ok: Boolean, gcSec: Double,
-                      iowaitSec: Double, spillMb: Double)
+                      iowaitSec: Double, spillMb: Double, stealSec: Double)
     case class RoundTel(round: Int, wallSec: Double, loadStart: Double,
                         loadEnd: Double, gcSec: Double,
                         foreignCores: Double, contaminated: Boolean,
-                        iowaitSec: Double, spillMb: Double)
+                        iowaitSec: Double, spillMb: Double, stealSec: Double)
     // per-kernel min: over OK samples from CLEAN rounds when any exist,
     // else over all OK samples with the kernel flagged load-contaminated;
     // null (None) when no round succeeded at all
@@ -266,6 +279,7 @@ object Bench {
         val l0 = loadavg(); val g0 = gcMillis(); val rt0 = System.nanoTime()
         val bj0 = busyJiffies(); val sc0 = selfCpuSec()
         val io0 = iowaitJiffies(); val sp0 = spillMbNow()
+        val st0 = stealJiffies()
         kernels.zipWithIndex.foreach { case ((name, fn), i) =>
           var ok = true
           // per-kernel GC + iowait + spill brackets (r8 verdict #1 /
@@ -274,6 +288,7 @@ object Bench {
           // time, disk-wait time, and shuffle/agg spill out of every
           // reported second)
           val kg0 = gcMillis(); val kio0 = iowaitJiffies(); val ksp0 = spillMbNow()
+          val kst0 = stealJiffies()
           val t = time {
             try fn()
             catch { case e: Throwable =>
@@ -281,10 +296,11 @@ object Bench {
               lastError(name) = s"r$r ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
             }
           }
-          val kio1 = iowaitJiffies()
+          val kio1 = iowaitJiffies(); val kst1 = stealJiffies()
           samples(i) = samples(i) :+ Sample(r, t, ok, (gcMillis() - kg0) / 1000.0,
             if (kio0 < 0 || kio1 < 0) -1.0 else (kio1 - kio0) / 100.0,
-            spillMbNow() - ksp0)
+            spillMbNow() - ksp0,
+            if (kst0 < 0 || kst1 < 0) -1.0 else (kst1 - kst0) / 100.0)
         }
         val wall = (System.nanoTime() - rt0) / 1e9
         // foreign cpu = box busy − this JVM, in sustained cores over
@@ -292,11 +308,12 @@ object Bench {
         val foreign =
           if (bj0 < 0 || sc0 < 0) -1.0
           else math.max(0.0, ((busyJiffies() - bj0) / 100.0 - (selfCpuSec() - sc0)) / wall)
-        val io1 = iowaitJiffies()
+        val io1 = iowaitJiffies(); val st1 = stealJiffies()
         roundTel += RoundTel(r, wall, l0, loadavg(), (gcMillis() - g0) / 1000.0,
           foreign, foreign > loadGateCores,
           if (io0 < 0 || io1 < 0) -1.0 else (io1 - io0) / 100.0,
-          spillMbNow() - sp0)
+          spillMbNow() - sp0,
+          if (st0 < 0 || st1 < 0) -1.0 else (st1 - st0) / 100.0)
       }
       def run(baseRounds: Int, extraMax: Int): Unit = {
         (1 to baseRounds).foreach(runRound)
@@ -341,6 +358,11 @@ object Bench {
       def spillSpreadJson: Seq[(String, String)] = kernels.zipWithIndex.map { case ((name, _), i) =>
         name -> samples(i).map(s => num(s.spillMb)).mkString("[", ",", "]")
       }
+      // per-kernel hypervisor steal seconds, parallel to `spread`: a
+      // spike whose steal tracks the wall is a co-tenant VM, not a plan
+      def stealSpreadJson: Seq[(String, String)] = kernels.zipWithIndex.map { case ((name, _), i) =>
+        name -> samples(i).map(s => num(s.stealSec)).mkString("[", ",", "]")
+      }
       def telJson: String = roundTel.map(rt => obj(Seq(
         "round" -> rt.round.toString, "wall_sec" -> num(rt.wallSec),
         "loadavg_start" -> num(rt.loadStart), "loadavg_end" -> num(rt.loadEnd),
@@ -348,7 +370,8 @@ object Bench {
         "foreign_cores" -> num(rt.foreignCores),
         "contaminated" -> rt.contaminated.toString,
         "iowait_sec" -> num(rt.iowaitSec),
-        "spill_mb" -> num(rt.spillMb)))).mkString("[", ",", "]")
+        "spill_mb" -> num(rt.spillMb),
+        "steal_sec" -> num(rt.stealSec)))).mkString("[", ",", "]")
     }
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -475,6 +498,7 @@ object Bench {
         "gc_spread" -> obj(contractPhase.gcSpreadJson),
         "iowait_spread" -> obj(contractPhase.ioSpreadJson),
         "spill_spread" -> obj(contractPhase.spillSpreadJson),
+        "steal_spread" -> obj(contractPhase.stealSpreadJson),
         "errors" -> errs, "round_telemetry" -> contractPhase.telJson,
         "headline" -> head,
         // r7 verdict #1: the headline kernels' own gated-round evidence
@@ -489,6 +513,7 @@ object Bench {
         "headline_gc_spread" -> obj(headPhase.gcSpreadJson),
         "headline_iowait_spread" -> obj(headPhase.ioSpreadJson),
         "headline_spill_spread" -> obj(headPhase.spillSpreadJson),
+        "headline_steal_spread" -> obj(headPhase.stealSpreadJson),
         "headline_round_telemetry" -> headPhase.telJson,
         // whole-JVM GC split by phase (r7 verdict #1: an 89 GB-heap,
         // 46-GC-sec run must be diagnosable in-artifact): warmup =
