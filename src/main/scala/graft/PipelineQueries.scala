@@ -929,6 +929,47 @@ object PipelineQueries {
         WHERE lang = 'en' AND n_chars BETWEEN 200 AND 800
         GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("q_corpus_append",
+      // the layout LIFECYCLE oracle-proven end to end (the AnnIO
+      // append/compact discipline applied to the corpus store): the
+      // even-doc_id half is snapshotted, the odd half lands as an
+      // ingest-batch APPEND (staged against the spec stored in the
+      // snapshot's _layout_meta — new files only, existing files and
+      // the old corpus untouched), the appended snapshot is COMPACTED
+      // to a fresh one (meta-driven, file count and non-overlapping
+      // per-file sort ranges restored), and the selective question is
+      // answered through the compacted round-trip while the oracle
+      // reads the raw pile. Write → append → compact must be exactly
+      // row-preserving or the hash breaks. The 100 TB shape: daily
+      // ingest appends O(batch), periodic compaction restores scan
+      // economics, old snapshots stay immutable history.
+      (s, dir) => {
+        val base = sketchIoPath(s)
+        val d = docs(s, dir)
+        val path = s"$base/corpus_appended"
+        CorpusIO.writeLayout(d.filter(col("doc_id") % 2 === 0), path,
+          partitionCols = Seq("lang"), sortCols = Seq("n_chars"),
+          fileTargets = 8)
+        CorpusIO.appendLayout(d.filter(col("doc_id") % 2 === 1), path,
+          fileTargets = 4)
+        CorpusIO.compactLayout(s, path, s"$base/corpus_compacted",
+          fileTargets = 8)
+        CorpusIO.readLayout(s, s"$base/corpus_compacted")
+          .filter(col("lang") === "de" && col("n_chars").between(300, 900))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents
+        WHERE lang = 'de' AND n_chars BETWEEN 300 AND 900
+        GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("q_corpus_zorder",
       // the multi-column layout (CorpusIO z-order), oracle-proven
       // layout-invariant: the corpus is rewritten clustered on the

@@ -36,6 +36,67 @@ import org.apache.spark.sql.functions._
   */
 object CorpusIO {
 
+  /** The layout spec a snapshot was written with, persisted INSIDE the
+    * snapshot (`_layout_meta`, an underscore directory Parquet readers
+    * skip) so append/compact can never disagree with it — the AnnIO
+    * meta discipline. For z-order layouts the equal-frequency bucket
+    * BOUNDARIES travel too: an appended batch must rank against the
+    * original corpus's boundaries or its files land on a different
+    * curve. Meta is written LAST, so its presence marks a COMPLETE
+    * snapshot; a data directory without it is a crashed write and is
+    * cleared on retry instead of wedging the no-clobber check forever. */
+  private case class LayoutMeta(kind: String, partitionCols: Seq[String],
+                                sortCols: Seq[String], zCols: Seq[String],
+                                bits: Int, bounds: Seq[Seq[Double]],
+                                fileTargets: Int)
+
+  private def metaPath(path: String) = s"$path/_layout_meta"
+
+  private def hfs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metaExists(spark: SparkSession, path: String): Boolean =
+    hfs(spark, path).exists(
+      new org.apache.hadoop.fs.Path(s"${metaPath(path)}/_SUCCESS"))
+
+  private def writeMeta(spark: SparkSession, path: String, m: LayoutMeta): Unit = {
+    import spark.implicits._
+    Seq((m.kind, m.partitionCols, m.sortCols, m.zCols, m.bits, m.bounds, m.fileTargets))
+      .toDF("kind", "partition_cols", "sort_cols", "z_cols", "bits",
+        "bounds", "file_targets")
+      .coalesce(1).write.parquet(metaPath(path))
+  }
+
+  private def readMeta(spark: SparkSession, path: String): LayoutMeta = {
+    if (!metaExists(spark, path))
+      throw new IllegalStateException(
+        s"$path is not a complete CorpusIO layout (no _layout_meta) — " +
+          "only snapshots written by writeLayout/writeLayoutZordered can be " +
+          "appended to or compacted")
+    val r = spark.read.parquet(metaPath(path)).head()
+    // getSeq hands back mutable ArraySeq, which the tuple ENCODER in
+    // writeMeta (compact re-writes the meta) refuses — immutabilize
+    LayoutMeta(r.getString(0), r.getSeq[String](1).toVector,
+      r.getSeq[String](2).toVector, r.getSeq[String](3).toVector,
+      r.getInt(4),
+      r.getSeq[scala.collection.Seq[Double]](5).map(_.toVector).toVector,
+      r.getInt(6))
+  }
+
+  /** No-clobber gate shared by both writers: a COMPLETE snapshot (meta
+    * present) refuses; a crashed partial write (data but no meta) is
+    * cleared so the retry succeeds. */
+  private def claimPath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = hfs(spark, path)
+    if (metaExists(spark, path))
+      throw new IllegalStateException(
+        s"Corpus layout $path already exists! Write a new snapshot directory " +
+          "(no-clobber, reference backend.py:269-272)")
+    if (fs.exists(p)) fs.delete(p, true) // crashed previous write
+  }
+
   /** Write `docs` under `path` partitioned by `partitionCols`
     * (hive-style directories) and range-clustered + sorted on
     * `partitionCols ++ sortCols`. `fileTargets` is the shuffle width
@@ -53,18 +114,16 @@ object CorpusIO {
   def writeLayout(docs: DataFrame, path: String, partitionCols: Seq[String],
                   sortCols: Seq[String], fileTargets: Int = 0): Unit = {
     require(partitionCols.nonEmpty, "writeLayout needs >= 1 partition column")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      throw new IllegalStateException(
-        s"Corpus layout $path already exists! Write a new snapshot directory " +
-          "(no-clobber, reference backend.py:269-272)")
+    val spark = docs.sparkSession
+    claimPath(spark, path)
     val n = if (fileTargets > 0) fileTargets
-      else docs.sparkSession.sessionState.conf.numShufflePartitions
+      else spark.sessionState.conf.numShufflePartitions
     val keys = (partitionCols ++ sortCols).map(col)
     docs.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.partitionBy(partitionCols: _*).parquet(path)
+    writeMeta(spark, path,
+      LayoutMeta("sorted", partitionCols, sortCols, Nil, 0, Nil, n))
   }
 
   /** Z-order (Morton) variant of [[writeLayout]]: clusters on the
@@ -92,36 +151,100 @@ object CorpusIO {
     val k = zCols.size
     require(k >= 2, s"z-ordering needs >= 2 columns, got $zCols")
     require(bits >= 1 && bits * k <= 63, s"bits * |zCols| must fit a BIGINT, got $bits * $k")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      throw new IllegalStateException(
-        s"Corpus layout $path already exists! Write a new snapshot directory " +
-          "(no-clobber, reference backend.py:269-272)")
+    val spark = docs.sparkSession
+    claimPath(spark, path)
     val nB = 1 << bits
     val probs = (1 until nB).map(i => i.toDouble / nB)
-    val bounds = docs.select(zCols.map(c => expr(
+    val row = docs.select(zCols.map(c => expr(
         s"approx_percentile(CAST(`$c` AS DOUBLE), array(${probs.mkString(",")}), 10000)")): _*)
       .head()
+    // an all-NULL (or empty-corpus) column has no percentiles — every
+    // row ranks 0 and the column simply stops contributing bits
+    val bounds = zCols.indices.map(j =>
+      if (row.isNullAt(j)) Seq(0.0) else row.getSeq[Double](j))
+    val n = if (fileTargets > 0) fileTargets
+      else spark.sessionState.conf.numShufflePartitions
+    clusterZ(docs, partitionCols, zCols, bits, bounds, n)
+      .write.partitionBy(partitionCols: _*).parquet(path)
+    writeMeta(spark, path,
+      LayoutMeta("zorder", partitionCols, Nil, zCols, bits, bounds, n))
+  }
+
+  /** Rank each z column against its literal boundary array (one
+    * codegen'd loop, 2^bits comparisons per row; NULLs rank 0), Morton-
+    * interleave the ranks, range-cluster + sort on (partitionCols, z),
+    * and drop the helpers — the projection after `sortWithinPartitions`
+    * is narrow, so in-file order is preserved. Shared by the fresh
+    * write, the append (which MUST reuse the stored boundaries), and
+    * the compactor. */
+  private def clusterZ(docs: DataFrame, partitionCols: Seq[String],
+                       zCols: Seq[String], bits: Int,
+                       bounds: Seq[Seq[Double]], n: Int): DataFrame = {
+    val k = zCols.size
     val staged = zCols.zipWithIndex.foldLeft(docs) { case (d, (c, j)) =>
-      // an all-NULL (or empty-corpus) column has no percentiles — every
-      // row ranks 0 and the column simply stops contributing bits
-      val bs = if (bounds.isNullAt(j)) Seq(0.0) else bounds.getSeq[Double](j)
-      // rank against the literal boundary array: one codegen'd loop,
-      // 2^bits comparisons per row; NULLs rank 0
       d.withColumn(s"__zb$j", expr(
-        s"size(filter(array(${bs.mkString(",")}), b -> b <= CAST(`$c` AS DOUBLE)))"))
+        s"size(filter(array(${bounds(j).mkString(",")}), b -> b <= CAST(`$c` AS DOUBLE)))"))
     }
     val terms = for (j <- 0 until k; i <- 0 until bits)
       yield s"shiftleft(CAST((__zb$j >> $i) & 1 AS BIGINT), ${i * k + j})"
     val withZ = staged.withColumn("__z", expr(terms.mkString(" + ")))
-    val n = if (fileTargets > 0) fileTargets
-      else docs.sparkSession.sessionState.conf.numShufflePartitions
     val keys = partitionCols.map(col) :+ col("__z")
     withZ.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__z" +: (0 until k).map(j => s"__zb$j"): _*)
-      .write.partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Append an ingest batch to an existing COMPLETE layout snapshot —
+    * the daily-ingest half of the lifecycle (the AnnIO `appendCodes`
+    * discipline). The batch is staged exactly as the original write
+    * was — same partition directories, same sort keys, and for z-order
+    * layouts the ranks come from the STORED boundaries, so new files
+    * land on the same curve — then lands as NEW files only (existing
+    * files untouched; O(batch), the old corpus is never rewritten or
+    * re-scanned). What appends trade: each batch's files have narrow
+    * min/max ranges of their own, but ranges OVERLAP across batches
+    * within a directory, so footer-stats skipping degrades gradually
+    * with batch count — [[compactLayout]] restores the fresh-write
+    * layout. `fileTargets` sizes THIS batch's files (default: the
+    * session's shuffle width; pick ≈ originalTargets × |batch|/|corpus|
+    * to keep file sizes uniform). */
+  def appendLayout(batch: DataFrame, path: String, fileTargets: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, path)
+    val n = if (fileTargets > 0) fileTargets
+      else spark.sessionState.conf.numShufflePartitions
+    val staged = m.kind match {
+      case "sorted" =>
+        val keys = (m.partitionCols ++ m.sortCols).map(col)
+        batch.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+      case "zorder" =>
+        clusterZ(batch, m.partitionCols, m.zCols, m.bits, m.bounds, n)
+    }
+    staged.write.mode("append").partitionBy(m.partitionCols: _*).parquet(path)
+  }
+
+  /** Rewrite an appended-to layout as a FRESH snapshot at `destPath` —
+    * same spec (from the stored meta; z boundaries reused, so
+    * compaction never re-aggregates percentiles and the curve is
+    * stable across compactions), results untouched, file count and
+    * non-overlapping per-file ranges restored. The old snapshot is
+    * left in place (immutable history; retire it once readers have
+    * moved). `fileTargets` 0 = the spec's original width. */
+  def compactLayout(spark: SparkSession, path: String, destPath: String,
+                    fileTargets: Int = 0): Unit = {
+    val m = readMeta(spark, path)
+    claimPath(spark, destPath)
+    val n = if (fileTargets > 0) fileTargets else m.fileTargets
+    val docs = readLayout(spark, path)
+    val staged = m.kind match {
+      case "sorted" =>
+        val keys = (m.partitionCols ++ m.sortCols).map(col)
+        docs.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+      case "zorder" =>
+        clusterZ(docs, m.partitionCols, m.zCols, m.bits, m.bounds, n)
+    }
+    staged.write.partitionBy(m.partitionCols: _*).parquet(destPath)
+    writeMeta(spark, destPath, m.copy(fileTargets = n))
   }
 
   /** Read a layout back. Partition columns are reconstructed from the

@@ -107,6 +107,79 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(CorpusIO.readLayout(spark, path).count() === 100L)
   }
 
+  test("append lands the batch as new files on the stored spec; compact restores the layout") {
+    val path = s"${tmpBase()}/layout"
+    val even = corpus.filter(col("doc_id") % 2 === 0)
+    val odd = corpus.filter(col("doc_id") % 2 === 1)
+    CorpusIO.writeLayout(even, path, Seq("lang"), Seq("n_chars"), fileTargets = 6)
+    val filesBefore = filesRead(CorpusIO.readLayout(spark, path).select("doc_id"))
+    CorpusIO.appendLayout(odd, path, fileTargets = 6)
+    val appended = CorpusIO.readLayout(spark, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(appended.collect().map(_.toSeq).toSet === corpus.collect().map(_.toSeq).toSet,
+      "write + append must reproduce the full corpus exactly")
+    val filesAfter = filesRead(CorpusIO.readLayout(spark, path).select("doc_id"))
+    assert(filesAfter > filesBefore, "append must add new files, not rewrite")
+    // compact to a fresh snapshot: rows untouched, file count restored
+    val dest = s"${tmpBase()}/compacted"
+    CorpusIO.compactLayout(spark, path, dest)
+    val compacted = CorpusIO.readLayout(spark, dest)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    assert(compacted.collect().map(_.toSeq).toSet === corpus.collect().map(_.toSeq).toSet,
+      "compaction must be exactly row-preserving")
+    val filesCompacted = filesRead(CorpusIO.readLayout(spark, dest).select("doc_id"))
+    assert(filesCompacted < filesAfter,
+      s"compaction must shrink the file count ($filesAfter -> $filesCompacted)")
+    // and the compacted selective scan reads no more files than the appended one
+    def selFiles(p: String) = filesRead(CorpusIO.readLayout(spark, p)
+      .filter(col("lang") === "l3" && col("n_chars") >= 700))
+    assert(selFiles(dest) <= selFiles(path))
+  }
+
+  test("z-order append ranks the batch against the STORED boundaries") {
+    val df = (0 until 4000).map { i =>
+      (i.toLong, (i * 2654435761L) % 4096, (i * 40503L) % 4096)
+    }.toDF("id", "x", "y")
+    val path = s"${tmpBase()}/zlayout"
+    CorpusIO.writeLayoutZordered(df.filter(col("id") < 3000), path, Nil,
+      Seq("x", "y"), bits = 3, fileTargets = 8)
+    // boundaries were learned from the first 3000 rows only —
+    // stored-boundary staging must still reproduce the full relation
+    // and keep both columns selective after compaction
+    CorpusIO.appendLayout(df.filter(col("id") >= 3000), path, fileTargets = 2)
+    val back = CorpusIO.readLayout(spark, path).select("id", "x", "y")
+    assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet)
+    val dest = s"${tmpBase()}/zcompacted"
+    CorpusIO.compactLayout(spark, path, dest)
+    val total = CorpusIO.readLayout(spark, dest).count()
+    Seq("x", "y").foreach { c =>
+      val sel = CorpusIO.readLayout(spark, dest).filter(col(c) >= 3584)
+      assert(sel.count() === df.filter(col(c) >= 3584).count())
+      sel.collect()
+      val scanned = scans(sel.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+      assert(scanned < (total * 6) / 10,
+        s"$c-only predicate scanned $scanned of $total rows after append+compact")
+    }
+  }
+
+  test("append refuses a path that is not a complete layout") {
+    val raw = s"${tmpBase()}/raw"
+    corpus.write.parquet(raw)
+    val e = intercept[IllegalStateException] {
+      CorpusIO.appendLayout(corpus, raw)
+    }
+    assert(e.getMessage.contains("_layout_meta"))
+  }
+
+  test("a crashed partial write (data, no meta) is cleared on retry") {
+    val path = s"${tmpBase()}/crashed"
+    // simulate: data files present but no _layout_meta — the write died
+    corpus.limit(10).write.parquet(path)
+    CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 2)
+    assert(CorpusIO.readLayout(spark, path).count() === corpus.count())
+  }
+
   test("no-clobber: a second write to the same snapshot path refuses") {
     val path = s"${tmpBase()}/layout"
     CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 2)
