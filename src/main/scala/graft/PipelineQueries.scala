@@ -263,6 +263,62 @@ object PipelineQueries {
   private def uSql(salt: String) =
     s"${h60(s"concat('$salt:', CAST(doc_id AS VARCHAR))")} % 1000000"
 
+  /** Shared scored+labeled relation for the AUC contract pair
+    * (q_classifier_auc / q_auc_merged): the hashed classifier with
+    * source carried, plus a PLANTED noisy ground truth — the
+    * classifier's own sign with a deterministic 20% hash flip, so the
+    * true AUC sits meaningfully above 0.5 and both engines derive the
+    * identical label. */
+  private def aucScored(s: SparkSession, dir: String): DataFrame =
+    TextOps.hashedClassifier(docs(s, dir), carry = Seq("source"))
+      .withColumn("label", expr(
+        s"(w_sum > 0L) != (${Sampling.uExpr("auc")} < 200000L)"))
+
+  /** Shared DuckDB CTE prefix for the classifier-eval contract family
+    * (AUC / PR sweep / calibration) — ends in
+    * `sc (source, prob, sq, pos)`: the hashedClassifier replay with
+    * the planted noisy label, prob on the 1e-9 lattice, sq = the
+    * BIGINT score. */
+  private lazy val aucScoredCtes =
+    s"""tok AS ($tokCte),
+        m AS (SELECT doc_id, source, CAST(len(tokens) AS INTEGER) AS n_tokens,
+                CAST(list_sum(list_transform(tokens, t -> ${h60("t")} % 2001 - 1000)) AS BIGINT) AS w_sum
+              FROM tok),
+        z AS (SELECT doc_id, source, w_sum,
+                CAST(w_sum AS DOUBLE) / (1000.0e0 * CAST(n_tokens AS DOUBLE)) AS z
+              FROM m),
+        p AS (SELECT doc_id, source, w_sum,
+                floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob
+              FROM z),
+        sc AS (SELECT source, prob, CAST(floor(prob * 1.0e9 + 0.5e0) AS BIGINT) AS sq,
+                CASE WHEN (w_sum > 0) <> (${uSql("auc")} < 200000) THEN 1 ELSE 0 END AS pos
+              FROM p)"""
+
+  /** Shared oracle for q_classifier_auc AND q_auc_merged — the merged
+    * persisted-histogram path must reproduce the direct full-corpus
+    * AUC, so both use this SQL verbatim (the q_asof_join_bucketed
+    * result-identity pattern). Midrank AUC from per-distinct-score
+    * counts: A = Σ neg_s·(2·cumpos_<s + pos_s) counts discordant pairs
+    * twice + ties once ⇒ auc = 1 − A/(2·P·N), exact BIGINTs until one
+    * identically-shaped double division. */
+  private lazy val aucOracleSql =
+    s"""WITH $aucScoredCtes,
+        h AS (SELECT source, sq, sum(pos) AS p, sum(1 - pos) AS ng
+              FROM sc GROUP BY 1, 2),
+        c AS (SELECT *, coalesce(sum(p) OVER (PARTITION BY source ORDER BY sq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM h),
+        a AS (SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+                CAST(sum(ng) AS BIGINT) AS n_neg,
+                CAST(sum(ng * (2 * cum + p)) AS BIGINT) AS a2
+              FROM c GROUP BY 1)
+        SELECT source, n_pos, n_neg,
+          CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE floor((1.0e0 - CAST(a2 AS DOUBLE)
+                 / (2.0e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+                 * 1.0e9 + 0.5e0) / 1.0e9 END AS auc
+        FROM a ORDER BY source"""
+
   /** Per-source Bernoulli rates for the stratified-sample contract:
     * five rate tiers cycling over the 20 sources. */
   private val sampleRates: Map[String, Double] =
@@ -1536,6 +1592,39 @@ object PipelineQueries {
         SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
       }),
 
+    QueryDef("q_ann_filtered",
+      // FILTERED vector search, pre-filter semantics: top-k among
+      // neighbors whose metadata satisfies the predicate (here
+      // `label = 1`, ~10% selectivity) — the serving shape behind
+      // "nearest English docs" / "nearest from source X". The filter
+      // lands on the index side BEFORE the bucket join (pushed into
+      // the index scan, candidate volume shrinks with selectivity),
+      // not as a post-filter over an over-provisioned k that a
+      // selective predicate could empty entirely. Multi-probe stays on
+      // because filtered buckets are ~10x sparser — the recall lever
+      // and the filter compose, still one bucket equi-join.
+      (s, dir) => Similarity.ivfTopK(emb(s, dir), "vec_id % 50 = 0", 5,
+        hammingProbes = true, indexFilter = "label = 1")
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank"),
+      Some {
+        val flips = (0L +: (0 until 6).map(i => 1L << i)).map(f => s"($f)").mkString(", ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        eb AS (SELECT vec_id, v, label, ${bucketSql("v")} AS bucket FROM e),
+        qp AS (SELECT vec_id, v, xor(CAST(bucket AS BIGINT), f) AS bucket
+               FROM eb CROSS JOIN (VALUES $flips) t(f)
+               WHERE vec_id % 50 = 0),
+        c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                ${cosSql("q.v", "n.v")} AS cos
+              FROM qp q JOIN eb n ON q.bucket = CAST(n.bucket AS BIGINT)
+                AND q.vec_id <> n.vec_id
+              WHERE n.label = 1),
+        r AS (SELECT *, CAST(row_number() OVER
+                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+              FROM c)
+        SELECT * FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+      }),
+
     QueryDef("q_decontam_semantic",
       // embedding-space decontamination: train vectors within cosine
       // 0.8 of any EVAL vector, candidates via the same Hamming-1
@@ -2547,6 +2636,126 @@ object PipelineQueries {
               FROM z)
         SELECT doc_id, n_tokens, w_sum, prob, prob >= 0.5e0 AS keep
         FROM p ORDER BY doc_id""")),
+
+    QueryDef("q_classifier_auc",
+      // exact tie-aware ROC-AUC of the hashed classifier per source —
+      // the eval read behind every keep-threshold decision, at corpus
+      // scale with NO global sort (Diagnostics.aucBy's two-level
+      // midrank ranks: per-distinct-score hash agg, within-bucket
+      // windows partitioned by (source, bucket), bucket offsets over
+      // the tiny histogram). Ground truth is a PLANTED noisy label:
+      // the classifier's own sign with a deterministic 20% hash flip,
+      // so the true AUC is meaningfully above 0.5 and both engines
+      // derive the identical label. Scores ride the 1e-9 prob lattice
+      // (rank-based AUC is invariant to the monotone quantization
+      // except ties it creates identically on both engines); the only
+      // division happens once per group after exact BIGINT pair
+      // counting, so the statistic hash-gates.
+      (s, dir) => Diagnostics.aucBy(
+        aucScored(s, dir),
+        "CAST(floor(prob * 1.0e9 + 0.5e0) AS BIGINT)", "label",
+        by = Seq("source"))
+        .orderBy("source"),
+      Some(aucOracleSql)),
+
+    QueryDef("q_auc_merged",
+      // the AUC evaluation as a PERSISTED, MERGEABLE summary (the
+      // q_quantiles_merged discipline applied to classifier eval): the
+      // corpus splits into two snapshots (doc_id parity), each
+      // snapshot's per-source per-distinct-score (pos, neg) histogram
+      // is WRITTEN to Parquet, read back, summed elementwise, and
+      // ranked — counts are additive, so the merged AUC must equal the
+      // direct full-corpus AUC, which is what the oracle computes
+      // (the q_classifier_auc SQL verbatim — result-identity proven
+      // through the oracle channel) without seeing the snapshot files.
+      // The 100 TB shape: daily classifier-eval rollups from
+      // histogram-sized summaries, old corpora never re-scanned.
+      (s, dir) => {
+        val scored = aucScored(s, dir)
+        val base = sketchIoPath(s)
+        Seq(0, 1).foreach { par =>
+          SketchIO.writeSketch(
+            Diagnostics.scoreHistogram(
+              scored.filter(col("doc_id") % 2 === par),
+              "CAST(floor(prob * 1.0e9 + 0.5e0) AS BIGINT)", "label",
+              by = Seq("source")),
+            s"$base/auchist_$par.parquet")
+        }
+        Diagnostics.aucFromHistogram(
+          Diagnostics.mergeScoreHistograms(Seq(
+            SketchIO.readSketch(s, s"$base/auchist_0.parquet"),
+            SketchIO.readSketch(s, s"$base/auchist_1.parquet")), Seq("source")),
+          by = Seq("source"))
+          .orderBy("source")
+      },
+      Some(aucOracleSql)),
+
+    QueryDef("q_pr_curve",
+      // exact precision/recall/F1 operating-point sweep per source at
+      // 5e7-lattice thresholds (~20 points over the prob range) — the
+      // read behind choosing a keep-threshold, each point an exact
+      // count. Runs over the SAME scoreHistogram relation as the AUC
+      // pair (evaluates persisted/merged snapshots too); thresholds
+      // ride the bucket grid so the output is bounded at any corpus
+      // size and every cumulative is a suffix sum over the tiny
+      // per-bucket histogram, never the corpus.
+      (s, dir) => Diagnostics.prAtThresholds(
+        Diagnostics.scoreHistogram(aucScored(s, dir),
+          "CAST(floor(prob * 1.0e9 + 0.5e0) AS BIGINT)", "label",
+          by = Seq("source")),
+        by = Seq("source"), bucketWidth = 50000000L)
+        .orderBy("source", "threshold"),
+      Some(s"""WITH $aucScoredCtes,
+        pb AS (SELECT source, (sq - (sq % 50000000)) // 50000000 AS bucket,
+                 sum(pos) AS bp, sum(1 - pos) AS bn
+               FROM sc GROUP BY 1, 2),
+        c AS (SELECT *,
+                sum(bp) OVER (PARTITION BY source ORDER BY bucket DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                sum(bn) OVER (PARTITION BY source ORDER BY bucket DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+              FROM pb),
+        t AS (SELECT source, sum(bp) AS all_p, sum(bn) AS all_n
+              FROM pb GROUP BY 1)
+        SELECT c.source, bucket * 50000000 AS threshold,
+          CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+          CAST(all_p - tp AS BIGINT) AS fn, CAST(all_n - fp AS BIGINT) AS tn,
+          CASE WHEN tp + fp = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                 * 1.0e9 + 0.5e0) / 1.0e9 END AS precision,
+          CASE WHEN all_p = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE floor(CAST(tp AS DOUBLE) / CAST(all_p AS DOUBLE)
+                 * 1.0e9 + 0.5e0) / 1.0e9 END AS recall,
+          CASE WHEN 2 * tp + fp + (all_p - tp) = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE floor(2.0e0 * CAST(tp AS DOUBLE)
+                 / CAST(2 * tp + fp + (all_p - tp) AS DOUBLE)
+                 * 1.0e9 + 0.5e0) / 1.0e9 END AS f1
+        FROM c JOIN t ON c.source = t.source
+        ORDER BY c.source, threshold""")),
+
+    QueryDef("q_calibration",
+      // reliability diagram per source: decile bins over the
+      // micro-unit prob lattice, per bin the exact count, positives,
+      // mean predicted prob (integer micro sum, one division) and
+      // empirical positive rate — "does 0.8 come true 80% of the
+      // time". One map-side-combined agg over the scan.
+      (s, dir) => Diagnostics.calibrationBins(
+        aucScored(s, dir), "prob", "label", by = Seq("source"))
+        .orderBy("source", "bin"),
+      Some(s"""WITH $aucScoredCtes,
+        cal AS (SELECT source, CAST(floor(prob * 1.0e6 + 0.5e0) AS BIGINT) AS pu, pos
+                FROM sc),
+        b AS (SELECT source,
+                CAST(least((pu * 10) // 1000000, 9) AS INTEGER) AS bin,
+                count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+                CAST(sum(pu) AS BIGINT) AS pu_sum
+              FROM cal GROUP BY 1, 2)
+        SELECT source, bin, n, n_pos,
+          floor(CAST(pu_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e6)
+            * 1.0e9 + 0.5e0) / 1.0e9 AS mean_prob,
+          floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+            * 1.0e9 + 0.5e0) / 1.0e9 AS pos_rate
+        FROM b ORDER BY source, bin""")),
 
     QueryDef("q_split_assign",
       // deterministic train/val/test assignment: stateless hash draw

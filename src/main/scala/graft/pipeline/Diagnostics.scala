@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution diagnostics for join/agg planning — the numbers you
@@ -29,5 +30,191 @@ object Diagnostics {
         max("cnt").as("max_count"))
       .withColumn("row_share", expr(
         s"floor((CAST(total_rows AS DOUBLE) / ${total}.0e0) * 1.0e9 + 0.5e0) / 1.0e9"))
+  }
+
+  /** Exact tie-aware ROC-AUC per group — the Mann–Whitney statistic
+    * `P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)` of an integer-lattice
+    * score against a boolean label, the classifier-evaluation read
+    * behind every threshold decision a quality/decontam filter makes.
+    * Exact (midrank tie handling, not trapezoid-approximate) with NO
+    * global sort and NO corpus-sized single-partition window, the
+    * [[Sampling.exactPercentilesBy]] two-level discipline:
+    *
+    *  1. per-distinct-score (pos, neg) counts — a hash agg, map-side
+    *     combined, so a hot score (10¹⁰ identical probs) cannot
+    *     straggle;
+    *  2. running positive counts BELOW each score split into
+    *     within-bucket (window PARTITIONED by (by…, bucket), ≤
+    *     `bucketWidth` distinct scores per partition by construction —
+    *     shuffle-parallel) + bucket offsets (window over the TINY
+    *     per-bucket histogram, never the corpus — the
+    *     exactPercentilesBy `offs` rationale), broadcast back.
+    *
+    * Everything stays integer until one final division:
+    * `A = Σ_s neg_s·(2·cumpos_<s + pos_s)` counts discordant pairs
+    * twice + ties once, so `auc = 1 − A/(2·P·N)` — exact BIGINTs both
+    * engines, one identically-shaped double expression at the end
+    * (rounded to the 1e-9 lattice), so estimates hash-gate.
+    *
+    * `scoreExpr` must already be integer-valued (quantize floats to a
+    * lattice first — AUC is rank-based, so any monotone quantization
+    * only merges ties it creates identically on both engines).
+    * Returns `(by…, n_pos, n_neg, auc)`; a group with an empty class
+    * has undefined AUC → NULL. */
+  def aucBy(df: DataFrame, scoreExpr: String, labelExpr: String,
+            by: Seq[String] = Nil, bucketWidth: Long = 1L << 16): DataFrame =
+    aucFromHistogram(scoreHistogram(df, scoreExpr, labelExpr, by), by, bucketWidth)
+
+  /** Per-distinct-score (positive, negative) counts `(by…, s, p, ng)`
+    * — the PERSISTABLE, MERGEABLE summary behind cross-snapshot AUC
+    * ([[aucFromHistogram]]), the [[Sampling.valueHistogram]] of
+    * classifier evaluation. One agg-only scan, map-side combined;
+    * counts are ADDITIVE, so the histogram of a corpus union is the
+    * elementwise sum ([[mergeScoreHistograms]]) — persist one per
+    * day/snapshot (`SketchIO.writeSketch`) and evaluate the classifier
+    * over ANY union of snapshots without re-scanning old corpora. */
+  def scoreHistogram(df: DataFrame, scoreExpr: String, labelExpr: String,
+                     by: Seq[String] = Nil): DataFrame = {
+    val g = by.map(col)
+    df.select(g
+        :+ expr(scoreExpr).cast("long").as("s")
+        :+ expr(s"CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L ELSE 0L END")
+          .as("pos"): _*)
+      .groupBy(g :+ col("s"): _*)
+      .agg(sum("pos").as("p"), sum(expr("1L - pos")).as("ng"))
+  }
+
+  /** Merge [[scoreHistogram]] relations: elementwise count sums per
+    * (by…, s). EXACT — the merged histogram equals the histogram of
+    * the concatenated corpora, so AUC over the merge is the true AUC
+    * of the union (spec-pinned). */
+  def mergeScoreHistograms(hists: Seq[DataFrame],
+                           by: Seq[String] = Nil): DataFrame = {
+    require(hists.nonEmpty, "mergeScoreHistograms needs at least one histogram")
+    val g = by.map(col)
+    hists.reduce(_.unionByName(_))
+      .groupBy(g :+ col("s"): _*)
+      .agg(sum("p").as("p"), sum("ng").as("ng"))
+  }
+
+  /** Exact AUC FROM a [[scoreHistogram]] relation alone — the same
+    * rank semantics and output as [[aucBy]], over a summary that may
+    * be the merge of many persisted snapshots. Re-aggregates by score
+    * first, so an unmerged concatenation of histograms is also
+    * accepted. */
+  def aucFromHistogram(hist: DataFrame, by: Seq[String] = Nil,
+                       bucketWidth: Long = 1L << 16): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val g = by.map(col)
+    // floor division via pmod (DIV truncates toward zero — wrong
+    // bucket order for negative scores), the exactPercentilesBy rule
+    val perScore = hist
+      .withColumn("bucket",
+        expr(s"(s - pmod(s, ${bucketWidth}L)) DIV ${bucketWidth}L"))
+      .groupBy(g :+ col("bucket") :+ col("s"): _*)
+      .agg(sum("p").as("p"), sum("ng").as("ng"))
+    val within = perScore.withColumn("poff",
+      coalesce(sum(col("p")).over(
+        Window.partitionBy(g :+ col("bucket"): _*).orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offs = perScore.groupBy(g :+ col("bucket"): _*)
+      .agg(sum("p").as("bp"))
+      .withColumn("boff", coalesce(sum(col("bp")).over(
+        Window.partitionBy(g: _*).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(g :+ col("bucket") :+ col("boff"): _*)
+    within.join(broadcast(offs), by :+ "bucket")
+      .withColumn("t", expr("ng * (2L * (boff + poff) + p)"))
+      .groupBy(g: _*)
+      .agg(sum("p").as("n_pos"), sum("ng").as("n_neg"), sum("t").as("a2"))
+      .withColumn("auc", expr(
+        """CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE floor((1.0e0 - CAST(a2 AS DOUBLE)
+             / (2.0e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+             * 1.0e9 + 0.5e0) / 1.0e9 END"""))
+      .select(g :+ col("n_pos") :+ col("n_neg") :+ col("auc"): _*)
+  }
+
+  /** Exact precision/recall/F1 per group at every lattice threshold
+    * `T = bucket·bucketWidth` — the operating-point sweep behind
+    * choosing a keep-threshold, each point EXACT (`tp` = positives
+    * with score ≥ T, counted, not sampled). Runs entirely over a
+    * [[scoreHistogram]] relation, so it evaluates persisted/merged
+    * snapshots too. Thresholds ride the bucket grid deliberately: the
+    * output is bounded by #groups × (score range / bucketWidth) rows
+    * at ANY corpus size (a per-distinct-score sweep would be
+    * corpus-sized at 100 TB), and every cumulative runs over the tiny
+    * per-bucket histogram, never the corpus — size `bucketWidth` to
+    * the curve resolution you want. Rates divide once per emitted row
+    * from exact BIGINTs and land on the 1e-9 lattice, so curves
+    * hash-gate; a threshold with no predicted positives has undefined
+    * precision → NULL. Returns
+    * `(by…, threshold, tp, fp, fn, tn, precision, recall, f1)`. */
+  def prAtThresholds(hist: DataFrame, by: Seq[String] = Nil,
+                     bucketWidth: Long = 1L << 16): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val g = by.map(col)
+    val perBucket = hist
+      .withColumn("bucket",
+        expr(s"(s - pmod(s, ${bucketWidth}L)) DIV ${bucketWidth}L"))
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(sum("p").as("bp"), sum("ng").as("bn"))
+    // suffix sums (score >= threshold) over the tiny bucket histogram:
+    // descending cumulative including the bucket itself
+    val w = Window.partitionBy(g: _*).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .withColumn("tp", sum(col("bp")).over(w))
+      .withColumn("fp", sum(col("bn")).over(w))
+      .withColumn("threshold", expr(s"bucket * ${bucketWidth}L"))
+      .join(perBucket.groupBy(g: _*)
+        .agg(sum("bp").as("all_p"), sum("bn").as("all_n")), by)
+      .withColumn("fn", expr("all_p - tp"))
+      .withColumn("tn", expr("all_n - fp"))
+      .withColumn("precision", expr(
+        """CASE WHEN tp + fp = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+             * 1.0e9 + 0.5e0) / 1.0e9 END"""))
+      .withColumn("recall", expr(
+        """CASE WHEN all_p = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE floor(CAST(tp AS DOUBLE) / CAST(all_p AS DOUBLE)
+             * 1.0e9 + 0.5e0) / 1.0e9 END"""))
+      .withColumn("f1", expr(
+        """CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(NULL AS DOUBLE)
+           ELSE floor(2.0e0 * CAST(tp AS DOUBLE)
+             / CAST(2 * tp + fp + fn AS DOUBLE) * 1.0e9 + 0.5e0) / 1.0e9 END"""))
+      .select(g :+ col("threshold") :+ col("tp") :+ col("fp") :+ col("fn")
+        :+ col("tn") :+ col("precision") :+ col("recall") :+ col("f1"): _*)
+  }
+
+  /** Calibration (reliability-diagram) bins per group: does a
+    * predicted probability of 0.8 come true 80% of the time? Probs
+    * quantized to micro-units fall into `nBins` equal-width bins
+    * (top-inclusive last bin); per bin the EXACT count, positive
+    * count, mean predicted prob (integer micro-unit sum, one final
+    * division) and empirical positive rate. One map-side-combined agg
+    * over the scan — the 100 TB shape; rates land on the 1e-9 lattice
+    * so the table hash-gates. Returns
+    * `(by…, bin, n, n_pos, mean_prob, pos_rate)`. */
+  def calibrationBins(df: DataFrame, probExpr: String, labelExpr: String,
+                      by: Seq[String] = Nil, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val g = by.map(col)
+    df.select(g
+        :+ expr(s"CAST(floor(($probExpr) * 1.0e6 + 0.5e0) AS BIGINT)").as("pu")
+        :+ expr(s"CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L ELSE 0L END")
+          .as("pos"): _*)
+      .withColumn("bin",
+        expr(s"CAST(least((pu * ${nBins}L) DIV 1000000L, ${nBins - 1}L) AS INT)"))
+      .groupBy(g :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"), sum("pu").as("pu_sum"))
+      .withColumn("mean_prob", expr(
+        """floor(CAST(pu_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e6)
+           * 1.0e9 + 0.5e0) / 1.0e9"""))
+      .withColumn("pos_rate", expr(
+        """floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+           * 1.0e9 + 0.5e0) / 1.0e9"""))
+      .select(g :+ col("bin") :+ col("n") :+ col("n_pos")
+        :+ col("mean_prob") :+ col("pos_rate"): _*)
   }
 }

@@ -324,10 +324,15 @@ object Similarity {
       .transform(cosKernel)
       .toDF("query_id", "neighbor_id", "cos")
 
-  /** Exact cosine top-k for a probe subset against the full corpus. */
-  def bruteTopK(emb: DataFrame, probeFilter: String, k: Int): DataFrame = {
+  /** Exact cosine top-k for a probe subset against the full corpus —
+    * or, with `indexFilter`, against the metadata-constrained subset
+    * of it (the pre-filter semantics of [[ivfTopK]], as the exact
+    * baseline for its recall). */
+  def bruteTopK(emb: DataFrame, probeFilter: String, k: Int,
+                indexFilter: String = "true"): DataFrame = {
     val pairs = vecs(emb.filter(expr(probeFilter)), "q")
-      .join(vecs(emb, "n"), col("q_id") =!= col("n_id"))
+      .join(vecs(emb.filter(expr(indexFilter)), "n"),
+        col("q_id") =!= col("n_id"))
       .selectExpr("q_id AS id1", "n_id AS id2",
         "q_v AS v1", "q_nrm AS n1", "n_v AS v2", "n_nrm AS n2")
     val cand = cosKernel(pairs).toDF("query_id", "neighbor_id", "cos")
@@ -350,15 +355,29 @@ object Similarity {
     * the candidate volume). Equi-join on the bucket id either way →
     * shuffle-partitioned, corpus-scale, and each (query, neighbor)
     * pair matches at most one probe (bucket XOR is unique), so no
-    * dedup pass is needed. */
+    * dedup pass is needed.
+    *
+    * `indexFilter` (a predicate over the RAW `emb` columns, e.g.
+    * `"label = 1"`) gives FILTERED vector search with pre-filter
+    * semantics: top-k among neighbors satisfying the predicate, the
+    * serving shape behind "nearest English docs" / "nearest from
+    * source X". Applied to the index side BEFORE the bucket join —
+    * pushed into the index scan, so candidate volume shrinks with the
+    * predicate's selectivity instead of post-filtering a k that must
+    * be over-provisioned (the post-filter failure mode: a selective
+    * predicate can empty a fixed-k candidate list entirely). Under
+    * high selectivity buckets thin out, so pair `hammingProbes = true`
+    * with it to recover recall. */
   def ivfTopK(emb: DataFrame, probeFilter: String, k: Int, bits: Int = 6,
-              hammingProbes: Boolean = false): DataFrame = {
-    val withB = (as: String) => vecs(emb, as)
+              hammingProbes: Boolean = false,
+              indexFilter: String = "true"): DataFrame = {
+    val withB = (df: DataFrame, as: String) => vecs(df, as)
       .withColumn("bucket", expr(bucketExpr(s"${as}_v", bits)).cast("long"))
-    val q0 = withB("q").filter(expr(probeFilter.replace("vec_id", "q_id")))
+    val q0 = withB(emb, "q").filter(expr(probeFilter.replace("vec_id", "q_id")))
     val q = if (hammingProbes) hammingProbed(q0, bits) else q0
     val pairs = q
-      .join(withB("n").withColumnRenamed("bucket", "n_bucket"),
+      .join(withB(emb.filter(expr(indexFilter)), "n")
+          .withColumnRenamed("bucket", "n_bucket"),
         col("bucket") === col("n_bucket") && col("q_id") =!= col("n_id"))
       .selectExpr("q_id AS id1", "n_id AS id2",
         "q_v AS v1", "q_nrm AS n1", "n_v AS v2", "n_nrm AS n2")

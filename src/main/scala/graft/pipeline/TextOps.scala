@@ -307,15 +307,15 @@ object TextOps {
     * sigmoid is the rational `0.5 + 0.5·z/(1+|z|)` — basic IEEE ops
     * only, so both engines agree bit-for-bit with no transcendental
     * ULP risk. Pure codegen'd projection, zero shuffles. */
-  def hashedClassifier(docs: DataFrame): DataFrame =
+  def hashedClassifier(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     withTokens(docs)
-      .selectExpr("doc_id",
+      .selectExpr(Seq("doc_id") ++ carry ++ Seq(
         "size(tokens) AS n_tokens",
-        s"aggregate(tokens, 0L, (a, t) -> a + ${hash60("t")} % 2001 - 1000) AS w_sum")
-      .selectExpr("doc_id", "n_tokens", "w_sum",
-        "CAST(w_sum AS DOUBLE) / (1000.0e0 * CAST(n_tokens AS DOUBLE)) AS z")
-      .selectExpr("doc_id", "n_tokens", "w_sum",
-        "floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob")
+        s"aggregate(tokens, 0L, (a, t) -> a + ${hash60("t")} % 2001 - 1000) AS w_sum"): _*)
+      .selectExpr(Seq("doc_id") ++ carry ++ Seq("n_tokens", "w_sum",
+        "CAST(w_sum AS DOUBLE) / (1000.0e0 * CAST(n_tokens AS DOUBLE)) AS z"): _*)
+      .selectExpr(Seq("doc_id") ++ carry ++ Seq("n_tokens", "w_sum",
+        "floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob"): _*)
       .withColumn("keep", col("prob") >= 0.5)
 
   /** Markup stripping — the C4-style HTML cleanup pass between a crawl
