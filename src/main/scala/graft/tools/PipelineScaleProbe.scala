@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.pipeline._
 
@@ -118,7 +119,7 @@ object PipelineScaleProbe {
                        "vectorkernel", "asofskew", "graphs10x", "bpefold",
                        "hll100m", "robuststats", "annio", "funnelstream",
                        "rolling", "phrase", "rollingstream", "layout",
-                       "zorder")
+                       "zorder", "auceval")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -1417,6 +1418,71 @@ object PipelineScaleProbe {
           .filter("c != 2").count()
         require(diff == 0L, s"$diff docs disagree with the regexp scan")
         want.count()
+      }
+    }
+
+    if (sections("auceval")) {
+      // X68 exact AUC at 50M rows, EVERY score distinct (the
+      // adversarial regime for rank statistics — the per-score
+      // histogram is corpus-sized, 12.5M rows per group, so whatever
+      // carries the cumulative positives is carrying the corpus):
+      // score = a bijection (id·1000003 mod 5·10⁷), group = score mod
+      // 4, label = alternating by within-group rank — so each group is
+      // a perfect even/odd interleave with the closed form
+      // A = p(p+1), auc = 1 − (p+1)/(2p), p = n/8. The same statistic
+      // is then computed with the NAIVE single window partitioned by
+      // group alone (4 sort groups × 12.5M rows through one task
+      // each) — the funnel the two-level bucket split exists to avoid;
+      // results must agree bit-for-bit.
+      val n = 50000000L
+      val df = spark.range(n).selectExpr(
+        s"pmod(id * 1000003L, ${n}L) AS s")
+        .selectExpr("s", "CAST(s % 4L AS STRING) AS g",
+          "((s DIV 4L) % 2L) = 0L AS label")
+      val p = n / 8
+      val expAuc = math.floor((1.0 - (p * (p + 1)).toDouble /
+        (2.0 * p.toDouble * p.toDouble)) * 1e9 + 0.5) / 1e9
+      val q = Diagnostics.aucBy(df, "s", "label", by = Seq("g"))
+      auditPlan("aucBy 50M distinct scores", q)
+      var twoLevel: Map[String, (Long, Long, Double)] = Map.empty
+      time("aucBy, 50M rows, all-distinct scores, 4 groups") {
+        twoLevel = q.collect().map(r =>
+          r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        twoLevel.foreach { case (g, (np, nn, auc)) =>
+          require(np == p && nn == p, s"group $g counts ($np, $nn) != $p")
+          require(auc == expAuc, s"group $g auc $auc != closed-form $expAuc")
+        }
+        twoLevel.size.toLong
+      }
+      time("NAIVE single-window AUC, same 50M rows (the avoided funnel)") {
+        val hist = Diagnostics.scoreHistogram(df, "s", "label", Seq("g"))
+        val w = Window.partitionBy("g").orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val naive = hist
+          .withColumn("cum", coalesce(sum(col("p")).over(w), lit(0L)))
+          .groupBy("g")
+          .agg(sum("p").as("n_pos"), sum("ng").as("n_neg"),
+            sum(expr("ng * (2L * cum + p)")).as("a2"))
+          .selectExpr("g", "n_pos", "n_neg",
+            """floor((1.0e0 - CAST(a2 AS DOUBLE)
+               / (2.0e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+               * 1.0e9 + 0.5e0) / 1.0e9 AS auc""")
+          .collect().map(r =>
+            r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        require(naive == twoLevel, "naive window AUC disagrees with the two-level path")
+        naive.size.toLong
+      }
+      time("prAtThresholds, same 50M rows (suffix sums on the bucket grid)") {
+        val pr = Diagnostics.prAtThresholds(
+          Diagnostics.scoreHistogram(df, "s", "label", Seq("g")), Seq("g"))
+        auditPlan("prAtThresholds 50M", pr)
+        val rows = pr.collect()
+        // the zero threshold covers everything: tp = all positives
+        rows.filter(_.getLong(1) == 0L).foreach { r =>
+          require(r.getLong(2) + r.getLong(4) == p && r.getLong(3) + r.getLong(5) == p,
+            s"threshold-0 row inconsistent: $r")
+        }
+        rows.length.toLong
       }
     }
 
