@@ -117,7 +117,12 @@ object Diagnostics {
       coalesce(sum(col("p")).over(
         Window.partitionBy(g :+ col("bucket"): _*).orderBy(col("s"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val offs = perScore.groupBy(g :+ col("bucket"): _*)
+    // fresh-alias projection (new expression ids): `within` and `offs`
+    // both descend from perScore, and some sources (e.g. a streaming
+    // memory sink) trip the analyzer's conflicting-reference check on
+    // the self-join without it
+    val offs = perScore.toDF(perScore.columns: _*)
+      .groupBy(g :+ col("bucket"): _*)
       .agg(sum("p").as("bp"))
       .withColumn("boff", coalesce(sum(col("bp")).over(
         Window.partitionBy(g: _*).orderBy(col("bucket"))

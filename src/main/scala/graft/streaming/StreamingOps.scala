@@ -594,6 +594,29 @@ object StreamingOps {
       .groupBy("bucket").agg(max("r").as("r"))
   }
 
+  /** Streaming score histogram — the classifier-eval family's
+    * streaming twin: running per-(group, score) (positive, negative)
+    * counts as a NATIVE streaming aggregation (update/complete mode),
+    * the same relation `Diagnostics.scoreHistogram` builds in batch —
+    * expression-for-expression, so at any prefix the sink feeds
+    * `Diagnostics.aucFromHistogram` / `prAtThresholds` and reproduces
+    * the batch evaluation of the rows seen so far EXACTLY
+    * (spec-pinned). State is bounded by #groups × |score lattice|
+    * cells by construction — the same bound as the batch relation,
+    * independent of stream length (quantize scores to a lattice
+    * first, as in batch). */
+  def scoreHistogramStream(stream: DataFrame, scoreExpr: String,
+                           labelExpr: String,
+                           by: Seq[String] = Nil): DataFrame = {
+    val g = by.map(col)
+    stream.select(g
+        :+ expr(scoreExpr).cast("long").as("s")
+        :+ expr(s"CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L ELSE 0L END")
+          .as("pos"): _*)
+      .groupBy(g :+ col("s"): _*)
+      .agg(sum("pos").as("p"), sum(expr("1L - pos")).as("ng"))
+  }
+
   /** Streaming regrid: the K1 join-agg kernel applied per micro-batch.
     * Weights are a static broadcast side (the exact analog of the
     * reference's dask strategy — every chunk sees the full W,

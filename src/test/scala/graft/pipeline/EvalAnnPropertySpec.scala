@@ -156,6 +156,43 @@ class EvalAnnPropertySpec extends AnyFunSuite {
     assert(Diagnostics.calibrationBins(top, "prob", "label").head().getInt(0) === 9)
   }
 
+  test("streaming score histogram: complete-mode prefix == batch, AUC over the sink == direct") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val r = new scala.util.Random(77)
+    val rows = (0 until 300).map { _ =>
+      (s"g${r.nextInt(2)}", (r.nextInt(21) - 10).toLong, r.nextBoolean())
+    }
+    val stream = MemoryStream[(String, Long, Boolean)]
+    val hist = graft.streaming.StreamingOps.scoreHistogramStream(
+      stream.toDF().toDF("g", "s", "label"), "s", "label", Seq("g"))
+    val q = hist.writeStream.outputMode("complete")
+      .format("memory").queryName("auc_hist_sink").start()
+    val chunks = rows.grouped(100).toSeq
+    var seen = Seq.empty[(String, Long, Boolean)]
+    chunks.foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+      seen = seen ++ chunk
+      // at every prefix: the sink IS the batch histogram, and AUC
+      // computed over it equals the direct batch AUC of the prefix
+      val sink = spark.table("auc_hist_sink")
+      val batchHist = Diagnostics.scoreHistogram(
+          seen.toDF("g", "s", "label"), "s", "label", Seq("g"))
+        .collect().map(x => (x.getString(0), x.getLong(1)) ->
+          ((x.getLong(2), x.getLong(3)))).toMap
+      val gotHist = sink.collect().map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+      assert(gotHist === batchHist)
+      val direct = Diagnostics.aucBy(seen.toDF("g", "s", "label"), "s", "label", Seq("g"))
+        .collect().map(x => x.getString(0) -> x.toSeq.tail).toMap
+      val streamed = Diagnostics.aucFromHistogram(sink, Seq("g"))
+        .collect().map(x => x.getString(0) -> x.toSeq.tail).toMap
+      assert(streamed === direct)
+    }
+    q.stop()
+  }
+
   // ---- filtered ANN ----
 
   private val annBits = 6
