@@ -100,6 +100,9 @@ object PipelineQueries {
   private def annPqTable(s: SparkSession): String =
     perPidTable(s, "graft_annpq_codes_")
 
+  private def annPqfTable(s: SparkSession): String =
+    perPidTable(s, "graft_annpqf_codes_")
+
   /** Count-Min point-estimate oracle, shared VERBATIM by
     * q_cm_frequency (direct full-corpus sketch) and q_cm_merge (two
     * persisted snapshot sketches, elementwise-summed) — counters are
@@ -497,7 +500,7 @@ object PipelineQueries {
                 WHERE e.vec_id % 50 = 0))
         WHERE rn <= $nprobe)"""
 
-  private def pqCtesWith(qcCte: String): String =
+  private def pqCtesWith(qcCte: String, neighborWhere: String = ""): String =
     s"""${kmeansSubCtes("pa", 1, 32, pqK, pqIters)},
         ${kmeansSubCtes("pb", 33, 32, pqK, pqIters)},
         ${kmeansSubCtes("pc", 1, 64, pqCells, pqIters)},
@@ -516,7 +519,7 @@ object PipelineQueries {
                FROM cd JOIN qc ON qc.cell = cd.cell
                        JOIN luta la ON la.query_id = qc.query_id AND la.code = cd.ca
                        JOIN lutb lb ON lb.query_id = qc.query_id AND lb.code = cd.cb
-               WHERE cd.vec_id <> qc.query_id),
+               WHERE cd.vec_id <> qc.query_id$neighborWhere),
         rr AS (SELECT *, CAST(row_number() OVER
                  (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
                FROM sc)"""
@@ -2422,6 +2425,36 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       },
       Some(annPqOracleSql)),
+
+    QueryDef("q_ann_filtered_persisted",
+      // X67's pre-filter contract at the PERSISTED-index layer: the
+      // label rides INTO the stored code relation (AnnIO.save
+      // metaCols — denormalized alongside the codes, the
+      // filtered-serving design), so pqQueryTopK's indexFilter is
+      // answered inside the bucketed code scan — no side join against
+      // a corpus-sized attribute table at query time, index
+      // distribution untouched. The probe side stays unfiltered (a
+      // query needn't satisfy the predicate it searches under).
+      // Oracle: the shared PQ CTE chain with the same label
+      // restriction on the candidate side only.
+      (s, dir) => {
+        val e = emb(s, dir)
+        val base = sketchIoPath(s)
+        val idx = Clustering.trainPqIndex(e, pqM, pqK, pqIters,
+          coarseCells = pqCells)
+        val withMeta = idx.copy(
+          codes = idx.codes.join(e.select("vec_id", "label"), "vec_id"))
+        AnnIO.save(withMeta, s"$base/pq_idx_f", annPqfTable(s),
+          metaCols = Seq("label"))
+        Clustering.pqQueryTopK(AnnIO.load(s, s"$base/pq_idx_f"), e,
+            "vec_id % 50 = 0", 5, indexFilter = "label = 1")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${pqCtesWith(
+          "qc AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id % 50 = 0)",
+          " AND cd.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)")}
+        SELECT query_id, neighbor_id, adist, rank FROM rr WHERE rank <= 5
+        ORDER BY query_id, rank""")),
 
     QueryDef("q_ann_pq_mp",
       // multi-probe IVF-PQ: queries scan their 2 nearest coarse cells

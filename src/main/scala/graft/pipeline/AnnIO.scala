@@ -44,9 +44,18 @@ object AnnIO {
   /** Persist a trained [[Clustering.PqIndex]]. `table` names the
     * bucketed code relation in the session catalog (bucketing needs
     * `saveAsTable`); it is recorded in `meta.parquet` so [[load]]
-    * finds it from the path alone. */
+    * finds it from the path alone.
+    *
+    * `metaCols` names metadata columns of `index.codes` (joined in by
+    * the caller, e.g. a label/lang/source per vec_id) to DENORMALIZE
+    * into the stored code relation — the filtered-serving design:
+    * [[Clustering.pqQueryTopK]]'s `indexFilter` then answers inside
+    * the bucketed code scan, no side join against a corpus-sized
+    * attribute table at query time. Recorded in meta so
+    * [[appendCodes]] keeps the schema (an append missing them fails
+    * loudly instead of writing NULL metadata). */
   def save(index: Clustering.PqIndex, path: String, table: String,
-           buckets: Int = 16): Unit = {
+           buckets: Int = 16, metaCols: Seq[String] = Nil): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
     if (exists(spark, path))
@@ -66,7 +75,8 @@ object AnnIO {
       val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
-    val codeCols = (0 until index.m).map(s0 => col(s"code_$s0"))
+    val codeCols = (0 until index.m).map(s0 => col(s"code_$s0")) ++
+      metaCols.map(col)
     if (index.coarse.isDefined) {
       // one file per bucket, sorted — same reasoning as writeBucketed:
       // multiple files per bucket would drop the sortedness guarantee
@@ -92,8 +102,10 @@ object AnnIO {
     // caller-remembered parameter.
     Seq((index.m, index.codebookK, index.dim,
         index.coarse.map(_.length).getOrElse(0),
-        if (index.coarse.isDefined) table else "", buckets))
-      .toDF("m", "codebook_k", "dim", "coarse_cells", "codes_table", "buckets")
+        if (index.coarse.isDefined) table else "", buckets,
+        metaCols.mkString(",")))
+      .toDF("m", "codebook_k", "dim", "coarse_cells", "codes_table",
+        "buckets", "meta_cols")
       .coalesce(1).write.parquet(s"$path/meta.parquet")
   }
 
@@ -147,7 +159,18 @@ object AnnIO {
     val m = meta.getAs[Int]("m")
     val table = meta.getAs[String]("codes_table")
     val buckets = meta.getAs[Int]("buckets")
-    val codeCols = (0 until m).map(s0 => col(s"code_$s0"))
+    // metadata columns recorded at save time must travel with every
+    // append, or filtered serving would silently see NULLs for the new
+    // vectors (pre-meta_cols indexes have no such column — treat as
+    // none)
+    val metaCols =
+      if (meta.schema.fieldNames.contains("meta_cols"))
+        meta.getAs[String]("meta_cols").split(",").filter(_.nonEmpty).toSeq
+      else Seq.empty[String]
+    metaCols.foreach(c => require(newCodes.columns.contains(c),
+      s"append batch is missing the index's metadata column '$c' " +
+        s"(saved with metaCols=${metaCols.mkString(",")})"))
+    val codeCols = (0 until m).map(s0 => col(s"code_$s0")) ++ metaCols.map(col)
     if (meta.getAs[Int]("coarse_cells") > 0)
       newCodes.select((col("vec_id") +: col("cell") +: codeCols): _*)
         .repartition(buckets, col("cell"))

@@ -550,9 +550,20 @@ object Clustering {
   /** Serve ANN top-k from a trained (or loaded) [[PqIndex]] — the
     * query half of [[pqTopK]], touching only the index relations and
     * the PROBE vectors of `emb` (LUT slices + multi-probe ranking);
-    * the corpus embeddings are never re-read. */
+    * the corpus embeddings are never re-read.
+    *
+    * `indexFilter` (a predicate over the code relation's columns)
+    * gives FILTERED serving with pre-filter semantics — top-k among
+    * index vectors satisfying the predicate, [[Similarity.ivfTopK]]'s
+    * `indexFilter` contract at the persisted-index layer. Metadata
+    * columns saved alongside the codes ([[AnnIO.save]]'s `metaCols`)
+    * make the predicate answerable INSIDE the bucketed code scan
+    * (pushed filter, no side join, index distribution untouched);
+    * the probe side is never filtered — a query needn't satisfy the
+    * predicate it searches under. */
   def pqQueryTopK(index: PqIndex, emb: DataFrame, probeFilter: String,
-                  kNN: Int, coarseNprobe: Int = 1): DataFrame = {
+                  kNN: Int, coarseNprobe: Int = 1,
+                  indexFilter: String = "true"): DataFrame = {
     require(kNN >= 1, s"kNN must be >= 1, got $kNN")
     val spark = emb.sparkSession
     val m = index.m
@@ -596,8 +607,11 @@ object Clustering {
     // candidates: one broadcast LUT join per subspace — the FIRST join
     // carries the coarse cell key when IVF is on, so the fan-out is
     // (queries in this cell) per vector, not (all queries) per vector —
-    // then the fixed-order ADC sum and the per-query exact top-k cut
-    var cand = index.codes
+    // then the fixed-order ADC sum and the per-query exact top-k cut.
+    // The index filter lands here, BEFORE any join: for a loaded index
+    // it pushes into the bucketed code scan, and candidate volume
+    // shrinks with the predicate's selectivity.
+    var cand = index.codes.filter(expr(indexFilter))
     for (s0 <- 0 until m) {
       var l = lut.filter(col("sub") === s0)
         .select(col("query_id"), col("code").as(s"code_$s0"), col("d").as(s"d_$s0"))

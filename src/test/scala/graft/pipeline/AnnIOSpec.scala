@@ -66,6 +66,44 @@ class AnnIOSpec extends AnyFunSuite {
     assert(res(Clustering.pqQueryTopK(loaded, v, "vec_id % 20 = 0", 3, coarseNprobe = 2)) === trainedMp)
   }
 
+  test("filtered serving from a persisted index: metaCols round-trip, pre-filter semantics, append guard") {
+    val v = vecs
+    val labeled = v.withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+    val idx = Clustering.trainPqIndex(v, m = 4, codebookK = 16, iters = 2,
+      coarseCells = 4)
+    val withMeta = idx.copy(
+      codes = idx.codes.join(labeled.select("vec_id", "label"), "vec_id"))
+    val base = tmpBase()
+    AnnIO.save(withMeta, s"$base/idx", "annio_codes_meta", metaCols = Seq("label"))
+    val loaded = AnnIO.load(spark, s"$base/idx")
+    assert(loaded.codes.columns.contains("label"), "label must round-trip with the codes")
+    val filtered = res(Clustering.pqQueryTopK(loaded, v, "vec_id % 20 = 0", 3,
+      indexFilter = "label = 1"))
+    // pre-filter truth: the same query against an index whose code
+    // relation was filtered in memory BEFORE serving
+    val want = res(Clustering.pqQueryTopK(
+      withMeta.copy(codes = withMeta.codes.filter("label = 1")),
+      v, "vec_id % 20 = 0", 3))
+    assert(filtered === want)
+    assert(filtered.nonEmpty)
+    // every served neighbor satisfies the predicate
+    val ok = labeled.filter("label = 1").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(filtered.forall { case (_, n, _, _) => ok.contains(n) })
+    // an append missing the recorded metadata column fails loudly
+    val batch = Clustering.encodePqBatch(loaded,
+      v.selectExpr("vec_id + 5000 AS vec_id", "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      AnnIO.appendCodes(loaded, batch, s"$base/idx")
+    }
+    assert(e.getMessage.contains("metadata column"))
+    // with it, the append lands and the new vectors serve under the filter
+    AnnIO.appendCodes(loaded,
+      batch.withColumn("label", lit(1)), s"$base/idx")
+    val after = AnnIO.load(spark, s"$base/idx")
+    assert(after.codes.filter("vec_id >= 5000 AND label = 1").count() === 1200L)
+  }
+
   test("exhaustive (no-coarse) index round-trips bit-equal") {
     val v = vecs
     val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2)
