@@ -172,7 +172,10 @@ object Diagnostics {
       .withColumn("tp", sum(col("bp")).over(w))
       .withColumn("fp", sum(col("bn")).over(w))
       .withColumn("threshold", expr(s"bucket * ${bucketWidth}L"))
-      .join(perBucket.groupBy(g: _*)
+      // fresh-alias projection — same self-join lineage rule as
+      // aucFromHistogram's offsets branch (streaming memory-sink
+      // inputs trip the conflicting-reference check without it)
+      .join(perBucket.toDF(perBucket.columns: _*).groupBy(g: _*)
         .agg(sum("bp").as("all_p"), sum("bn").as("all_n")), by)
       .withColumn("fn", expr("all_p - tp"))
       .withColumn("tn", expr("all_n - fp"))

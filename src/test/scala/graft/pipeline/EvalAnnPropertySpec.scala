@@ -189,6 +189,14 @@ class EvalAnnPropertySpec extends AnyFunSuite {
       val streamed = Diagnostics.aucFromHistogram(sink, Seq("g"))
         .collect().map(x => x.getString(0) -> x.toSeq.tail).toMap
       assert(streamed === direct)
+      // the PR sweep must also run straight off the sink
+      val prStream = Diagnostics.prAtThresholds(sink, Seq("g"), bucketWidth = 8)
+        .collect().map(x => (x.getString(0), x.getLong(1)) -> x.toSeq.drop(2)).toMap
+      val prBatch = Diagnostics.prAtThresholds(
+          Diagnostics.scoreHistogram(seen.toDF("g", "s", "label"), "s", "label", Seq("g")),
+          Seq("g"), bucketWidth = 8)
+        .collect().map(x => (x.getString(0), x.getLong(1)) -> x.toSeq.drop(2)).toMap
+      assert(prStream === prBatch)
     }
     q.stop()
   }
