@@ -257,6 +257,32 @@ class EvalAnnPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: filtered bruteTopK equals the exact replay over the constrained index side") {
+    (1 to 2).foreach { seed =>
+      val r = new scala.util.Random(9600 + seed)
+      val vecs = (0 until 200).map { id =>
+        val v = Array.fill(8)((r.nextInt(9) - 4).toDouble)
+        if (v.forall(_ == 0.0)) v(0) = 1.0
+        (id.toLong, v.map(_.toFloat), r.nextInt(3))
+      }
+      val df = vecs.toDF("vec_id", "embedding", "label")
+      val byId = vecs.map(t => t._1 -> ((t._2.map(_.toDouble), t._3))).toMap
+      val got = Similarity.bruteTopK(df, "vec_id % 10 = 0", 4, indexFilter = "label = 2")
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+      val want = byId.keys.filter(_ % 10 == 0).flatMap { q =>
+        val (qv, _) = byId(q)
+        byId.toSeq
+          .collect { case (id, (v, lab)) if id != q && lab == 2 =>
+            (id, replayCos(qv, v)) }
+          .sortBy { case (id, cos) => (-cos, id) }
+          .take(4).zipWithIndex
+          .map { case ((id, _), i) => (q, id, i + 1) }
+      }.toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("filtered ivfTopK: pre-filter, not post-filter — scarce-label neighbors still fill k") {
     // 4 label-1 vectors deliberately NOT in any query's unfiltered
     // top-5 (orthogonal-ish, low cosine): a post-filter over an
