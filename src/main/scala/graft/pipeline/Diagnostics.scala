@@ -72,14 +72,24 @@ object Diagnostics {
     * counts are ADDITIVE, so the histogram of a corpus union is the
     * elementwise sum ([[mergeScoreHistograms]]) — persist one per
     * day/snapshot (`SketchIO.writeSketch`) and evaluate the classifier
-    * over ANY union of snapshots without re-scanning old corpora. */
+    * over ANY union of snapshots without re-scanning old corpora.
+    * Rows with a NULL score or label are EXCLUDED (unscored/unlabeled
+    * — the standard eval convention), so every downstream statistic
+    * (AUC, PR, calibration) evaluates the scored+labeled subset. */
   def scoreHistogram(df: DataFrame, scoreExpr: String, labelExpr: String,
                      by: Seq[String] = Nil): DataFrame = {
     val g = by.map(col)
+    // NULL contract: a NULL score or label is an UNSCORED/UNLABELED
+    // row — excluded from evaluation (the standard eval convention),
+    // never a silent negative or a NULL rank group (whose sort order
+    // would also diverge cross-engine: Spark windows put NULLS FIRST,
+    // DuckDB's LAST — the hllSketch NULL-bucket lesson).
     df.select(g
         :+ expr(scoreExpr).cast("long").as("s")
-        :+ expr(s"CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L ELSE 0L END")
-          .as("pos"): _*)
+        :+ expr(s"""CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L
+                         WHEN NOT CAST($labelExpr AS BOOLEAN) THEN 0L
+                         ELSE CAST(NULL AS BIGINT) END""").as("pos"): _*)
+      .filter(col("s").isNotNull && col("pos").isNotNull)
       .groupBy(g :+ col("s"): _*)
       .agg(sum("pos").as("p"), sum(expr("1L - pos")).as("ng"))
   }
@@ -208,10 +218,21 @@ object Diagnostics {
                       by: Seq[String] = Nil, nBins: Int = 10): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
     val g = by.map(col)
+    // NULL prob/label rows are excluded (the scoreHistogram
+    // convention); a NON-NULL prob outside [0, 1] is a caller bug —
+    // binning it would silently mint a negative or phantom bin, so it
+    // fails loudly instead (the weightedTopK guard discipline).
     df.select(g
-        :+ expr(s"CAST(floor(($probExpr) * 1.0e6 + 0.5e0) AS BIGINT)").as("pu")
-        :+ expr(s"CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L ELSE 0L END")
-          .as("pos"): _*)
+        :+ expr(s"""CASE WHEN ($probExpr) >= 0.0e0 AND ($probExpr) <= 1.0e0
+                         THEN CAST(floor(($probExpr) * 1.0e6 + 0.5e0) AS BIGINT)
+                         WHEN ($probExpr) IS NULL THEN CAST(NULL AS BIGINT)
+                         ELSE CAST(raise_error(concat(
+                           'calibrationBins: prob must be in [0, 1], got ',
+                           CAST(($probExpr) AS STRING))) AS BIGINT) END""").as("pu")
+        :+ expr(s"""CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L
+                         WHEN NOT CAST($labelExpr AS BOOLEAN) THEN 0L
+                         ELSE CAST(NULL AS BIGINT) END""").as("pos"): _*)
+      .filter(col("pu").isNotNull && col("pos").isNotNull)
       .withColumn("bin",
         expr(s"CAST(least((pu * ${nBins}L) DIV 1000000L, ${nBins - 1}L) AS INT)"))
       .groupBy(g :+ col("bin"): _*)

@@ -156,6 +156,33 @@ class EvalAnnPropertySpec extends AnyFunSuite {
     assert(Diagnostics.calibrationBins(top, "prob", "label").head().getInt(0) === 9)
   }
 
+  test("NULL contract: unscored/unlabeled rows are excluded; out-of-range prob fails loudly") {
+    // NULL score and NULL label rows must not shift the statistic —
+    // the result equals the clean subset's
+    val dirty = Seq(
+      (Some(10L), Some(true)), (Some(1L), Some(false)), (Some(7L), Some(true)),
+      (None, Some(true)), (Some(5L), None), (None, None))
+    val df = dirty.map { case (s, l) =>
+      (s.map(java.lang.Long.valueOf).orNull,
+        l.map(java.lang.Boolean.valueOf).orNull)
+    }.toDF("s", "label")
+    val clean = dirty.collect { case (Some(s), Some(l)) => (s, l) }.toDF("s", "label")
+    assert(Diagnostics.aucBy(df, "s", "label").collect().toSeq ===
+      Diagnostics.aucBy(clean, "s", "label").collect().toSeq)
+    val cal = Diagnostics.calibrationBins(
+      Seq((0.5, true), (0.9, false)).toDF("prob", "label")
+        .unionByName(Seq((Option.empty[Double], Option.empty[Boolean]))
+          .toDF("prob", "label")),
+      "prob", "label")
+    assert(cal.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) === 2L)
+    // a NON-NULL probability outside [0, 1] is a caller bug
+    val bad = intercept[Exception] {
+      Diagnostics.calibrationBins(
+        Seq((1.5, true)).toDF("prob", "label"), "prob", "label").collect()
+    }
+    assert(bad.getMessage.contains("prob must be in [0, 1]"))
+  }
+
   test("streaming score histogram: complete-mode prefix == batch, AUC over the sink == direct") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
