@@ -119,7 +119,7 @@ object PipelineScaleProbe {
                        "vectorkernel", "asofskew", "graphs10x", "bpefold",
                        "hll100m", "robuststats", "annio", "funnelstream",
                        "rolling", "phrase", "rollingstream", "layout",
-                       "zorder", "auceval")
+                       "zorder", "auceval", "annfiltered")
                    else args.toSet
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -407,6 +407,48 @@ object PipelineScaleProbe {
       auditPlan("multi-probe IVF 1M vectors", ann)
       time("multi-probe IVF top-5, 1M x 64-dim, 1000 probes") {
         ann.count()
+      }
+    }
+
+    if (sections("annfiltered")) {
+      // X67 filtered search at 1M vectors: the 10%-selective predicate
+      // (label = id mod 10 = 3) lands on the index side BEFORE the
+      // bucket join, so candidate volume — and wall — shrinks with
+      // selectivity instead of post-filtering an over-provisioned k.
+      // Correctness at scale: on 50 sampled queries the filtered IVF
+      // result must be a SUBSET of the brute-force-filtered pair set
+      // with identical cosines, and every served neighbor satisfies
+      // the predicate.
+      val embF = vectors(1000000L)
+        .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+      val unf = Similarity.ivfTopK(embF, "vec_id % 1000 = 0", 5, bits = 8,
+        hammingProbes = true)
+      val fil = Similarity.ivfTopK(embF, "vec_id % 1000 = 0", 5, bits = 8,
+        hammingProbes = true, indexFilter = "label = 3")
+      auditPlan("filtered multi-probe IVF 1M vectors", fil)
+      time("UNFILTERED multi-probe IVF top-5, 1M x 64-dim, 1000 probes") {
+        unf.count()
+      }
+      time("filtered (10% selective) multi-probe IVF, same probes") {
+        val rows = fil.select("query_id", "neighbor_id").collect()
+        require(rows.forall(_.getLong(1) % 10 == 3),
+          "a served neighbor violates the index predicate")
+        rows.length.toLong
+      }
+      time("subset check: 50 sampled queries vs brute-filtered truth") {
+        val sample = Similarity.ivfTopK(embF, "vec_id % 20000 = 0", 5,
+            bits = 8, hammingProbes = true, indexFilter = "label = 3")
+          .select("query_id", "neighbor_id", "cos").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val brute = Similarity.bruteTopK(embF, "vec_id % 20000 = 0",
+            1000000, indexFilter = "label = 3")
+          .select("query_id", "neighbor_id", "cos").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        sample.foreach { case (k, cosV) =>
+          require(brute.get(k).contains(cosV),
+            s"filtered IVF pair $k cos=$cosV missing from brute-filtered truth")
+        }
+        sample.size.toLong
       }
     }
 
