@@ -75,10 +75,26 @@ object Diagnostics {
     * over ANY union of snapshots without re-scanning old corpora.
     * Rows with a NULL score or label are EXCLUDED (unscored/unlabeled
     * — the standard eval convention), so every downstream statistic
-    * (AUC, PR, calibration) evaluates the scored+labeled subset. */
+    * (AUC, PR, calibration) evaluates the scored+labeled subset.
+    *
+    * `weightExpr` (importance-weighted evaluation — e.g. dedup
+    * multiplicities or stratum correction): a NON-NEGATIVE INTEGER
+    * per-row weight with exact replicated-rows semantics — the
+    * weighted histogram equals the histogram of each row repeated
+    * weight times (property-pinned), so weighted AUC/PR stay exact
+    * integer statistics. Zero drops the row; negative or NULL weights
+    * fail loudly (the weightedTopK guard discipline — a NULL weight
+    * silently zeroing a row would bias every downstream statistic). */
   def scoreHistogram(df: DataFrame, scoreExpr: String, labelExpr: String,
-                     by: Seq[String] = Nil): DataFrame = {
+                     by: Seq[String] = Nil,
+                     weightExpr: String = "1L"): DataFrame = {
     val g = by.map(col)
+    val w =
+      s"""CASE WHEN CAST($weightExpr AS BIGINT) >= 0L
+               THEN CAST($weightExpr AS BIGINT)
+               ELSE CAST(raise_error(concat(
+                 'scoreHistogram: weight must be a non-negative integer, got ',
+                 CAST(($weightExpr) AS STRING))) AS BIGINT) END"""
     // NULL contract: a NULL score or label is an UNSCORED/UNLABELED
     // row — excluded from evaluation (the standard eval convention),
     // never a silent negative or a NULL rank group (whose sort order
@@ -88,10 +104,11 @@ object Diagnostics {
         :+ expr(scoreExpr).cast("long").as("s")
         :+ expr(s"""CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L
                          WHEN NOT CAST($labelExpr AS BOOLEAN) THEN 0L
-                         ELSE CAST(NULL AS BIGINT) END""").as("pos"): _*)
-      .filter(col("s").isNotNull && col("pos").isNotNull)
+                         ELSE CAST(NULL AS BIGINT) END""").as("pos")
+        :+ expr(w).as("w"): _*)
+      .filter(col("s").isNotNull && col("pos").isNotNull && col("w") > 0L)
       .groupBy(g :+ col("s"): _*)
-      .agg(sum("pos").as("p"), sum(expr("1L - pos")).as("ng"))
+      .agg(sum(expr("pos * w")).as("p"), sum(expr("(1L - pos) * w")).as("ng"))
   }
 
   /** Merge [[scoreHistogram]] relations: elementwise count sums per

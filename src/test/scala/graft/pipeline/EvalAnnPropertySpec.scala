@@ -156,6 +156,41 @@ class EvalAnnPropertySpec extends AnyFunSuite {
     assert(Diagnostics.calibrationBins(top, "prob", "label").head().getInt(0) === 9)
   }
 
+  test("property: weighted scoreHistogram == replicated rows; zero drops, negative raises") {
+    (1 to 3).foreach { seed =>
+      val r = new scala.util.Random(9800 + seed)
+      val rows = (0 until 300).map { _ =>
+        (s"g${r.nextInt(2)}", (r.nextInt(15) - 7).toLong, r.nextBoolean(),
+          r.nextInt(4).toLong) // weights 0..3, zero included
+      }
+      val wdf = rows.toDF("g", "s", "label", "w")
+      val weighted = Diagnostics.scoreHistogram(wdf, "s", "label", Seq("g"), weightExpr = "w")
+        .collect().map(x => (x.getString(0), x.getLong(1)) ->
+          ((x.getLong(2), x.getLong(3)))).toMap
+      val replicated = rows.flatMap { case (g, s, l, w) =>
+        Seq.fill(w.toInt)((g, s, l))
+      }.toDF("g", "s", "label")
+      val want = Diagnostics.scoreHistogram(replicated, "s", "label", Seq("g"))
+        .collect().map(x => (x.getString(0), x.getLong(1)) ->
+          ((x.getLong(2), x.getLong(3)))).toMap
+      assert(weighted === want, s"seed $seed")
+      // and the downstream AUC over the weighted histogram equals the
+      // replicated-rows AUC
+      val aucW = Diagnostics.aucFromHistogram(
+          Diagnostics.scoreHistogram(wdf, "s", "label", Seq("g"), weightExpr = "w"),
+          Seq("g")).collect().map(x => x.getString(0) -> x.toSeq.tail).toMap
+      val aucR = Diagnostics.aucBy(replicated, "s", "label", Seq("g"))
+        .collect().map(x => x.getString(0) -> x.toSeq.tail).toMap
+      assert(aucW === aucR, s"seed $seed auc")
+    }
+    val bad = intercept[Exception] {
+      Diagnostics.scoreHistogram(
+        Seq((1L, true, -2L)).toDF("s", "label", "w"),
+        "s", "label", weightExpr = "w").collect()
+    }
+    assert(bad.getMessage.contains("non-negative"))
+  }
+
   test("NULL contract: unscored/unlabeled rows are excluded; out-of-range prob fails loudly") {
     // NULL score and NULL label rows must not shift the statistic —
     // the result equals the clean subset's
