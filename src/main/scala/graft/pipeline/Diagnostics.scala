@@ -58,7 +58,14 @@ object Diagnostics {
     *
     * `scoreExpr` must already be integer-valued (quantize floats to a
     * lattice first — AUC is rank-based, so any monotone quantization
-    * only merges ties it creates identically on both engines).
+    * only merges ties it creates identically on both engines). The
+    * bucket histogram the offsets window runs over has one row per
+    * NONEMPTY bucket — for lattice-valued scores (quantized
+    * probabilities, counts) that is range/bucketWidth rows no matter
+    * the corpus; for SPARSE 64-bit scores (hash-like values) size
+    * `bucketWidth` up so buckets stay populated, or the offsets
+    * window degrades toward per-distinct-score size — the same
+    * documented trade as [[Sampling.exactPercentilesBy]]'s histogram.
     * Returns `(by…, n_pos, n_neg, auc)`; a group with an empty class
     * has undefined AUC → NULL. */
   def aucBy(df: DataFrame, scoreExpr: String, labelExpr: String,
@@ -89,8 +96,12 @@ object Diagnostics {
                      by: Seq[String] = Nil,
                      weightExpr: String = "1L"): DataFrame = {
     val g = by.map(col)
+    // integrality is part of the guard: CAST alone would silently
+    // TRUNCATE a fractional weight (1.7 → 1, 0.4 → dropped row) — the
+    // same silent-bias class the negative/NULL raise exists to stop
     val w =
-      s"""CASE WHEN CAST($weightExpr AS BIGINT) >= 0L
+      s"""CASE WHEN CAST($weightExpr AS BIGINT) = ($weightExpr)
+                AND CAST($weightExpr AS BIGINT) >= 0L
                THEN CAST($weightExpr AS BIGINT)
                ELSE CAST(raise_error(concat(
                  'scoreHistogram: weight must be a non-negative integer, got ',
@@ -156,9 +167,15 @@ object Diagnostics {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(g :+ col("bucket") :+ col("boff"): _*)
     within.join(broadcast(offs), by :+ "bucket")
-      .withColumn("t", expr("ng * (2L * (boff + poff) + p)"))
+      // the pair count reaches 2·P·N, which overflows a LongType sum
+      // once P·N > 4.6e18 (inside the 10^10-row regime this claims to
+      // serve) — DECIMAL(38,0) keeps it an exact integer to 38 digits
+      // (the inner factor 2·cumpos+p stays ≤ ~2·corpus, long-safe)
+      .withColumn("t", expr(
+        "CAST(ng AS DECIMAL(38,0)) * (2L * (boff + poff) + p)"))
       .groupBy(g: _*)
-      .agg(sum("p").as("n_pos"), sum("ng").as("n_neg"), sum("t").as("a2"))
+      .agg(sum("p").as("n_pos"), sum("ng").as("n_neg"),
+        sum("t").cast("decimal(38,0)").as("a2"))
       .withColumn("auc", expr(
         """CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE)
            ELSE floor((1.0e0 - CAST(a2 AS DOUBLE)
@@ -253,7 +270,10 @@ object Diagnostics {
       .withColumn("bin",
         expr(s"CAST(least((pu * ${nBins}L) DIV 1000000L, ${nBins - 1}L) AS INT)"))
       .groupBy(g :+ col("bin"): _*)
-      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"), sum("pu").as("pu_sum"))
+      // pu ≤ 10^6 per row, so a LongType pu_sum wraps past ~9.2e12
+      // rows in one (group, bin) — DECIMAL(38,0) keeps the mean exact
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        sum(col("pu").cast("decimal(38,0)")).as("pu_sum"))
       .withColumn("mean_prob", expr(
         """floor(CAST(pu_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e6)
            * 1.0e9 + 0.5e0) / 1.0e9"""))

@@ -607,14 +607,30 @@ object StreamingOps {
     * first, as in batch). */
   def scoreHistogramStream(stream: DataFrame, scoreExpr: String,
                            labelExpr: String,
-                           by: Seq[String] = Nil): DataFrame = {
+                           by: Seq[String] = Nil,
+                           weightExpr: String = "1L"): DataFrame = {
     val g = by.map(col)
+    // the batch twin's contracts, expression-for-expression
+    // (Diagnostics.scoreHistogram): NULL score/label rows are EXCLUDED
+    // (a NULL label silently counted as negative would bias every
+    // statistic over the sink), weights are guarded non-negative
+    // integers with replicated-rows semantics, zero drops the row
+    val w =
+      s"""CASE WHEN CAST($weightExpr AS BIGINT) = ($weightExpr)
+                AND CAST($weightExpr AS BIGINT) >= 0L
+               THEN CAST($weightExpr AS BIGINT)
+               ELSE CAST(raise_error(concat(
+                 'scoreHistogram: weight must be a non-negative integer, got ',
+                 CAST(($weightExpr) AS STRING))) AS BIGINT) END"""
     stream.select(g
         :+ expr(scoreExpr).cast("long").as("s")
-        :+ expr(s"CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L ELSE 0L END")
-          .as("pos"): _*)
+        :+ expr(s"""CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L
+                         WHEN NOT CAST($labelExpr AS BOOLEAN) THEN 0L
+                         ELSE CAST(NULL AS BIGINT) END""").as("pos")
+        :+ expr(w).as("w"): _*)
+      .filter(col("s").isNotNull && col("pos").isNotNull && col("w") > 0L)
       .groupBy(g :+ col("s"): _*)
-      .agg(sum("pos").as("p"), sum(expr("1L - pos")).as("ng"))
+      .agg(sum(expr("pos * w")).as("p"), sum(expr("(1L - pos) * w")).as("ng"))
   }
 
   /** Streaming regrid: the K1 join-agg kernel applied per micro-batch.

@@ -189,6 +189,32 @@ class EvalAnnPropertySpec extends AnyFunSuite {
         "s", "label", weightExpr = "w").collect()
     }
     assert(bad.getMessage.contains("non-negative"))
+    // a FRACTIONAL weight must raise, not silently truncate (1.7 -> 1
+    // or 0.4 -> dropped row would bias every downstream statistic)
+    val frac = intercept[Exception] {
+      Diagnostics.scoreHistogram(
+        Seq((1L, true, 1.7)).toDF("s", "label", "w"),
+        "s", "label", weightExpr = "w").collect()
+    }
+    assert(frac.getMessage.contains("non-negative integer"))
+  }
+
+  test("aucBy pair counts survive past Long range (DECIMAL accumulator)") {
+    // one positive below one negative, each with weight 4e18: the pair
+    // count A = 2·P·N ≈ 3.2e37 wraps a LongType sum silently; the
+    // DECIMAL(38,0) accumulator must return the exact AUC 0.0
+    val w = 4000000000000000000L
+    val hist = Diagnostics.scoreHistogram(
+      Seq((1L, true, w), (2L, false, w)).toDF("s", "label", "w"),
+      "s", "label", weightExpr = "w")
+    val row = Diagnostics.aucFromHistogram(hist).head()
+    assert(row.getLong(0) === w && row.getLong(1) === w)
+    assert(row.getDouble(2) === 0.0)
+    // and the mirror-image separation still reads exactly 1.0
+    val hist2 = Diagnostics.scoreHistogram(
+      Seq((2L, true, w), (1L, false, w)).toDF("s", "label", "w"),
+      "s", "label", weightExpr = "w")
+    assert(Diagnostics.aucFromHistogram(hist2).head().getDouble(2) === 1.0)
   }
 
   test("NULL contract: unscored/unlabeled rows are excluded; out-of-range prob fails loudly") {
@@ -222,16 +248,19 @@ class EvalAnnPropertySpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val r = new scala.util.Random(77)
+    // ~10% unlabeled rows: the stream twin must EXCLUDE them exactly
+    // as the batch histogram does (a silent negative would shift AUC)
     val rows = (0 until 300).map { _ =>
-      (s"g${r.nextInt(2)}", (r.nextInt(21) - 10).toLong, r.nextBoolean())
+      (s"g${r.nextInt(2)}", (r.nextInt(21) - 10).toLong,
+        if (r.nextInt(10) == 0) Option.empty[Boolean] else Some(r.nextBoolean()))
     }
-    val stream = MemoryStream[(String, Long, Boolean)]
+    val stream = MemoryStream[(String, Long, Option[Boolean])]
     val hist = graft.streaming.StreamingOps.scoreHistogramStream(
       stream.toDF().toDF("g", "s", "label"), "s", "label", Seq("g"))
     val q = hist.writeStream.outputMode("complete")
       .format("memory").queryName("auc_hist_sink").start()
     val chunks = rows.grouped(100).toSeq
-    var seen = Seq.empty[(String, Long, Boolean)]
+    var seen = Seq.empty[(String, Long, Option[Boolean])]
     chunks.foreach { chunk =>
       stream.addData(chunk)
       q.processAllAvailable()
