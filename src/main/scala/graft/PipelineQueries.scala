@@ -293,7 +293,7 @@ object PipelineQueries {
         p AS (SELECT doc_id, source, w_sum,
                 floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob
               FROM z),
-        sc AS (SELECT source, prob, CAST(floor(prob * 1.0e9 + 0.5e0) AS BIGINT) AS sq,
+        sc AS (SELECT doc_id, source, prob, CAST(floor(prob * 1.0e9 + 0.5e0) AS BIGINT) AS sq,
                 CASE WHEN (w_sum > 0) <> (${uSql("auc")} < 200000) THEN 1 ELSE 0 END AS pos
               FROM p)"""
 
@@ -2722,6 +2722,38 @@ object PipelineQueries {
           .orderBy("source")
       },
       Some(aucOracleSql)),
+
+    QueryDef("q_auc_weighted",
+      // importance-weighted AUC through the oracle channel: per-doc
+      // weight = doc_id % 3 + 1 (a deterministic dedup-multiplicity
+      // stand-in), exact replicated-rows semantics — the weighted
+      // histogram's integer pair counting is the same midrank
+      // machinery, so the statistic still hash-gates. The oracle
+      // weighs the same per-score sums.
+      (s, dir) => Diagnostics.aucFromHistogram(
+        Diagnostics.scoreHistogram(
+          aucScored(s, dir).withColumn("w", expr("doc_id % 3L + 1L")),
+          "CAST(floor(prob * 1.0e9 + 0.5e0) AS BIGINT)", "label",
+          by = Seq("source"), weightExpr = "w"),
+        by = Seq("source"))
+        .orderBy("source"),
+      Some(s"""WITH $aucScoredCtes,
+        sw AS (SELECT sc.*, doc_id % 3 + 1 AS w FROM sc),
+        h AS (SELECT source, sq, sum(pos * w) AS p, sum((1 - pos) * w) AS ng
+              FROM sw GROUP BY 1, 2),
+        c AS (SELECT *, coalesce(sum(p) OVER (PARTITION BY source ORDER BY sq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM h),
+        a AS (SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+                CAST(sum(ng) AS BIGINT) AS n_neg,
+                CAST(sum(ng * (2 * cum + p)) AS BIGINT) AS a2
+              FROM c GROUP BY 1)
+        SELECT source, n_pos, n_neg,
+          CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE floor((1.0e0 - CAST(a2 AS DOUBLE)
+                 / (2.0e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+                 * 1.0e9 + 0.5e0) / 1.0e9 END AS auc
+        FROM a ORDER BY source""")),
 
     QueryDef("q_pr_curve",
       // exact precision/recall/F1 operating-point sweep per source at
