@@ -277,22 +277,33 @@ object PipelineQueries {
       .withColumn("label", expr(
         s"(w_sum > 0L) != (${Sampling.uExpr("auc")} < 200000L)"))
 
-  /** Shared DuckDB CTE prefix for the classifier-eval contract family
-    * (AUC / PR sweep / calibration) — ends in
-    * `sc (source, prob, sq, pos)`: the hashedClassifier replay with
-    * the planted noisy label, prob on the 1e-9 lattice, sq = the
-    * BIGINT score. */
-  private lazy val aucScoredCtes =
+  /** DuckDB replay of [[TextOps.hashedClassifier]], carry-parameterized
+    * exactly like the Scala side's `carry` — the SINGLE source of the
+    * classifier-formula SQL for both the q_quality_classifier oracle
+    * and the eval family (a formula change lands in one place or the
+    * two oracle families would silently diverge). Ends in
+    * `p (doc_id, carry…, n_tokens, w_sum, prob)`. */
+  private def classifierCtes(carry: Seq[String]): String = {
+    val c = carry.map(x => s"$x, ").mkString
     s"""tok AS ($tokCte),
-        m AS (SELECT doc_id, source, CAST(len(tokens) AS INTEGER) AS n_tokens,
+        m AS (SELECT doc_id, ${c}CAST(len(tokens) AS INTEGER) AS n_tokens,
                 CAST(list_sum(list_transform(tokens, t -> ${h60("t")} % 2001 - 1000)) AS BIGINT) AS w_sum
               FROM tok),
-        z AS (SELECT doc_id, source, w_sum,
+        z AS (SELECT doc_id, ${c}n_tokens, w_sum,
                 CAST(w_sum AS DOUBLE) / (1000.0e0 * CAST(n_tokens AS DOUBLE)) AS z
               FROM m),
-        p AS (SELECT doc_id, source, w_sum,
+        p AS (SELECT doc_id, ${c}n_tokens, w_sum,
                 floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob
-              FROM z),
+              FROM z)"""
+  }
+
+  /** Shared DuckDB CTE prefix for the classifier-eval contract family
+    * (AUC / PR sweep / calibration) — ends in
+    * `sc (doc_id, source, prob, sq, pos)`: the hashedClassifier replay
+    * with the planted noisy label, prob on the 1e-9 lattice, sq = the
+    * BIGINT score. */
+  private lazy val aucScoredCtes =
+    s"""${classifierCtes(Seq("source"))},
         sc AS (SELECT doc_id, source, prob, CAST(floor(prob * 1.0e9 + 0.5e0) AS BIGINT) AS sq,
                 CASE WHEN (w_sum > 0) <> (${uSql("auc")} < 200000) THEN 1 ELSE 0 END AS pos
               FROM p)"""
@@ -2657,16 +2668,7 @@ object PipelineQueries {
       // rational sigmoid — basic IEEE ops only, bit-exact cross-engine.
       // Pure codegen'd projection, zero shuffles.
       (s, dir) => TextOps.hashedClassifier(docs(s, dir)).orderBy("doc_id"),
-      Some(s"""WITH tok AS ($tokCte),
-        m AS (SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tokens,
-                CAST(list_sum(list_transform(tokens, t -> ${h60("t")} % 2001 - 1000)) AS BIGINT) AS w_sum
-              FROM tok),
-        z AS (SELECT doc_id, n_tokens, w_sum,
-                CAST(w_sum AS DOUBLE) / (1000.0e0 * CAST(n_tokens AS DOUBLE)) AS z
-              FROM m),
-        p AS (SELECT doc_id, n_tokens, w_sum,
-                floor((0.5e0 + 0.5e0 * z / (1.0e0 + abs(z))) * 1.0e9 + 0.5e0) / 1.0e9 AS prob
-              FROM z)
+      Some(s"""WITH ${classifierCtes(Nil)}
         SELECT doc_id, n_tokens, w_sum, prob, prob >= 0.5e0 AS keep
         FROM p ORDER BY doc_id""")),
 

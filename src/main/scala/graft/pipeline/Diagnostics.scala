@@ -111,8 +111,19 @@ object Diagnostics {
     // never a silent negative or a NULL rank group (whose sort order
     // would also diverge cross-engine: Spark windows put NULLS FIRST,
     // DuckDB's LAST — the hllSketch NULL-bucket lesson).
+    // the same integrality rule for the SCORE: a bare cast would
+    // silently truncate a caller's un-quantized double (e.g. the raw
+    // prob column), collapsing every score to one value and reading
+    // AUC 0.5 with no error; NULL stays NULL (excluded below)
+    val sGuard =
+      s"""CASE WHEN ($scoreExpr) IS NULL THEN CAST(NULL AS BIGINT)
+               WHEN CAST($scoreExpr AS BIGINT) = ($scoreExpr)
+               THEN CAST($scoreExpr AS BIGINT)
+               ELSE CAST(raise_error(concat(
+                 'scoreHistogram: score must be integer-valued (quantize to a lattice first), got ',
+                 CAST(($scoreExpr) AS STRING))) AS BIGINT) END"""
     df.select(g
-        :+ expr(scoreExpr).cast("long").as("s")
+        :+ expr(sGuard).as("s")
         :+ expr(s"""CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L
                          WHEN NOT CAST($labelExpr AS BOOLEAN) THEN 0L
                          ELSE CAST(NULL AS BIGINT) END""").as("pos")
@@ -169,13 +180,18 @@ object Diagnostics {
     within.join(broadcast(offs), by :+ "bucket")
       // the pair count reaches 2·P·N, which overflows a LongType sum
       // once P·N > 4.6e18 (inside the 10^10-row regime this claims to
-      // serve) — DECIMAL(38,0) keeps it an exact integer to 38 digits
-      // (the inner factor 2·cumpos+p stays ≤ ~2·corpus, long-safe)
+      // serve) — so EVERY pair-count factor runs in DECIMAL(38,0):
+      // the product, the doubled cumulative (2·cumpos can wrap long
+      // once P > 4.6e18 under large weights), and the count totals,
+      // which then downcast through a loud guard instead of wrapping
       .withColumn("t", expr(
-        "CAST(ng AS DECIMAL(38,0)) * (2L * (boff + poff) + p)"))
+        "CAST(ng AS DECIMAL(38,0)) * (2L * CAST(boff + poff AS DECIMAL(38,0)) + p)"))
       .groupBy(g: _*)
-      .agg(sum("p").as("n_pos"), sum("ng").as("n_neg"),
+      .agg(sum(col("p").cast("decimal(38,0)")).as("pd"),
+        sum(col("ng").cast("decimal(38,0)")).as("nd"),
         sum("t").cast("decimal(38,0)").as("a2"))
+      .withColumn("n_pos", expr(guardedBigint("pd", "total positive weight")))
+      .withColumn("n_neg", expr(guardedBigint("nd", "total negative weight")))
       .withColumn("auc", expr(
         """CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE)
            ELSE floor((1.0e0 - CAST(a2 AS DOUBLE)
@@ -183,6 +199,17 @@ object Diagnostics {
              * 1.0e9 + 0.5e0) / 1.0e9 END"""))
       .select(g :+ col("n_pos") :+ col("n_neg") :+ col("auc"): _*)
   }
+
+  /** Loud DECIMAL→BIGINT downcast: per-group weighted counts must fit
+    * a BIGINT (the same bound the DuckDB-oracle BIGINT columns carry);
+    * past it the statistic fails instead of wrapping. The upstream
+    * running-count windows are long-typed, so this guard is also what
+    * makes their wrap regime unreachable: it trips at the same totals
+    * that would make them wrap, on every action. */
+  private def guardedBigint(c: String, what: String): String =
+    s"""CASE WHEN $c <= 9223372036854775807 THEN CAST($c AS BIGINT)
+         ELSE CAST(raise_error(concat('$what exceeds BIGINT range: ',
+           CAST($c AS STRING))) AS BIGINT) END"""
 
   /** Exact precision/recall/F1 per group at every lattice threshold
     * `T = bucket·bucketWidth` — the operating-point sweep behind
@@ -218,9 +245,15 @@ object Diagnostics {
       .withColumn("threshold", expr(s"bucket * ${bucketWidth}L"))
       // fresh-alias projection — same self-join lineage rule as
       // aucFromHistogram's offsets branch (streaming memory-sink
-      // inputs trip the conflicting-reference check without it)
+      // inputs trip the conflicting-reference check without it);
+      // totals in DECIMAL with the loud downcast (the aucFromHistogram
+      // overflow rule — weighted counts must fit BIGINT or fail)
       .join(perBucket.toDF(perBucket.columns: _*).groupBy(g: _*)
-        .agg(sum("bp").as("all_p"), sum("bn").as("all_n")), by)
+        .agg(sum(col("bp").cast("decimal(38,0)")).as("apd"),
+          sum(col("bn").cast("decimal(38,0)")).as("npd")
+        ).withColumn("all_p", expr(guardedBigint("apd", "total positive weight")))
+        .withColumn("all_n", expr(guardedBigint("npd", "total negative weight")))
+        .drop("apd", "npd"), by)
       .withColumn("fn", expr("all_p - tp"))
       .withColumn("tn", expr("all_n - fp"))
       .withColumn("precision", expr(
@@ -232,9 +265,12 @@ object Diagnostics {
            ELSE floor(CAST(tp AS DOUBLE) / CAST(all_p AS DOUBLE)
              * 1.0e9 + 0.5e0) / 1.0e9 END"""))
       .withColumn("f1", expr(
-        """CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(NULL AS DOUBLE)
+        // the denominator doubles tp — DECIMAL so it cannot wrap at
+        // the counts the guard admits (each ≤ Long.Max)
+        """CASE WHEN 2 * CAST(tp AS DECIMAL(38,0)) + fp + fn = 0 THEN CAST(NULL AS DOUBLE)
            ELSE floor(2.0e0 * CAST(tp AS DOUBLE)
-             / CAST(2 * tp + fp + fn AS DOUBLE) * 1.0e9 + 0.5e0) / 1.0e9 END"""))
+             / CAST(2 * CAST(tp AS DECIMAL(38,0)) + fp + fn AS DOUBLE)
+             * 1.0e9 + 0.5e0) / 1.0e9 END"""))
       .select(g :+ col("threshold") :+ col("tp") :+ col("fp") :+ col("fn")
         :+ col("tn") :+ col("precision") :+ col("recall") :+ col("f1"): _*)
   }

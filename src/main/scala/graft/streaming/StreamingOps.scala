@@ -596,42 +596,28 @@ object StreamingOps {
 
   /** Streaming score histogram — the classifier-eval family's
     * streaming twin: running per-(group, score) (positive, negative)
-    * counts as a NATIVE streaming aggregation (update/complete mode),
-    * the same relation `Diagnostics.scoreHistogram` builds in batch —
-    * expression-for-expression, so at any prefix the sink feeds
-    * `Diagnostics.aucFromHistogram` / `prAtThresholds` and reproduces
-    * the batch evaluation of the rows seen so far EXACTLY
-    * (spec-pinned). State is bounded by #groups × |score lattice|
-    * cells by construction — the same bound as the batch relation,
-    * independent of stream length (quantize scores to a lattice
-    * first, as in batch). */
+    * counts as a NATIVE streaming aggregation. This IS
+    * `Diagnostics.scoreHistogram` applied to the stream (a pure
+    * select/filter/groupBy/agg plan is streaming-compatible as-is),
+    * so the batch contracts hold by construction: NULL score/label
+    * rows excluded, guarded non-negative-integer weights with
+    * replicated-rows semantics, integer-lattice scores. State is
+    * bounded by #groups × |score lattice| cells, independent of
+    * stream length.
+    *
+    * Prefix exactness — the sink feeding
+    * `Diagnostics.aucFromHistogram` / `prAtThresholds` reproduces the
+    * batch evaluation of the rows seen so far EXACTLY (spec-pinned) —
+    * holds in COMPLETE output mode, or against a keyed UPSERT sink.
+    * An append-style sink in update mode retains stale versions of a
+    * re-emitted (group, score) row, and the downstream re-aggregation
+    * would sum old + new counts. */
   def scoreHistogramStream(stream: DataFrame, scoreExpr: String,
                            labelExpr: String,
                            by: Seq[String] = Nil,
-                           weightExpr: String = "1L"): DataFrame = {
-    val g = by.map(col)
-    // the batch twin's contracts, expression-for-expression
-    // (Diagnostics.scoreHistogram): NULL score/label rows are EXCLUDED
-    // (a NULL label silently counted as negative would bias every
-    // statistic over the sink), weights are guarded non-negative
-    // integers with replicated-rows semantics, zero drops the row
-    val w =
-      s"""CASE WHEN CAST($weightExpr AS BIGINT) = ($weightExpr)
-                AND CAST($weightExpr AS BIGINT) >= 0L
-               THEN CAST($weightExpr AS BIGINT)
-               ELSE CAST(raise_error(concat(
-                 'scoreHistogram: weight must be a non-negative integer, got ',
-                 CAST(($weightExpr) AS STRING))) AS BIGINT) END"""
-    stream.select(g
-        :+ expr(scoreExpr).cast("long").as("s")
-        :+ expr(s"""CASE WHEN CAST($labelExpr AS BOOLEAN) THEN 1L
-                         WHEN NOT CAST($labelExpr AS BOOLEAN) THEN 0L
-                         ELSE CAST(NULL AS BIGINT) END""").as("pos")
-        :+ expr(w).as("w"): _*)
-      .filter(col("s").isNotNull && col("pos").isNotNull && col("w") > 0L)
-      .groupBy(g :+ col("s"): _*)
-      .agg(sum(expr("pos * w")).as("p"), sum(expr("(1L - pos) * w")).as("ng"))
-  }
+                           weightExpr: String = "1L"): DataFrame =
+    graft.pipeline.Diagnostics.scoreHistogram(
+      stream, scoreExpr, labelExpr, by, weightExpr)
 
   /** Streaming regrid: the K1 join-agg kernel applied per micro-batch.
     * Weights are a static broadcast side (the exact analog of the

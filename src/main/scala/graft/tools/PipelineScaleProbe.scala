@@ -436,19 +436,22 @@ object PipelineScaleProbe {
         rows.length.toLong
       }
       time("subset check: 50 sampled queries vs brute-filtered truth") {
+        // DISTRIBUTED containment: the ~5M brute pairs never reach the
+        // driver — the ≤ 250 sampled IVF rows broadcast into an
+        // equi-join on (query, neighbor, cos) and the match count must
+        // equal the sample count (pair present AND cosine identical)
         val sample = Similarity.ivfTopK(embF, "vec_id % 20000 = 0", 5,
             bits = 8, hammingProbes = true, indexFilter = "label = 3")
-          .select("query_id", "neighbor_id", "cos").collect()
-          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+          .select("query_id", "neighbor_id", "cos")
         val brute = Similarity.bruteTopK(embF, "vec_id % 20000 = 0",
             1000000, indexFilter = "label = 3")
-          .select("query_id", "neighbor_id", "cos").collect()
-          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-        sample.foreach { case (k, cosV) =>
-          require(brute.get(k).contains(cosV),
-            s"filtered IVF pair $k cos=$cosV missing from brute-filtered truth")
-        }
-        sample.size.toLong
+          .select("query_id", "neighbor_id", "cos")
+        val n = sample.count()
+        val matched = broadcast(sample)
+          .join(brute, Seq("query_id", "neighbor_id", "cos")).count()
+        require(matched == n,
+          s"only $matched of $n filtered IVF pairs present (pair + cosine) in brute-filtered truth")
+        n
       }
     }
 
