@@ -105,7 +105,7 @@ object Diagnostics {
                THEN CAST($weightExpr AS BIGINT)
                ELSE CAST(raise_error(concat(
                  'scoreHistogram: weight must be a non-negative integer, got ',
-                 CAST(($weightExpr) AS STRING))) AS BIGINT) END"""
+                 coalesce(CAST(($weightExpr) AS STRING), 'NULL'))) AS BIGINT) END"""
     // NULL contract: a NULL score or label is an UNSCORED/UNLABELED
     // row — excluded from evaluation (the standard eval convention),
     // never a silent negative or a NULL rank group (whose sort order
@@ -130,7 +130,15 @@ object Diagnostics {
         :+ expr(w).as("w"): _*)
       .filter(col("s").isNotNull && col("pos").isNotNull && col("w") > 0L)
       .groupBy(g :+ col("s"): _*)
-      .agg(sum(expr("pos * w")).as("p"), sum(expr("(1L - pos) * w")).as("ng"))
+      // DECIMAL inside the agg, guarded downcast outside: a LongType
+      // sum would WRAP before any downstream guard could see it (the
+      // per-score total is bounded by the per-group BIGINT contract,
+      // so the downcast only fires on contract violations — loudly)
+      .agg(sum(expr("CAST(pos * w AS DECIMAL(38,0))")).as("pd"),
+        sum(expr("CAST((1L - pos) * w AS DECIMAL(38,0))")).as("nd"))
+      .withColumn("p", expr(guardedBigint("pd", "per-score positive weight")))
+      .withColumn("ng", expr(guardedBigint("nd", "per-score negative weight")))
+      .drop("pd", "nd")
   }
 
   /** Merge [[scoreHistogram]] relations: elementwise count sums per
@@ -143,7 +151,13 @@ object Diagnostics {
     val g = by.map(col)
     hists.reduce(_.unionByName(_))
       .groupBy(g :+ col("s"): _*)
-      .agg(sum("p").as("p"), sum("ng").as("ng"))
+      // same decimal-then-guarded-downcast as scoreHistogram: merged
+      // counts must fit BIGINT or fail loudly, never wrap
+      .agg(sum(col("p").cast("decimal(38,0)")).as("pd"),
+        sum(col("ng").cast("decimal(38,0)")).as("nd"))
+      .withColumn("p", expr(guardedBigint("pd", "merged positive count")))
+      .withColumn("ng", expr(guardedBigint("nd", "merged negative count")))
+      .drop("pd", "nd")
   }
 
   /** Exact AUC FROM a [[scoreHistogram]] relation alone — the same
@@ -161,7 +175,14 @@ object Diagnostics {
       .withColumn("bucket",
         expr(s"(s - pmod(s, ${bucketWidth}L)) DIV ${bucketWidth}L"))
       .groupBy(g :+ col("bucket") :+ col("s"): _*)
-      .agg(sum("p").as("p"), sum("ng").as("ng"))
+      // decimal-then-guarded-downcast (the scoreHistogram rule): an
+      // unmerged concatenation of histograms re-aggregates here and
+      // must not wrap either
+      .agg(sum(col("p").cast("decimal(38,0)")).as("pd"),
+        sum(col("ng").cast("decimal(38,0)")).as("nd"))
+      .withColumn("p", expr(guardedBigint("pd", "per-score positive weight")))
+      .withColumn("ng", expr(guardedBigint("nd", "per-score negative weight")))
+      .drop("pd", "nd")
     val within = perScore.withColumn("poff",
       coalesce(sum(col("p")).over(
         Window.partitionBy(g :+ col("bucket"): _*).orderBy(col("s"))
@@ -193,7 +214,16 @@ object Diagnostics {
       .withColumn("n_pos", expr(guardedBigint("pd", "total positive weight")))
       .withColumn("n_neg", expr(guardedBigint("nd", "total negative weight")))
       .withColumn("auc", expr(
-        """CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE)
+        // the P·N ceiling: past ~5e37 pairs the DECIMAL(38,0) product
+        // itself would overflow (to NULL under non-ANSI, silently
+        // dropping terms from a2) — raise first. 4e37 leaves margin
+        // under the true 2PN ≤ 1e38−1 cliff and is unreachable for
+        // any real corpus (it needs both classes near Long.Max)
+        """CASE WHEN CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) > 4.0e37
+             THEN CAST(raise_error(concat('aucFromHistogram: pair count ',
+               'exceeds the DECIMAL(38,0) range: n_pos=', CAST(n_pos AS STRING),
+               ' n_neg=', CAST(n_neg AS STRING))) AS DOUBLE)
+           WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE)
            ELSE floor((1.0e0 - CAST(a2 AS DOUBLE)
              / (2.0e0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
              * 1.0e9 + 0.5e0) / 1.0e9 END"""))
@@ -234,7 +264,12 @@ object Diagnostics {
       .withColumn("bucket",
         expr(s"(s - pmod(s, ${bucketWidth}L)) DIV ${bucketWidth}L"))
       .groupBy(g :+ col("bucket"): _*)
-      .agg(sum("p").as("bp"), sum("ng").as("bn"))
+      // decimal-then-guarded-downcast (the scoreHistogram rule)
+      .agg(sum(col("p").cast("decimal(38,0)")).as("bpd"),
+        sum(col("ng").cast("decimal(38,0)")).as("bnd"))
+      .withColumn("bp", expr(guardedBigint("bpd", "per-bucket positive weight")))
+      .withColumn("bn", expr(guardedBigint("bnd", "per-bucket negative weight")))
+      .drop("bpd", "bnd")
     // suffix sums (score >= threshold) over the tiny bucket histogram:
     // descending cumulative including the bucket itself
     val w = Window.partitionBy(g: _*).orderBy(col("bucket").desc)

@@ -440,15 +440,19 @@ object PipelineScaleProbe {
         // driver — the ≤ 250 sampled IVF rows broadcast into an
         // equi-join on (query, neighbor, cos) and the match count must
         // equal the sample count (pair present AND cosine identical)
+        // cached: both the count and the containment join read the
+        // ≤ 250-row sample — without it each action re-runs the full
+        // 1M-vector bucket join
         val sample = Similarity.ivfTopK(embF, "vec_id % 20000 = 0", 5,
             bits = 8, hammingProbes = true, indexFilter = "label = 3")
-          .select("query_id", "neighbor_id", "cos")
+          .select("query_id", "neighbor_id", "cos").cache()
         val brute = Similarity.bruteTopK(embF, "vec_id % 20000 = 0",
             1000000, indexFilter = "label = 3")
           .select("query_id", "neighbor_id", "cos")
         val n = sample.count()
         val matched = broadcast(sample)
           .join(brute, Seq("query_id", "neighbor_id", "cos")).count()
+        sample.unpersist()
         require(matched == n,
           s"only $matched of $n filtered IVF pairs present (pair + cosine) in brute-filtered truth")
         n

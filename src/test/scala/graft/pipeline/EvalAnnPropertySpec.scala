@@ -197,6 +197,23 @@ class EvalAnnPropertySpec extends AnyFunSuite {
         "s", "label", weightExpr = "w").collect()
     }
     assert(frac.getMessage.contains("non-negative integer"))
+    // a NULL weight raises WITH the diagnostic (concat of a NULL cast
+    // would otherwise null the whole message)
+    val nullW = intercept[Exception] {
+      Diagnostics.scoreHistogram(
+        Seq((1L, true, Option.empty[Long])).toDF("s", "label", "w"),
+        "s", "label", weightExpr = "w").collect()
+    }
+    assert(nullW.getMessage.contains("non-negative integer"))
+    // per-score totals must not WRAP before the guard: two same-score
+    // rows whose weights sum past Long.Max fail loudly
+    val wrap = intercept[Exception] {
+      Diagnostics.scoreHistogram(
+        Seq((1L, true, 6000000000000000000L), (1L, true, 6000000000000000000L))
+          .toDF("s", "label", "w"),
+        "s", "label", weightExpr = "w").collect()
+    }
+    assert(wrap.getMessage.contains("exceeds BIGINT range"))
   }
 
   test("aucBy pair counts survive past Long range (DECIMAL accumulator)") {
