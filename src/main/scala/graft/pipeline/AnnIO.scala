@@ -41,6 +41,100 @@ object AnnIO {
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/meta.parquet"))
 
+  /** Content fingerprint of an index's MODEL (codebooks + coarse
+    * centroids) — the identity [[appendCodes]] checks so a batch
+    * encoded against a DIFFERENT index (other codebooks ⇒ other code
+    * meanings, other centroids ⇒ other cells) can never land in this
+    * one and silently poison served neighbors (r10 verdict #1).
+    * Bit-exact and order-canonical: doubles hash by their IEEE bit
+    * pattern after sorting by (sub, code) / cell, so the fingerprint
+    * is stable across partitionings, JVMs, and load round-trips. */
+  def fingerprint(codebooks: Seq[(Int, Array[(Int, Array[Double])])],
+                  coarse: Option[Array[(Int, Array[Double])]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def putLong(l: Long): Unit = { buf.clear(); buf.putLong(l); md.update(buf.array()) }
+    codebooks.sortBy(_._1).foreach { case (s0, cs) =>
+      putLong(s0.toLong)
+      cs.sortBy(_._1).foreach { case (code, cv) =>
+        putLong(code.toLong)
+        cv.foreach(d => putLong(java.lang.Double.doubleToLongBits(d)))
+      }
+    }
+    coarse.toSeq.flatMap(_.sortBy(_._1)).foreach { case (cell, cv) =>
+      putLong(0x636f617273654c6cL) // section tag: coarse rows vs codebook rows
+      putLong(cell.toLong)
+      cv.foreach(d => putLong(java.lang.Double.doubleToLongBits(d)))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def fingerprint(index: Clustering.PqIndex): String =
+    fingerprint(index.codebooks, index.coarse)
+
+  /** Schema-metadata key [[Clustering.encodePqBatch]] stamps its
+    * output's `vec_id` field with (the model fingerprint it encoded
+    * against) — a plan-level mark, zero data and zero jobs, surviving
+    * projections and repartitions on the way to [[appendCodes]]. */
+  val encStampKey = "graft_enc_fp"
+
+  private def stampOf(df: DataFrame): Option[String] =
+    df.schema.fields.find(_.name == "vec_id")
+      .filter(_.metadata.contains(encStampKey))
+      .map(_.metadata.getString(encStampKey))
+
+  /** Marker file sealed into a code relation's warehouse directory
+    * once its index's meta is complete. [[claimTable]] refuses to drop
+    * a sealed table: some COMPLETE index's meta points at it, and
+    * re-using its name for a new index would silently destroy that
+    * index's code relation while its meta still resolves (r10 advice
+    * #1). Underscore-prefixed, so Parquet readers skip it. */
+  private val sealName = "_graft_ann_complete"
+
+  private def tableDir(spark: SparkSession, table: String) = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+  }
+
+  /** Take ownership of `table` for a fresh save: refuse if a LIVE
+    * complete index owns it — the seal records its owner's path, and
+    * the seal is live while that path still holds a complete meta
+    * (the owner being deleted/retired makes the seal stale and the
+    * name reclaimable). Otherwise clear the crashed-partial leftovers
+    * (a previous save that died before its meta write, or a dead
+    * JVM's catalog-forgotten location). */
+  private def claimTable(spark: SparkSession, table: String): Unit = {
+    val dir = tableDir(spark, table)
+    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seal = new org.apache.hadoop.fs.Path(dir, sealName)
+    if (hfs.exists(seal)) {
+      val buf = new Array[Byte](hfs.getFileStatus(seal).getLen.toInt)
+      val in = hfs.open(seal)
+      try in.readFully(buf) finally in.close()
+      val owner = new String(buf, "UTF-8")
+      if (owner.nonEmpty && exists(spark, owner))
+        throw new IllegalStateException(
+          s"table '$table' is the code relation of the COMPLETE ANN index " +
+            s"at $owner — re-using its name would destroy that index (an " +
+            "index is immutable history; pick a new table name, reference " +
+            "backend.py:269-272)")
+      // owner index gone (retired/deleted) — the seal is stale
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    hfs.delete(dir, true)
+  }
+
+  /** Seal `table` as owned by the complete index at `path` (see
+    * [[claimTable]]); called AFTER the meta write, so a crash anywhere
+    * earlier leaves an unsealed (reclaimable) partial, never a wedged
+    * one. */
+  private def sealTable(spark: SparkSession, table: String, path: String): Unit = {
+    val dir = tableDir(spark, table)
+    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(dir, sealName), true)
+    try out.write(path.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Persist a trained [[Clustering.PqIndex]]. `table` names the
     * bucketed code relation in the session catalog (bucketing needs
     * `saveAsTable`); it is recorded in `meta.parquet` so [[load]]
@@ -66,15 +160,11 @@ object AnnIO {
     // crashed previous save, or a previous JVM whose in-memory catalog
     // forgot the managed table while its warehouse directory survived,
     // can leave the codes table/location behind; saveAsTable would then
-    // refuse with LOCATION_ALREADY_EXISTS forever. Clearing a partial
-    // artifact is correct — the no-clobber contract protects complete
-    // indexes, which the meta check above already did.
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    locally {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+    // refuse with LOCATION_ALREADY_EXISTS forever. claimTable clears
+    // such partials but REFUSES to take a table a live complete index
+    // sealed (r10 advice #1): the no-clobber contract protects complete
+    // indexes on BOTH identities, path and table name.
+    claimTable(spark, table)
     val codeCols = (0 until index.m).map(s0 => col(s"code_$s0")) ++
       metaCols.map(col)
     if (index.coarse.isDefined) {
@@ -99,14 +189,21 @@ object AnnIO {
     // `buckets` is part of the index's identity — appendCodes/compact
     // must reuse it (a mismatched append would fail or, worse, change
     // the table's bucket spec), so it travels in meta, never as a
-    // caller-remembered parameter.
+    // caller-remembered parameter. `meta_cols` is an ARRAY column
+    // (comma-joining would corrupt a column name containing a comma —
+    // r10 verdict #4); `fingerprint` is the model identity appendCodes
+    // checks. The table seal goes on AFTER meta — a crash between
+    // leaves a complete, loadable index whose table is merely
+    // unclaimed-looking, and the next claim of that name is refused by
+    // nothing... which is exactly the pre-seal status quo, never worse.
     Seq((index.m, index.codebookK, index.dim,
         index.coarse.map(_.length).getOrElse(0),
         if (index.coarse.isDefined) table else "", buckets,
-        metaCols.mkString(",")))
+        metaCols, fingerprint(index)))
       .toDF("m", "codebook_k", "dim", "coarse_cells", "codes_table",
-        "buckets", "meta_cols")
+        "buckets", "meta_cols", "fingerprint")
       .coalesce(1).write.parquet(s"$path/meta.parquet")
+    if (index.coarse.isDefined) sealTable(spark, table, path)
   }
 
   /** Load a persisted index. The corpus-sized code relation comes back
@@ -127,7 +224,7 @@ object AnnIO {
         .map(r => (r.getAs[Int]("code"), r.getAs[Seq[Double]]("cv").toArray))
         .sortBy(_._1))
     }
-    if (coarseCells > 0) {
+    val loaded = if (coarseCells > 0) {
       val coarse = spark.read.parquet(s"$path/coarse.parquet").collect()
         .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("cv").toArray))
         .sortBy(_._1)
@@ -137,6 +234,19 @@ object AnnIO {
       Clustering.PqIndex(spark.read.parquet(s"$path/codes.parquet"), None,
         codebooks, None, m, codebookK, dim)
     }
+    // integrity: the model that comes back must hash to the identity
+    // the save recorded — catches a corrupted/partially-replaced
+    // codebooks or coarse file before it serves a single neighbor
+    // (pre-fingerprint indexes carry no column — nothing to check)
+    if (meta.schema.fieldNames.contains("fingerprint")) {
+      val want = meta.getAs[String]("fingerprint")
+      val got = fingerprint(loaded)
+      if (got != want) throw new IllegalStateException(
+        s"ANN index $path failed its integrity check: model fingerprint " +
+          s"$got != saved $want (codebooks/coarse.parquet corrupted or " +
+          "replaced)")
+    }
+    loaded
   }
 
   /** Append a [[Clustering.encodePqBatch]] batch to a persisted
@@ -159,13 +269,36 @@ object AnnIO {
     val m = meta.getAs[Int]("m")
     val table = meta.getAs[String]("codes_table")
     val buckets = meta.getAs[Int]("buckets")
+    // identity check (r10 verdict #1): the index handle AND the batch
+    // must both have been produced against THIS persisted model —
+    // codes from another index's codebooks would land with wrong cells
+    // and meanings, silently poisoning every served neighbor. The
+    // handle hashes directly; the batch carries encodePqBatch's
+    // enc_fp stamp (un-stamped caller-built batches skip that half —
+    // pre-fingerprint indexes have nothing to check against).
+    if (meta.schema.fieldNames.contains("fingerprint")) {
+      val want = meta.getAs[String]("fingerprint")
+      val got = fingerprint(index)
+      require(got == want,
+        s"appendCodes: the index handle's model fingerprint $got does not " +
+          s"match the index at $path ($want) — it was trained/loaded " +
+          "against a different index")
+      stampOf(newCodes).foreach(sf => require(sf == want,
+        s"appendCodes: the batch was encoded against a different index " +
+          s"(enc_fp $sf != $want) — re-encode with encodePqBatch against " +
+          "THIS index"))
+    }
     // metadata columns recorded at save time must travel with every
     // append, or filtered serving would silently see NULLs for the new
-    // vectors (pre-meta_cols indexes have no such column — treat as
-    // none)
+    // vectors. Array column since r11; the comma-joined string form
+    // (r10 saves) and column-less meta (r9) read back compatibly.
     val metaCols =
       if (meta.schema.fieldNames.contains("meta_cols"))
-        meta.getAs[String]("meta_cols").split(",").filter(_.nonEmpty).toSeq
+        meta.get(meta.fieldIndex("meta_cols")) match {
+          case s: String => s.split(",").filter(_.nonEmpty).toSeq
+          case a: scala.collection.Seq[_] => a.map(_.toString).toSeq
+          case null => Seq.empty[String]
+        }
       else Seq.empty[String]
     metaCols.foreach(c => require(newCodes.columns.contains(c),
       s"append batch is missing the index's metadata column '$c' " +
@@ -201,6 +334,9 @@ object AnnIO {
         .write.mode("overwrite")
         .bucketBy(buckets, "cell").sortBy("cell")
         .format("parquet").saveAsTable(table)
+      // the overwrite recreated the table directory — restore the
+      // ownership seal (the index is still the same complete index)
+      sealTable(spark, table, path)
     }
     // plain-Parquet (no-coarse) indexes have no bucket layout to restore
   }
@@ -221,12 +357,7 @@ object AnnIO {
       throw new IllegalStateException(
         s"ANN index $path already exists! Delete it or load it " +
           "(no-clobber, reference backend.py:269-272)")
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    locally {
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+    claimTable(spark, table)
     index.asg.select(col("vec_id").cast("long"), col("g").cast("int"))
       .repartition(buckets, col("vec_id"))
       .write.mode("overwrite")
@@ -234,9 +365,11 @@ object AnnIO {
       .format("parquet").saveAsTable(table)
     index.cents.toSeq.map { case (cl, cv) => (cl, cv) }
       .toDF("cl", "cv").coalesce(1).write.parquet(s"$path/cents.parquet")
-    Seq((index.cents.length, index.dim, table, buckets))
-      .toDF("cells", "dim", "asg_table", "buckets")
+    Seq((index.cents.length, index.dim, table, buckets,
+        fingerprint(Nil, Some(index.cents))))
+      .toDF("cells", "dim", "asg_table", "buckets", "fingerprint")
       .coalesce(1).write.parquet(s"$path/meta.parquet")
+    sealTable(spark, table, path)
   }
 
   /** Load a persisted learned-IVF index (see [[saveIvf]]). */
@@ -245,6 +378,14 @@ object AnnIO {
     val cents = spark.read.parquet(s"$path/cents.parquet").collect()
       .map(r => (r.getAs[Int]("cl"), r.getAs[Seq[Double]]("cv").toArray))
       .sortBy(_._1)
+    if (meta.schema.fieldNames.contains("fingerprint")) {
+      val want = meta.getAs[String]("fingerprint")
+      val got = fingerprint(Nil, Some(cents))
+      if (got != want) throw new IllegalStateException(
+        s"IVF index $path failed its integrity check: centroid " +
+          s"fingerprint $got != saved $want (cents.parquet corrupted or " +
+          "replaced)")
+    }
     Clustering.IvfIndex(spark.table(meta.getAs[String]("asg_table")),
       cents, meta.getAs[Int]("dim"))
   }

@@ -539,12 +539,20 @@ object Clustering {
         .select(col("vec_id"), col("cluster").as(s"code_$s0"))
     }
     val codes = subs.reduce((a, b) => a.join(b, "vec_id"))
-    index.coarse match {
+    val out = index.coarse match {
       case Some(cc) => codes.join(
         assignToCentroids(emb, cc)
           .select(col("vec_id"), col("cluster").as("cell")), "vec_id")
       case None => codes
     }
+    // stamp the model identity into the vec_id field's schema metadata
+    // (zero data, zero jobs): AnnIO.appendCodes refuses a batch whose
+    // stamp disagrees with the target index's fingerprint — codes
+    // encoded against other codebooks can never poison a served index
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(AnnIO.encStampKey,
+        AnnIO.fingerprint(index.codebooks, index.coarse)).build()
+    out.withColumn("vec_id", col("vec_id").as("vec_id", md))
   }
 
   /** Serve ANN top-k from a trained (or loaded) [[PqIndex]] — the

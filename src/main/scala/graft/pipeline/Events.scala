@@ -162,8 +162,11 @@ object Events {
     * var bounds a nonzero numerator at ≥ 1, so z is finite, but its
     * scale is data-dependent; the clamp keeps the nano-quantization
     * in Long range for ANY input) while the flag evaluates the
-    * unclamped value. Exactness contract: |value| ≤ ~1e12 keeps
-    * Σm² within DECIMAL(38,0) for any n ≤ 100.
+    * unclamped value. Exactness contract: |value| < ~1e13/n keeps
+    * n·Σm² within DECIMAL(38,0); past either that ceiling or the
+    * DECIMAL(18,6) micros quantization (|value| ≥ ~1e12) the operator
+    * RAISES instead of silently un-flagging (r10 advice — non-ANSI
+    * decimal overflow otherwise NULLs the std and the flag).
     *
     * Scale shape: one hash exchange on (user_id, event_type) + a
     * within-partition sort, then a single WindowExec pass buffering at
@@ -183,17 +186,37 @@ object Events {
     val trail = byKey.rowsBetween(-n, -1)
     val zLit = graft.regrid.Rounding.sqlLit(zThresh)
     events
+      // micros quantization overflows (|value| ≥ ~1e12) raise instead
+      // of silently dropping the row from every later frame (r10
+      // advice: the non-ANSI casts turn overflow into NULL, and a NULL
+      // baseline value is a silent no-flag)
       .withColumn("__vu", expr(
-        "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+        """CASE WHEN value IS NOT NULL
+             AND CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) IS NULL
+           THEN CAST(raise_error(concat(
+             'rollingAnomaly: |value| too large to quantize exactly: ',
+             CAST(value AS STRING))) AS BIGINT)
+           ELSE CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) END"""))
       .withColumn("n_prior", count(col("__vu")).over(trail).cast("int"))
       .withColumn("__su", sum(expr("CAST(__vu AS DECIMAL(18,0))")).over(trail))
       .withColumn("__ssq", sum(expr(
         "CAST(__vu AS DECIMAL(18,0)) * CAST(__vu AS DECIMAL(18,0))")).over(trail))
-      // n·Σm² − (Σm)² — exact integer decimals throughout (the casts
-      // keep every product within both engines' 38-digit ceiling)
-      .withColumn("__num", expr(
-        """CAST(n_prior AS DECIMAL(2,0)) * CAST(__ssq AS DECIMAL(36,0))
+      // n·Σm² − (Σm)² — exact integer decimals throughout. Σm² already
+      // lands as DECIMAL(38,0) from the window sum; the n·Σm² product
+      // stays at precision 38, so the true exactness ceiling is
+      // n·Σm² < 1e38, i.e. |value| < ~1e13/n — and past it the decimal
+      // arithmetic NULLs out, which the guard below turns into a loud
+      // raise (never a silent no-flag, the scoreHistogram discipline)
+      .withColumn("__num0", expr(
+        """CAST(n_prior AS DECIMAL(3,0)) * __ssq
            - CAST(__su AS DECIMAL(19,0)) * CAST(__su AS DECIMAL(19,0))"""))
+      .withColumn("__num", expr(
+        """CASE WHEN n_prior > 0 AND __num0 IS NULL
+           THEN CAST(raise_error(concat(
+             'rollingAnomaly: variance numerator exceeds DECIMAL(38,0) ',
+             'range (|value| too large for exact n*sum(m^2))'))
+             AS DECIMAL(38,0))
+           ELSE CAST(__num0 AS DECIMAL(38,0)) END"""))
       .withColumn("__mean", expr(
         "CASE WHEN n_prior > 0 THEN CAST(__su AS DOUBLE) / 1.0e6 / CAST(n_prior AS DOUBLE) END"))
       .withColumn("__var", expr(

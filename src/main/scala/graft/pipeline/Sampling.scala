@@ -304,7 +304,11 @@ object Sampling {
     // join needed
     val targets = hist.groupBy(g: _*).agg(sum(col("cnt")).as("n"))
       .withColumn("pct", explode(lit(pcts.toArray)))
-      .withColumn("rk", expr("(CAST(pct AS BIGINT) * n + 99L) DIV 100L"))
+      // rank in DECIMAL then integral-divide (IntegralDivide returns
+      // BIGINT): p·n stays exact past n = Long.Max/100, and rk ≤ n so
+      // the result always fits the BIGINT it lands in
+      .withColumn("rk", expr(
+        "(CAST(pct AS DECIMAL(38,0)) * n + 99) DIV 100"))
       .select(g :+ col("pct") :+ col("rk"): _*)
     // locate each rank's bucket: grouped ⇒ broadcast hash join on the
     // group key with the range residual as filter; ungrouped ⇒ the
@@ -351,14 +355,29 @@ object Sampling {
   /** Merge [[valueHistogram]] relations: elementwise count sum per
     * (by…, val). EXACT — the merged histogram equals the histogram of
     * the concatenated corpora, so percentiles over the merge are the
-    * true percentiles of the union (spec-pinned). */
+    * true percentiles of the union (spec-pinned). Counts sum in
+    * DECIMAL(38,0) and downcast through a loud BIGINT-range guard
+    * (the [[Diagnostics]] mergeScoreHistograms discipline, r10
+    * advice): a cross-snapshot merge past Long.Max fails instead of
+    * wrapping and silently shifting every percentile rank. */
   def mergeValueHistograms(hists: Seq[DataFrame],
                            by: Seq[String] = Nil): DataFrame = {
     require(hists.nonEmpty, "mergeValueHistograms needs at least one histogram")
     val g = by.map(col)
     hists.reduce(_.unionByName(_))
-      .groupBy(g :+ col("val"): _*).agg(sum("cnt").as("cnt"))
+      .groupBy(g :+ col("val"): _*)
+      .agg(sum(expr("CAST(cnt AS DECIMAL(38,0))")).as("cd"))
+      .withColumn("cnt", expr(guardedBigint("cd", "merged value-histogram count")))
+      .select(g :+ col("val") :+ col("cnt"): _*)
   }
+
+  /** Loud DECIMAL→BIGINT downcast shared by the histogram merge and
+    * rank sums — same contract as the [[Diagnostics]] twin: past
+    * BIGINT the statistic fails instead of wrapping. */
+  private def guardedBigint(c: String, what: String): String =
+    s"""CASE WHEN $c <= 9223372036854775807 THEN CAST($c AS BIGINT)
+         ELSE CAST(raise_error(concat('$what exceeds BIGINT range: ',
+           CAST($c AS STRING))) AS BIGINT) END"""
 
   /** Exact percentiles FROM a [[valueHistogram]] relation alone — the
     * same rank semantics and output as [[exactPercentilesBy]]
@@ -381,13 +400,26 @@ object Sampling {
       .select(g :+ col("val").cast("long").as("val") :+ col("cnt").cast("long").as("cnt"): _*)
       .withColumn("bucket",
         expr(s"(val - pmod(val, ${bucketWidth}L)) DIV ${bucketWidth}L"))
-    val coarse = v.groupBy(g :+ col("bucket"): _*).agg(sum("cnt").as("cnt"))
+    // every count aggregation over histogram `cnt` inputs (which are
+    // arbitrary persisted longs, not corpus row counts) runs in
+    // DECIMAL(38,0) then downcasts through the loud BIGINT guard (r10
+    // advice): a union-of-snapshots total past Long.Max fails instead
+    // of wrapping and shifting every rank. Once the per-group total
+    // passes the guard, the prefix-sum windows below are bounded by it
+    // and cannot wrap.
+    val coarse = v.groupBy(g :+ col("bucket"): _*)
+      .agg(sum(expr("CAST(cnt AS DECIMAL(38,0))")).as("cd"))
+      .withColumn("cnt", expr(guardedBigint("cd", "per-bucket histogram count")))
+      .drop("cd")
     val offs = coarse.withColumn("off", coalesce(sum(col("cnt")).over(
       Window.partitionBy(g: _*).orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val targets = coarse.groupBy(g: _*).agg(sum(col("cnt")).as("n"))
+    val targets = coarse.groupBy(g: _*)
+      .agg(sum(expr("CAST(cnt AS DECIMAL(38,0))")).as("nd"))
+      .withColumn("n", expr(guardedBigint("nd", "histogram total count")))
       .withColumn("pct", explode(lit(pcts.toArray)))
-      .withColumn("rk", expr("(CAST(pct AS BIGINT) * n + 99L) DIV 100L"))
+      .withColumn("rk", expr(
+        "(CAST(pct AS DECIMAL(38,0)) * n + 99) DIV 100"))
       .select(g :+ col("pct") :+ col("rk"): _*)
     val joined = if (by.isEmpty) targets.crossJoin(broadcast(offs))
                  else targets.join(broadcast(offs), by)
@@ -396,7 +428,10 @@ object Sampling {
       .select(g :+ col("pct") :+ col("rk") :+ col("bucket") :+ col("off"): _*)
     val needed = located.select(g :+ col("bucket"): _*).distinct()
     val perVal = v.join(broadcast(needed), by :+ "bucket")
-      .groupBy(g :+ col("bucket") :+ col("val"): _*).agg(sum("cnt").as("cnt2"))
+      .groupBy(g :+ col("bucket") :+ col("val"): _*)
+      .agg(sum(expr("CAST(cnt AS DECIMAL(38,0))")).as("c2d"))
+      .withColumn("cnt2", expr(guardedBigint("c2d", "per-value histogram count")))
+      .drop("c2d")
       .withColumn("off2", coalesce(sum(col("cnt2")).over(
         Window.partitionBy(g :+ col("bucket"): _*).orderBy(col("val"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

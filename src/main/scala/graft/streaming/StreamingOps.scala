@@ -298,15 +298,17 @@ object StreamingOps {
           None, None, None, is_anomaly = false)
       else {
         // the batch op's exact-integer variance numerator n·Σm² − (Σm)²
-        // (BigInt = the decimal(38,0) arithmetic; toDouble below is the
+        // (BigInt = the decimal(38,0) arithmetic — and, unlike the
+        // batch side's 38-digit ceiling, unbounded: Σm over a ring of
+        // extreme micros cannot wrap a Long here; toDouble below is the
         // same correctly-rounded cast as CAST(decimal AS DOUBLE)), then
         // its double expression order verbatim
-        val su = ring.sum
+        val su = ring.iterator.map(BigInt(_)).sum
         val num = BigInt(nPrior) * ring.map(m => BigInt(m) * BigInt(m)).sum -
-          BigInt(su) * BigInt(su)
+          su * su
         val dN = nPrior.toDouble
-        val mean = new java.math.BigDecimal(
-          java.math.BigInteger.valueOf(su)).doubleValue / 1.0e6 / dN
+        val mean = new java.math.BigDecimal(su.bigInteger)
+          .doubleValue / 1.0e6 / dN
         val vr = new java.math.BigDecimal(num.bigInteger).doubleValue / (dN * dN) / 1.0e12
         val std = math.sqrt(vr)
         val z = if (std > 0.0) Some((e.value - mean) / std) else None

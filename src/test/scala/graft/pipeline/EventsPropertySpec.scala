@@ -138,4 +138,38 @@ class EventsPropertySpec extends AnyFunSuite {
       assert(got === want, s"seed $seed: retention triangles differ")
     }
   }
+
+  test("rollingAnomaly raises loudly past its exactness ceilings instead of silently un-flagging") {
+    // under ANSI (the Spark-4 default) the decimal overflow itself
+    // raises before the guard's CASE evaluates; under non-ANSI
+    // sessions the overflow NULLs and the raise_error guard fires —
+    // either way the operator is LOUD, never a silent no-flag
+    def loud(e: Exception, guardMsg: String): Unit =
+      assert(e.getMessage.contains(guardMsg) ||
+        e.getMessage.contains("cannot be represented as Decimal") ||
+        e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+        s"unexpected error: ${e.getMessage}")
+    def log(value: Double, rows: Int): org.apache.spark.sql.DataFrame = {
+      val t0 = Timestamp.valueOf("2026-03-02 00:00:00").getTime
+      (0 until rows).map(i =>
+          (i.toLong, 1L, "m", new Timestamp(t0 + i * 1000L), value))
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+    }
+    // |value| >= 1e12 cannot quantize into DECIMAL(18,6) micros —
+    // pre-r11 a non-ANSI session NULLed the row out of every later
+    // baseline frame
+    loud(intercept[Exception] {
+      Events.rollingAnomaly(log(5.0e12, 10)).collect()
+    }, "too large to quantize")
+    // n·Σm² past DECIMAL(38,0) (n=100, |value|≈9e11 → Σm ≈ 9e19,
+    // (Σm)² ≈ 8.1e39) — pre-r11 the DECIMAL(36,0) cast NULLed the
+    // variance and the flag silently stayed false (non-ANSI)
+    loud(intercept[Exception] {
+      Events.rollingAnomaly(log(9.0e11, 120), n = 100).collect()
+    }, "variance numerator exceeds")
+    // in-contract values still pass clean: constant baseline ⇒ exact
+    // zero variance, no flag, no error
+    val ok = Events.rollingAnomaly(log(123.45, 20)).collect()
+    assert(ok.length === 20 && ok.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
 }

@@ -141,4 +141,33 @@ class SamplingDedupPropertySpec extends AnyFunSuite {
       assert(missed.size <= 1, s"seed $seed: missed planted pairs $missed")
     }
   }
+
+  test("histogram merges and rank sums guard BIGINT overflow loudly; near-Long.Max ranks stay exact") {
+    val big = Long.MaxValue
+    // a merged cross-snapshot count past Long.Max raises instead of
+    // wrapping (pre-r11 a plain long sum wrapped negative and shifted
+    // every percentile rank)
+    val h1 = Seq((7L, big)).toDF("val", "cnt")
+    val h2 = Seq((7L, big)).toDF("val", "cnt")
+    val e1 = intercept[Exception] {
+      Sampling.mergeValueHistograms(Seq(h1, h2)).collect()
+    }
+    assert(e1.getMessage.contains("exceeds BIGINT range"),
+      s"wrong merge error: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      Sampling.percentilesFromHistogram(
+        Seq((1L, big), (2L, big)).toDF("val", "cnt"), Seq(50)).collect()
+    }
+    assert(e2.getMessage.contains("exceeds BIGINT range"),
+      s"wrong total error: ${e2.getMessage}")
+    // n = Long.MaxValue itself is IN contract: the decimal rank
+    // arithmetic must locate ranks exactly where the old
+    // `pct*n` long product wrapped (100·n ≈ 9.2e20)
+    val got = Sampling.percentilesFromHistogram(
+        Seq((42L, big)).toDF("val", "cnt"), Seq(1, 50, 100))
+      .collect().map(r => (r.getAs[Int]("pct"), r.getAs[Long]("n_rank"),
+        r.getAs[Long]("value"))).sortBy(_._1)
+    def rk(p: Int) = ((BigInt(p) * big + 99) / 100).toLong
+    assert(got.toSeq === Seq((1, rk(1), 42L), (50, rk(50), 42L), (100, rk(100), 42L)))
+  }
 }
