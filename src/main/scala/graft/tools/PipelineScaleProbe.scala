@@ -701,15 +701,19 @@ object PipelineScaleProbe {
       // trained index's.
       val emb = vectors(1000000L)
       // stale table/location cleanup is AnnIO.save's job (a previous
-      // JVM's warehouse directory survives the in-memory catalog)
+      // JVM's warehouse directory survives the in-memory catalog) —
+      // but a COMPLETE previous probe index whose temp dir still
+      // exists holds a live ownership seal on its table name (r11),
+      // so each probe run claims a fresh name tied to its own dir
       val dir = java.nio.file.Files.createTempDirectory("annio_probe").toString
+      val probeTable = s"annio_probe_codes_${math.abs(dir.hashCode.toLong)}"
       var idx: Clustering.PqIndex = null
       time("IVF-PQ TRAIN (64 cells, m=4, k=16), 1M x 64-dim") {
         idx = Clustering.trainPqIndex(emb, 4, 16, 2, coarseCells = 64)
         idx.codes.count()
       }
       time("  + save index (codes bucketed on cell, 16 buckets)") {
-        AnnIO.save(idx, s"$dir/idx", "annio_probe_codes"); 1L
+        AnnIO.save(idx, s"$dir/idx", probeTable); 1L
       }
       val qTrained = Clustering.pqQueryTopK(idx, emb, "vec_id % 1000 = 0", 5)
       time("  query from trained index, 1000 probes") { qTrained.count() }

@@ -215,4 +215,95 @@ class AnnIOSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("already exists"))
   }
+
+  private def freshBatch: DataFrame = spark.range(1200L, 1400L)
+    .selectExpr("id AS vec_id",
+      """transform(sequence(0, 63), j -> CAST(
+           CAST(hash(id, j) AS DOUBLE) / 2.147483647e9 AS FLOAT)) AS embedding""")
+
+  test("appendCodes refuses a batch or handle from a DIFFERENT index (fingerprint guard)") {
+    val v = vecs
+    val idxA = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)
+    val idxB = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 1, coarseCells = 4)
+    assert(AnnIO.fingerprint(idxA.codebooks, idxA.coarse) !==
+      AnnIO.fingerprint(idxB.codebooks, idxB.coarse),
+      "fixture models must differ for this test to mean anything")
+    val base = tmpBase()
+    AnnIO.save(idxA, s"$base/a", "annio_codes_fpa")
+    // a batch encoded against the OTHER index cannot land here — its
+    // codes mean different centroids and would poison served neighbors
+    val wrong = intercept[IllegalArgumentException] {
+      AnnIO.appendCodes(idxA, Clustering.encodePqBatch(idxB, freshBatch), s"$base/a")
+    }
+    assert(wrong.getMessage.contains("encoded against a different index"))
+    // a mismatched index HANDLE refuses too (appending to the wrong path)
+    val wrongHandle = intercept[IllegalArgumentException] {
+      AnnIO.appendCodes(idxB, Clustering.encodePqBatch(idxB, freshBatch), s"$base/a")
+    }
+    assert(wrongHandle.getMessage.contains("different index"))
+    // the matching append is unchanged
+    AnnIO.appendCodes(idxA, Clustering.encodePqBatch(idxA, freshBatch), s"$base/a")
+    assert(AnnIO.load(spark, s"$base/a").codes.count() === 1400L)
+  }
+
+  test("a live complete index's code table cannot be re-claimed; a retired one can") {
+    val v = vecs
+    val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)
+    val base = tmpBase()
+    AnnIO.save(idx, s"$base/one", "annio_codes_seal")
+    // same table name for a NEW index: refused while the owner lives
+    val e = intercept[IllegalStateException] {
+      AnnIO.save(idx, s"$base/two", "annio_codes_seal")
+    }
+    assert(e.getMessage.contains("COMPLETE ANN index"))
+    // the refusing save must not have touched the live index
+    assert(AnnIO.load(spark, s"$base/one").codes.count() === 1200L)
+    // retiring the owner (deleting its index directory) makes the
+    // name reclaimable — the seal is stale once the meta is gone
+    val p = new org.apache.hadoop.fs.Path(s"$base/one")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    AnnIO.save(idx, s"$base/two", "annio_codes_seal")
+    assert(AnnIO.load(spark, s"$base/two").codes.count() === 1200L)
+  }
+
+  test("meta_cols survives a comma-bearing column name (array round-trip)") {
+    val v = vecs
+    val weird = "la,bel" // legal Spark column name; the r10 string form split it
+    val labeled = v.withColumn(weird, pmod(col("vec_id"), lit(2)).cast("int"))
+    val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)
+    val withMeta = idx.copy(
+      codes = idx.codes.join(labeled.select(col("vec_id"), col(weird)), "vec_id"))
+    val base = tmpBase()
+    AnnIO.save(withMeta, s"$base/idx", "annio_codes_comma", metaCols = Seq(weird))
+    val loaded = AnnIO.load(spark, s"$base/idx")
+    assert(loaded.codes.columns.contains(weird))
+    // the append path parses the recorded name back as ONE column
+    AnnIO.appendCodes(loaded,
+      Clustering.encodePqBatch(loaded, freshBatch).withColumn(weird, lit(1)),
+      s"$base/idx")
+    assert(AnnIO.load(spark, s"$base/idx").codes
+      .filter(col(weird) === 1 && col("vec_id") >= 1200L).count() === 200L)
+  }
+
+  test("load refuses a corrupted model (fingerprint integrity check)") {
+    val v = vecs
+    val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)
+    val base = tmpBase()
+    AnnIO.save(idx, s"$base/idx", "annio_codes_corrupt")
+    // silently replace the codebooks with scaled ones (same schema)
+    val cb = spark.read.parquet(s"$base/idx/codebooks.parquet")
+      .selectExpr("sub", "code", "transform(cv, x -> x * 2.0e0) AS cv")
+      .collect()
+    val p = new org.apache.hadoop.fs.Path(s"$base/idx/codebooks.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    import spark.implicits._
+    cb.map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[Seq[Double]]("cv").toArray))
+      .toSeq.toDF("sub", "code", "cv")
+      .coalesce(1).write.parquet(s"$base/idx/codebooks.parquet")
+    val e = intercept[IllegalStateException] {
+      AnnIO.load(spark, s"$base/idx")
+    }
+    assert(e.getMessage.contains("integrity check"))
+  }
 }
