@@ -216,6 +216,49 @@ object Bench {
     def obj(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
 
+    // ---- per-kernel regression budgets (r10 verdict #3): 147 queries
+    // averaging ~0.8 s hide a single 5 s regression inside a ~4% total
+    // move, so the total alone cannot gate. BUDGETS.tsv pins every
+    // kernel's committed min-of-clean-rounds; a kernel whose measured
+    // min exceeds 3× its pin AND is at least 0.75 s over it (the
+    // absolute floor keeps 0.05 → 0.2 s jitter on tiny kernels from
+    // flagging) is a BUDGET VIOLATION — named in the compact line's
+    // `slow` field, detailed in the artifact. Budgets are sf-specific:
+    // the gate only engages when the file's `# sf` tag matches this
+    // run's sfDir (a probe run at another scale must not compare
+    // against sf0.1 pins). SPARK_GRAFT_BUDGETS overrides the file path
+    // (how the gate's own test pins a tiny fixture file).
+    val budgetsFile = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BUDGETS",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
+        sys.props("user.dir") + "/bench") + "/BUDGETS.tsv"))
+    val (budgetSf, budgets): (String, Map[String, Double]) =
+      if (!budgetsFile.isFile) ("", Map.empty)
+      else {
+        val lines = scala.io.Source.fromFile(budgetsFile, "UTF-8").getLines().toVector
+        val sf = lines.collectFirst { case l if l.startsWith("# sf ") => l.drop(5).trim }
+          .getOrElse("")
+        val m = lines.filterNot(_.startsWith("#")).flatMap { l =>
+          l.split("\t") match {
+            case Array(k, v) => Some(k -> v.toDouble)
+            case _ => None
+          }
+        }.toMap
+        (sf, m)
+      }
+    val budgetsActive = budgets.nonEmpty && budgetSf == sfDir
+    def budgetViolation(name: String, minSec: Double): Option[(String, Double, Double)] =
+      if (!budgetsActive) None
+      else budgets.get(name).collect {
+        case b if minSec > 3.0 * b && minSec - b > 0.75 => (name, minSec, b)
+      }
+    // test hook for the gate itself: SPARK_GRAFT_BENCH_SLEEP=name:sec
+    // injects a sleep into ONE kernel so the violation path is provable
+    // end-to-end without editing a query
+    val sleepHook: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_SLEEP").map { s =>
+        val Array(n, sec) = s.split(":", 2); Map(n -> sec.toDouble)
+      }.getOrElse(Map.empty)
+
     // phase GC bracket 0: before any warmup work
     val gcAtBenchStart = gcMillis()
 
@@ -269,7 +312,10 @@ object Bench {
       * `extraMax` extra rounds buy clean samples when a base round was
       * contaminated — so one noisy co-tenant can't silently own any
       * reported minimum, headline or contract. */
-    class GatedPhase(kernels: Seq[(String, () => Unit)]) {
+    class GatedPhase(kernels0: Seq[(String, () => Unit)]) {
+      val kernels: Seq[(String, () => Unit)] = kernels0.map { case (n, f) =>
+        n -> (() => { sleepHook.get(n).foreach(s => Thread.sleep((s * 1000).toLong)); f() })
+      }
       val samples = Array.fill(kernels.size)(Vector.empty[Sample])
       val roundTel = scala.collection.mutable.ArrayBuffer[RoundTel]()
       var totalRounds = 0
@@ -464,6 +510,15 @@ object Bench {
     val headline: Seq[(String, Option[Double])] =
       headPhase.qstats.map { case (n, s) => n -> s.min }
 
+    // per-kernel budget gate over contract AND headline minima
+    val budgetViolations: Seq[(String, Double, Double)] =
+      (qstats ++ headPhase.qstats).flatMap { case (n, s) =>
+        s.min.flatMap(m => budgetViolation(n, m)) }
+    val unbudgeted: Seq[String] =
+      if (!budgetsActive) Nil
+      else (qstats ++ headPhase.qstats).collect {
+        case (n, _) if !budgets.contains(n) => n }
+
     val contractTotal = contract.flatMap(_._2).sum
     val total = contractTotal + headline.flatMap(_._2).sum
     val nClean = okRounds.count(_._2 == totalRounds)
@@ -528,7 +583,15 @@ object Bench {
         // whole-JVM GC since bench start, INCLUDING warmup + headline
         // kernels — legitimately larger than Σ round_telemetry.gc_sec
         "gc_sec_total_jvm" -> num((gcMillis() - gcAtStart) / 1000.0),
-        "heap_max_gb" -> num(Runtime.getRuntime.maxMemory / 1024.0 / 1024 / 1024)
+        "heap_max_gb" -> num(Runtime.getRuntime.maxMemory / 1024.0 / 1024 / 1024),
+        // r10 verdict #3: per-kernel budget gate evidence — which pins
+        // were active, every violation as [measured_min, pinned], and
+        // kernels that have no pin yet (new queries: re-pin BUDGETS.tsv)
+        "budgets_active" -> budgetsActive.toString,
+        "budget_sf" -> jq(budgetSf),
+        "budget_violations" -> obj(budgetViolations.map { case (n, m, b) =>
+          n -> s"[${num(m)},${num(b)}]" }),
+        "unbudgeted" -> unbudgeted.map(jq).mkString("[", ",", "]")
       ).map { case (k, v) => "  " + jq(k) + ": " + v }.mkString("{\n", ",\n", "\n}\n")
     }
     // bench dir from env or the working directory (ADVICE r6: no
@@ -563,6 +626,13 @@ object Bench {
       "n_flaky" -> nFlaky.toString, "n_failed" -> nFailed.toString,
       "n_load_contam" -> loadContamQueries.size.toString,
       "n_load_contam_headline" -> headPhase.loadContam.size.toString,
+      // budget gate (r10 verdict #3): n_slow is always present (adds
+      // ~12 chars clean); names + [min, pin] ride inline only when a
+      // kernel actually blew its 3× pinned budget
+      "n_slow" -> budgetViolations.size.toString) ++
+      (if (budgetViolations.nonEmpty) Seq(
+        "slow" -> obj(budgetViolations.take(3).map { case (n, m, b) =>
+          n -> s"[${num(m)},${num(b)}]" })) else Nil) ++ Seq(
       // whole-bench brackets: the end value includes OUR OWN headline
       // kernels' load; foreign load lives in round_telemetry
       "loadavg_start_end" -> s"[${num(loadAtStart)},${num(loadavg())}]",

@@ -84,9 +84,22 @@ object CorpusIO {
       r.getInt(6))
   }
 
+  /** Claim sentinel: the FIRST thing a writer puts under its target
+    * directory, before any data. Its presence marks "a CorpusIO write
+    * started here and its meta never landed" — the only directories
+    * [[claimPath]] is allowed to clear. Underscore-prefixed, so
+    * Parquet readers skip it; it stays behind in complete snapshots
+    * as write provenance. */
+  private val claimName = "_graft_claim"
+
   /** No-clobber gate shared by both writers: a COMPLETE snapshot (meta
-    * present) refuses; a crashed partial write (data but no meta) is
-    * cleared so the retry succeeds. */
+    * present) refuses; a crashed partial CorpusIO write (claim
+    * sentinel present, no meta) is cleared so the retry succeeds; any
+    * OTHER non-empty directory refuses LOUDLY — pre-existing data that
+    * this module didn't write (a path typo pointing at the raw corpus)
+    * must never be deleted (r10 advice #2). The claim is re-planted
+    * after clearing, and the data writes land in `append` mode under
+    * it. */
   private def claimPath(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = hfs(spark, path)
@@ -94,7 +107,19 @@ object CorpusIO {
       throw new IllegalStateException(
         s"Corpus layout $path already exists! Write a new snapshot directory " +
           "(no-clobber, reference backend.py:269-272)")
-    if (fs.exists(p)) fs.delete(p, true) // crashed previous write
+    if (fs.exists(p)) {
+      val claimed = fs.exists(new org.apache.hadoop.fs.Path(p, claimName))
+      val entries = fs.listStatus(p)
+      if (!claimed && entries.nonEmpty)
+        throw new IllegalStateException(
+          s"refusing to clear $path: it holds data but no CorpusIO claim " +
+            "sentinel — this is not a crashed writeLayout/writeLayoutZordered " +
+            "attempt (wrong path? point the writer at a fresh snapshot " +
+            "directory, or remove the data yourself)")
+      fs.delete(p, true) // crashed previous CorpusIO write (or empty dir)
+    }
+    fs.mkdirs(p)
+    fs.create(new org.apache.hadoop.fs.Path(p, claimName), true).close()
   }
 
   /** Write `docs` under `path` partitioned by `partitionCols`
@@ -121,7 +146,9 @@ object CorpusIO {
     val keys = (partitionCols ++ sortCols).map(col)
     docs.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .write.partitionBy(partitionCols: _*).parquet(path)
+      // append: the claim sentinel already sits under `path`, which
+      // ErrorIfExists would refuse — claimPath guarantees emptiness
+      .write.mode("append").partitionBy(partitionCols: _*).parquet(path)
     writeMeta(spark, path,
       LayoutMeta("sorted", partitionCols, sortCols, Nil, 0, Nil, n))
   }
@@ -165,7 +192,7 @@ object CorpusIO {
     val n = if (fileTargets > 0) fileTargets
       else spark.sessionState.conf.numShufflePartitions
     clusterZ(docs, partitionCols, zCols, bits, bounds, n)
-      .write.partitionBy(partitionCols: _*).parquet(path)
+      .write.mode("append").partitionBy(partitionCols: _*).parquet(path)
     writeMeta(spark, path,
       LayoutMeta("zorder", partitionCols, Nil, zCols, bits, bounds, n))
   }
@@ -243,7 +270,7 @@ object CorpusIO {
       case "zorder" =>
         clusterZ(docs, m.partitionCols, m.zCols, m.bits, m.bounds, n)
     }
-    staged.write.partitionBy(m.partitionCols: _*).parquet(destPath)
+    staged.write.mode("append").partitionBy(m.partitionCols: _*).parquet(destPath)
     writeMeta(spark, destPath, m.copy(fileTargets = n))
   }
 

@@ -1,21 +1,45 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** ENFORCING physical-plan audit over every contract query: flags the
-  * plan shapes that do not survive a 100× scale-up (nested-loop joins,
-  * cartesian products) and reports join/exchange/codegen composition.
+  * plan shapes that do not survive a 100× scale-up and reports
+  * join/exchange/codegen composition.
   *
-  * Since r10 the audit is a GATE, not a report: the attributed-benign
-  * flags live in an explicit in-code allowlist `{query → (BNLJ, CART)}`
-  * below, and ANY deviation — a new flag, a changed count, a retired
-  * flag that still sits in the allowlist, or a plan error — is a
-  * VIOLATION with a nonzero exit. A scale regression can no longer
-  * scroll past among the knowns (r9 verdict "What's wrong" #1).
+  * Since r10 the audit is a GATE, not a report; r11 widened its
+  * detector surface from {BNLJ, CART} to the full set of
+  * single-task / quadratic collapses (r10 verdict #1):
   *
-  * The allowlist entries are attributed one-for-one to their sources
-  * (audited 2026-08-12, re-pinned 2026-08-14; the same inventory as
-  * PLANS.md prose):
+  *  1. BroadcastNestedLoopJoin / CartesianProduct counts must equal
+  *     the attributed [[allowlist]] — any new, changed, or stale flag
+  *     is a violation (as in r10);
+  *  2. UNPARTITIONED WindowExec counts must equal [[windowAllow]] —
+  *     an empty partition spec serializes the window's whole input
+  *     into one task, the q_asof_join_bucketed mega-key regression
+  *     generalized to every query (the allowlisted ones all run over
+  *     bounded, histogram/percentile-sized relations, attributed
+  *     below); this is also the enforcing replacement for the
+  *     WindowExec WARN that Bench silences (r10 advice #5);
+  *  3. GLOBAL SortExec counts must equal [[sortAllow]] — a global
+  *     sort is a range-exchange over its whole input; outside a
+  *     TakeOrdered (which never plans a SortExec) it only belongs on
+  *     bounded outputs (final presentation orderBy of top-k /
+  *     per-group-bounded results — every allowlisted entry);
+  *  4. (shuffle, broadcast) Exchange counts must equal the
+  *     [[exchangePins]] map for EVERY contract query — exchange-count
+  *     drift is how a broadcast→shuffle flip, a lost bucketed read,
+  *     or an accidental extra repartition shows up; plans are pinned
+  *     UNEXECUTED (AdaptiveSparkPlan initial plans, so AQE runtime
+  *     re-planning cannot make the pin flap) at the default audit
+  *     scale. A query with no pin is itself a violation: adding a
+  *     contract query forces a conscious pin (refresh with --pin).
+  *
+  * The BNLJ/CART allowlist entries are attributed one-for-one to
+  * their sources (audited 2026-08-12, re-pinned 2026-08-14):
   *  - `Apply.regrid`'s unmapped-destination padding crossJoins a
   *    ONE-ROW broadcast (the zero-weight anchor cell) — constant cost
   *    at any scale (appears in every apply-family query);
@@ -38,16 +62,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    never the corpus or the register file itself.
   *
   * Counts are pinned at the DEFAULT audit scale (sf0.001, 8 threads);
-  * BNLJ/CART arise from plan STRUCTURE (cross joins, non-equi
-  * conditions), not size estimates, so they are stable across sf —
-  * but if you audit a different sfDir and a count moves, re-pin at the
+  * BNLJ/CART/window/sort arise from plan STRUCTURE, not size
+  * estimates, and the exchange pins are taken on the initial
+  * (pre-AQE) plans — all stable across runs at the default scale. If
+  * you audit a different sfDir and a count moves, re-pin at the
   * default before concluding regression.
   *
-  * Usage: runMain graft.tools.PlanAudit [sfDir] [--selftest]
-  *   --selftest additionally injects a deliberate corpus×corpus cross
-  *   join under a name absent from the allowlist and asserts the gate
-  *   REJECTS it (exit 0 iff the violation is detected) — proof the
-  *   enforcement path actually fires.
+  * Usage: runMain graft.tools.PlanAudit [sfDir] [--selftest | --pin]
+  *   --selftest additionally injects one specimen of EVERY flagged
+  *   class — a corpus×corpus cross join, an unpartitioned corpus
+  *   window, a global corpus sort, and an exchange-count drift — and
+  *   asserts the gate rejects each (exit 0 iff all four violations
+  *   are detected and the real surface stays clean);
+  *   --pin prints the current measured pin maps as Scala source (no
+  *   gating) for pasting here after an intentional plan change.
   */
 object PlanAudit {
 
@@ -73,8 +101,373 @@ object PlanAudit {
     "q_w_bilinear_peri"                -> (2, 0), // periodic pole caps × broadcast lon range (N+S)
   )
 
+  /** query → expected UNPARTITIONED WindowExec count (absent = 0).
+    * Populated by --pin and attributed: every entry below is a
+    * prefix-sum / rank window over a BOUNDED relation (per-bucket
+    * histograms, |pcts|-row rank sets, per-threshold sweeps), never
+    * the corpus. */
+  val windowAllow: Map[String, Int] = Map(
+    // all attributed bounded relations: rank/prefix-sum windows over
+    // nBuckets-row offsets (shuffle_order), per-partition winner sets
+    // (weighted_sample), #sources-row mix recipes (mix_*), per-term
+    // top-k candidate sets (bm25/vocab), |pcts|/histogram rank rows
+    // (length_quantiles) — never the corpus
+    "q_bm25_topk" -> 3,
+    "q_length_quantiles" -> 2,
+    "q_mix_apply" -> 1,
+    "q_mix_weights" -> 1,
+    "q_mix_weights_tau" -> 3,
+    "q_shuffle_order" -> 1,
+    "q_vocab_topk" -> 1,
+    "q_weighted_sample" -> 1,
+  )
+
+  /** query → expected GLOBAL SortExec count (absent = 0). Every entry
+    * is a final presentation orderBy over a bounded output (top-k
+    * serving results, per-group-bounded reports, percentile rows). */
+  val sortAllow: Map[String, Int] = Map(
+    // one final presentation orderBy per query over its bounded
+    // output (top-k serving results, per-group reports, percentile
+    // rows — the deterministic-dump discipline Verify relies on);
+    // queries absent here plan ZERO global sorts
+    "q_ann_filtered" -> 1,
+    "q_ann_filtered_persisted" -> 1,
+    "q_ann_ivf" -> 1,
+    "q_ann_ivf_learned" -> 1,
+    "q_ann_ivf_learned_mp" -> 1,
+    "q_ann_ivf_mp" -> 1,
+    "q_ann_ivf_persisted" -> 1,
+    "q_ann_pq" -> 1,
+    "q_ann_pq_mp" -> 1,
+    "q_ann_pq_persisted" -> 1,
+    "q_ann_pq_rerank" -> 1,
+    "q_ann_topk" -> 1,
+    "q_asof_join" -> 1,
+    "q_asof_join_bucketed" -> 1,
+    "q_attach_coords" -> 1,
+    "q_auc_merged" -> 1,
+    "q_auc_weighted" -> 1,
+    "q_audio_decode" -> 1,
+    "q_audio_resample" -> 1,
+    "q_bigram_lm" -> 1,
+    "q_bloom_merge" -> 1,
+    "q_bpe_apply" -> 1,
+    "q_bpe_train" -> 1,
+    "q_broadcast_dims" -> 1,
+    "q_calibration" -> 1,
+    "q_chunk_docs" -> 1,
+    "q_classifier_auc" -> 1,
+    "q_cm_frequency" -> 1,
+    "q_cm_merge" -> 1,
+    "q_corpus_append" -> 1,
+    "q_corpus_diff" -> 1,
+    "q_corpus_layout" -> 1,
+    "q_corpus_report" -> 1,
+    "q_corpus_rollup" -> 1,
+    "q_corpus_zorder" -> 1,
+    "q_dataset_map" -> 1,
+    "q_decontam" -> 1,
+    "q_decontam_bloom" -> 1,
+    "q_decontam_fuzzy" -> 1,
+    "q_decontam_keep" -> 1,
+    "q_decontam_semantic" -> 1,
+    "q_dedup_clusters" -> 1,
+    "q_dedup_exact" -> 1,
+    "q_dedup_incremental" -> 1,
+    "q_dedup_keep_best" -> 1,
+    "q_dedup_minhash" -> 1,
+    "q_doc_fingerprint" -> 1,
+    "q_dupspan" -> 1,
+    "q_dupspan_scrub" -> 1,
+    "q_embedding_cosine" -> 1,
+    "q_embedding_cosine_lsh" -> 1,
+    "q_embedding_cosine_lsh_recall" -> 1,
+    "q_embedding_robust_stats" -> 1,
+    "q_embedding_stats" -> 1,
+    "q_events_funnel" -> 1,
+    "q_events_funnel_steps" -> 1,
+    "q_events_retention" -> 1,
+    "q_events_sessions" -> 1,
+    "q_events_window" -> 1,
+    "q_graph_pagerank" -> 1,
+    "q_graph_triangles" -> 1,
+    "q_hll_distinct" -> 1,
+    "q_hll_merge" -> 1,
+    "q_hll_overlap" -> 1,
+    "q_item_cooccurrence" -> 1,
+    "q_kmeans" -> 1,
+    "q_kmeans_twolevel" -> 1,
+    "q_kmv_distinct" -> 1,
+    "q_kmv_jaccard" -> 1,
+    "q_lang_id" -> 1,
+    "q_length_quantiles" -> 1,
+    "q_length_quantiles_by_source" -> 1,
+    "q_lineitem_pricing" -> 1,
+    "q_local_supplier_volume" -> 1,
+    "q_locstream_nearest" -> 1,
+    "q_minhash_bands_stateless" -> 1,
+    "q_minhash_sig" -> 1,
+    "q_mix_apply" -> 1,
+    "q_mix_weights" -> 1,
+    "q_mix_weights_tau" -> 1,
+    "q_multimodal_decode" -> 1,
+    "q_multimodal_frames" -> 1,
+    "q_multimodal_gradient" -> 1,
+    "q_multimodal_gradient_resize" -> 1,
+    "q_multimodal_meta" -> 1,
+    "q_multimodal_resize" -> 1,
+    "q_ngram_jaccard" -> 1,
+    "q_ngram_jaccard_capped" -> 1,
+    "q_oov_rate" -> 1,
+    "q_orders_revenue" -> 1,
+    "q_pack_greedy" -> 1,
+    "q_pack_stats" -> 1,
+    "q_phrase_search" -> 1,
+    "q_pii_redact" -> 1,
+    "q_pipeline_e2e" -> 1,
+    "q_pr_curve" -> 1,
+    "q_quality_classifier" -> 1,
+    "q_quality_score" -> 1,
+    "q_quantiles_merged" -> 1,
+    "q_range_join" -> 1,
+    "q_regrid_conservative_curv" -> 1,
+    "q_regrid_conservative_curv_exact" -> 1,
+    "q_regrid_curv" -> 1,
+    "q_regrid_locstream" -> 1,
+    "q_regrid_locstream_in" -> 1,
+    "q_repetition" -> 1,
+    "q_rolling_anomaly" -> 1,
+    "q_sample_stratified" -> 1,
+    "q_sample_stratum_topk" -> 1,
+    "q_semantic_dedup" -> 1,
+    "q_shuffle_order" -> 1,
+    "q_simhash" -> 1,
+    "q_simhash_neardup" -> 1,
+    "q_skew_report" -> 1,
+    "q_split_assign" -> 1,
+    "q_spmm_apply" -> 1,
+    "q_strip_markup" -> 1,
+    "q_text_tokens" -> 1,
+    "q_tokens_bpe" -> 1,
+    "q_unmapped_zero" -> 1,
+    "q_vocab_topk" -> 1,
+    "q_w_bilinear" -> 1,
+    "q_w_bilinear_curv" -> 1,
+    "q_w_bilinear_curv_peri" -> 1,
+    "q_w_bilinear_nonuniform" -> 1,
+    "q_w_bilinear_nonuniform_peri" -> 1,
+    "q_w_bilinear_peri" -> 1,
+    "q_w_conservative" -> 1,
+    "q_w_conservative_curv" -> 1,
+    "q_w_conservative_curv_exact" -> 1,
+    "q_w_nearest_d2s" -> 1,
+    "q_w_nearest_s2d" -> 1,
+    "q_w_patch" -> 1,
+    "q_w_patch_curv" -> 1,
+    "q_w_patch_nonuniform" -> 1,
+    "q_w_patch_nonuniform_peri" -> 1,
+    "q_weighted_sample" -> 1,
+    "q_weights_read" -> 1,
+    "q_weights_read_nc" -> 1,
+  )
+
+  /** query → pinned (ShuffleExchange, BroadcastExchange) counts on the
+    * initial (pre-AQE) plan at the default audit scale. EVERY contract
+    * query must have a pin (a missing pin is a violation — refresh
+    * with --pin after an intentional plan change). */
+  val exchangePins: Map[String, (Int, Int)] = Map(
+    "q_ann_filtered" -> (2, 1),
+    "q_ann_filtered_persisted" -> (2, 5),
+    "q_ann_ivf" -> (2, 1),
+    "q_ann_ivf_learned" -> (4, 2),
+    "q_ann_ivf_learned_mp" -> (4, 2),
+    "q_ann_ivf_mp" -> (2, 1),
+    "q_ann_ivf_persisted" -> (4, 2),
+    "q_ann_pq" -> (2, 7),
+    "q_ann_pq_mp" -> (2, 7),
+    "q_ann_pq_persisted" -> (2, 5),
+    "q_ann_pq_rerank" -> (2, 9),
+    "q_ann_topk" -> (2, 1),
+    "q_asof_join" -> (2, 0),
+    "q_asof_join_bucketed" -> (5, 1),
+    "q_attach_coords" -> (5, 4),
+    "q_auc_merged" -> (7, 1),
+    "q_auc_weighted" -> (7, 1),
+    "q_audio_decode" -> (2, 0),
+    "q_audio_resample" -> (2, 0),
+    "q_bigram_lm" -> (6, 3),
+    "q_bloom_merge" -> (4, 1),
+    "q_bm25_topk" -> (5, 1),
+    "q_bpe_apply" -> (3, 1),
+    "q_bpe_train" -> (1, 0),
+    "q_broadcast_dims" -> (5, 7),
+    "q_calibration" -> (2, 0),
+    "q_chunk_docs" -> (1, 0),
+    "q_classifier_auc" -> (7, 1),
+    "q_cm_frequency" -> (4, 3),
+    "q_cm_merge" -> (4, 3),
+    "q_corpus_append" -> (2, 0),
+    "q_corpus_diff" -> (3, 0),
+    "q_corpus_layout" -> (2, 0),
+    "q_corpus_report" -> (3, 0),
+    "q_corpus_rollup" -> (2, 0),
+    "q_corpus_zorder" -> (2, 0),
+    "q_dataset_map" -> (5, 3),
+    "q_decontam" -> (5, 1),
+    "q_decontam_bloom" -> (5, 1),
+    "q_decontam_fuzzy" -> (5, 1),
+    "q_decontam_keep" -> (4, 2),
+    "q_decontam_semantic" -> (1, 1),
+    "q_dedup_clusters" -> (1, 0),
+    "q_dedup_exact" -> (2, 0),
+    "q_dedup_incremental" -> (19, 14),
+    "q_dedup_keep_best" -> (2, 1),
+    "q_dedup_minhash" -> (9, 5),
+    "q_doc_fingerprint" -> (1, 0),
+    "q_dupspan" -> (3, 1),
+    "q_dupspan_scrub" -> (3, 2),
+    "q_embedding_cosine" -> (3, 1),
+    "q_embedding_cosine_lsh" -> (2, 3),
+    "q_embedding_cosine_lsh_recall" -> (2, 3),
+    "q_embedding_robust_stats" -> (72, 34),
+    "q_embedding_stats" -> (2, 0),
+    "q_events_funnel" -> (7, 4),
+    "q_events_funnel_steps" -> (7, 4),
+    "q_events_retention" -> (4, 1),
+    "q_events_sessions" -> (2, 0),
+    "q_events_window" -> (3, 0),
+    "q_flatten_idx" -> (0, 0),
+    "q_graph_pagerank" -> (214, 96),
+    "q_graph_triangles" -> (459, 195),
+    "q_grid_1d" -> (0, 0),
+    "q_grid_2d" -> (0, 0),
+    "q_grid_global" -> (0, 0),
+    "q_hll_distinct" -> (10, 2),
+    "q_hll_merge" -> (3, 0),
+    "q_hll_overlap" -> (15, 6),
+    "q_item_cooccurrence" -> (8, 3),
+    "q_kmeans" -> (1, 0),
+    "q_kmeans_twolevel" -> (1, 0),
+    "q_kmv_distinct" -> (6, 0),
+    "q_kmv_jaccard" -> (13, 4),
+    "q_lang_id" -> (1, 0),
+    "q_length_quantiles" -> (10, 4),
+    "q_length_quantiles_by_source" -> (11, 4),
+    "q_lineitem_pricing" -> (2, 0),
+    "q_local_supplier_volume" -> (2, 5),
+    "q_locstream_nearest" -> (5, 3),
+    "q_minhash_bands_stateless" -> (1, 0),
+    "q_minhash_sig" -> (2, 0),
+    "q_mix_apply" -> (4, 1),
+    "q_mix_weights" -> (2, 0),
+    "q_mix_weights_tau" -> (6, 0),
+    "q_multimodal_decode" -> (2, 0),
+    "q_multimodal_frames" -> (2, 0),
+    "q_multimodal_gradient" -> (2, 0),
+    "q_multimodal_gradient_resize" -> (2, 0),
+    "q_multimodal_meta" -> (1, 0),
+    "q_multimodal_resize" -> (2, 0),
+    "q_ngram_jaccard" -> (8, 3),
+    "q_ngram_jaccard_capped" -> (16, 7),
+    "q_ngram_topk" -> (2, 0),
+    "q_oov_rate" -> (3, 1),
+    "q_orders_revenue" -> (2, 2),
+    "q_pack_greedy" -> (2, 0),
+    "q_pack_stats" -> (3, 0),
+    "q_phrase_search" -> (3, 1),
+    "q_pii_redact" -> (1, 0),
+    "q_pipeline_e2e" -> (7, 3),
+    "q_pr_curve" -> (7, 1),
+    "q_quality_classifier" -> (1, 0),
+    "q_quality_score" -> (1, 0),
+    "q_quantiles_merged" -> (15, 4),
+    "q_range_join" -> (1, 1),
+    "q_regrid_conservative_curv" -> (5, 3),
+    "q_regrid_conservative_curv_exact" -> (5, 3),
+    "q_regrid_curv" -> (6, 2),
+    "q_regrid_locstream" -> (17, 12),
+    "q_regrid_locstream_in" -> (9, 6),
+    "q_repetition" -> (1, 0),
+    "q_rolling_anomaly" -> (2, 0),
+    "q_sample_stratified" -> (2, 0),
+    "q_sample_stratum_topk" -> (3, 0),
+    "q_semantic_dedup" -> (3, 0),
+    "q_shipping_priority" -> (1, 2),
+    "q_shuffle_order" -> (4, 1),
+    "q_simhash" -> (3, 0),
+    "q_simhash_neardup" -> (2, 1),
+    "q_skew_report" -> (3, 0),
+    "q_split_assign" -> (1, 0),
+    "q_spmm_apply" -> (5, 3),
+    "q_strip_markup" -> (1, 0),
+    "q_text_tokens" -> (1, 0),
+    "q_tokens_bpe" -> (1, 0),
+    "q_unmapped_zero" -> (5, 3),
+    "q_vocab_topk" -> (1, 0),
+    "q_w_bilinear" -> (1, 0),
+    "q_w_bilinear_curv" -> (2, 0),
+    "q_w_bilinear_curv_peri" -> (2, 0),
+    "q_w_bilinear_nonuniform" -> (0, 3),
+    "q_w_bilinear_nonuniform_peri" -> (0, 3),
+    "q_w_bilinear_peri" -> (1, 0),
+    "q_w_conservative" -> (1, 0),
+    "q_w_conservative_curv" -> (1, 1),
+    "q_w_conservative_curv_exact" -> (1, 1),
+    "q_w_nearest_d2s" -> (1, 0),
+    "q_w_nearest_s2d" -> (1, 0),
+    "q_w_patch" -> (0, 0),
+    "q_w_patch_curv" -> (2, 0),
+    "q_w_patch_nonuniform" -> (0, 3),
+    "q_w_patch_nonuniform_peri" -> (0, 3),
+    "q_wave_smooth" -> (0, 0),
+    "q_weighted_sample" -> (1, 0),
+    "q_weights_read" -> (1, 0),
+    "q_weights_read_nc" -> (1, 0),
+  )
+
+  /** Recursive physical-plan walk that sees through AQE wrappers
+    * (memory: AQE hides scans inside QueryStageExec leaves) but does
+    * NOT descend into ReusedExchangeExec (its target is counted where
+    * it is defined). */
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+    case q: QueryStageExec => p +: walk(q.plan)
+    case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(p)
+    case _ => p +: p.children.flatMap(walk)
+  }
+
+  private case class Shape(bnlj: Int, cart: Int, unpartWin: Int,
+                           globalSort: Int, shuffle: Int, bcast: Int,
+                           summary: String)
+
+  private def shapeOf(df: DataFrame): Shape = {
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    def n(p: String) = PlanScan.opCount(s, p)
+    val nodes = walk(plan)
+    Shape(
+      bnlj = n("BroadcastNestedLoopJoin"),
+      cart = n("CartesianProduct"),
+      unpartWin = nodes.count {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _ => false
+      },
+      globalSort = nodes.count {
+        case so: SortExec => so.global
+        case _ => false
+      },
+      shuffle = nodes.count(_.isInstanceOf[ShuffleExchangeLike]),
+      bcast = nodes.count(_.isInstanceOf[BroadcastExchangeLike]),
+      summary = Seq(
+        "BHJ" -> n("BroadcastHashJoin"), "SMJ" -> n("SortMergeJoin"),
+        "SHJ" -> n("ShuffledHashJoin"), "BNLJ" -> n("BroadcastNestedLoopJoin"),
+        "CART" -> n("CartesianProduct"), "WSCG" -> n("WholeStageCodegen"))
+        .filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(" "))
+  }
+
   def main(args: Array[String]): Unit = {
     val selftest = args.contains("--selftest")
+    val pinMode = args.contains("--pin")
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -86,45 +479,78 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pinned = scala.collection.mutable.LinkedHashMap.empty[String, Shape]
+
+    val injected: Seq[(String, (SparkSession, String) => DataFrame)] =
+      if (!selftest) Nil else Seq(
+        "zz_selftest_crossjoin" -> ((s: SparkSession, dir: String) => {
+          val d = s.read.parquet(s"$dir/documents.parquet")
+          d.as("a").crossJoin(d.as("b")) // deliberate corpus × corpus
+        }),
+        "zz_selftest_window" -> ((s: SparkSession, dir: String) => {
+          // deliberate UNPARTITIONED window over the corpus — the
+          // single-task collapse detector must reject it
+          import org.apache.spark.sql.expressions.Window
+          import org.apache.spark.sql.functions.{col, row_number}
+          s.read.parquet(s"$dir/documents.parquet")
+            .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+        }),
+        "zz_selftest_sort" -> ((s: SparkSession, dir: String) => {
+          // deliberate global corpus sort outside a TakeOrdered
+          s.read.parquet(s"$dir/documents.parquet").orderBy("doc_id")
+        }),
+        "zz_selftest_exchdrift" -> ((s: SparkSession, dir: String) => {
+          // pinned below as (0, 0) exchanges, but plans one shuffle —
+          // the drift detector must reject the mismatch
+          s.read.parquet(s"$dir/documents.parquet")
+            .groupBy("lang").count()
+        }))
+    val injectedPins: Map[String, (Int, Int)] =
+      if (selftest) Map("zz_selftest_exchdrift" -> (0, 0)) else Map.empty
 
     val audited: Seq[(String, (SparkSession, String) => DataFrame)] =
-      graft.SparkEntry.queries.toSeq.sortBy(_._1) ++
-        (if (selftest) Seq(
-          "zz_selftest_crossjoin" -> ((s: SparkSession, dir: String) => {
-            val d = s.read.parquet(s"$dir/documents.parquet")
-            d.as("a").crossJoin(d.as("b")) // deliberate corpus × corpus
-          })) else Nil)
+      graft.SparkEntry.queries.toSeq.sortBy(_._1) ++ injected
 
     audited.foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        def n(p: String) = PlanScan.opCount(plan, p)
-        val bnlj = n("BroadcastNestedLoopJoin")
-        val cart = n("CartesianProduct")
+        val sh = shapeOf(fn(spark, sfDir))
+        pinned(name) = sh
+        val isInjected = name.startsWith("zz_selftest_")
         val expected = allowlist.getOrElse(name, (0, 0))
-        val ok = (bnlj, cart) == expected
-        if (!ok) violations +=
-          s"$name: (BNLJ=$bnlj, CART=$cart) != allowlisted $expected"
-        val summary = Seq(
-          "BHJ" -> n("BroadcastHashJoin"), "SMJ" -> n("SortMergeJoin"),
-          "SHJ" -> n("ShuffledHashJoin"), "BNLJ" -> bnlj,
-          "CART" -> cart, "EXCH" -> n("Exchange"),
-          "WSCG" -> n("WholeStageCodegen"))
-          .filter(_._2 > 0).map { case (k, v) => s"$k=$v" }.mkString(" ")
-        val flag =
-          if (!ok) "  <-- VIOLATION: unattributed scale risk"
-          else if (bnlj + cart > 0) "  (allowlisted)"
+        val expWin = windowAllow.getOrElse(name, 0)
+        val expSort = sortAllow.getOrElse(name, 0)
+        val flags = scala.collection.mutable.ArrayBuffer.empty[String]
+        if ((sh.bnlj, sh.cart) != expected)
+          flags += s"(BNLJ=${sh.bnlj}, CART=${sh.cart}) != allowlisted $expected"
+        if (sh.unpartWin != expWin)
+          flags += s"unpartitioned windows ${sh.unpartWin} != allowlisted $expWin (single-task collapse risk)"
+        if (sh.globalSort != expSort)
+          flags += s"global sorts ${sh.globalSort} != allowlisted $expSort (whole-input range exchange)"
+        if (!pinMode) {
+          (exchangePins ++ injectedPins).get(name) match {
+            case Some(pin) if (sh.shuffle, sh.bcast) != pin =>
+              flags += s"exchanges (shuffle=${sh.shuffle}, bcast=${sh.bcast}) drifted from pinned $pin"
+            case None if !isInjected =>
+              flags += s"no exchange pin for this query — run --pin and commit the refreshed map"
+            case _ => ()
+          }
+        }
+        flags.foreach(f => violations += s"$name: $f")
+        val mark = if (flags.nonEmpty) "  <-- VIOLATION: " + flags.mkString("; ")
+          else if (sh.bnlj + sh.cart + sh.unpartWin + sh.globalSort > 0) "  (allowlisted)"
           else ""
-        println(f"$name%-28s $summary$flag")
+        println(f"$name%-28s ${sh.summary} SHX=${sh.shuffle} BCX=${sh.bcast} UW=${sh.unpartWin} GS=${sh.globalSort}$mark")
       } catch { case e: Throwable =>
         violations += s"$name: PLAN ERROR ${e.getMessage.take(120)}"
         println(f"$name%-28s PLAN ERROR: ${e.getMessage.take(120)}")
       }
     }
-    // an allowlist entry whose query vanished is stale — also a violation
-    allowlist.keys.filterNot(graft.SparkEntry.queries.contains).foreach { k =>
-      violations += s"$k: allowlisted but no longer a contract query (stale entry)"
-    }
+    // an allowlist/pin entry whose query vanished is stale — also a violation
+    (allowlist.keys ++ windowAllow.keys ++ sortAllow.keys ++ exchangePins.keys)
+      .filterNot(_.startsWith("zz_selftest_"))
+      .filterNot(graft.SparkEntry.queries.contains).toSeq.distinct.foreach { k =>
+        violations += s"$k: allowlisted/pinned but no longer a contract query (stale entry)"
+      }
     // targeted skew guard (r8 verdict #7): the bucketed as-of variant
     // exists precisely so one mega key cannot serialize into a single
     // window task — assert its physical Window really partitions by
@@ -143,20 +569,47 @@ object PlanAudit {
     }
     spark.stop()
 
+    if (pinMode) {
+      println("== --pin: paste the maps below into PlanAudit ==")
+      def fmtPos(m: Seq[(String, Int)]): String = m.filter(_._2 > 0)
+        .map { case (k, v) => s"""    "$k" -> $v,""" }.mkString("\n")
+      println("  val windowAllow: Map[String, Int] = Map(")
+      println(fmtPos(pinned.toSeq.map { case (k, sh) => (k, sh.unpartWin) }))
+      println("  )")
+      println("  val sortAllow: Map[String, Int] = Map(")
+      println(fmtPos(pinned.toSeq.map { case (k, sh) => (k, sh.globalSort) }))
+      println("  )")
+      println("  val exchangePins: Map[String, (Int, Int)] = Map(")
+      pinned.foreach { case (k, sh) =>
+        println(s"""    "$k" -> (${sh.shuffle}, ${sh.bcast}),""")
+      }
+      println("  )")
+      return
+    }
+
     if (selftest) {
-      val caught = violations.exists(_.startsWith("zz_selftest_crossjoin"))
-      val others = violations.filterNot(_.startsWith("zz_selftest_crossjoin"))
+      val mustCatch = Map(
+        "zz_selftest_crossjoin" -> "CART",
+        "zz_selftest_window" -> "unpartitioned windows",
+        "zz_selftest_sort" -> "global sorts",
+        "zz_selftest_exchdrift" -> "drifted")
+      val missed = mustCatch.filterNot { case (q, frag) =>
+        violations.exists(v => v.startsWith(q) && v.contains(frag))
+      }
+      val others = violations.filterNot(v => mustCatch.keys.exists(v.startsWith))
       others.foreach(v => println(s"VIOLATION: $v"))
-      if (caught && others.isEmpty) {
-        println("== SELFTEST PASS: deliberate cross join rejected, real surface clean")
+      if (missed.isEmpty && others.isEmpty) {
+        println("== SELFTEST PASS: all four injected regressions rejected, real surface clean")
       } else {
-        if (!caught) println("== SELFTEST FAIL: deliberate cross join NOT caught")
-        else println(s"== SELFTEST saw ${others.size} real violation(s)")
+        missed.foreach { case (q, frag) =>
+          println(s"== SELFTEST FAIL: $q not caught by the '$frag' detector") }
+        if (others.nonEmpty) println(s"== SELFTEST saw ${others.size} real violation(s)")
         sys.exit(1)
       }
     } else {
       violations.foreach(v => println(s"VIOLATION: $v"))
-      println(s"== violations: ${violations.size} (allowlisted flags: ${allowlist.size})")
+      println(s"== violations: ${violations.size} (allowlisted: ${allowlist.size} BNLJ/CART, " +
+        s"${windowAllow.size} window, ${sortAllow.size} sort; ${exchangePins.size} exchange pins)")
       if (violations.nonEmpty) sys.exit(1)
     }
   }

@@ -172,12 +172,32 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_layout_meta"))
   }
 
-  test("a crashed partial write (data, no meta) is cleared on retry") {
+  test("a crashed partial write (claim sentinel, no meta) is cleared on retry") {
     val path = s"${tmpBase()}/crashed"
-    // simulate: data files present but no _layout_meta — the write died
+    // simulate: a CorpusIO write died after planting its claim and
+    // some data files, before _layout_meta landed
     corpus.limit(10).write.parquet(path)
+    val claim = new org.apache.hadoop.fs.Path(path, "_graft_claim")
+    claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(claim, true).close()
     CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 2)
     assert(CorpusIO.readLayout(spark, path).count() === corpus.count())
+  }
+
+  test("a non-empty directory that CorpusIO never claimed is refused, its data untouched (r10 advice)") {
+    val raw = s"${tmpBase()}/raw_corpus"
+    // pre-existing data this module didn't write — e.g. a path typo
+    // pointing the writer at the raw corpus itself
+    corpus.write.parquet(raw)
+    Seq(
+      () => CorpusIO.writeLayout(corpus, raw, Seq("lang"), Seq("n_chars")),
+      () => CorpusIO.writeLayoutZordered(corpus, raw, Nil, Seq("doc_id", "n_chars"))
+    ).foreach { w =>
+      val e = intercept[IllegalStateException](w())
+      assert(e.getMessage.contains("refusing to clear"), e.getMessage)
+    }
+    // nothing was deleted
+    assert(spark.read.parquet(raw).count() === corpus.count())
   }
 
   test("no-clobber: a second write to the same snapshot path refuses") {
