@@ -333,6 +333,26 @@ object PipelineQueries {
                  * 1.0e9 + 0.5e0) / 1.0e9 END AS auc
         FROM a ORDER BY source"""
 
+  /** Shared oracle for q_calibration AND q_calibration_hist — the
+    * histogram-reconstructed reliability diagram must reproduce the
+    * direct one, so both use this SQL verbatim (the aucOracleSql
+    * pattern). */
+  private lazy val calibrationOracleSql =
+    s"""WITH $aucScoredCtes,
+        cal AS (SELECT source, CAST(floor(prob * 1.0e6 + 0.5e0) AS BIGINT) AS pu, pos
+                FROM sc),
+        b AS (SELECT source,
+                CAST(least((pu * 10) // 1000000, 9) AS INTEGER) AS bin,
+                count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+                CAST(sum(pu) AS BIGINT) AS pu_sum
+              FROM cal GROUP BY 1, 2)
+        SELECT source, bin, n, n_pos,
+          floor(CAST(pu_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e6)
+            * 1.0e9 + 0.5e0) / 1.0e9 AS mean_prob,
+          floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+            * 1.0e9 + 0.5e0) / 1.0e9 AS pos_rate
+        FROM b ORDER BY source, bin"""
+
   /** Per-source Bernoulli rates for the stratified-sample contract:
     * five rate tiers cycling over the 20 sources. */
   private val sampleRates: Map[String, Double] =
@@ -2809,20 +2829,24 @@ object PipelineQueries {
       (s, dir) => Diagnostics.calibrationBins(
         aucScored(s, dir), "prob", "label", by = Seq("source"))
         .orderBy("source", "bin"),
-      Some(s"""WITH $aucScoredCtes,
-        cal AS (SELECT source, CAST(floor(prob * 1.0e6 + 0.5e0) AS BIGINT) AS pu, pos
-                FROM sc),
-        b AS (SELECT source,
-                CAST(least((pu * 10) // 1000000, 9) AS INTEGER) AS bin,
-                count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
-                CAST(sum(pu) AS BIGINT) AS pu_sum
-              FROM cal GROUP BY 1, 2)
-        SELECT source, bin, n, n_pos,
-          floor(CAST(pu_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e6)
-            * 1.0e9 + 0.5e0) / 1.0e9 AS mean_prob,
-          floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
-            * 1.0e9 + 0.5e0) / 1.0e9 AS pos_rate
-        FROM b ORDER BY source, bin""")),
+      Some(calibrationOracleSql)),
+
+    QueryDef("q_calibration_hist",
+      // the same reliability diagram reconstructed from a SCORE
+      // HISTOGRAM whose score is the micro-unit prob lattice — the
+      // persisted/merged/streamed read path (aucFromHistogram's
+      // discipline applied to calibration). Must reproduce
+      // q_calibration bit-for-bit, proven by sharing its oracle SQL
+      // verbatim (the q_asof_join_bucketed result-identity pattern);
+      // this is also the batch half of the streaming calibration pin
+      // (scoreHistogramStream → calibrationFromHistogram).
+      (s, dir) => Diagnostics.calibrationFromHistogram(
+        Diagnostics.scoreHistogram(aucScored(s, dir),
+          "CAST(floor(prob * 1.0e6 + 0.5e0) AS BIGINT)", "label",
+          by = Seq("source")),
+        by = Seq("source"))
+        .orderBy("source", "bin"),
+      Some(calibrationOracleSql)),
 
     QueryDef("q_split_assign",
       // deterministic train/val/test assignment: stateless hash draw

@@ -354,4 +354,48 @@ object Diagnostics {
       .select(g :+ col("bin") :+ col("n") :+ col("n_pos")
         :+ col("mean_prob") :+ col("pos_rate"): _*)
   }
+
+  /** [[calibrationBins]] FROM a [[scoreHistogram]] relation alone —
+    * the persisted/merged/STREAMED read path (the aucFromHistogram
+    * discipline): when the histogram's score is the micro-unit
+    * quantized probability (`CAST(floor(prob * 1.0e6 + 0.5e0) AS
+    * BIGINT)` — exactly [[calibrationBins]]' own lattice), the
+    * reliability diagram is fully recoverable from the summary,
+    * because binning depends on the score alone. Bit-identical to the
+    * direct call by construction: per-bin `n = Σ(p+ng)`,
+    * `n_pos = Σp`, `pu_sum = Σ s·(p+ng)` are the same integers, and
+    * the mean/rate divisions reuse the same fixed-order double chain.
+    * Over a WEIGHTED histogram this is calibration with
+    * replicated-rows semantics. A score outside the [0, 1e6] prob
+    * lattice is a caller bug (wrong histogram) and raises loudly.
+    * Returns `(by…, bin, n, n_pos, mean_prob, pos_rate)`. */
+  def calibrationFromHistogram(hist: DataFrame, by: Seq[String] = Nil,
+                               nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val g = by.map(col)
+    hist.select(g
+        :+ expr("""CASE WHEN s >= 0L AND s <= 1000000L THEN s
+                        ELSE CAST(raise_error(concat(
+                          'calibrationFromHistogram: score must be a ',
+                          'micro-unit prob in [0, 1e6], got ',
+                          CAST(s AS STRING))) AS BIGINT) END""").as("pu")
+        :+ col("p") :+ col("ng"): _*)
+      .withColumn("bin",
+        expr(s"CAST(least((pu * ${nBins}L) DIV 1000000L, ${nBins - 1}L) AS INT)"))
+      .groupBy(g :+ col("bin"): _*)
+      .agg(sum(expr("CAST(p + ng AS DECIMAL(38,0))")).as("nd"),
+        sum(expr("CAST(p AS DECIMAL(38,0))")).as("npd"),
+        sum(expr("CAST(pu AS DECIMAL(38,0)) * CAST(p + ng AS DECIMAL(38,0))"))
+          .as("pu_sum"))
+      .withColumn("n", expr(guardedBigint("nd", "per-bin count")))
+      .withColumn("n_pos", expr(guardedBigint("npd", "per-bin positive count")))
+      .withColumn("mean_prob", expr(
+        """floor(CAST(pu_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e6)
+           * 1.0e9 + 0.5e0) / 1.0e9"""))
+      .withColumn("pos_rate", expr(
+        """floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+           * 1.0e9 + 0.5e0) / 1.0e9"""))
+      .select(g :+ col("bin") :+ col("n") :+ col("n_pos")
+        :+ col("mean_prob") :+ col("pos_rate"): _*)
+  }
 }

@@ -309,6 +309,46 @@ class EvalAnnPropertySpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming calibration: bins over the streamed micro-prob histogram == batch at every prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val r = new scala.util.Random(78)
+    // probs on the micro-unit lattice incl. both edges; ~10% unlabeled
+    // rows must be excluded identically on both sides
+    val rows = (0 until 300).map { _ =>
+      val prob = r.nextInt(1000001) / 1e6
+      (s"g${r.nextInt(2)}", prob,
+        if (r.nextInt(10) == 0) Option.empty[Boolean] else Some(r.nextBoolean()))
+    } ++ Seq(("g0", 0.0, Some(true)), ("g1", 1.0, Some(false)))
+    val quant = "CAST(floor(prob * 1.0e6 + 0.5e0) AS BIGINT)"
+    val stream = MemoryStream[(String, Double, Option[Boolean])]
+    val hist = graft.streaming.StreamingOps.scoreHistogramStream(
+      stream.toDF().toDF("g", "prob", "label"), quant, "label", Seq("g"))
+    val q = hist.writeStream.outputMode("complete")
+      .format("memory").queryName("cal_hist_sink").start()
+    var seen = Seq.empty[(String, Double, Option[Boolean])]
+    rows.grouped(101).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+      seen = seen ++ chunk
+      val streamed = Diagnostics.calibrationFromHistogram(
+          spark.table("cal_hist_sink"), Seq("g"))
+        .collect().map(x => (x.getString(0), x.getInt(1)) -> x.toSeq.drop(2)).toMap
+      val direct = Diagnostics.calibrationBins(
+          seen.toDF("g", "prob", "label"), "prob", "label", Seq("g"))
+        .collect().map(x => (x.getString(0), x.getInt(1)) -> x.toSeq.drop(2)).toMap
+      assert(streamed === direct)
+    }
+    q.stop()
+    // a histogram whose scores are NOT micro-unit probs is a caller
+    // bug and raises instead of minting phantom bins
+    val bad = intercept[Exception] {
+      Diagnostics.calibrationFromHistogram(
+        Seq(("g0", 2000000L, 1L, 1L)).toDF("g", "s", "p", "ng"), Seq("g")).collect()
+    }
+    assert(bad.getMessage.contains("micro-unit prob"))
+  }
+
   // ---- filtered ANN ----
 
   private val annBits = 6
