@@ -166,6 +166,76 @@ object Clustering {
 
   private def dimOf(m: scala.collection.Map[Int, Double]): Int = m.keys.max + 1
 
+  /** Decayed mini-batch Lloyd refresh of a FIXED centroid set against
+    * an ingest batch — the [[encodePqBatch]] analog for the CENTROIDS
+    * (r10 verdict #7), completing the incremental lifecycle: encode is
+    * O(batch) today, model refresh is O(batch) now too. The standard
+    * mini-batch k-means update (Sculley, WWW 2010 — per-center
+    * prior-count learning rate) with an explicit prior weight:
+    *
+    *   c' = (priorWeight·c + Σ_{v∈batch→c} v) / (priorWeight + n_c)
+    *
+    * `priorWeight` is the effective per-centroid memory in vectors —
+    * the corpus-tracking choice is ≈ |corpus|/k (the refresh then
+    * behaves like one more Lloyd round over corpus+batch); smaller
+    * values track drift faster, 0 snaps each touched centroid to its
+    * batch mean. Contracts: a centroid that receives NO batch vectors
+    * is returned BIT-UNCHANGED (an empty batch is a no-op, so serving
+    * hashes cannot move without data moving them); assignment uses the
+    * same quantization / fixed-order fold / id tie-break as training
+    * ([[assignToCentroids]]' contract); the batch never shuffles —
+    * one broadcast-scan with per-partition dense accumulators, the
+    * [[kmeansFullImpl]] update shape, then a k·dim-bounded reduce.
+    * Result quality vs a full retrain is spec-pinned on a drifting
+    * fixture (tolerance, not hash — cluster identities can permute
+    * under retraining). */
+  def refreshCentroids(cents: Array[(Int, Array[Double])], batch: DataFrame,
+                       priorWeight: Long, dim: Int = 64)
+      : Array[(Int, Array[Double])] = {
+    require(priorWeight >= 0, s"priorWeight must be >= 0, got $priorWeight")
+    require(cents.nonEmpty, "refreshCentroids needs a trained centroid set")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val q = quantized(batch, dim).as[(Long, Array[Double])]
+    val bc = spark.sparkContext.broadcast(cents)
+    val partials = q.mapPartitions { it =>
+      val cs = bc.value
+      val acc = scala.collection.mutable.Map[Int, (Array[Double], Long)]()
+      it.foreach { case (_, v) =>
+        var bestCl = -1
+        var bestD = Double.MaxValue
+        cs.foreach { case (cl, c) =>
+          var d = 0.0
+          var j = 0
+          while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          if (d < bestD || (d == bestD && cl < bestCl)) { bestD = d; bestCl = cl }
+        }
+        val (s, _) = acc.getOrElseUpdate(bestCl, (new Array[Double](v.length), 0L))
+        var j = 0
+        while (j < v.length) { s(j) += v(j); j += 1 }
+        acc(bestCl) = (s, acc(bestCl)._2 + 1)
+      }
+      acc.iterator.map { case (cl, (s, n)) => (cl, s, n) }
+    }.toDF("cl", "sums", "n")
+    val merged = partials
+      .select(col("cl"), col("n"), posexplode(col("sums")).as(Seq("j", "s")))
+      .groupBy("cl", "j").agg(sum("s").as("s"), sum("n").as("n"))
+      .groupBy("cl").agg(
+        map_from_arrays(collect_list("j"), collect_list("s")).as("sm"),
+        first("n").as("n"))
+      .collect()
+      .map { r => (r.getInt(0), (r.getMap[Int, Double](1), r.getLong(2))) }
+      .toMap
+    cents.map { case (cl, c) =>
+      merged.get(cl) match {
+        case Some((sm, n)) =>
+          (cl, Array.tabulate(c.length)(j =>
+            (priorWeight.toDouble * c(j) + sm(j)) / (priorWeight.toDouble + n)))
+        case None => (cl, c) // untouched centroid: bit-unchanged
+      }
+    }
+  }
+
   /** Assign vectors to FIXED centroids (e.g. [[kmeansFull]]'s output) —
     * the incremental-corpus path: cluster/encode a NEW ingest batch
     * against the already-trained model without re-running Lloyd over

@@ -285,6 +285,50 @@ class AnnIOSpec extends AnyFunSuite {
       .filter(col(weird) === 1 && col("vec_id") >= 1200L).count() === 200L)
   }
 
+  test("refreshCentroids: decayed mini-batch update tracks drift within tolerance of a full retrain") {
+    // 4 well-separated block centers; the ingest batch's centers are
+    // DRIFTED by +1.0 inside each block — the refresh must move the
+    // model toward the union's truth without retraining on the corpus
+    def mk(ids: org.apache.spark.sql.DataFrame, shift: Double): DataFrame =
+      ids.selectExpr("id AS vec_id",
+        s"""transform(sequence(0, 63), j -> CAST(
+             CASE WHEN j DIV 16 = CAST(id % 4 AS INT)
+                  THEN ${5.0 + shift}e0 ELSE 0.0e0 END
+             + 0.5e0 * CAST(hash(id, j) AS DOUBLE) / 2.147483647e9 AS FLOAT))
+           AS embedding""")
+    val corpus = mk(spark.range(400L).toDF("id"), 0.0)
+    val batch = mk(spark.range(1000L, 1200L).toDF("id"), 1.0)
+    val (_, centsA) = Clustering.kmeansFull(corpus, 4, 4)
+    // priorWeight = |corpus|/k makes the refresh ≈ one Lloyd round
+    // over corpus+batch — compare against the actual full retrain
+    val refreshed = Clustering.refreshCentroids(centsA, batch, priorWeight = 100L)
+    val (_, retrained) = Clustering.kmeansFull(corpus.unionByName(batch), 4, 4)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def sumNearest(from: Array[(Int, Array[Double])]): Double =
+      from.map { case (_, c) => retrained.map { case (_, t) => math.sqrt(d2(c, t)) }.min }.sum
+    val refDist = sumNearest(refreshed)
+    val oldDist = sumNearest(centsA)
+    // quant space: raw × 1e4; block separation ≈ 2e5 units. The
+    // refresh must land each centroid within 5000 units (0.5 raw) of
+    // its retrained twin AND strictly closer than the stale model was
+    refreshed.foreach { case (_, c) =>
+      val near = retrained.map { case (_, t) => math.sqrt(d2(c, t)) }.min
+      assert(near < 5000.0, s"refreshed centroid $near quant units from retrain")
+    }
+    assert(refDist < oldDist, s"refresh did not track drift: $refDist !< $oldDist")
+    // contracts: an empty batch is a bit-exact no-op; an untouched
+    // centroid is bit-unchanged under a batch aimed at one cluster
+    val empty = Clustering.refreshCentroids(centsA, corpus.limit(0), 100L)
+    assert(empty.map(_._2.toSeq) === centsA.map(_._2.toSeq))
+    val oneCluster = mk(spark.range(2000L, 2100L).toDF("id"), 0.5)
+      .filter("vec_id % 4 = 0") // all land in cluster of block 0
+    val touched = Clustering.refreshCentroids(centsA, oneCluster, 100L)
+    val moved = centsA.indices.count(i =>
+      touched(i)._2.toSeq != centsA(i)._2.toSeq)
+    assert(moved === 1, s"expected exactly 1 centroid to move, got $moved")
+  }
+
   test("load refuses a corrupted model (fingerprint integrity check)") {
     val v = vecs
     val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)
