@@ -190,10 +190,13 @@ object Clustering {
     * fixture (tolerance, not hash — cluster identities can permute
     * under retraining). */
   def refreshCentroids(cents: Array[(Int, Array[Double])], batch: DataFrame,
-                       priorWeight: Long, dim: Int = 64)
-      : Array[(Int, Array[Double])] = {
+                       priorWeight: Long): Array[(Int, Array[Double])] = {
     require(priorWeight >= 0, s"priorWeight must be >= 0, got $priorWeight")
     require(cents.nonEmpty, "refreshCentroids needs a trained centroid set")
+    // dim comes from the model itself (the assignToCentroids rule): a
+    // caller-passed dim disagreeing with the centroid length would
+    // silently assign and update on a truncated prefix
+    val dim = cents.head._2.length
     val spark = batch.sparkSession
     import spark.implicits._
     val q = quantized(batch, dim).as[(Long, Array[Double])]

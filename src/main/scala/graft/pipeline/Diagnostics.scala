@@ -136,8 +136,8 @@ object Diagnostics {
       // so the downcast only fires on contract violations — loudly)
       .agg(sum(expr("CAST(pos * w AS DECIMAL(38,0))")).as("pd"),
         sum(expr("CAST((1L - pos) * w AS DECIMAL(38,0))")).as("nd"))
-      .withColumn("p", expr(guardedBigint("pd", "per-score positive weight")))
-      .withColumn("ng", expr(guardedBigint("nd", "per-score negative weight")))
+      .withColumn("p", expr(Guards.guardedBigint("pd", "per-score positive weight")))
+      .withColumn("ng", expr(Guards.guardedBigint("nd", "per-score negative weight")))
       .drop("pd", "nd")
   }
 
@@ -155,8 +155,8 @@ object Diagnostics {
       // counts must fit BIGINT or fail loudly, never wrap
       .agg(sum(col("p").cast("decimal(38,0)")).as("pd"),
         sum(col("ng").cast("decimal(38,0)")).as("nd"))
-      .withColumn("p", expr(guardedBigint("pd", "merged positive count")))
-      .withColumn("ng", expr(guardedBigint("nd", "merged negative count")))
+      .withColumn("p", expr(Guards.guardedBigint("pd", "merged positive count")))
+      .withColumn("ng", expr(Guards.guardedBigint("nd", "merged negative count")))
       .drop("pd", "nd")
   }
 
@@ -180,8 +180,8 @@ object Diagnostics {
       // must not wrap either
       .agg(sum(col("p").cast("decimal(38,0)")).as("pd"),
         sum(col("ng").cast("decimal(38,0)")).as("nd"))
-      .withColumn("p", expr(guardedBigint("pd", "per-score positive weight")))
-      .withColumn("ng", expr(guardedBigint("nd", "per-score negative weight")))
+      .withColumn("p", expr(Guards.guardedBigint("pd", "per-score positive weight")))
+      .withColumn("ng", expr(Guards.guardedBigint("nd", "per-score negative weight")))
       .drop("pd", "nd")
     val within = perScore.withColumn("poff",
       coalesce(sum(col("p")).over(
@@ -211,8 +211,8 @@ object Diagnostics {
       .agg(sum(col("p").cast("decimal(38,0)")).as("pd"),
         sum(col("ng").cast("decimal(38,0)")).as("nd"),
         sum("t").cast("decimal(38,0)").as("a2"))
-      .withColumn("n_pos", expr(guardedBigint("pd", "total positive weight")))
-      .withColumn("n_neg", expr(guardedBigint("nd", "total negative weight")))
+      .withColumn("n_pos", expr(Guards.guardedBigint("pd", "total positive weight")))
+      .withColumn("n_neg", expr(Guards.guardedBigint("nd", "total negative weight")))
       .withColumn("auc", expr(
         // the P·N ceiling: past ~5e37 pairs the DECIMAL(38,0) product
         // itself would overflow (to NULL under non-ANSI, silently
@@ -230,16 +230,6 @@ object Diagnostics {
       .select(g :+ col("n_pos") :+ col("n_neg") :+ col("auc"): _*)
   }
 
-  /** Loud DECIMAL→BIGINT downcast: per-group weighted counts must fit
-    * a BIGINT (the same bound the DuckDB-oracle BIGINT columns carry);
-    * past it the statistic fails instead of wrapping. The upstream
-    * running-count windows are long-typed, so this guard is also what
-    * makes their wrap regime unreachable: it trips at the same totals
-    * that would make them wrap, on every action. */
-  private def guardedBigint(c: String, what: String): String =
-    s"""CASE WHEN $c <= 9223372036854775807 THEN CAST($c AS BIGINT)
-         ELSE CAST(raise_error(concat('$what exceeds BIGINT range: ',
-           CAST($c AS STRING))) AS BIGINT) END"""
 
   /** Exact precision/recall/F1 per group at every lattice threshold
     * `T = bucket·bucketWidth` — the operating-point sweep behind
@@ -267,8 +257,8 @@ object Diagnostics {
       // decimal-then-guarded-downcast (the scoreHistogram rule)
       .agg(sum(col("p").cast("decimal(38,0)")).as("bpd"),
         sum(col("ng").cast("decimal(38,0)")).as("bnd"))
-      .withColumn("bp", expr(guardedBigint("bpd", "per-bucket positive weight")))
-      .withColumn("bn", expr(guardedBigint("bnd", "per-bucket negative weight")))
+      .withColumn("bp", expr(Guards.guardedBigint("bpd", "per-bucket positive weight")))
+      .withColumn("bn", expr(Guards.guardedBigint("bnd", "per-bucket negative weight")))
       .drop("bpd", "bnd")
     // suffix sums (score >= threshold) over the tiny bucket histogram:
     // descending cumulative including the bucket itself
@@ -286,8 +276,8 @@ object Diagnostics {
       .join(perBucket.toDF(perBucket.columns: _*).groupBy(g: _*)
         .agg(sum(col("bp").cast("decimal(38,0)")).as("apd"),
           sum(col("bn").cast("decimal(38,0)")).as("npd")
-        ).withColumn("all_p", expr(guardedBigint("apd", "total positive weight")))
-        .withColumn("all_n", expr(guardedBigint("npd", "total negative weight")))
+        ).withColumn("all_p", expr(Guards.guardedBigint("apd", "total positive weight")))
+        .withColumn("all_n", expr(Guards.guardedBigint("npd", "total negative weight")))
         .drop("apd", "npd"), by)
       .withColumn("fn", expr("all_p - tp"))
       .withColumn("tn", expr("all_n - fp"))
@@ -383,12 +373,18 @@ object Diagnostics {
       .withColumn("bin",
         expr(s"CAST(least((pu * ${nBins}L) DIV 1000000L, ${nBins - 1}L) AS INT)"))
       .groupBy(g :+ col("bin"): _*)
-      .agg(sum(expr("CAST(p + ng AS DECIMAL(38,0))")).as("nd"),
+      // each operand casts to DECIMAL BEFORE the addition (the
+      // mergeScoreHistograms discipline): p + ng as a long add could
+      // wrap before the cast when both near Long.Max
+      .agg(sum(expr(
+          "CAST(p AS DECIMAL(38,0)) + CAST(ng AS DECIMAL(38,0))")).as("nd"),
         sum(expr("CAST(p AS DECIMAL(38,0))")).as("npd"),
-        sum(expr("CAST(pu AS DECIMAL(38,0)) * CAST(p + ng AS DECIMAL(38,0))"))
+        sum(expr(
+          """CAST(pu AS DECIMAL(38,0))
+             * (CAST(p AS DECIMAL(38,0)) + CAST(ng AS DECIMAL(38,0)))"""))
           .as("pu_sum"))
-      .withColumn("n", expr(guardedBigint("nd", "per-bin count")))
-      .withColumn("n_pos", expr(guardedBigint("npd", "per-bin positive count")))
+      .withColumn("n", expr(Guards.guardedBigint("nd", "per-bin count")))
+      .withColumn("n_pos", expr(Guards.guardedBigint("npd", "per-bin positive count")))
       .withColumn("mean_prob", expr(
         """floor(CAST(pu_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e6)
            * 1.0e9 + 0.5e0) / 1.0e9"""))

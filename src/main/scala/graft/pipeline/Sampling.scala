@@ -367,17 +367,10 @@ object Sampling {
     hists.reduce(_.unionByName(_))
       .groupBy(g :+ col("val"): _*)
       .agg(sum(expr("CAST(cnt AS DECIMAL(38,0))")).as("cd"))
-      .withColumn("cnt", expr(guardedBigint("cd", "merged value-histogram count")))
+      .withColumn("cnt", expr(Guards.guardedBigint("cd", "merged value-histogram count")))
       .select(g :+ col("val") :+ col("cnt"): _*)
   }
 
-  /** Loud DECIMAL→BIGINT downcast shared by the histogram merge and
-    * rank sums — same contract as the [[Diagnostics]] twin: past
-    * BIGINT the statistic fails instead of wrapping. */
-  private def guardedBigint(c: String, what: String): String =
-    s"""CASE WHEN $c <= 9223372036854775807 THEN CAST($c AS BIGINT)
-         ELSE CAST(raise_error(concat('$what exceeds BIGINT range: ',
-           CAST($c AS STRING))) AS BIGINT) END"""
 
   /** Exact percentiles FROM a [[valueHistogram]] relation alone — the
     * same rank semantics and output as [[exactPercentilesBy]]
@@ -409,14 +402,14 @@ object Sampling {
     // and cannot wrap.
     val coarse = v.groupBy(g :+ col("bucket"): _*)
       .agg(sum(expr("CAST(cnt AS DECIMAL(38,0))")).as("cd"))
-      .withColumn("cnt", expr(guardedBigint("cd", "per-bucket histogram count")))
+      .withColumn("cnt", expr(Guards.guardedBigint("cd", "per-bucket histogram count")))
       .drop("cd")
     val offs = coarse.withColumn("off", coalesce(sum(col("cnt")).over(
       Window.partitionBy(g: _*).orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val targets = coarse.groupBy(g: _*)
       .agg(sum(expr("CAST(cnt AS DECIMAL(38,0))")).as("nd"))
-      .withColumn("n", expr(guardedBigint("nd", "histogram total count")))
+      .withColumn("n", expr(Guards.guardedBigint("nd", "histogram total count")))
       .withColumn("pct", explode(lit(pcts.toArray)))
       .withColumn("rk", expr(
         "(CAST(pct AS DECIMAL(38,0)) * n + 99) DIV 100"))
@@ -430,7 +423,7 @@ object Sampling {
     val perVal = v.join(broadcast(needed), by :+ "bucket")
       .groupBy(g :+ col("bucket") :+ col("val"): _*)
       .agg(sum(expr("CAST(cnt AS DECIMAL(38,0))")).as("c2d"))
-      .withColumn("cnt2", expr(guardedBigint("c2d", "per-value histogram count")))
+      .withColumn("cnt2", expr(Guards.guardedBigint("c2d", "per-value histogram count")))
       .drop("c2d")
       .withColumn("off2", coalesce(sum(col("cnt2")).over(
         Window.partitionBy(g :+ col("bucket"): _*).orderBy(col("val"))

@@ -25,6 +25,14 @@ class AnnIOSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  /** Table names are per-run: a complete index SEALS its table name
+    * for as long as the index directory lives (r11), and the temp
+    * index dirs of previous test JVMs survive /tmp (deleteOnExit
+    * cannot remove non-empty dirs) — re-using a fixed name across
+    * runs would trip the seal by design. */
+  private val run = java.lang.Long.toHexString(System.nanoTime())
+  private def tbl(base: String): String = s"${base}_$run"
+
   private def tmpBase(): String = {
     val d = java.nio.file.Files.createTempDirectory("annio_spec").toFile
     d.deleteOnExit()
@@ -58,7 +66,7 @@ class AnnIOSpec extends AnyFunSuite {
     assert(trained === res(Clustering.pqTopK(v, "vec_id % 20 = 0", 3, 4, 16, 2, coarseCells = 4)))
 
     val base = tmpBase()
-    AnnIO.save(idx, s"$base/idx", "annio_codes_rt")
+    AnnIO.save(idx, s"$base/idx", tbl("annio_codes_rt"))
     assert(AnnIO.exists(spark, s"$base/idx"))
     val loaded = AnnIO.load(spark, s"$base/idx")
     assert(loaded.m === 4 && loaded.codebookK === 16 && loaded.dim === 64)
@@ -74,7 +82,7 @@ class AnnIOSpec extends AnyFunSuite {
     val withMeta = idx.copy(
       codes = idx.codes.join(labeled.select("vec_id", "label"), "vec_id"))
     val base = tmpBase()
-    AnnIO.save(withMeta, s"$base/idx", "annio_codes_meta", metaCols = Seq("label"))
+    AnnIO.save(withMeta, s"$base/idx", tbl("annio_codes_meta"), metaCols = Seq("label"))
     val loaded = AnnIO.load(spark, s"$base/idx")
     assert(loaded.codes.columns.contains("label"), "label must round-trip with the codes")
     val filtered = res(Clustering.pqQueryTopK(loaded, v, "vec_id % 20 = 0", 3,
@@ -109,14 +117,14 @@ class AnnIOSpec extends AnyFunSuite {
     val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2)
     val trained = res(Clustering.pqQueryTopK(idx, v, "vec_id % 40 = 0", 3))
     val base = tmpBase()
-    AnnIO.save(idx, s"$base/idx", "annio_codes_flat")
+    AnnIO.save(idx, s"$base/idx", tbl("annio_codes_flat"))
     val loaded = AnnIO.load(spark, s"$base/idx")
     assert(loaded.coarse.isEmpty)
     assert(res(Clustering.pqQueryTopK(loaded, v, "vec_id % 40 = 0", 3)) === trained)
   }
 
   test("bucketed code relation reads back pre-partitioned: no Exchange above the codes scan") {
-    val loaded = spark.table("annio_codes_rt")
+    val loaded = spark.table(tbl("annio_codes_rt"))
     // a shuffled probe join on `cell` must leave the index side alone:
     // the bucketed scan satisfies the join's distribution requirement
     val probes = spark.range(50).selectExpr("id AS query_id", "CAST(id % 4 AS INT) AS cell")
@@ -146,10 +154,10 @@ class AnnIOSpec extends AnyFunSuite {
     val all = v.unionByName(fresh)
     val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)
     val base = tmpBase()
-    AnnIO.save(idx, s"$base/idx", "annio_codes_append")
+    AnnIO.save(idx, s"$base/idx", tbl("annio_codes_append"))
     // files per bucketed write = non-empty (cell-hash) partitions — a
     // baseline captured from the fresh save, NOT assumed = buckets
-    def bucketFiles(): Int = spark.sql(s"DESCRIBE EXTENDED annio_codes_append")
+    def bucketFiles(): Int = spark.sql(s"DESCRIBE EXTENDED ${tbl("annio_codes_append")}")
       .collect().collectFirst {
         case r if r.getString(0) == "Location" => r.getString(1)
       }.map(loc => new java.io.File(loc.stripPrefix("file:"))
@@ -188,7 +196,7 @@ class AnnIOSpec extends AnyFunSuite {
     assert(trained === res(Clustering.ivfLearnedTopK(v, "vec_id % 20 = 0", 3, 8, 2)
       .select("query_id", "neighbor_id", "cos", "rank")))
     val base = tmpBase()
-    AnnIO.saveIvf(idx, s"$base/ivf", "annio_ivf_rt")
+    AnnIO.saveIvf(idx, s"$base/ivf", tbl("annio_ivf_rt"))
     val loaded = AnnIO.loadIvf(spark, s"$base/ivf")
     assert(loaded.dim === 64 && loaded.cents.length === 8)
     assert(res(Clustering.ivfQueryTopK(loaded, v, "vec_id % 20 = 0", 3)
@@ -200,18 +208,18 @@ class AnnIOSpec extends AnyFunSuite {
   test("no-clobber save + loadOrTrain reuse (the reuse_weights analog)") {
     val v = vecs
     val base = tmpBase()
-    val idx = AnnIO.loadOrTrain(spark, v, s"$base/idx", "annio_codes_reuse",
+    val idx = AnnIO.loadOrTrain(spark, v, s"$base/idx", tbl("annio_codes_reuse"),
       m = 2, codebookK = 8, iters = 2, coarseCells = 4)
     val first = res(Clustering.pqQueryTopK(idx, v, "vec_id % 40 = 0", 3))
     // a second loadOrTrain must LOAD: poison the training source so a
     // retrain would throw — emb is by-name and must never be evaluated
     val reused = AnnIO.loadOrTrain(spark,
       { throw new RuntimeException("retrained instead of loading!") }: DataFrame,
-      s"$base/idx", "annio_codes_reuse", m = 2, codebookK = 8, iters = 2, coarseCells = 4)
+      s"$base/idx", tbl("annio_codes_reuse"), m = 2, codebookK = 8, iters = 2, coarseCells = 4)
     assert(res(Clustering.pqQueryTopK(reused, v, "vec_id % 40 = 0", 3)) === first)
     // and a direct save over the existing index refuses
     val e = intercept[IllegalStateException] {
-      AnnIO.save(idx, s"$base/idx", "annio_codes_reuse2")
+      AnnIO.save(idx, s"$base/idx", tbl("annio_codes_reuse2"))
     }
     assert(e.getMessage.contains("already exists"))
   }
@@ -229,7 +237,7 @@ class AnnIOSpec extends AnyFunSuite {
       AnnIO.fingerprint(idxB.codebooks, idxB.coarse),
       "fixture models must differ for this test to mean anything")
     val base = tmpBase()
-    AnnIO.save(idxA, s"$base/a", "annio_codes_fpa")
+    AnnIO.save(idxA, s"$base/a", tbl("annio_codes_fpa"))
     // a batch encoded against the OTHER index cannot land here — its
     // codes mean different centroids and would poison served neighbors
     val wrong = intercept[IllegalArgumentException] {
@@ -250,10 +258,10 @@ class AnnIOSpec extends AnyFunSuite {
     val v = vecs
     val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)
     val base = tmpBase()
-    AnnIO.save(idx, s"$base/one", "annio_codes_seal")
+    AnnIO.save(idx, s"$base/one", tbl("annio_codes_seal"))
     // same table name for a NEW index: refused while the owner lives
     val e = intercept[IllegalStateException] {
-      AnnIO.save(idx, s"$base/two", "annio_codes_seal")
+      AnnIO.save(idx, s"$base/two", tbl("annio_codes_seal"))
     }
     assert(e.getMessage.contains("COMPLETE ANN index"))
     // the refusing save must not have touched the live index
@@ -262,7 +270,7 @@ class AnnIOSpec extends AnyFunSuite {
     // name reclaimable — the seal is stale once the meta is gone
     val p = new org.apache.hadoop.fs.Path(s"$base/one")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    AnnIO.save(idx, s"$base/two", "annio_codes_seal")
+    AnnIO.save(idx, s"$base/two", tbl("annio_codes_seal"))
     assert(AnnIO.load(spark, s"$base/two").codes.count() === 1200L)
   }
 
@@ -274,7 +282,7 @@ class AnnIOSpec extends AnyFunSuite {
     val withMeta = idx.copy(
       codes = idx.codes.join(labeled.select(col("vec_id"), col(weird)), "vec_id"))
     val base = tmpBase()
-    AnnIO.save(withMeta, s"$base/idx", "annio_codes_comma", metaCols = Seq(weird))
+    AnnIO.save(withMeta, s"$base/idx", tbl("annio_codes_comma"), metaCols = Seq(weird))
     val loaded = AnnIO.load(spark, s"$base/idx")
     assert(loaded.codes.columns.contains(weird))
     // the append path parses the recorded name back as ONE column
@@ -333,7 +341,7 @@ class AnnIOSpec extends AnyFunSuite {
     val v = vecs
     val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)
     val base = tmpBase()
-    AnnIO.save(idx, s"$base/idx", "annio_codes_corrupt")
+    AnnIO.save(idx, s"$base/idx", tbl("annio_codes_corrupt"))
     // silently replace the codebooks with scaled ones (same schema)
     val cb = spark.read.parquet(s"$base/idx/codebooks.parquet")
       .selectExpr("sub", "code", "transform(cv, x -> x * 2.0e0) AS cv")
