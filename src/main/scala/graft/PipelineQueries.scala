@@ -2342,6 +2342,51 @@ object PipelineQueries {
         SELECT vec_id, cl AS cluster, ${r9("d")} AS dist2 FROM a$kmIters
         ORDER BY vec_id""")),
 
+    QueryDef("q_centroid_refresh",
+      // X70 under the ORACLE, not just the tolerance spec: the decayed
+      // mini-batch centroid refresh is exact arithmetic — batch
+      // assignment against the FINAL trained centroids (same quantized
+      // L2 + (d, cl) tie-break as training), exact integer per-(cl, j)
+      // batch sums, then c' = (pw·c + Σv)/(pw + n) in one
+      // identically-shaped double expression per dim (untouched
+      // centroids pass through bit-unchanged). The oracle replays the
+      // unrolled Lloyd chain (c$kmIters−1 = the final model, the same
+      // relation a$kmIters assigns against), re-assigns the batch, and
+      // folds the same prior-weighted update. Output one row per
+      // (cl, dim), r9-rounded on both engines.
+      (s, dir) => {
+        val e = emb(s, dir)
+        val (_, cents) = Clustering.kmeansFull(e, kmK, kmIters)
+        val refreshed = Clustering.refreshCentroids(
+          cents, e.filter("vec_id % 3 = 0"), priorWeight = 500L)
+        import s.implicits._
+        refreshed.toSeq.flatMap { case (cl, c) =>
+          c.zipWithIndex.map { case (v, j) => (cl, j, v) }
+        }.toDF("cl", "dim", "val")
+          .select(col("cl"), col("dim"),
+            graft.regrid.Rounding.r9(col("val")).as("val"))
+          .orderBy("cl", "dim")
+      },
+      Some(s"""WITH $kmeansCtes,
+        b AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
+        ba AS (SELECT vec_id, v, cl FROM (
+                SELECT b.vec_id, b.v, cf.cl,
+                  row_number() OVER (PARTITION BY b.vec_id
+                    ORDER BY ${pqDist("b.v", "cf.c")}, cf.cl) AS rn
+                FROM b CROSS JOIN c${kmIters - 1} cf)
+              WHERE rn = 1),
+        bs AS (SELECT cl, j, sum(v[j]) AS s, count(*) AS n
+               FROM ba CROSS JOIN generate_series(1, 64) t(j) GROUP BY 1, 2),
+        cj AS (SELECT cl, j, c[j] AS cv
+               FROM c${kmIters - 1} CROSS JOIN generate_series(1, 64) t(j)),
+        r AS (SELECT cj.cl, cj.j,
+                CASE WHEN bs.n IS NULL THEN cj.cv
+                     ELSE (500.0e0 * cj.cv + bs.s)
+                          / (500.0e0 + CAST(bs.n AS DOUBLE)) END AS val
+              FROM cj LEFT JOIN bs ON bs.cl = cj.cl AND bs.j = cj.j)
+        SELECT cl, CAST(j - 1 AS INTEGER) AS dim, ${r9("val")} AS val
+        FROM r ORDER BY cl, dim""")),
+
     QueryDef("q_kmeans_twolevel",
       // the LARGE-K training scale path (kmeansFullTwoLevel: the
       // two-level coarse-then-fine scan inside every Lloyd round,

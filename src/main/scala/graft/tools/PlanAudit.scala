@@ -156,6 +156,7 @@ object PlanAudit {
     "q_broadcast_dims" -> 1,
     "q_calibration" -> 1,
     "q_calibration_hist" -> 1,
+    "q_centroid_refresh" -> 1,
     "q_chunk_docs" -> 1,
     "q_classifier_auc" -> 1,
     "q_cm_frequency" -> 1,
@@ -304,6 +305,7 @@ object PlanAudit {
     "q_broadcast_dims" -> (5, 7),
     "q_calibration" -> (2, 0),
     "q_calibration_hist" -> (3, 0),
+    "q_centroid_refresh" -> (1, 0),
     "q_chunk_docs" -> (1, 0),
     "q_classifier_auc" -> (7, 1),
     "q_cm_frequency" -> (4, 3),
