@@ -531,7 +531,8 @@ object PipelineQueries {
                 WHERE e.vec_id % 50 = 0))
         WHERE rn <= $nprobe)"""
 
-  private def pqCtesWith(qcCte: String, neighborWhere: String = ""): String =
+  private def pqCtesWith(qcCte: String, neighborWhere: String = "",
+                         cellsCte: String = ""): String =
     s"""${kmeansSubCtes("pa", 1, 32, pqK, pqIters)},
         ${kmeansSubCtes("pb", 33, 32, pqK, pqIters)},
         ${kmeansSubCtes("pc", 1, 64, pqCells, pqIters)},
@@ -541,7 +542,8 @@ object PipelineQueries {
         lutb AS (SELECT q.vec_id AS query_id, c.cl AS code,
                    ${pqDist("q.v", "c.c")} AS d
                  FROM epb q CROSS JOIN c${pqIters - 1}pb c WHERE q.vec_id % 50 = 0),
-        cells AS (SELECT vec_id, cl AS cell FROM a${pqIters}pc),
+        ${if (cellsCte.nonEmpty) cellsCte
+          else s"cells AS (SELECT vec_id, cl AS cell FROM a${pqIters}pc)"},
         $qcCte,
         cd AS (SELECT a.vec_id, a.cl AS ca, b.cl AS cb, cells.cell
                FROM a${pqIters}pa a JOIN a${pqIters}pb b USING (vec_id)
@@ -554,6 +556,54 @@ object PipelineQueries {
         rr AS (SELECT *, CAST(row_number() OVER
                  (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
                FROM sc)"""
+
+  /** Rollover contract constants: the refresh batch and its
+    * per-centroid prior weight — small enough that the refreshed
+    * coarse centroids move visibly (cells actually flip), the drift
+    * regime a rollover exists for. */
+  private val rollPw = 50L
+  private val rollBatchPred = "vec_id % 3 = 0"
+
+  /** q_ann_refresh_serve oracle: the shared IVF-PQ chain with the
+    * COARSE model replaced by its decayed mini-batch refresh
+    * (q_centroid_refresh's oracle pattern on the `pc` chain) and every
+    * corpus vector RE-CELLED against the refreshed centroids — exactly
+    * what [[graft.pipeline.AnnIO.rollover]] persists. Codebooks (and
+    * hence LUT distances) are untouched; only cell membership moves.
+    * Serving through the rolled-over index must reproduce this chain
+    * bit-for-bit. */
+  private lazy val annPqRefreshOracleSql: String = {
+    val fin = s"c${pqIters - 1}pc" // the trained coarse model the refresh starts from
+    val refreshAndCells =
+      s"""rb AS (SELECT vec_id, v FROM epc WHERE $rollBatchPred),
+        rba AS (SELECT vec_id, v, cl FROM (
+                SELECT rb.vec_id, rb.v, cf.cl,
+                  row_number() OVER (PARTITION BY rb.vec_id
+                    ORDER BY ${pqDist("rb.v", "cf.c")}, cf.cl) AS rn
+                FROM rb CROSS JOIN $fin cf)
+              WHERE rn = 1),
+        rbs AS (SELECT cl, j, sum(v[j]) AS s, count(*) AS n
+               FROM rba CROSS JOIN generate_series(1, 64) t(j) GROUP BY 1, 2),
+        rcj AS (SELECT cl, j, c[j] AS cv
+               FROM $fin CROSS JOIN generate_series(1, 64) t(j)),
+        rcd AS (SELECT rcj.cl, rcj.j,
+                CASE WHEN rbs.n IS NULL THEN rcj.cv
+                     ELSE (${rollPw}.0e0 * rcj.cv + rbs.s)
+                          / (${rollPw}.0e0 + CAST(rbs.n AS DOUBLE)) END AS val
+              FROM rcj LEFT JOIN rbs ON rbs.cl = rcj.cl AND rbs.j = rcj.j),
+        cr AS (SELECT cl, list(val ORDER BY j) AS c FROM rcd GROUP BY cl),
+        cells AS (SELECT vec_id, cl AS cell FROM (
+                SELECT e.vec_id, cr.cl,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${pqDist("e.v", "cr.c")}, cr.cl) AS rn
+                FROM epc e CROSS JOIN cr)
+              WHERE rn = 1)"""
+    s"""WITH ${pqCtesWith(
+        "qc AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id % 50 = 0)",
+        cellsCte = refreshAndCells)}
+      SELECT query_id, neighbor_id, adist, rank FROM rr WHERE rank <= 5
+      ORDER BY query_id, rank"""
+  }
 
   /** Duplicate-span contract constants (Lee-et-al-style substring
     * dedup): 5-token shingles, duplicated = ≥ 2 occurrences corpus-wide
@@ -2501,6 +2551,34 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       },
       Some(annPqOracleSql)),
+
+    QueryDef("q_ann_refresh_serve",
+      // X72 — the model-ROLLOVER lifecycle under the oracle (r11
+      // verdict #1): train → save v1 → load → refreshCentroids on an
+      // ingest batch (decayed mini-batch, priorWeight small enough
+      // that cells actually flip) → AnnIO.rollover (re-cell the code
+      // relation in one corpus pass against the refreshed coarse
+      // model, persist as the v2 index with a FRESH fingerprint,
+      // retire v1) → serve through the loaded v2. The oracle replays
+      // the shared IVF-PQ chain with the coarse model refreshed and
+      // every vector re-celled — bit-equality proves the whole
+      // refresh-to-serving workflow, not just the centroid math.
+      (s, dir) => {
+        val e = emb(s, dir)
+        val base = sketchIoPath(s)
+        val idx = Clustering.trainPqIndex(e, pqM, pqK, pqIters,
+          coarseCells = pqCells)
+        AnnIO.save(idx, s"$base/pq_roll_v1", perPidTable(s, "graft_annroll1_"))
+        val v1 = AnnIO.load(s, s"$base/pq_roll_v1")
+        val refreshed = Clustering.refreshCentroids(
+          v1.coarse.get, e.filter(rollBatchPred), priorWeight = rollPw)
+        AnnIO.rollover(s, s"$base/pq_roll_v1", e, refreshed,
+          s"$base/pq_roll_v2", perPidTable(s, "graft_annroll2_"))
+        Clustering.pqQueryTopK(AnnIO.load(s, s"$base/pq_roll_v2"), e,
+            "vec_id % 50 = 0", 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(annPqRefreshOracleSql)),
 
     QueryDef("q_ann_filtered_persisted",
       // X67's pre-filter contract at the PERSISTED-index layer: the

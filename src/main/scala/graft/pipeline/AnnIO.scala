@@ -135,6 +135,20 @@ object AnnIO {
     try out.write(path.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Backfill the ownership seal for a LEGACY index (saved before the
+    * seal existed) at load time: the meta at `path` is complete and
+    * names `table`, so the table IS a live index's code relation —
+    * without the seal, re-using its name would still silently destroy
+    * this index (r11 advice #3: the exact scenario the seal was added
+    * for, just for pre-seal saves). Idempotent; never downgrades an
+    * existing seal. */
+  private def backfillSeal(spark: SparkSession, table: String, path: String): Unit = {
+    val dir = tableDir(spark, table)
+    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(dir) && !hfs.exists(new org.apache.hadoop.fs.Path(dir, sealName)))
+      sealTable(spark, table, path)
+  }
+
   /** Persist a trained [[Clustering.PqIndex]]. `table` names the
     * bucketed code relation in the session catalog (bucketing needs
     * `saveAsTable`); it is recorded in `meta.parquet` so [[load]]
@@ -246,6 +260,9 @@ object AnnIO {
           s"$got != saved $want (codebooks/coarse.parquet corrupted or " +
           "replaced)")
     }
+    // legacy-seal backfill (r11 advice #3): a pre-seal index that loads
+    // cleanly gains the same table-ownership protection new saves get
+    if (coarseCells > 0 && table.nonEmpty) backfillSeal(spark, table, path)
     loaded
   }
 
@@ -386,8 +403,100 @@ object AnnIO {
           s"fingerprint $got != saved $want (cents.parquet corrupted or " +
           "replaced)")
     }
+    backfillSeal(spark, meta.getAs[String]("asg_table"), path)
     Clustering.IvfIndex(spark.table(meta.getAs[String]("asg_table")),
       cents, meta.getAs[Int]("dim"))
+  }
+
+  /** Retire an index: delete its directory (the meta goes with it, so
+    * [[exists]] turns false, [[load]] refuses, and the table-ownership
+    * seal goes STALE — the name becomes reclaimable), then drop its
+    * code-relation table and directory. The meta-bearing directory is
+    * removed FIRST, so a crash mid-retire leaves a non-loadable
+    * partial (reclaimable leftovers), never a loadable index whose
+    * table is gone. No-op when no complete index lives at `path`. */
+  def retire(spark: SparkSession, path: String): Unit = {
+    if (!exists(spark, path)) return
+    val meta = spark.read.parquet(s"$path/meta.parquet").collect()(0)
+    val table =
+      if (meta.schema.fieldNames.contains("codes_table"))
+        meta.getAs[String]("codes_table")
+      else meta.getAs[String]("asg_table")
+    fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    if (table != null && table.nonEmpty) {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val dir = tableDir(spark, table)
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dir, true)
+    }
+  }
+
+  /** Promote a [[Clustering.refreshCentroids]] output into a SERVING
+    * index — the workflow half of the model-drift story (r11 verdict
+    * #1: the fingerprint machinery REFUSES appends across models; this
+    * is the supported way to move serving onto the refreshed model):
+    *
+    *  1. the index at `oldPath` is loaded (integrity-checked) and its
+    *     coarse centroids replaced by `refreshedCoarse` — the codebooks
+    *     are untouched (a coarse refresh moves CELL boundaries, not
+    *     code meanings), so the new model's fingerprint differs and
+    *     every cross-model append refuses by construction;
+    *  2. the code relation is RE-CELLED in one corpus pass: `emb` is
+    *     assigned to the refreshed centroids ([[Clustering
+    *     .assignToCentroids]] — broadcast scan, no shuffle) and
+    *     equi-joined to the existing codes on `vec_id`, so the m code
+    *     columns (and any `metaCols`) are reused, never re-trained —
+    *     O(corpus) once, the cheapest correct re-encode (codes depend
+    *     only on the unchanged codebooks);
+    *  3. the result is SAVED as a new immutable index version at
+    *     `newPath`/`newTable` (meta-last, fresh fingerprint, same
+    *     buckets and metaCols as the old meta records);
+    *  4. the OLD index is retired LAST ([[retire]]): its seals go
+    *     stale and its table drops — a crash anywhere earlier leaves
+    *     both versions complete and loadable, never neither.
+    *
+    * `newTable` must be a fresh name — claiming the live old index's
+    * table refuses (no-clobber on both identities). Loud guard: every
+    * code-relation row must find its vector in `emb` (an inner join
+    * silently dropping indexed vectors would shrink the served corpus).
+    * Reference discipline: `frontend.py:144-146` reuse semantics
+    * applied to model drift. Returns the loaded new index. */
+  def rollover(spark: SparkSession, oldPath: String, emb: DataFrame,
+               refreshedCoarse: Array[(Int, Array[Double])],
+               newPath: String, newTable: String): Clustering.PqIndex = {
+    val old = load(spark, oldPath)
+    require(old.coarse.isDefined,
+      "rollover refreshes the coarse IVF model; the index at " +
+        s"$oldPath has no coarse cells (exhaustive-ADC indexes have no " +
+        "cell boundaries to refresh)")
+    require(refreshedCoarse.map(_._1).sorted.sameElements(old.coarse.get.map(_._1).sorted),
+      "rollover: refreshedCoarse must carry the SAME centroid ids as " +
+        "the old model (refreshCentroids preserves ids; a different id " +
+        "set is a different model family, not a refresh)")
+    val meta = spark.read.parquet(s"$oldPath/meta.parquet").collect()(0)
+    val buckets = meta.getAs[Int]("buckets")
+    val metaCols: Seq[String] =
+      if (meta.schema.fieldNames.contains("meta_cols"))
+        meta.get(meta.fieldIndex("meta_cols")) match {
+          case s: String => s.split(",").filter(_.nonEmpty).toSeq
+          case a: scala.collection.Seq[_] => a.map(_.toString).toSeq
+          case null => Seq.empty[String]
+        }
+      else Seq.empty[String]
+    val nOld = old.codes.count()
+    val newCells = Clustering.assignToCentroids(emb, refreshedCoarse)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val newCodes = old.codes.drop("cell").join(newCells, "vec_id")
+      .localCheckpoint() // the save below reads it twice (codes + seal path)
+    val nNew = newCodes.count()
+    if (nNew != nOld) throw new IllegalStateException(
+      s"rollover: re-celling matched $nNew of $nOld indexed vectors — " +
+        "`emb` must cover every vec_id in the code relation (missing " +
+        "vectors would silently vanish from the served corpus)")
+    val newIdx = old.copy(codes = newCodes, cellAsg = None,
+      coarse = Some(refreshedCoarse))
+    save(newIdx, newPath, newTable, buckets, metaCols)
+    retire(spark, oldPath)
+    load(spark, newPath)
   }
 
   /** `reuse_weights=True` (`frontend.py:144-146`): load the index at

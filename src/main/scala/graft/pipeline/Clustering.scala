@@ -229,6 +229,18 @@ object Clustering {
       .collect()
       .map { r => (r.getInt(0), (r.getMap[Int, Double](1), r.getLong(2))) }
       .toMap
+    // loud-guard discipline (r11 advice): a vector whose distance to
+    // EVERY centroid is NaN (NaN components poison the accumulation)
+    // keeps bestCl = -1; its sums would land under cluster -1, which
+    // the merge below never reads — silently dropping it from the
+    // refresh. Raise instead, mirroring quantized()'s guards (in
+    // assignToCentroids' output the -1 is at least visible).
+    merged.get(-1).foreach { case (_, n) =>
+      throw new IllegalArgumentException(
+        s"refreshCentroids: $n batch vector(s) assigned to NO centroid " +
+          "(non-finite embedding components make every distance NaN) — " +
+          "clean the batch before refreshing")
+    }
     cents.map { case (cl, c) =>
       merged.get(cl) match {
         case Some((sm, n)) =>

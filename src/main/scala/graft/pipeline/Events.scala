@@ -181,6 +181,13 @@ object Events {
                      minPrior: Int = 4): DataFrame = {
     require(n >= 1 && minPrior >= 1 && minPrior <= n,
       s"need 1 <= minPrior <= n, got n=$n minPrior=$minPrior")
+    // the exact-variance numerator casts n_prior to DECIMAL(3,0): past
+    // n = 999 that cast itself overflows and the failure would surface
+    // as a misattributed variance-overflow raise (r11 advice) — name
+    // the real ceiling here instead
+    require(n <= 999,
+      s"rollingAnomaly supports window sizes up to n = 999 (the exact " +
+        s"DECIMAL(3,0) n_prior factor in the variance numerator), got n=$n")
     val byKey = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts"), col("event_id"))
     val trail = byKey.rowsBetween(-n, -1)

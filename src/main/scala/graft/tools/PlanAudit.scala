@@ -141,6 +141,7 @@ object PlanAudit {
     "q_ann_pq_mp" -> 1,
     "q_ann_pq_persisted" -> 1,
     "q_ann_pq_rerank" -> 1,
+    "q_ann_refresh_serve" -> 1,
     "q_ann_topk" -> 1,
     "q_asof_join" -> 1,
     "q_asof_join_bucketed" -> 1,
@@ -289,6 +290,7 @@ object PlanAudit {
     "q_ann_pq_mp" -> (2, 7),
     "q_ann_pq_persisted" -> (2, 5),
     "q_ann_pq_rerank" -> (2, 9),
+    "q_ann_refresh_serve" -> (2, 5),
     "q_ann_topk" -> (2, 1),
     "q_asof_join" -> (2, 0),
     "q_asof_join_bucketed" -> (5, 1),

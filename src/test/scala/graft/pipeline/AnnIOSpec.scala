@@ -337,6 +337,86 @@ class AnnIOSpec extends AnyFunSuite {
     assert(moved === 1, s"expected exactly 1 centroid to move, got $moved")
   }
 
+  test("rollover promotes a refreshed coarse model to serving; v1 retires; stale batches refuse") {
+    val v = vecs
+    val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)
+    val base = tmpBase()
+    AnnIO.save(idx, s"$base/v1", tbl("annio_codes_roll1"))
+    val v1 = AnnIO.load(spark, s"$base/v1")
+    val oldFp = AnnIO.fingerprint(v1.codebooks, v1.coarse)
+    // a batch encoded against v1 BEFORE the rollover — the stale-code
+    // specimen (encode uses only the driver-side codebooks, so it
+    // stays usable after v1 retires)
+    val staleBatch = Clustering.encodePqBatch(v1, freshBatch)
+    val refreshed = Clustering.refreshCentroids(
+      v1.coarse.get, v.filter("vec_id % 5 = 0"), priorWeight = 20L)
+    val v2 = AnnIO.rollover(spark, s"$base/v1", v, refreshed,
+      s"$base/v2", tbl("annio_codes_roll2"))
+    // fresh model identity; the old version is GONE (load refuses)
+    assert(AnnIO.fingerprint(v2.codebooks, v2.coarse) !== oldFp)
+    assert(!AnnIO.exists(spark, s"$base/v1"))
+    // serving through the rolled-over index equals the hand-built
+    // refreshed model (same codebooks, re-celled codes) — the r11
+    // "hand-roll a new index" workaround, now reproduced by the API
+    val manual = idx.copy(
+      codes = idx.codes.drop("cell").join(
+        Clustering.assignToCentroids(v, refreshed)
+          .select(col("vec_id"), col("cluster").as("cell")), "vec_id"),
+      cellAsg = None, coarse = Some(refreshed))
+    assert(res(Clustering.pqQueryTopK(v2, v, "vec_id % 20 = 0", 3)) ===
+      res(Clustering.pqQueryTopK(manual, v, "vec_id % 20 = 0", 3)))
+    // the pre-rollover batch cannot land in v2 (fingerprint refusal) …
+    val e = intercept[IllegalArgumentException] {
+      AnnIO.appendCodes(v2, staleBatch, s"$base/v2")
+    }
+    assert(e.getMessage.contains("encoded against a different index"))
+    // … and the same vectors re-encoded against v2 append cleanly
+    AnnIO.appendCodes(v2, Clustering.encodePqBatch(v2, freshBatch), s"$base/v2")
+    assert(AnnIO.load(spark, s"$base/v2").codes.count() === 1400L)
+    // the retired v1's table name is reclaimable for a fresh save
+    AnnIO.save(idx, s"$base/v1b", tbl("annio_codes_roll1"))
+    assert(AnnIO.load(spark, s"$base/v1b").codes.count() === 1200L)
+    // guard: an emb relation missing indexed vectors refuses loudly
+    val short = intercept[IllegalStateException] {
+      AnnIO.rollover(spark, s"$base/v2", v.filter("vec_id < 600"),
+        refreshed, s"$base/v3", tbl("annio_codes_roll3"))
+    }
+    assert(short.getMessage.contains("must cover every vec_id"))
+  }
+
+  test("load backfills the ownership seal for legacy (pre-seal) indexes") {
+    val v = vecs
+    val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)
+    val base = tmpBase()
+    val t = tbl("annio_codes_legacy")
+    AnnIO.save(idx, s"$base/idx", t)
+    // simulate a pre-r11 save: strip the seal the modern save planted
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val seal = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(wh, t.toLowerCase), "_graft_ann_complete")
+    val fs = seal.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(seal, false)
+    assert(!fs.exists(seal))
+    AnnIO.load(spark, s"$base/idx")
+    assert(fs.exists(seal), "load must backfill the legacy index's seal")
+    // the backfilled seal protects like a native one: name re-use refuses
+    val e = intercept[IllegalStateException] {
+      AnnIO.save(idx, s"$base/idx2", t)
+    }
+    assert(e.getMessage.contains("COMPLETE ANN index"))
+  }
+
+  test("refreshCentroids raises on a batch vector that assigns to no centroid (NaN embedding)") {
+    val v = vecs
+    val (_, cents) = Clustering.kmeansFull(v, 4, 2)
+    val nanBatch = v.limit(5).selectExpr("vec_id",
+      "transform(embedding, x -> CAST('NaN' AS FLOAT)) AS embedding")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.refreshCentroids(cents, nanBatch, priorWeight = 100L)
+    }
+    assert(e.getMessage.contains("assigned to NO centroid"))
+  }
+
   test("load refuses a corrupted model (fingerprint integrity check)") {
     val v = vecs
     val idx = Clustering.trainPqIndex(v, m = 2, codebookK = 8, iters = 2, coarseCells = 4)

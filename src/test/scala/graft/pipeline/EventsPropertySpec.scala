@@ -171,5 +171,12 @@ class EventsPropertySpec extends AnyFunSuite {
     // zero variance, no flag, no error
     val ok = Events.rollingAnomaly(log(123.45, 20)).collect()
     assert(ok.length === 20 && ok.forall(!_.getAs[Boolean]("is_anomaly")))
+    // n > 999 overflows the DECIMAL(3,0) n_prior factor — refuse with
+    // the REAL ceiling named, not a misattributed variance raise (r11
+    // advice)
+    val big = intercept[IllegalArgumentException] {
+      Events.rollingAnomaly(log(1.0, 10), n = 1000)
+    }
+    assert(big.getMessage.contains("up to n = 999"))
   }
 }
