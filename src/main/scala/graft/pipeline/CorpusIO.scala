@@ -84,6 +84,144 @@ object CorpusIO {
       r.getInt(6))
   }
 
+  // ---- atomic snapshot visibility (r11 verdict #2) -----------------
+  //
+  // Data files alone cannot give readers a consistent cut: a reader
+  // listing the directory tree mid-append would see a partial batch.
+  // Since r12 every snapshot carries a MANIFEST LOG under
+  // `_graft_manifests/` (underscore dir — plain Parquet readers skip
+  // it): one immutable list file per committed batch, each naming the
+  // batch's data files relative to the snapshot root. Readers resolve
+  // the file set from manifests ONLY, so a batch becomes visible
+  // all-or-nothing when its manifest lands — and the manifest write
+  // itself is atomic (temp file + rename). Appenders stage their
+  // files under `_graft_staging/<uuid>` (invisible), move them into
+  // the live tree (still invisible — no manifest yet), and publish
+  // the manifest LAST; a crash anywhere earlier leaves orphan data
+  // files no reader ever sees ([[vacuumOrphans]] reclaims them), and
+  // two concurrent appenders commit independently (unique staging
+  // dirs, unique manifest names — no shared mutable file). This is
+  // the meta-written-last idiom (AnnIO) applied per-batch. Legacy
+  // snapshots (no manifest dir) read as before.
+
+  private val manifestDirName = "_graft_manifests"
+  private val stagingDirName = "_graft_staging"
+
+  private def manifestDir(path: String) =
+    new org.apache.hadoop.fs.Path(path, manifestDirName)
+
+  /** All committed data files of the snapshot (manifest union),
+    * relative to the snapshot root; None when the snapshot predates
+    * manifests. */
+  private def manifestFiles(spark: SparkSession, path: String): Option[Seq[String]] = {
+    val fs = hfs(spark, path)
+    val md = manifestDir(path)
+    if (!fs.exists(md)) return None
+    val lists = fs.listStatus(md).map(_.getPath)
+      .filter(_.getName.matches("m-.*\\.list")).sortBy(_.getName)
+    Some(lists.flatMap { p =>
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      new String(buf, "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    }.toSeq)
+  }
+
+  /** Atomically publish one batch's manifest: temp write + rename, so
+    * a reader lists either the complete manifest or none of it.
+    * Package-visible so the spec can exercise the
+    * stage-then-crash-then-publish window deterministically. */
+  private[pipeline] def publishManifest(spark: SparkSession, path: String,
+                                        rels: Seq[String]): Unit = {
+    val fs = hfs(spark, path)
+    val md = manifestDir(path)
+    fs.mkdirs(md)
+    val name = s"m-${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val tmp = new org.apache.hadoop.fs.Path(md, s"$name.tmp")
+    val fin = new org.apache.hadoop.fs.Path(md, s"$name.list")
+    val out = fs.create(tmp, true)
+    try out.write(rels.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, fin))
+      throw new IllegalStateException(s"could not publish manifest $fin")
+  }
+
+  /** Data files (non-hidden, recursive) under `root`, relative paths. */
+  private def listDataFiles(spark: SparkSession, root: String): Seq[String] = {
+    val fs = hfs(spark, root)
+    val base = new org.apache.hadoop.fs.Path(root)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st.getPath)
+      }
+    if (!fs.exists(base)) Nil
+    else {
+      // string prefix, not URI.relativize — relativize silently returns
+      // the ABSOLUTE uri when the base lacks a trailing slash
+      val prefix = fs.makeQualified(base).toString.stripSuffix("/") + "/"
+      walk(base).map { f =>
+        val s = fs.makeQualified(f).toString
+        require(s.startsWith(prefix), s"$s is not under $prefix")
+        s.stripPrefix(prefix)
+      }
+    }
+  }
+
+  /** Publish the INITIAL manifest of a fresh snapshot: everything the
+    * writer just landed is the first committed batch. Called by the
+    * writers between the data write and the meta write. */
+  private def publishInitial(spark: SparkSession, path: String): Unit =
+    publishManifest(spark, path, listDataFiles(spark, path))
+
+  /** Stage an append batch (already clustered/sorted by the caller)
+    * and MOVE its files into the live tree WITHOUT publishing them:
+    * after this returns the files exist but no reader resolves them.
+    * Returns the relative paths for [[publishManifest]]. Exposed to
+    * the spec so the crash-between-move-and-publish window is testable
+    * deterministically. */
+  private[pipeline] def stageAppend(staged: DataFrame, path: String,
+                                    partitionCols: Seq[String]): Seq[String] = {
+    val spark = staged.sparkSession
+    val fs = hfs(spark, path)
+    val stage = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, stagingDirName),
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    staged.write.partitionBy(partitionCols: _*).parquet(stage.toString)
+    val rels = listDataFiles(spark, stage.toString)
+    rels.foreach { rel =>
+      val src = new org.apache.hadoop.fs.Path(stage, rel)
+      val dst = new org.apache.hadoop.fs.Path(path, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(s"could not move staged file $src -> $dst")
+    }
+    fs.delete(stage, true)
+    rels
+  }
+
+  /** Delete data files no manifest references — the leftovers of
+    * appends that crashed between staging and publish (plus any
+    * abandoned staging dirs). Never touches committed files, the
+    * manifest log, meta, or claim sentinels; no-op (returns Nil) on
+    * legacy snapshots, whose readers still list the directory tree.
+    * Returns the deleted paths (relative). */
+  def vacuumOrphans(spark: SparkSession, path: String): Seq[String] = {
+    manifestFiles(spark, path) match {
+      case None => Nil
+      case Some(committed) =>
+        val fs = hfs(spark, path)
+        val live = committed.toSet
+        val orphans = listDataFiles(spark, path).filterNot(live)
+        orphans.foreach(rel =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, rel), false))
+        val stage = new org.apache.hadoop.fs.Path(path, stagingDirName)
+        if (fs.exists(stage)) fs.delete(stage, true)
+        orphans
+    }
+  }
+
   /** Claim sentinel: the FIRST thing a writer puts under its target
     * directory, before any data. Its presence marks "a CorpusIO write
     * started here and its meta never landed" — the only directories
@@ -149,6 +287,10 @@ object CorpusIO {
       // append: the claim sentinel already sits under `path`, which
       // ErrorIfExists would refuse — claimPath guarantees emptiness
       .write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+    // manifest before meta: a complete snapshot always has its initial
+    // batch committed; a crash between leaves a metaless partial that
+    // claimPath clears on retry, same as before
+    publishInitial(spark, path)
     writeMeta(spark, path,
       LayoutMeta("sorted", partitionCols, sortCols, Nil, 0, Nil, n))
   }
@@ -193,6 +335,7 @@ object CorpusIO {
       else spark.sessionState.conf.numShufflePartitions
     clusterZ(docs, partitionCols, zCols, bits, bounds, n)
       .write.mode("append").partitionBy(partitionCols: _*).parquet(path)
+    publishInitial(spark, path)
     writeMeta(spark, path,
       LayoutMeta("zorder", partitionCols, Nil, zCols, bits, bounds, n))
   }
@@ -228,7 +371,12 @@ object CorpusIO {
     * layouts the ranks come from the STORED boundaries, so new files
     * land on the same curve — then lands as NEW files only (existing
     * files untouched; O(batch), the old corpus is never rewritten or
-    * re-scanned). What appends trade: each batch's files have narrow
+    * re-scanned), with ATOMIC visibility: files stage invisibly and
+    * the batch's manifest publishes LAST, so a concurrent reader sees
+    * either none of the batch or all of it, and an interrupted append
+    * leaves only never-visible orphans ([[vacuumOrphans]]) — never a
+    * partial batch (r11 verdict #2). What appends trade: each batch's
+    * files have narrow
     * min/max ranges of their own, but ranges OVERLAP across batches
     * within a directory, so footer-stats skipping degrades gradually
     * with batch count — [[compactLayout]] restores the fresh-write
@@ -247,7 +395,13 @@ object CorpusIO {
       case "zorder" =>
         clusterZ(batch, m.partitionCols, m.zCols, m.bits, m.bounds, n)
     }
-    staged.write.mode("append").partitionBy(m.partitionCols: _*).parquet(path)
+    // legacy snapshots (pre-manifest) keep the direct append — their
+    // readers list the directory, so staged-but-unpublished files
+    // would be INVISIBLE forever rather than atomic
+    if (manifestFiles(spark, path).isEmpty)
+      staged.write.mode("append").partitionBy(m.partitionCols: _*).parquet(path)
+    else
+      publishManifest(spark, path, stageAppend(staged, path, m.partitionCols))
   }
 
   /** Rewrite an appended-to layout as a FRESH snapshot at `destPath` —
@@ -271,6 +425,7 @@ object CorpusIO {
         clusterZ(docs, m.partitionCols, m.zCols, m.bits, m.bounds, n)
     }
     staged.write.mode("append").partitionBy(m.partitionCols: _*).parquet(destPath)
+    publishInitial(spark, destPath)
     writeMeta(spark, destPath, m.copy(fileTargets = n))
   }
 
@@ -280,7 +435,19 @@ object CorpusIO {
     * (URL-escaped in the path); numeric-LOOKING strings would be
     * re-typed by partition-column type inference, so callers with such
     * values should disable
-    * `spark.sql.sources.partitionColumnTypeInference.enabled`. */
+    * `spark.sql.sources.partitionColumnTypeInference.enabled`.
+    *
+    * Manifest-bearing snapshots resolve their file set from the
+    * manifest log ONLY (`basePath` keeps the hive partition columns
+    * and their planning-time pruning): files an in-flight or crashed
+    * append has landed but not published are invisible, so every read
+    * is a consistent committed cut (r11 verdict #2). Legacy snapshots
+    * list the directory as before. */
   def readLayout(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    manifestFiles(spark, path) match {
+      case Some(rels) if rels.nonEmpty =>
+        spark.read.option("basePath", path)
+          .parquet(rels.map(r => s"$path/$r"): _*)
+      case _ => spark.read.parquet(path)
+    }
 }

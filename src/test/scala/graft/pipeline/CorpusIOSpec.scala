@@ -136,6 +136,63 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(selFiles(dest) <= selFiles(path))
   }
 
+  test("append visibility is atomic: mid-append readers see none of the batch; publish flips to all of it") {
+    val path = s"${tmpBase()}/layout"
+    CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 6)
+    val n0 = CorpusIO.readLayout(spark, path).count()
+    val batch = (4000 until 4400).map { i =>
+      (i.toLong, s"doc text $i", s"l${i % 8}", s"s${i % 5}", 50L + (i * 37) % 900)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // replay appendLayout's internals, pausing inside the crash window:
+    // batch files MOVED into the live tree, manifest NOT yet published
+    val keys = Seq(col("lang"), col("n_chars"))
+    val rels = CorpusIO.stageAppend(
+      batch.repartitionByRange(4, keys: _*).sortWithinPartitions(keys: _*),
+      path, Seq("lang"))
+    assert(rels.nonEmpty)
+    // the files physically exist (a raw directory listing sees them) …
+    assert(spark.read.parquet(path).count() === n0 + 400L)
+    // … but a snapshot reader resolves manifests only — a concurrent
+    // reader mid-append sees NONE of the batch
+    assert(CorpusIO.readLayout(spark, path).count() === n0,
+      "staged-but-unpublished files must be invisible to readers")
+    // the manifest publish is the commit point: now ALL of it
+    CorpusIO.publishManifest(spark, path, rels)
+    val after = CorpusIO.readLayout(spark, path)
+    assert(after.count() === n0 + 400L)
+    assert(after.filter(col("doc_id") >= 4000).count() === 400L)
+  }
+
+  test("an interrupted append leaves only invisible orphans; the retry commits once; vacuumOrphans reclaims") {
+    val path = s"${tmpBase()}/layout"
+    CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 6)
+    val n0 = CorpusIO.readLayout(spark, path).count()
+    val batch = (4000 until 4300).map { i =>
+      (i.toLong, s"doc text $i", s"l${i % 8}", s"s${i % 5}", 50L + (i * 37) % 900)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the append dies after moving files, before its manifest lands
+    val keys = Seq(col("lang"), col("n_chars"))
+    CorpusIO.stageAppend(
+      batch.repartitionByRange(4, keys: _*).sortWithinPartitions(keys: _*),
+      path, Seq("lang"))
+    assert(CorpusIO.readLayout(spark, path).count() === n0)
+    // the clean retry is just appendLayout again — the orphans never
+    // double-count because no manifest references them
+    CorpusIO.appendLayout(batch, path)
+    val after = CorpusIO.readLayout(spark, path)
+    assert(after.count() === n0 + 300L)
+    assert(after.filter(col("doc_id") >= 4000).count() === 300L,
+      "retry must commit the batch exactly once")
+    // vacuum deletes exactly the orphaned first attempt; results and
+    // the raw directory listing now agree again
+    val removed = CorpusIO.vacuumOrphans(spark, path)
+    assert(removed.nonEmpty, "the crashed attempt's files must be reclaimed")
+    assert(CorpusIO.readLayout(spark, path).count() === n0 + 300L)
+    assert(spark.read.parquet(path).count() === n0 + 300L)
+    // second vacuum is a no-op
+    assert(CorpusIO.vacuumOrphans(spark, path).isEmpty)
+  }
+
   test("z-order append ranks the batch against the STORED boundaries") {
     val df = (0 until 4000).map { i =>
       (i.toLong, (i * 2654435761L) % 4096, (i * 40503L) % 4096)
