@@ -34,10 +34,62 @@ object PipelineQueries {
     """SELECT event_id, user_id, event_type, value,
       make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events"""
 
+  // ---- scale-adaptive oracle shards (r11 verdict #4) ---------------
+  //
+  // Eight contract queries are gated by deliberately QUADRATIC oracle
+  // constructions (brute all-pairs cosine, recursive-closure dedup,
+  // recursive greedy packing): declarative statements of semantics,
+  // not engine paths. At the gate/bench scales they replay in seconds,
+  // but at sf1.0+ the DuckDB side goes 57 s–53 min while the engine
+  // answers in seconds — so scale sweeps couldn't run fully inside
+  // check_oracle. Fix: those eight queries (BOTH engines, identically)
+  // restrict their input to a deterministic hash shard whose MODULUS
+  // adapts to the data: ceil(rowcount / cap) with cap = the sf0.1 row
+  // count. At every scale up to and including the bench scale the
+  // modulus is 1 — no filter on the Spark side (plans and pins
+  // untouched), a tautological WHERE on the SQL side — and results
+  // are bit-identical to the unsharded queries. Past that, the shard
+  // holds the oracle's effective input at ≈ sf0.1 size (quadratic
+  // work capped), while the queries keep exercising the full engine
+  // path on real data. The modulus derives from count(*) in BOTH
+  // engines (integer ceil over the same table), so the two sides can
+  // never disagree about the shard.
+
+  private val docShardCap = 5000L // = the sf0.1 documents row count
+  private val embShardCap = 2000L // = the sf0.1 embeddings row count
+
+  private def shardModulus(n: Long, cap: Long): Long = (n + cap - 1) / cap
+
+  /** `documents` restricted to the adaptive shard (identity below the
+    * cap — no filter node, so plan pins are untouched). */
+  private def docsSharded(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val m = shardModulus(d.count(), docShardCap)
+    if (m > 1) d.filter(s"doc_id % $m = 0") else d
+  }
+
+  private def embSharded(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val m = shardModulus(e.count(), embShardCap)
+    if (m > 1) e.filter(s"vec_id % $m = 0") else e
+  }
+
+  /** The same shard as a DuckDB predicate — the modulus is a scalar
+    * subquery over the same table, so it equals the Spark side's
+    * driver-computed value by construction. */
+  private val docShardSql =
+    s"doc_id % (SELECT (count(*) + ${docShardCap - 1}) // $docShardCap FROM documents) = 0"
+  private val embShardSql =
+    s"vec_id % (SELECT (count(*) + ${embShardCap - 1}) // $embShardCap FROM embeddings) = 0"
+
   // ---- shared DuckDB fragments (same semantics as TextOps exprs) ----
 
   private val tokCte =
     "SELECT doc_id, source, text, string_split_regex(trim(text), '\\s+') AS tokens FROM documents"
+
+  /** [[tokCte]] over the adaptive document shard — the base CTE of the
+    * recursive-closure dedup oracles. */
+  private val tokShardCte = s"$tokCte WHERE $docShardSql"
 
   private def sh(n: Int) =
     s"""SELECT DISTINCT doc_id, source, unnest(list_transform(
@@ -180,8 +232,10 @@ object PipelineQueries {
   /** MinHash band-signature CTE prefix (tok → shingles → minhash →
     * bands) — shared by the in-corpus LSH chain below and the fuzzy
     * decontamination oracle. */
-  private lazy val minhashBandCtes =
-    s"""tok AS ($tokCte), sh5 AS (${sh(5)}),
+  private lazy val minhashBandCtes = minhashBandCtesWith(tokCte)
+
+  private def minhashBandCtesWith(tokSrc: String) =
+    s"""tok AS ($tokSrc), sh5 AS (${sh(5)}),
         hm AS (SELECT doc_id, ${h60("s")} % ${TextOps.minhashM} AS m FROM sh5),
         perm AS (SELECT * FROM (VALUES ${(0 until 16).map(i =>
           s"(${i}, ${TextOps.minhashA(i)}, ${TextOps.minhashB(i)})").mkString(", ")})
@@ -195,8 +249,15 @@ object PipelineQueries {
   /** Full MinHash-LSH CTE chain ([[minhashBandCtes]] → candidates →
     * intersection sizes), used by q_dedup_minhash and
     * q_dedup_clusters. */
-  private lazy val minhashCtes =
-    s"""$minhashBandCtes,
+  private lazy val minhashCtes = minhashCtesWith(minhashBandCtes)
+
+  /** The sharded chain for the recursive-closure dedup oracles (the
+    * adaptive document shard is a no-op below the cap). */
+  private lazy val minhashCtesSharded =
+    minhashCtesWith(minhashBandCtesWith(tokShardCte))
+
+  private def minhashCtesWith(bandCtes: String) =
+    s"""$bandCtes,
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
                  WHERE x.doc_id < y.doc_id),
@@ -410,7 +471,7 @@ object PipelineQueries {
     s"""d AS (SELECT doc_id,
           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
           CAST(${h60("concat('r4:', CAST(doc_id AS VARCHAR))")} % $packShards AS INTEGER) AS shard
-        FROM documents),
+        FROM documents WHERE $docShardSql),
         r AS (SELECT doc_id, n_tok, shard,
                 row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
               FROM d),
@@ -455,11 +516,13 @@ object PipelineQueries {
     s"""list_reduce(list_transform(list_zip($v, $c),
         p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)"""
   private def kmeansSubCtes(tag: String, lo: Int, len: Int,
-                            k: Int, iters: Int): String = {
+                            k: Int, iters: Int,
+                            where: String = ""): String = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
     val init =
       s"""e$tag AS (SELECT vec_id, list_transform(
             list_slice(CAST(embedding AS DOUBLE[]), $lo, ${lo + len - 1}),
-            x -> round(x * 10000.0e0)) AS v FROM embeddings),
+            x -> round(x * 10000.0e0)) AS v FROM embeddings$w),
           c0$tag AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v AS c
                      FROM (SELECT * FROM e$tag ORDER BY vec_id LIMIT $k))"""
     val rounds = (1 to iters).map { i =>
@@ -1398,9 +1461,9 @@ object PipelineQueries {
       // min-label propagation with pointer jumping (O(log diameter)
       // equi-join rounds); oracle: recursive transitive closure.
       (s, dir) => Dedup.clusters(
-        Dedup.minhashLsh(docs(s, dir)).filter(col("jaccard") >= 0.5))
+        Dedup.minhashLsh(docsSharded(s, dir)).filter(col("jaccard") >= 0.5))
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE $minhashCtes,
+      Some(s"""WITH RECURSIVE $minhashCtesSharded,
         j AS ($jaccardSelect),
         ed AS (SELECT a AS x, b AS y FROM j WHERE jaccard >= 0.5e0
                UNION SELECT b AS x, a AS y FROM j WHERE jaccard >= 0.5e0),
@@ -1420,13 +1483,13 @@ object PipelineQueries {
       // Oracle: the recursive-closure chain + the quality CTE + the
       // same argmax window.
       (s, dir) => {
-        val d = docs(s, dir)
+        val d = docsSharded(s, dir)
         Dedup.keepBest(
           Dedup.clusters(Dedup.minhashLsh(d).filter(col("jaccard") >= 0.5)),
           TextOps.qualityScore(d).select("doc_id", "score"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $minhashCtes,
+      Some(s"""WITH RECURSIVE $minhashCtesSharded,
         j AS ($jaccardSelect),
         ed AS (SELECT a AS x, b AS y FROM j WHERE jaccard >= 0.5e0
                UNION SELECT b AS x, a AS y FROM j WHERE jaccard >= 0.5e0),
@@ -1542,8 +1605,9 @@ object PipelineQueries {
       // cosine evaluated exactly once. Same semantics as the naive
       // quadratic join, so the oracle stays the declarative all-pairs
       // statement.
-      (s, dir) => Similarity.nearDupPairsBlocked(emb(s, dir), 0.45).orderBy("a", "b"),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      (s, dir) => Similarity.nearDupPairsBlocked(embSharded(s, dir), 0.45).orderBy("a", "b"),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                          WHERE $embShardSql),
         p AS (SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a.v", "b.v")} AS cos
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
         SELECT * FROM p WHERE cos >= 0.45e0 ORDER BY a, b""")),
@@ -1563,7 +1627,7 @@ object PipelineQueries {
         val noise = "(CAST(" + TextOps.hash60(
           "concat('hc:', CAST(vec_id AS STRING), ':', CAST(j AS STRING))") +
           " % 2001 AS DOUBLE) - 1000.0D) / 1000.0D"
-        val base = emb(s, dir)
+        val base = embSharded(s, dir)
         val aug = base
           .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
           .unionByName(base.filter("vec_id % 40 = 0").selectExpr(
@@ -1577,7 +1641,8 @@ object PipelineQueries {
         val noise = "(CAST(" + h60(
           "concat('hc:', CAST(vec_id AS VARCHAR), ':', CAST(j - 1 AS VARCHAR))") +
           " % 2001 AS DOUBLE) - 1000.0e0) / 1000.0e0"
-        s"""WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s"""WITH eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                        WHERE $embShardSql),
         pl AS (SELECT vid + 1000000 AS vec_id, v FROM (
                  SELECT vec_id AS vid,
                    list_transform(generate_series(1, 64), j ->
@@ -1605,13 +1670,13 @@ object PipelineQueries {
       // coverage stays cross-engine-verified without being the
       // heaviest query in the bench (the r6 verdict's one `weak`).
       (s, dir) => Similarity.nearDupPairsBanded(
-        emb(s, dir).filter("vec_id % 2 = 0"), 0.45)
+        embSharded(s, dir).filter("vec_id % 2 = 0"), 0.45)
         .orderBy("a", "b"),
       Some {
         // MATERIALIZED: keeps the CASE-heavy signature CTE out of the
         // join inlining path (DuckDB 1.0.0 flat-vector bug)
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-                       WHERE vec_id % 2 = 0),
+                       WHERE vec_id % 2 = 0 AND $embShardSql),
         sigs AS MATERIALIZED (${bandedSigBranches(24, 4)}),
         cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
                  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
@@ -2647,11 +2712,12 @@ object PipelineQueries {
       // pairs (equi-join on the cell id) -> connected components ->
       // min-id representative per near-dup group. Oracle: the unrolled
       // Lloyd chain + within-cell pair join + recursive closure.
-      (s, dir) => Clustering.semanticDedup(emb(s, dir), kmK, kmIters, 0.45)
+      (s, dir) => Clustering.semanticDedup(embSharded(s, dir), kmK, kmIters, 0.45)
         .orderBy("vec_id"),
-      Some(s"""WITH RECURSIVE $kmeansCtes,
+      Some(s"""WITH RECURSIVE ${kmeansSubCtes("", 1, 64, kmK, kmIters, embShardSql)},
         g AS (SELECT vec_id, cl FROM a$kmIters),
-        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE $embShardSql),
         pr AS (SELECT x.vec_id AS a, y.vec_id AS b FROM g x
                JOIN g y ON x.cl = y.cl AND x.vec_id < y.vec_id
                JOIN ev xv ON xv.vec_id = x.vec_id
@@ -2666,7 +2732,8 @@ object PipelineQueries {
         rep AS (SELECT id AS vec_id, min(r) AS rep_id FROM reach GROUP BY id)
         SELECT e2.vec_id, coalesce(rep.rep_id, e2.vec_id) AS rep_id,
           coalesce(rep.rep_id, e2.vec_id) = e2.vec_id AS keep
-        FROM embeddings e2 LEFT JOIN rep ON rep.vec_id = e2.vec_id
+        FROM (SELECT vec_id FROM embeddings WHERE $embShardSql) e2
+        LEFT JOIN rep ON rep.vec_id = e2.vec_id
         ORDER BY e2.vec_id""")),
 
     QueryDef("q_ngram_topk",
@@ -2684,7 +2751,7 @@ object PipelineQueries {
       // streaming O(1)-memory pass; shard count = parallelism knob).
       // The oracle replays the same sequential recurrence as a
       // recursive CTE.
-      (s, dir) => Packing.packGreedy(docs(s, dir), packCap, packShards, "r4")
+      (s, dir) => Packing.packGreedy(docsSharded(s, dir), packCap, packShards, "r4")
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $packCtes
         SELECT doc_id, shard, n_tok, bin_id, bin_offset FROM rec
@@ -2694,7 +2761,7 @@ object PipelineQueries {
       // packing audit: bins, docs, tokens, and capacity utilization per
       // shard — the number that sizes `capacity` for a corpus
       (s, dir) => Packing.packStats(
-        Packing.packGreedy(docs(s, dir), packCap, packShards, "r4"), packCap)
+        Packing.packGreedy(docsSharded(s, dir), packCap, packShards, "r4"), packCap)
         .orderBy("shard"),
       Some(s"""WITH RECURSIVE $packCtes
         SELECT shard, max(bin_id) + 1 AS n_bins, count(*) AS n_docs,

@@ -275,9 +275,16 @@ object PlanAudit {
   )
 
   /** query → pinned (ShuffleExchange, BroadcastExchange) counts on the
-    * initial (pre-AQE) plan at the default audit scale. EVERY contract
-    * query must have a pin (a missing pin is a violation — refresh
-    * with --pin after an intentional plan change). */
+    * initial (pre-AQE) plan at the PRIMARY audit scale (sf0.001).
+    * EVERY contract query must have a pin (a missing pin is a
+    * violation — refresh with --pin after an intentional plan change).
+    * Since r12 the audit runs at TWO scales in one invocation (r11
+    * verdict #3): a size-estimate-driven plan flip that only
+    * manifests on grown inputs (an auto-broadcast threshold crossing)
+    * is invisible to a single-scale pin — [[exchangePins01]] pins the
+    * same queries at sf0.1, and --selftest proves the two-scale gate
+    * catches a real threshold flip (lineitem crosses 10 MB between
+    * the scales). */
   val exchangePins: Map[String, (Int, Int)] = Map(
     "q_ann_filtered" -> (2, 1),
     "q_ann_filtered_persisted" -> (2, 5),
