@@ -60,17 +60,29 @@ object PipelineQueries {
 
   private def shardModulus(n: Long, cap: Long): Long = (n + cap - 1) / cap
 
+  /** Modulus cache keyed by table path: the count that derives the
+    * shard modulus is a property of the (static) input snapshot, not of
+    * the query, so computing it once per (path, JVM) is enough — without
+    * this every sharded query construction (including plan-only audits
+    * that never execute the query) re-ran a full-table count job
+    * (r12 advice #4). */
+  private val shardModCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def cachedModulus(d: DataFrame, path: String, cap: Long): Long =
+    shardModCache.computeIfAbsent(s"$path#$cap", _ => shardModulus(d.count(), cap))
+
   /** `documents` restricted to the adaptive shard (identity below the
     * cap — no filter node, so plan pins are untouched). */
   private def docsSharded(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val m = shardModulus(d.count(), docShardCap)
+    val m = cachedModulus(d, s"$dir/documents.parquet", docShardCap)
     if (m > 1) d.filter(s"doc_id % $m = 0") else d
   }
 
   private def embSharded(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val m = shardModulus(e.count(), embShardCap)
+    val m = cachedModulus(e, s"$dir/embeddings.parquet", embShardCap)
     if (m > 1) e.filter(s"vec_id % $m = 0") else e
   }
 

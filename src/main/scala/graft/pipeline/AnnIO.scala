@@ -91,9 +91,27 @@ object AnnIO {
     * #1). Underscore-prefixed, so Parquet readers skip it. */
   private val sealName = "_graft_ann_complete"
 
-  private def tableDir(spark: SparkSession, table: String) = {
+  private[graft] def tableDir(spark: SparkSession, table: String) = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+  }
+
+  /** The owner path recorded in `table`'s seal, if its warehouse dir
+    * is sealed at all — the classification input for [[claimTable]]
+    * and for the warehouse GC (`graft.tools.Vacuum`): a seal whose
+    * owner still holds a complete meta marks a LIVE index's table; a
+    * seal whose owner is gone is stale and the table reclaimable. */
+  private[graft] def sealOwner(spark: SparkSession, table: String): Option[String] = {
+    val dir = tableDir(spark, table)
+    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seal = new org.apache.hadoop.fs.Path(dir, sealName)
+    if (!hfs.exists(seal)) None
+    else {
+      val buf = new Array[Byte](hfs.getFileStatus(seal).getLen.toInt)
+      val in = hfs.open(seal)
+      try in.readFully(buf) finally in.close()
+      Some(new String(buf, "UTF-8"))
+    }
   }
 
   /** Take ownership of `table` for a fresh save: refuse if a LIVE
@@ -106,12 +124,7 @@ object AnnIO {
   private def claimTable(spark: SparkSession, table: String): Unit = {
     val dir = tableDir(spark, table)
     val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seal = new org.apache.hadoop.fs.Path(dir, sealName)
-    if (hfs.exists(seal)) {
-      val buf = new Array[Byte](hfs.getFileStatus(seal).getLen.toInt)
-      val in = hfs.open(seal)
-      try in.readFully(buf) finally in.close()
-      val owner = new String(buf, "UTF-8")
+    sealOwner(spark, table).foreach { owner =>
       if (owner.nonEmpty && exists(spark, owner))
         throw new IllegalStateException(
           s"table '$table' is the code relation of the COMPLETE ANN index " +

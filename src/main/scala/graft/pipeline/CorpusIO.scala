@@ -169,11 +169,49 @@ object CorpusIO {
     }
   }
 
+  /** The snapshot's write schema, stored beside the manifest log so an
+    * EMPTY committed snapshot (zero data files — e.g. an initial write
+    * of an empty frame, which `partitionBy` lands as no files at all)
+    * still reads back with its schema instead of falling through to a
+    * directory listing (r12 advice #3). Temp-write + rename like the
+    * manifests. */
+  private val schemaName = "_schema.ddl"
+
+  private def writeSchemaDdl(spark: SparkSession, path: String,
+                             schema: org.apache.spark.sql.types.StructType): Unit = {
+    val fs = hfs(spark, path)
+    val md = manifestDir(path)
+    fs.mkdirs(md)
+    val tmp = new org.apache.hadoop.fs.Path(md, s"$schemaName.tmp")
+    val fin = new org.apache.hadoop.fs.Path(md, schemaName)
+    val out = fs.create(tmp, true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, fin))
+      throw new IllegalStateException(s"could not publish schema $fin")
+  }
+
+  private def readSchemaDdl(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val fs = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(manifestDir(path), schemaName)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      Some(org.apache.spark.sql.types.StructType.fromDDL(new String(buf, "UTF-8")))
+    }
+  }
+
   /** Publish the INITIAL manifest of a fresh snapshot: everything the
     * writer just landed is the first committed batch. Called by the
-    * writers between the data write and the meta write. */
-  private def publishInitial(spark: SparkSession, path: String): Unit =
+    * writers between the data write and the meta write; also stores
+    * the write schema (see [[schemaName]]). */
+  private def publishInitial(spark: SparkSession, path: String,
+                             schema: org.apache.spark.sql.types.StructType): Unit = {
+    writeSchemaDdl(spark, path, schema)
     publishManifest(spark, path, listDataFiles(spark, path))
+  }
 
   /** Stage an append batch (already clustered/sorted by the caller)
     * and MOVE its files into the live tree WITHOUT publishing them:
@@ -201,23 +239,58 @@ object CorpusIO {
     rels
   }
 
+  /** Default orphan-retention window (24 h) — see [[vacuumOrphans]].
+    * Long enough that no sane append is still in flight when its files
+    * become reclaimable (the Iceberg/Delta orphan-file discipline). */
+  val defaultVacuumGraceMs: Long = 24L * 3600 * 1000
+
   /** Delete data files no manifest references — the leftovers of
-    * appends that crashed between staging and publish (plus any
-    * abandoned staging dirs). Never touches committed files, the
-    * manifest log, meta, or claim sentinels; no-op (returns Nil) on
-    * legacy snapshots, whose readers still list the directory tree.
-    * Returns the deleted paths (relative). */
-  def vacuumOrphans(spark: SparkSession, path: String): Seq[String] = {
+    * appends that crashed between staging and publish (plus abandoned
+    * staging attempts). Never touches committed files, the manifest
+    * log, meta, or claim sentinels; no-op (returns Nil) on legacy
+    * snapshots, whose readers still list the directory tree. Returns
+    * the deleted paths (relative).
+    *
+    * SAFE UNDER CONCURRENT APPENDS via `graceMs` (r12 verdict #2): an
+    * in-flight [[stageAppend]] moves its files into the live tree
+    * BEFORE its manifest publishes, so for that window they look
+    * exactly like crash orphans. Only files (and staging attempts)
+    * whose newest modification is older than `graceMs` are reclaimed —
+    * a live append's files are by construction younger than any sane
+    * retention window, while a genuinely crashed attempt ages past it
+    * and is swept by the next vacuum. Pass `graceMs = 0` ONLY when the
+    * snapshot is known quiescent (single-writer maintenance,
+    * test/probe teardown) to reclaim immediately. */
+  def vacuumOrphans(spark: SparkSession, path: String,
+                    graceMs: Long = defaultVacuumGraceMs): Seq[String] = {
     manifestFiles(spark, path) match {
       case None => Nil
       case Some(committed) =>
         val fs = hfs(spark, path)
+        val cutoff = System.currentTimeMillis() - graceMs
         val live = committed.toSet
+        def olderThanGrace(p: org.apache.hadoop.fs.Path): Boolean =
+          fs.getFileStatus(p).getModificationTime <= cutoff
         val orphans = listDataFiles(spark, path).filterNot(live)
+          .filter(rel => olderThanGrace(new org.apache.hadoop.fs.Path(path, rel)))
         orphans.foreach(rel =>
           fs.delete(new org.apache.hadoop.fs.Path(path, rel), false))
+        // staging attempts are reclaimed per-attempt, gated on the
+        // NEWEST entry under each (an attempt still writing keeps
+        // refreshing it) — never the whole staging root
         val stage = new org.apache.hadoop.fs.Path(path, stagingDirName)
-        if (fs.exists(stage)) fs.delete(stage, true)
+        if (fs.exists(stage)) {
+          def newest(p: org.apache.hadoop.fs.Path): Long = {
+            val st = fs.getFileStatus(p)
+            if (!st.isDirectory) st.getModificationTime
+            else (st.getModificationTime +:
+              fs.listStatus(p).toSeq.map(c => newest(c.getPath))).max
+          }
+          fs.listStatus(stage).foreach { st =>
+            if (newest(st.getPath) <= cutoff) fs.delete(st.getPath, true)
+          }
+          if (fs.listStatus(stage).isEmpty) fs.delete(stage, false)
+        }
         orphans
     }
   }
@@ -290,7 +363,7 @@ object CorpusIO {
     // manifest before meta: a complete snapshot always has its initial
     // batch committed; a crash between leaves a metaless partial that
     // claimPath clears on retry, same as before
-    publishInitial(spark, path)
+    publishInitial(spark, path, docs.schema)
     writeMeta(spark, path,
       LayoutMeta("sorted", partitionCols, sortCols, Nil, 0, Nil, n))
   }
@@ -335,7 +408,7 @@ object CorpusIO {
       else spark.sessionState.conf.numShufflePartitions
     clusterZ(docs, partitionCols, zCols, bits, bounds, n)
       .write.mode("append").partitionBy(partitionCols: _*).parquet(path)
-    publishInitial(spark, path)
+    publishInitial(spark, path, docs.schema)
     writeMeta(spark, path,
       LayoutMeta("zorder", partitionCols, Nil, zCols, bits, bounds, n))
   }
@@ -425,7 +498,7 @@ object CorpusIO {
         clusterZ(docs, m.partitionCols, m.zCols, m.bits, m.bounds, n)
     }
     staged.write.mode("append").partitionBy(m.partitionCols: _*).parquet(destPath)
-    publishInitial(spark, destPath)
+    publishInitial(spark, destPath, docs.schema)
     writeMeta(spark, destPath, m.copy(fileTargets = n))
   }
 
@@ -441,13 +514,28 @@ object CorpusIO {
     * manifest log ONLY (`basePath` keeps the hive partition columns
     * and their planning-time pruning): files an in-flight or crashed
     * append has landed but not published are invisible, so every read
-    * is a consistent committed cut (r11 verdict #2). Legacy snapshots
-    * list the directory as before. */
+    * is a consistent committed cut (r11 verdict #2). A manifest-bearing
+    * snapshot whose committed file set is EMPTY (an initial write of an
+    * empty / fully-pruned frame) honors the same cut: an empty frame
+    * with the stored write schema — never a directory listing, which
+    * would surface staged-but-unpublished orphans in exactly this
+    * corner (r12 advice #3; appendLayout already treats the snapshot as
+    * manifest-bearing, so the two paths now agree). Only a snapshot
+    * with NO manifest log at all (true legacy) lists the directory as
+    * before. */
   def readLayout(spark: SparkSession, path: String): DataFrame =
     manifestFiles(spark, path) match {
       case Some(rels) if rels.nonEmpty =>
         spark.read.option("basePath", path)
           .parquet(rels.map(r => s"$path/$r"): _*)
-      case _ => spark.read.parquet(path)
+      case Some(_) =>
+        val schema = readSchemaDdl(spark, path).getOrElse(
+          throw new IllegalStateException(
+            s"$path has a manifest log but zero committed files and no " +
+              "stored schema — incomplete snapshot (written by a pre-r13 " +
+              "CorpusIO?); re-write or compact it"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None => spark.read.parquet(path)
     }
 }

@@ -184,13 +184,77 @@ class CorpusIOSpec extends AnyFunSuite {
     assert(after.filter(col("doc_id") >= 4000).count() === 300L,
       "retry must commit the batch exactly once")
     // vacuum deletes exactly the orphaned first attempt; results and
-    // the raw directory listing now agree again
-    val removed = CorpusIO.vacuumOrphans(spark, path)
+    // the raw directory listing now agree again (graceMs = 0: the
+    // snapshot is quiescent here — the retention-window behavior has
+    // its own spec below)
+    val removed = CorpusIO.vacuumOrphans(spark, path, graceMs = 0)
     assert(removed.nonEmpty, "the crashed attempt's files must be reclaimed")
     assert(CorpusIO.readLayout(spark, path).count() === n0 + 300L)
     assert(spark.read.parquet(path).count() === n0 + 300L)
     // second vacuum is a no-op
+    assert(CorpusIO.vacuumOrphans(spark, path, graceMs = 0).isEmpty)
+  }
+
+  test("vacuum honors the retention window: a stalled-but-alive append loses nothing (r12 verdict #2)") {
+    val path = s"${tmpBase()}/layout"
+    CorpusIO.writeLayout(corpus, path, Seq("lang"), Seq("n_chars"), fileTargets = 6)
+    val n0 = CorpusIO.readLayout(spark, path).count()
+    val batch = (4000 until 4300).map { i =>
+      (i.toLong, s"doc text $i", s"l${i % 8}", s"s${i % 5}", 50L + (i * 37) % 900)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val keys = Seq(col("lang"), col("n_chars"))
+    // an append that has MOVED its files but not yet published — from
+    // the filesystem alone indistinguishable from a crash, which is
+    // exactly why vacuum must not trust "unreferenced" without age
+    val rels = CorpusIO.stageAppend(
+      batch.repartitionByRange(4, keys: _*).sortWithinPartitions(keys: _*),
+      path, Seq("lang"))
+    // a default-grace vacuum racing the append deletes NOTHING …
+    assert(CorpusIO.vacuumOrphans(spark, path).isEmpty,
+      "files younger than the retention window must survive vacuum")
+    // … so the append's commit still lands intact
+    CorpusIO.publishManifest(spark, path, rels)
+    val after = CorpusIO.readLayout(spark, path)
+    assert(after.count() === n0 + 300L)
+    assert(after.filter(col("doc_id") >= 4000).count() === 300L)
+    // and a LIVE staging attempt (not yet moved) likewise survives —
+    // per-attempt age gating, never a wholesale staging-root delete
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val attempt = new org.apache.hadoop.fs.Path(s"$path/_graft_staging/liveattempt")
+    fs.mkdirs(attempt)
+    val f = fs.create(new org.apache.hadoop.fs.Path(attempt, "part-0"), true)
+    f.write("x".getBytes); f.close()
     assert(CorpusIO.vacuumOrphans(spark, path).isEmpty)
+    assert(fs.exists(attempt), "a fresh staging attempt must survive a default-grace vacuum")
+    // once aged past the window (grace 0 = everything is old), reclaimed
+    CorpusIO.vacuumOrphans(spark, path, graceMs = 0)
+    assert(!fs.exists(attempt), "an aged-out staging attempt is reclaimed")
+    assert(CorpusIO.readLayout(spark, path).count() === n0 + 300L,
+      "committed data is never touched by vacuum at any grace")
+  }
+
+  test("an empty initial write reads back as the committed (empty) cut with its schema, not a directory listing") {
+    val path = s"${tmpBase()}/empty_layout"
+    CorpusIO.writeLayout(corpus.filter(col("doc_id") < 0), path,
+      Seq("lang"), Seq("n_chars"), fileTargets = 2)
+    val back = CorpusIO.readLayout(spark, path)
+    assert(back.count() === 0L)
+    assert(back.columns.toSet === Set("doc_id", "text", "lang", "source", "n_chars"),
+      "the stored write schema must survive an empty snapshot")
+    // staged-but-unpublished files must stay invisible even here — the
+    // corner where a directory-listing fallback would break atomicity
+    val batch = (0 until 50).map { i =>
+      (i.toLong, s"doc text $i", s"l${i % 8}", s"s${i % 5}", 50L + (i * 37) % 900)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val keys = Seq(col("lang"), col("n_chars"))
+    val rels = CorpusIO.stageAppend(
+      batch.repartitionByRange(2, keys: _*).sortWithinPartitions(keys: _*),
+      path, Seq("lang"))
+    assert(CorpusIO.readLayout(spark, path).count() === 0L,
+      "an empty manifest-bearing snapshot must NOT fall back to listing the tree")
+    CorpusIO.publishManifest(spark, path, rels)
+    assert(CorpusIO.readLayout(spark, path).count() === 50L)
   }
 
   test("z-order append ranks the batch against the STORED boundaries") {
