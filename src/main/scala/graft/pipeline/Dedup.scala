@@ -64,11 +64,26 @@ object Dedup {
       shingles.join(docsInPairs, "doc_id")
         .groupBy("doc_id").agg(count("*").as("n"))
     } else shingles.groupBy("doc_id").agg(count("*").as("n"))
-    // candidates-first: expand the (small) pair set to side-a shingles,
-    // then equi-join side b on (b, s) — cost scales with candidate
-    // pairs, not with every shingle collision in the corpus
-    val inter = pairs
+    // candidates-first: expand the pair set to side-a shingles, then
+    // equi-join side b on (b, s) — cost scales with candidate pairs,
+    // not with every shingle collision in the corpus. The pair side is
+    // hinted MERGE, never broadcast: its cardinality is a property of
+    // the corpus's collision structure (a mass-templated corpus puts
+    // millions of candidates in the pair set), while the static
+    // planner only sees a multi-join+distinct subtree whose size
+    // estimate is fiction small enough to broadcast — at 100× data
+    // that planned broadcast materializes gigabytes and OOMs the
+    // build (found by the sf10 rehearsal, r13). A shuffled join costs
+    // one extra exchange of the (id-only) pair relation at small
+    // scale and is the only shape that survives the regime the pair
+    // set exists to find.
+    // both inter joins are hinted: the second would otherwise broadcast
+    // the CORPUS-WIDE shingle relation, whose static estimate is even
+    // worse fiction (a Generate's output size is guessed from its
+    // input rows — the ~90× shingle expansion is invisible)
+    val inter = pairs.hint("merge")
       .join(shingles.select(col("doc_id").as("a"), col("s")), "a")
+      .hint("merge")
       .join(shingles.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
       .groupBy("a", "b")
       .agg(count("*").as("i"))

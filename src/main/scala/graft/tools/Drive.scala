@@ -23,9 +23,14 @@ object Drive {
       if (name == "entry") graft.SparkEntry.entry(spark)
       else graft.SparkEntry.queries(name)(spark, sfDir)
 
-    println(s"=== $name rows=${df.count()}")
-    df.show(5, truncate = false)
+    // plan first: inspecting a plan must not require the run to
+    // succeed (a broadcast OOM at execution would otherwise hide the
+    // very plan that explains it)
     if (args.contains("explain")) df.explain("formatted")
+    if (!args.contains("planonly")) {
+      println(s"=== $name rows=${df.count()}")
+      df.show(5, truncate = false)
+    }
     // `time` mode: N warm repeats of the FULL query build+run (fresh
     // DataFrame each round, like the bench), walls printed per round
     if (args.contains("time")) {

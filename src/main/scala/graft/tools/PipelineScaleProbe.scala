@@ -727,6 +727,34 @@ object PipelineScaleProbe {
       val drift = qLoaded.exceptAll(qTrained).count() + qTrained.exceptAll(qLoaded).count()
       require(drift == 0L, s"loaded-index results drifted from trained: $drift rows")
       println("  loaded-index top-5 bit-identical to trained: OK")
+
+      // ROLLOVER at scale (r12 verdict #7): refresh the coarse model
+      // on a 1% ingest batch and promote to a new serving index. The
+      // pass must be O(index), never O(corpus): one broadcast
+      // re-assignment over the embeddings, one vec_id equi-join
+      // against the (bucketed) code relation, a localCheckpoint of the
+      // re-celled codes (1M × (vec_id, cell, m codes) — the only
+      // materialized footprint), save v2 meta-last, retire v1 LAST.
+      // Compare its wall to the TRAIN + save legs above: rollover
+      // should sit well under training (no Lloyd chains) and in the
+      // same band as the fresh save it wraps.
+      val dir2 = java.nio.file.Files.createTempDirectory("annio_probe_v2").toString
+      val rollTable = s"annio_probe_codes2_${math.abs(dir2.hashCode.toLong)}"
+      var v2: Clustering.PqIndex = null
+      time("  ROLLOVER: refresh coarse (1% batch) + re-cell 1M + save v2 + retire v1") {
+        val refreshed = Clustering.refreshCentroids(
+          loaded.coarse.get, emb.filter("vec_id % 100 = 0"),
+          priorWeight = 1000000L / 64)
+        v2 = AnnIO.rollover(spark, s"$dir/idx", emb, refreshed,
+          s"$dir2/idx", rollTable)
+        1L
+      }
+      require(!AnnIO.exists(spark, s"$dir/idx"),
+        "v1 must be retired once v2 serves")
+      val qV2 = Clustering.pqQueryTopK(v2, emb, "vec_id % 1000 = 0", 5)
+      auditPlan("IVF-PQ query from rolled-over index", qV2)
+      time("  query from ROLLED-OVER index, 1000 probes") { qV2.count() }
+      AnnIO.retire(spark, s"$dir2/idx") // pre-run inventory restored
     }
 
     if (sections("weighted")) {

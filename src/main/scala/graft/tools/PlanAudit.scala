@@ -353,9 +353,9 @@ object PlanAudit {
     "q_decontam_semantic" -> (1, 1),
     "q_dedup_clusters" -> (1, 0),
     "q_dedup_exact" -> (2, 0),
-    "q_dedup_incremental" -> (19, 14),
+    "q_dedup_incremental" -> (23, 12),
     "q_dedup_keep_best" -> (2, 1),
-    "q_dedup_minhash" -> (9, 5),
+    "q_dedup_minhash" -> (12, 3),
     "q_doc_fingerprint" -> (1, 0),
     "q_dupspan" -> (3, 1),
     "q_dupspan_scrub" -> (3, 2),
@@ -513,9 +513,9 @@ object PlanAudit {
     "q_decontam_semantic" -> (1, 1),
     "q_dedup_clusters" -> (1, 0),
     "q_dedup_exact" -> (2, 0),
-    "q_dedup_incremental" -> (19, 14),
+    "q_dedup_incremental" -> (23, 12),
     "q_dedup_keep_best" -> (2, 1),
-    "q_dedup_minhash" -> (9, 5),
+    "q_dedup_minhash" -> (12, 3),
     "q_doc_fingerprint" -> (1, 0),
     "q_dupspan" -> (3, 1),
     "q_dupspan_scrub" -> (3, 2),
