@@ -36,13 +36,16 @@ object PipelineQueries {
 
   // ---- scale-adaptive oracle shards (r11 verdict #4) ---------------
   //
-  // Eight contract queries are gated by deliberately QUADRATIC oracle
+  // Ten contract queries are gated by deliberately QUADRATIC oracle
   // constructions (brute all-pairs cosine, recursive-closure dedup,
-  // recursive greedy packing): declarative statements of semantics,
-  // not engine paths. At the gate/bench scales they replay in seconds,
-  // but at sf1.0+ the DuckDB side goes 57 s–53 min while the engine
-  // answers in seconds — so scale sweeps couldn't run fully inside
-  // check_oracle. Fix: those eight queries (BOTH engines, identically)
+  // LSH/n-gram pair verification over clone-heavy corpora, recursive
+  // greedy packing): declarative statements of semantics, not engine
+  // paths. At the gate/bench scales they replay in seconds, but at
+  // sf1.0+ the DuckDB side goes 57 s to 53 min (and past a 10-minute
+  // cap at sf10 for the two r13 additions, q_dedup_minhash and
+  // q_ngram_jaccard) while the engine answers in seconds — so scale
+  // sweeps couldn't run fully inside
+  // check_oracle. Fix: those ten queries (BOTH engines, identically)
   // restrict their input to a deterministic hash shard whose MODULUS
   // adapts to the data: ceil(rowcount / cap) with cap = the sf0.1 row
   // count. At every scale up to and including the bench scale the
@@ -1444,8 +1447,12 @@ object PipelineQueries {
         FROM documents GROUP BY 1 ORDER BY h""")),
 
     QueryDef("q_dedup_minhash",
-      (s, dir) => Dedup.minhashLsh(docs(s, dir)).orderBy("a", "b"),
-      Some(s"""WITH $minhashCtes
+      // sharded since r13: the sf10 rehearsal put the full-corpus LSH
+      // oracle past a 10-minute cap (clone-quadratic candidate set) —
+      // same adaptive-shard treatment as the closure oracles, identity
+      // below the cap
+      (s, dir) => Dedup.minhashLsh(docsSharded(s, dir)).orderBy("a", "b"),
+      Some(s"""WITH $minhashCtesSharded
         $jaccardSelect ORDER BY a, b""")),
 
     QueryDef("q_dedup_incremental",
@@ -1528,8 +1535,10 @@ object PipelineQueries {
         FROM x ORDER BY doc_id""")),
 
     QueryDef("q_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccardBlocked(docs(s, dir), 3, 0.3).orderBy("a", "b"),
-      Some(s"""WITH tok AS ($tokCte), sh3 AS (${sh(3)}),
+      // sharded since r13 (same sf10 finding as q_dedup_minhash: the
+      // all-collision intersection CTE is quadratic in clone count)
+      (s, dir) => Dedup.ngramJaccardBlocked(docsSharded(s, dir), 3, 0.3).orderBy("a", "b"),
+      Some(s"""WITH tok AS ($tokShardCte), sh3 AS (${sh(3)}),
         sz AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1),
         inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
                   FROM sh3 sa JOIN sh3 sb

@@ -261,18 +261,31 @@ object CorpusIO {
     * and is swept by the next vacuum. Pass `graceMs = 0` ONLY when the
     * snapshot is known quiescent (single-writer maintenance,
     * test/probe teardown) to reclaim immediately. */
-  def vacuumOrphans(spark: SparkSession, path: String,
-                    graceMs: Long = defaultVacuumGraceMs): Seq[String] = {
+  /** The orphan data files [[vacuumOrphans]] would reclaim at
+    * `graceMs`, without deleting anything — the GC's dry-run view
+    * (staging attempts are not listed; they are reclaimed as whole
+    * directories by the vacuum itself). */
+  def listOrphans(spark: SparkSession, path: String,
+                  graceMs: Long = defaultVacuumGraceMs): Seq[String] =
     manifestFiles(spark, path) match {
       case None => Nil
       case Some(committed) =>
         val fs = hfs(spark, path)
         val cutoff = System.currentTimeMillis() - graceMs
         val live = committed.toSet
-        def olderThanGrace(p: org.apache.hadoop.fs.Path): Boolean =
-          fs.getFileStatus(p).getModificationTime <= cutoff
-        val orphans = listDataFiles(spark, path).filterNot(live)
-          .filter(rel => olderThanGrace(new org.apache.hadoop.fs.Path(path, rel)))
+        listDataFiles(spark, path).filterNot(live).filter(rel =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(path, rel))
+            .getModificationTime <= cutoff)
+    }
+
+  def vacuumOrphans(spark: SparkSession, path: String,
+                    graceMs: Long = defaultVacuumGraceMs): Seq[String] = {
+    manifestFiles(spark, path) match {
+      case None => Nil
+      case Some(_) =>
+        val fs = hfs(spark, path)
+        val cutoff = System.currentTimeMillis() - graceMs
+        val orphans = listOrphans(spark, path, graceMs)
         orphans.foreach(rel =>
           fs.delete(new org.apache.hadoop.fs.Path(path, rel), false))
         // staging attempts are reclaimed per-attempt, gated on the

@@ -45,7 +45,7 @@ import graft.pipeline.{AnnIO, CorpusIO}
   * Exit 0 always (a GC is maintenance, not a gate).
   *
   * Usage: runMain graft.tools.Vacuum [--apply] [--grace-ms N]
-  *          [--warehouse DIR] [--sketch-io DIR]
+  *          [--warehouse DIR] [--sketch-io DIR] [--weights-io DIR]
   *          [--retire-owners-under DIR] [layoutPath ...]
   */
 object Vacuum {
@@ -126,20 +126,22 @@ object Vacuum {
     (reclaim, out.collect { case (t, _: Keep) => t })
   }
 
-  /** Sweep `target/sketch_io`-style per-PID snapshot dirs: a
-    * `snap_<pid>` whose pid is no longer alive is a dead JVM's
-    * leftover (the same sweep `sketchIoPath` performs lazily on next
-    * use, available on demand here). */
-  def sweepSketchIo(dir: String, apply: Boolean): Seq[String] = {
-    val re = "snap_(\\d+)".r
+  /** Sweep a directory of per-PID artifacts: every entry matching
+    * `pattern` (capture group 1 = the owning pid) whose pid is no
+    * longer alive is a dead JVM's leftover — the lazy sweep
+    * `sketchIoPath` / `weightsIoPath` perform on next use, available
+    * on demand here. */
+  def sweepDeadPids(dir: String, pattern: scala.util.matching.Regex,
+                    what: String, apply: Boolean): Seq[String] = {
     val dead = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File]).toSeq
-      .filter(f => f.getName match {
-        case re(pid) => !ProcessHandle.of(pid.toLong).isPresent
+      .filter(f => pattern.findFirstMatchIn(f.getName) match {
+        case Some(m) if m.start == 0 && m.end == f.getName.length =>
+          !ProcessHandle.of(m.group(1).toLong).isPresent
         case _ => false
       })
     dead.foreach { f =>
-      println(s"[vacuum] RECLAIM ${f.getPath} — dead-PID sketch snapshot")
+      println(s"[vacuum] RECLAIM ${f.getPath} — dead-PID $what")
       if (apply) {
         def rm(x: java.io.File): Unit = {
           Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
@@ -150,6 +152,15 @@ object Vacuum {
     }
     dead.map(_.getName)
   }
+
+  /** `target/sketch_io` per-PID snapshot dirs (see [[sweepDeadPids]]). */
+  def sweepSketchIo(dir: String, apply: Boolean): Seq[String] =
+    sweepDeadPids(dir, "snap_(\\d+)".r, "sketch snapshot", apply)
+
+  /** `target/weights_io` per-PID ESMF weight files (G8 round-trips). */
+  def sweepWeightsIo(dir: String, apply: Boolean): Seq[String] =
+    sweepDeadPids(dir, "esmf_conservative_(\\d+)\\.(?:parquet|nc)".r,
+      "weight file", apply)
 
   def main(args: Array[String]): Unit = {
     val apply = args.contains("--apply")
@@ -163,7 +174,7 @@ object Vacuum {
     val layoutPaths = {
       // positionals = corpus-layout snapshot paths; drop flag values
       val flagVals = Seq("--grace-ms", "--warehouse", "--sketch-io",
-        "--retire-owners-under").flatMap(optArg).toSet
+        "--weights-io", "--retire-owners-under").flatMap(optArg).toSet
       args.filterNot(_.startsWith("--")).filterNot(flagVals).toSeq
     }
     val builder = SparkSession.builder()
@@ -178,13 +189,19 @@ object Vacuum {
     println(s"[vacuum] mode=${if (apply) "APPLY" else "DRY-RUN"} graceMs=$graceMs")
     val (reclaimed, kept) = sweepWarehouse(spark, graceMs, apply, retireUnder)
     val snaps = sweepSketchIo(sketchDir, apply)
+    val weights = sweepWeightsIo(
+      optArg("--weights-io").getOrElse(sys.props("user.dir") + "/target/weights_io"),
+      apply)
     val layoutOrphans = layoutPaths.map { p =>
-      val removed = if (apply) CorpusIO.vacuumOrphans(spark, p, graceMs) else Nil
-      println(s"[vacuum] layout $p: ${if (apply) s"${removed.size} orphans reclaimed" else "(dry-run: pass --apply)"}")
-      p -> removed.size
+      val n =
+        if (apply) CorpusIO.vacuumOrphans(spark, p, graceMs).size
+        else CorpusIO.listOrphans(spark, p, graceMs).size
+      println(s"[vacuum] layout $p: $n orphans${if (apply) " reclaimed" else ""}")
+      p -> n
     }
     println(s"[vacuum] summary: ${reclaimed.size} tables reclaimable, " +
       s"${kept.size} kept, ${snaps.size} dead sketch snaps, " +
+      s"${weights.size} dead weight files, " +
       s"${layoutOrphans.map(_._2).sum} layout orphans" +
       (if (apply) "" else " (DRY-RUN — nothing deleted)"))
     spark.stop()
