@@ -1806,32 +1806,38 @@ object PipelineQueries {
       // its source, while the corpus's own max cross-pair cosine is
       // 0.44) — so the gate checks that exactly the leaked partners
       // surface, through the bucket discipline, not a full scan.
+      // r13: input sharded (the oracle's bucket-join cosine chain ran
+      // 591 s at sf10 — one rehearsal scale from the cap) and the
+      // planted ids are NEGATIVE (-vec_id - 1) instead of +1e6: the
+      // additive offset collides with real ids once the corpus holds
+      // >1M embeddings, a ceiling the negative range never has.
       (s, dir) => {
-        val base = emb(s, dir)
+        val base = embSharded(s, dir)
         val planted = base.filter("vec_id % 50 = 0")
-          .selectExpr("vec_id + 1000000 AS vec_id",
+          .selectExpr("-vec_id - 1 AS vec_id",
             "transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.02e0 + 0.01e0 AS FLOAT)) AS embedding",
             "label")
         Similarity.semanticDecontamFlags(
-            base.unionByName(planted), "vec_id >= 1000000", 0.8e0)
+            base.unionByName(planted), "vec_id < 0", 0.8e0)
           .orderBy("train_id", "eval_id")
       },
       Some {
         val flips = (0L +: (0 until 6).map(i => 1L << i)).map(f => s"($f)").mkString(", ")
-        s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE $embShardSql),
         e AS (SELECT vec_id, v FROM e0
               UNION ALL
-              SELECT vec_id + 1000000 AS vec_id,
+              SELECT -vec_id - 1 AS vec_id,
                 list_transform(v, x -> CAST(CAST(x * 1.02e0 + 0.01e0 AS FLOAT) AS DOUBLE)) AS v
               FROM e0 WHERE vec_id % 50 = 0),
         eb AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
         qp AS (SELECT vec_id, v, xor(CAST(bucket AS BIGINT), f) AS bucket
                FROM eb CROSS JOIN (VALUES $flips) t(f)
-               WHERE vec_id >= 1000000),
+               WHERE vec_id < 0),
         c AS (SELECT n.vec_id AS train_id, q.vec_id AS eval_id,
                 ${cosSql("n.v", "q.v")} AS cos
               FROM qp q JOIN eb n ON q.bucket = CAST(n.bucket AS BIGINT)
-              WHERE n.vec_id < 1000000)
+              WHERE n.vec_id >= 0)
         SELECT train_id, eval_id, cos FROM c WHERE cos >= 0.8e0
         ORDER BY train_id, eval_id"""
       }),
