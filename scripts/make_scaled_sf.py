@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Synthesize a larger scale factor from sf0.1 by unioning N
+consistently key-shifted copies (the r11/r13 rehearsal recipe, made
+durable). Every key column is dense 0..card-1 in the driver's
+testdata, so per-copy offsets = the table cardinality, rounded up to
+a multiple of 50 (region 5->50, nation 25->50) so `% 50`-style probe
+predicates keep their residues. Foreign keys shift by the REFERENCED
+table's offset, so the star schema stays consistent per copy.
+
+Usage: make_scaled_sf.py <copies> <out_dir> [src_dir=/root/testdata/sf0.1]
+e.g.   make_scaled_sf.py 100 /tmp/sf10   # = sf10, ~1.7 GB
+"""
+import os
+import sys
+
+import duckdb
+
+# offsets keyed by the BASE table whose key space they extend
+OFF = {"region": 50, "nation": 50, "customer": 15000, "supplier": 1000,
+       "part": 20000, "orders": 150000, "lineitem": 600000,
+       "events": 100000, "events_user": 1500, "documents": 5000,
+       "embeddings": 2000}
+
+# table -> [(column, base_offset_key)]; unlisted columns pass through
+SHIFTS = {
+    "region":    [("r_regionkey", "region")],
+    "nation":    [("n_nationkey", "nation"), ("n_regionkey", "region")],
+    "customer":  [("c_custkey", "customer"), ("c_nationkey", "nation")],
+    "supplier":  [("s_suppkey", "supplier"), ("s_nationkey", "nation")],
+    "part":      [("p_partkey", "part")],
+    "orders":    [("o_orderkey", "orders"), ("o_custkey", "customer")],
+    "lineitem":  [("l_orderkey", "orders"), ("l_partkey", "part"),
+                  ("l_suppkey", "supplier")],
+    "events":    [("event_id", "events"), ("user_id", "events_user")],
+    "documents": [("doc_id", "documents")],
+    "embeddings": [("vec_id", "embeddings")],
+}
+
+
+def main(copies: int, out_dir: str, src: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for table, shifts in SHIFTS.items():
+        f = f"{src}/{table}.parquet"
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{f}')").fetchall()]
+        shifted = dict(shifts)
+        sel = ", ".join(
+            f"{c} + i * {OFF[shifted[c]]} AS {c}" if c in shifted else c
+            for c in cols)
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{f}'), "
+            f"range({copies}) t(i) ORDER BY i) "
+            f"TO '{out_dir}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out_dir}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), sys.argv[2],
+         sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1")
