@@ -8,7 +8,13 @@ predicates keep their residues. Foreign keys shift by the REFERENCED
 table's offset, so the star schema stays consistent per copy.
 
 Usage: make_scaled_sf.py <copies> <out_dir> [src_dir=/root/testdata/sf0.1]
+         [--no-order]
 e.g.   make_scaled_sf.py 100 /tmp/sf10   # = sf10, ~1.7 GB
+
+--no-order skips the ORDER BY i that keeps copies contiguous (a
+row-group-pruning nicety for `% m` shard predicates, irrelevant to
+correctness): at copies >= 1000 the 600M-row lineitem sort would
+spill for no benefit.
 """
 import os
 import sys
@@ -37,7 +43,7 @@ SHIFTS = {
 }
 
 
-def main(copies: int, out_dir: str, src: str) -> None:
+def main(copies: int, out_dir: str, src: str, order: bool) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -49,16 +55,19 @@ def main(copies: int, out_dir: str, src: str) -> None:
         sel = ", ".join(
             f"{c} + i * {OFF[shifted[c]]} AS {c}" if c in shifted else c
             for c in cols)
+        ob = " ORDER BY i" if order else ""
         con.execute(
             f"COPY (SELECT {sel} FROM read_parquet('{f}'), "
-            f"range({copies}) t(i) ORDER BY i) "
+            f"range({copies}) t(i){ob}) "
             f"TO '{out_dir}/{table}.parquet' (FORMAT PARQUET)")
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out_dir}/{table}.parquet')"
         ).fetchone()[0]
-        print(f"{table}: {n} rows")
+        print(f"{table}: {n} rows", flush=True)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), sys.argv[2],
-         sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1")
+    args = [a for a in sys.argv[1:] if a != "--no-order"]
+    main(int(args[0]), args[1],
+         args[2] if len(args) > 2 else "/root/testdata/sf0.1",
+         order="--no-order" not in sys.argv)
