@@ -3451,27 +3451,29 @@ object PipelineQueries {
     // ---- relational breadth on the star schema ----
 
     QueryDef("q_lineitem_pricing",
-      // money sums are rounded to 3 decimals on BOTH engines: the
-      // DOUBLE→DECIMAL(18,6) per-row cast can round differently between
-      // engines (shortest-string vs exact-binary double conversion) and
-      // at 10^7 magnitudes the usual 9-decimal trick overflows the
-      // double mantissa (x·1e9 > 2^53) — milli-precision is exact there
-      // and absorbs the cast divergence.
+      // money sums are exact DECIMAL sums rounded HALF-UP to 3 decimals
+      // IN DECIMAL SPACE, then cast to double ONCE: both engines round
+      // the identical exact decimal, so the result is bit-equal at any
+      // magnitude. (The previous milli-trick did the rounding in double
+      // space — floor(x·1e3 + 0.5) — which silently breaks once the
+      // group sum passes ~2^51/1e3 ≈ 2.25e12, where x·1e3 has ulp 0.5
+      // and the floor goes addition-order-dependent: found as a real
+      // 2-ulp mismatch at the sf100 rehearsal's 600M-row Q1 groups.)
       (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
         .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count("*").as("n"),
           expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)").as("sum_qty"),
-          expr("floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3").as("sum_base"),
-          expr("floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3")
+          expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 3) AS DOUBLE)").as("sum_base"),
+          expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0e0 - l_discount AS DECIMAL(18,6))), 3) AS DOUBLE)")
             .as("sum_disc_price"))
         .withColumn("avg_qty", expr("sum_qty / CAST(n AS DOUBLE)"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-          floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3 AS sum_base,
-          floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3 AS sum_disc_price,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 3) AS DOUBLE) AS sum_base,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0e0 - l_discount AS DECIMAL(18,6))), 3) AS DOUBLE) AS sum_disc_price,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY 1, 2 ORDER BY 1, 2""")),
@@ -3522,12 +3524,15 @@ object PipelineQueries {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy("n_name")
           .agg(count("*").as("n_orders"),
-            expr("floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3")
+            // decimal-space round: see q_lineitem_pricing — n_name is
+            // shared across the whole corpus, so this group sum also
+            // grows unboundedly with scale
+            expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 3) AS DOUBLE)")
               .as("revenue"))
           .orderBy("n_name")
       },
       Some("""SELECT n_name, count(*) AS n_orders,
-          floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) * 1.0e3 + 0.5e0) / 1.0e3 AS revenue
+          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 3) AS DOUBLE) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1 ORDER BY 1""")),
@@ -3542,8 +3547,10 @@ object PipelineQueries {
       // shuffle in the whole query is the lineitem⋈orders equi-join +
       // the final 25-group agg. The region filter prunes through the
       // broadcast chain before the fact join; revenue is an exact
-      // DECIMAL sum (order-invariant) rounded half-up to 1e-3 at the
-      // end (the floor(x*1e3 + 0.5)/1e3 trick, identical both engines).
+      // DECIMAL sum (order-invariant) rounded half-up to 1e-3 IN
+      // DECIMAL SPACE, then cast to double once (see
+      // q_lineitem_pricing — n_name groups grow with the corpus, so a
+      // double-space milli-round goes order-dependent past ~2.25e12).
       (s, dir) => {
         val l = s.read.parquet(s"$dir/lineitem.parquet")
         val o = Temporal.loadOrders(s, dir)
@@ -3563,15 +3570,14 @@ object PipelineQueries {
           .groupBy("n_name")
           .agg(
             count(lit(1)).as("n_lineitems"),
-            expr("""floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
-                * 1.0e3 + 0.5e0) / 1.0e3""").as("revenue"))
+            expr("""CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                * CAST(1.0e0 - l_discount AS DECIMAL(18,6))), 3) AS DOUBLE)""")
+              .as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
       Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_lineitems,
-          floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-            * CAST(1.0e0 - l_discount AS DECIMAL(18,6))) AS DOUBLE)
-            * 1.0e3 + 0.5e0) / 1.0e3 AS revenue
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+            * CAST(1.0e0 - l_discount AS DECIMAL(18,6))), 3) AS DOUBLE) AS revenue
         FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
