@@ -8,22 +8,42 @@ predicates keep their residues. Foreign keys shift by the REFERENCED
 table's offset, so the star schema stays consistent per copy.
 
 Usage: make_scaled_sf.py <copies> <out_dir> [src_dir=/root/testdata/sf0.1]
-         [--no-order]
+         [--no-order] [--perturb]
 e.g.   make_scaled_sf.py 100 /tmp/sf10   # = sf10, ~1.7 GB
 
 --no-order skips the ORDER BY i that keeps copies contiguous (a
 row-group-pruning nicety for `% m` shard predicates, irrelevant to
 correctness): at copies >= 1000 the 600M-row lineitem sort would
 spill for no benefit.
+
+--perturb (r13 verdict #4) de-clones the CONTENT columns so near-dup
+fixtures stop being quadratic-by-artifact (1000 identical text/vector
+copies make every cross-copy pair a duplicate — pair output quadratic
+in copies, a synthetic artifact the real engine path never sees):
+ - documents.text: every token gets a per-copy tag prefix (c<i>_) — a
+   bijective per-copy token map, so WITHIN a copy every shingle/token
+   measure (MinHash Jaccard, SimHash, n-gram overlap) is preserved
+   exactly, while across copies shingle sets share nothing; n_chars is
+   recomputed to keep the generator's n_chars = length(text) invariant;
+ - embeddings.embedding: dimensions rotated by (copy %% 64) — norms
+   and within-copy cosines are preserved exactly (same rotation both
+   sides of any within-copy pair), cross-copy cosines decorrelate.
+   Copies 64 apart repeat the rotation, so residual exact-clone groups
+   are bounded at ~copies/64 per source vector — linear, not the
+   all-copies clique.
+Unperturbed runs stay the default so walls remain comparable with the
+r13 ladder artifacts.
 """
 import os
 import sys
 
 import duckdb
 
-# offsets keyed by the BASE table whose key space they extend
+# offsets keyed by the BASE table whose key space they extend.
+# (lineitem itself has no key of its own to shift — its l_orderkey /
+# l_partkey / l_suppkey shift by the referenced tables' offsets.)
 OFF = {"region": 50, "nation": 50, "customer": 15000, "supplier": 1000,
-       "part": 20000, "orders": 150000, "lineitem": 600000,
+       "part": 20000, "orders": 150000,
        "events": 100000, "events_user": 1500, "documents": 5000,
        "embeddings": 2000}
 
@@ -42,8 +62,20 @@ SHIFTS = {
     "embeddings": [("vec_id", "embeddings")],
 }
 
+_TEXT = "regexp_replace(text, '(\\S+)', 'c' || i || '_\\1', 'g')"
+# content-column rewrites under --perturb; keyed (table, column)
+PERTURB = {
+    ("documents", "text"): f"{_TEXT} AS text",
+    ("documents", "n_chars"): f"CAST(length({_TEXT}) AS BIGINT) AS n_chars",
+    ("embeddings", "embedding"):
+        "CASE WHEN i % 64 = 0 THEN embedding "
+        "ELSE CAST(embedding[(i % 64 + 1):64] || embedding[1:(i % 64)] "
+        "AS FLOAT[]) END AS embedding",
+}
 
-def main(copies: int, out_dir: str, src: str, order: bool) -> None:
+
+def main(copies: int, out_dir: str, src: str, order: bool,
+         perturb: bool) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -53,7 +85,9 @@ def main(copies: int, out_dir: str, src: str, order: bool) -> None:
             f"DESCRIBE SELECT * FROM read_parquet('{f}')").fetchall()]
         shifted = dict(shifts)
         sel = ", ".join(
-            f"{c} + i * {OFF[shifted[c]]} AS {c}" if c in shifted else c
+            PERTURB[(table, c)] if perturb and (table, c) in PERTURB
+            else f"{c} + i * {OFF[shifted[c]]} AS {c}" if c in shifted
+            else c
             for c in cols)
         ob = " ORDER BY i" if order else ""
         con.execute(
@@ -67,7 +101,9 @@ def main(copies: int, out_dir: str, src: str, order: bool) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--no-order"]
+    flags = {"--no-order", "--perturb"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     main(int(args[0]), args[1],
          args[2] if len(args) > 2 else "/root/testdata/sf0.1",
-         order="--no-order" not in sys.argv)
+         order="--no-order" not in sys.argv,
+         perturb="--perturb" in sys.argv)

@@ -25,11 +25,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Default dump is coalesce(1) — the driver's DuckDB compare reads
+    // one file per query and the gate-scale results are tiny. For
+    // SCALE rehearsals the single-task sink is a measurement artifact
+    // (r13 verdict: per-doc-output queries at sf10 were write-bound —
+    // q_quality_classifier 0.09 s compute vs 116.6 s wall), so
+    // SPARK_GRAFT_DUMP_PARALLEL=1 writes with natural parallelism and
+    // the multiset compare (scripts/compare_big.py) reads the
+    // directory glob — correctness identical, walls honest.
+    val singleFile = !sys.env.get("SPARK_GRAFT_DUMP_PARALLEL").contains("1")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val res = fn(spark, sfDir)
+          (if (singleFile) res.coalesce(1) else res)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }
