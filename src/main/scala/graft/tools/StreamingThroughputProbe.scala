@@ -68,10 +68,12 @@ object StreamingThroughputProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def probe(name: String)(plan: DataFrame => DataFrame): Unit = {
+    def probe(name: String, mode: String = "append")
+             (plan: DataFrame => DataFrame): Unit = {
       val ckpt = s"/root/repo/target/spark-tmp/stream_probe_${name}_${ProcessHandle.current.pid}"
       val out = plan(synthEvents(spark, users, rowsPerBatch))
       val q = out.writeStream.format("noop")
+        .outputMode(mode) // funnelStream is an Update-mode operator
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime(0L))
         .start()
@@ -116,7 +118,7 @@ object StreamingThroughputProbe {
       probe("sessionizeStream")(ev =>
         StreamingOps.sessionizeStream(spark, ev, gapMinutes = 30).toDF())
     if (ops("funnel"))
-      probe("funnelStream")(ev =>
+      probe("funnelStream", mode = "update")(ev =>
         StreamingOps.funnelStream(spark, ev, Seq("t0", "t1", "t2")))
     if (ops("anomaly"))
       probe("rollingAnomalyStream")(ev =>
