@@ -8,8 +8,13 @@ predicates keep their residues. Foreign keys shift by the REFERENCED
 table's offset, so the star schema stays consistent per copy.
 
 Usage: make_scaled_sf.py <copies> <out_dir> [src_dir=/root/testdata/sf0.1]
-         [--no-order] [--perturb]
+         [--no-order] [--perturb] [--tables t1,t2]
 e.g.   make_scaled_sf.py 100 /tmp/sf10   # = sf10, ~1.7 GB
+
+--tables restricts synthesis to a comma-list (e.g. a perturbed variant
+of an existing unperturbed dir only differs in documents,embeddings —
+synthesize those two and symlink the other eight, ~16 GB saved at
+sf100).
 
 --no-order skips the ORDER BY i that keeps copies contiguous (a
 row-group-pruning nicety for `% m` shard predicates, irrelevant to
@@ -21,16 +26,20 @@ fixtures stop being quadratic-by-artifact (1000 identical text/vector
 copies make every cross-copy pair a duplicate — pair output quadratic
 in copies, a synthetic artifact the real engine path never sees):
  - documents.text: every token gets a per-copy tag prefix (c<i>_) — a
-   bijective per-copy token map, so WITHIN a copy every shingle/token
-   measure (MinHash Jaccard, SimHash, n-gram overlap) is preserved
-   exactly, while across copies shingle sets share nothing; n_chars is
-   recomputed to keep the generator's n_chars = length(text) invariant;
- - embeddings.embedding: dimensions rotated by (copy %% 64) — norms
-   and within-copy cosines are preserved exactly (same rotation both
-   sides of any within-copy pair), cross-copy cosines decorrelate.
-   Copies 64 apart repeat the rotation, so residual exact-clone groups
-   are bounded at ~copies/64 per source vector — linear, not the
-   all-copies clique.
+   bijective per-copy token map, so WITHIN a copy every TOKEN-IDENTITY
+   measure (token-set / token-shingle Jaccard and overlap — the MinHash
+   and n-gram-shingle fixtures) is preserved exactly, while across
+   copies shingle sets share nothing. Measures that read token BYTES
+   rather than token identity are NOT invariant (SimHash bit distances
+   between non-identical docs, character-level n-grams): every token's
+   bytes change under the c<i>_ prefix. n_chars is recomputed to keep
+   the generator's n_chars = length(text) invariant;
+ - embeddings.embedding: dimensions rotated by (copy %% dim), dim
+   derived from len(embedding) per row — norms and within-copy cosines
+   are preserved exactly (same rotation both sides of any within-copy
+   pair), cross-copy cosines decorrelate. Copies `dim` apart repeat
+   the rotation, so residual exact-clone groups are bounded at
+   ~copies/dim per source vector — linear, not the all-copies clique.
 Unperturbed runs stay the default so walls remain comparable with the
 r13 ladder artifacts.
 """
@@ -67,19 +76,25 @@ _TEXT = "regexp_replace(text, '(\\S+)', 'c' || i || '_\\1', 'g')"
 PERTURB = {
     ("documents", "text"): f"{_TEXT} AS text",
     ("documents", "n_chars"): f"CAST(length({_TEXT}) AS BIGINT) AS n_chars",
+    # rotation amount i % len(embedding): dim-derived, not hardcoded
+    # (r14 advice #3 — a non-64-dim fixture would otherwise silently
+    # produce wrong-length arrays)
     ("embeddings", "embedding"):
-        "CASE WHEN i % 64 = 0 THEN embedding "
-        "ELSE CAST(embedding[(i % 64 + 1):64] || embedding[1:(i % 64)] "
-        "AS FLOAT[]) END AS embedding",
+        "CASE WHEN i % len(embedding) = 0 THEN embedding "
+        "ELSE CAST(embedding[(i % len(embedding) + 1):len(embedding)] "
+        "|| embedding[1:(i % len(embedding))] AS FLOAT[]) "
+        "END AS embedding",
 }
 
 
 def main(copies: int, out_dir: str, src: str, order: bool,
-         perturb: bool) -> None:
+         perturb: bool, tables: list[str] | None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for table, shifts in SHIFTS.items():
+        if tables and table not in tables:
+            continue
         f = f"{src}/{table}.parquet"
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{f}')").fetchall()]
@@ -101,9 +116,16 @@ def main(copies: int, out_dir: str, src: str, order: bool,
 
 
 if __name__ == "__main__":
+    argv = sys.argv[1:]
+    tables = None
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        tables = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2:]
     flags = {"--no-order", "--perturb"}
-    args = [a for a in sys.argv[1:] if a not in flags]
+    args = [a for a in argv if a not in flags]
     main(int(args[0]), args[1],
          args[2] if len(args) > 2 else "/root/testdata/sf0.1",
-         order="--no-order" not in sys.argv,
-         perturb="--perturb" in sys.argv)
+         order="--no-order" not in argv,
+         perturb="--perturb" in argv,
+         tables=tables)

@@ -525,7 +525,7 @@ object Bench {
       headPhase.qstats.map { case (n, s) => n -> s.min }
 
     // per-kernel budget gate over contract AND headline minima
-    val budgetViolations: Seq[(String, Double, Double)] =
+    val kernelBudgetViolations: Seq[(String, Double, Double)] =
       (qstats ++ headPhase.qstats).flatMap { case (n, s) =>
         s.min.flatMap(m => budgetViolation(n, m)) }
     val unbudgeted: Seq[String] =
@@ -545,6 +545,25 @@ object Bench {
     val contractTotalClean = qstats.collect {
       case (_, s) if s.okCount == totalRounds && !s.loadContaminated => s.min.get
     }.sum
+
+    // r14 verdict #7: contract-TOTAL tripwire. Two consecutive
+    // all-noise drifts in the same direction (+15% over r13→r14, zero
+    // queries outside the 1.3×+0.3 s band) passed the per-kernel gate
+    // by construction — 150 small uniform moves never trip a 3× pin.
+    // BUDGETS.tsv's __contract_total__ row pins a HARD ceiling on the
+    // clean contract total (value already includes its 1.25×
+    // allowance over the committed clean min), compared directly: a
+    // third drift round becomes a gated n_slow event, not a judgment
+    // call. Only the CLEAN total gates — a query failing or
+    // load-contaminated already reports through its own fields, and
+    // the clean total is the round-over-round comparable statistic.
+    val totalViolation: Seq[(String, Double, Double)] =
+      if (!budgetsActive) Nil
+      else budgets.get("__contract_total__").collect {
+        case b if contractTotalClean > b =>
+          ("__contract_total__", contractTotalClean, b)
+      }.toSeq
+    val budgetViolations = kernelBudgetViolations ++ totalViolation
 
     // ---- full artifact file: everything the 2000-char stdout tail
     // cannot hold — per-query minima, per-round spread (negative =

@@ -45,8 +45,10 @@ object PipelineQueries {
   // cap at sf10 for the two r13 additions, q_dedup_minhash and
   // q_ngram_jaccard) while the engine answers in seconds — so scale
   // sweeps couldn't run fully inside
-  // check_oracle. Fix: those ten queries (BOTH engines, identically)
-  // restrict their input to a deterministic hash shard whose MODULUS
+  // check_oracle. Fix: those queries (ten at r11; the audio pair
+  // joined at r15 — per-doc-linear but unnest-volume-bound in DuckDB)
+  // restrict their input, BOTH engines identically, to a
+  // deterministic shard whose MODULUS
   // adapts to the data: ceil(rowcount / cap) with cap = the sf0.1 row
   // count. At every scale up to and including the bench scale the
   // modulus is 1 — no filter on the Spark side (plans and pins
@@ -60,6 +62,20 @@ object PipelineQueries {
 
   private val docShardCap = 5000L // = the sf0.1 documents row count
   private val embShardCap = 2000L // = the sf0.1 embeddings row count
+
+  // The DOCUMENT shard keeps doc_id RANGES (blocks of 1000 contiguous
+  // ids, every m-th block), not strides (r14 verdict #3): the
+  // generator's planted near-dup pairs are id-ADJACENT, so a stride
+  // shard at modulus m keeps 1-in-m docs but ~0 planted pairs — the
+  // sharded dedup oracles at sf10/sf100 agreed on an empty relation
+  // (0 = 0, vacuous). Block-clustered keeps both endpoints of any
+  // pair that lands inside a block (only block-boundary pairs are
+  // lost), so the sharded pair oracles carry NONZERO planted-pair
+  // evidence at every rung, while kept volume stays ≈ cap docs spread
+  // across the corpus (ceil(count/cap) blocks apart). At modulus 1
+  // (every scale ≤ sf0.1) the predicate is a tautology on both
+  // engines — results and plans bit-identical to the unsharded form.
+  private val docShardBlock = 1000L
 
   private def shardModulus(n: Long, cap: Long): Long = (n + cap - 1) / cap
 
@@ -80,7 +96,7 @@ object PipelineQueries {
   private def docsSharded(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val m = cachedModulus(d, s"$dir/documents.parquet", docShardCap)
-    if (m > 1) d.filter(s"doc_id % $m = 0") else d
+    if (m > 1) d.filter(s"(doc_id div $docShardBlock) % $m = 0") else d
   }
 
   private def embSharded(s: SparkSession, dir: String): DataFrame = {
@@ -93,7 +109,7 @@ object PipelineQueries {
     * subquery over the same table, so it equals the Spark side's
     * driver-computed value by construction. */
   private val docShardSql =
-    s"doc_id % (SELECT (count(*) + ${docShardCap - 1}) // $docShardCap FROM documents) = 0"
+    s"(doc_id // $docShardBlock) % (SELECT (count(*) + ${docShardCap - 1}) // $docShardCap FROM documents) = 0"
   private val embShardSql =
     s"vec_id % (SELECT (count(*) + ${embShardCap - 1}) // $embShardCap FROM embeddings) = 0"
 
@@ -2320,9 +2336,17 @@ object PipelineQueries {
       // statistics (peak, energy, zero crossings — exact on both
       // engines, no float ULP risk). The oracle regenerates the same
       // PCM from the content hash and aggregates it declaratively.
+      // Doc-sharded since r15 (r14 verdict #1): the oracle is per-doc
+      // LINEAR but materializes ~1150 synthetic samples per doc — at
+      // 5M docs DuckDB spills on the 5.75B-row unnest, so the sf100
+      // rung was stuck oracle-at-sf10. The adaptive block shard
+      // (identity ≤ sf0.1) holds the oracle's unnest at sf0.1 volume
+      // at every rung while the ENGINE payload path stays exercised
+      // on real sharded data end-to-end.
       (s, dir) => Multimodal.decodeWavFeatures(s,
-        Multimodal.withWavPayload(s, docs(s, dir))).orderBy("doc_id"),
-      Some(s"""WITH hh AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+        Multimodal.withWavPayload(s, docsSharded(s, dir))).orderBy("doc_id"),
+      Some(s"""WITH hh AS (SELECT doc_id, ${h60("text")} AS h FROM documents
+          WHERE $docShardSql),
         spec AS (SELECT doc_id,
             CAST(CASE h % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                  WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
@@ -2345,11 +2369,13 @@ object PipelineQueries {
       // decode → decimate by 2 (keep every 2nd sample — the audio twin
       // of the 2x image downscale) → features of the RESAMPLED signal;
       // zero crossings re-counted over the kept subsequence, so a
-      // wrong stride or offset breaks the hash
+      // wrong stride or offset breaks the hash. Doc-sharded since r15
+      // (r14 verdict #1) — same rationale as q_audio_decode.
       (s, dir) => Multimodal.resampleWav(s,
-        Multimodal.withWavPayload(s, docs(s, dir)), factor = 2)
+        Multimodal.withWavPayload(s, docsSharded(s, dir)), factor = 2)
         .orderBy("doc_id"),
-      Some(s"""WITH hh AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+      Some(s"""WITH hh AS (SELECT doc_id, ${h60("text")} AS h FROM documents
+          WHERE $docShardSql),
         spec AS (SELECT doc_id,
             CAST(CASE h % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                  WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,

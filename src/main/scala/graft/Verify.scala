@@ -1,9 +1,46 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Per-query physical telemetry (r14 verdict #4): walls alone can
+    * hide super-linear SHUFFLE growth behind parallelism, so every
+    * Verify dump also records per-query shuffle read/write bytes,
+    * spill, and input bytes. Attribution is by job group — queries are
+    * tagged with their name via setJobGroup before running, jobs map
+    * their stages to the group at submission, and stage-completion
+    * events (which may arrive after the query returns — the listener
+    * bus is async) fold into the right bucket regardless of timing. */
+  private final class QueryMetricsListener extends SparkListener {
+    final class Tot {
+      var shuffleRead = 0L; var shuffleWrite = 0L
+      var spillDisk = 0L; var spillMem = 0L; var input = 0L
+    }
+    private val stageToQuery = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val totals = new java.util.concurrent.ConcurrentHashMap[String, Tot]()
+    override def onJobStart(j: SparkListenerJobStart): Unit = {
+      val g = Option(j.properties).flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      g.foreach(q => j.stageInfos.foreach(si => stageToQuery.put(si.stageId, q)))
+    }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      Option(stageToQuery.get(si.stageId)).foreach { q =>
+        val t = totals.computeIfAbsent(q, _ => new Tot)
+        val m = si.taskMetrics
+        if (m != null) t.synchronized {
+          t.shuffleRead += m.shuffleReadMetrics.totalBytesRead
+          t.shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+          t.spillDisk += m.diskBytesSpilled
+          t.spillMem += m.memoryBytesSpilled
+          t.input += m.inputMetrics.bytesRead
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg (dev only — the driver passes two): comma-
@@ -24,6 +61,8 @@ object Verify {
       .config("spark.local.dir", "/root/repo/target/spark-tmp")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     new java.io.File(outDir).mkdirs()
     // Default dump is coalesce(1) — the driver's DuckDB compare reads
     // one file per query and the gate-scale results are tiny. For
@@ -34,15 +73,19 @@ object Verify {
     // the multiset compare (scripts/compare_big.py) reads the
     // directory glob — correctness identical, walls honest.
     val singleFile = !sys.env.get("SPARK_GRAFT_DUMP_PARALLEL").contains("1")
+    val wallsSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))
         try {
+          spark.sparkContext.setJobGroup(name, s"verify $name")
+          val t0 = System.nanoTime()
           val res = fn(spark, sfDir)
           (if (singleFile) res.coalesce(1) else res)
             .write.mode("overwrite").parquet(s"$outDir/$name")
+          wallsSec(name) = (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+        } finally spark.sparkContext.clearJobGroup()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -59,6 +102,17 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // drain the async listener bus before snapshotting the totals —
+    // the last query's stage-completion events may still be in flight
+    Thread.sleep(2000)
+    val mj = wallsSec.map { case (name, w) =>
+      val t = Option(metrics.totals.get(name)).getOrElse(new metrics.Tot)
+      s"${q(name)}: {" +
+        f""""wall_s": $w%.3f, "shuffle_read_b": ${t.shuffleRead}, """ +
+        s""""shuffle_write_b": ${t.shuffleWrite}, "spill_disk_b": ${t.spillDisk}, """ +
+        s""""spill_mem_b": ${t.spillMem}, "input_b": ${t.input}}"""
+    }.mkString("{\n", ",\n", "\n}\n")
+    Files.writeString(Paths.get(s"$outDir/metrics.json"), mj)
     spark.stop()
   }
 }

@@ -1,7 +1,9 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import scala.jdk.CollectionConverters._
 import graft.streaming.StreamingOps
 
 /** Streaming THROUGHPUT evidence (r13 verdict #6): the streaming
@@ -26,8 +28,23 @@ import graft.streaming.StreamingOps
   * steady-state numbers, not an unbounded accumulation artifact. The
   * noop sink executes the full plan and discards rows.
   *
+  * `--recovery` (r14 verdict #6) runs the CRASH-RECOVERY contract at
+  * the same scale instead of the throughput sweep: sessionizeStream
+  * is run twice over the identical deterministic input — once
+  * uninterrupted (baseline), once hard-stopped at `--kill-at` batches
+  * and restarted from its checkpoint — with a batchId-keyed idempotent
+  * sink (the documented exactly-once recipe: replayed batch ids
+  * overwrite, so at-least-once delivery collapses to exactly-once
+  * results). The two runs' emitted-session multisets must agree
+  * exactly (row count + order-independent xxhash64 content checksum);
+  * any difference exits non-zero. rate-micro-batch checkpoints its
+  * offsets and rows are a pure function of offset, so the replayed
+  * input is bit-identical by construction and the assertion isolates
+  * the ENGINE's state-store + WAL recovery.
+  *
   * Usage: runMain graft.tools.StreamingThroughputProbe
   *          [--rows N] [--batch N] [--users N] [--ops a,b,c]
+  *          [--recovery] [--kill-at N]
   * Prints one JSON line per operator; paste into PLANS.md.
   */
 object StreamingThroughputProbe {
@@ -56,6 +73,8 @@ object StreamingThroughputProbe {
     val rowsPerBatch = optArg("--batch", "2000000").toLong
     val users = optArg("--users", "1500000").toLong
     val ops = optArg("--ops", "sessionize,funnel,anomaly").split(',').toSet
+    val recovery = args.contains("--recovery")
+    val killAt = optArg("--kill-at", "25").toInt
 
     new java.io.File("/root/repo/target/spark-tmp").mkdirs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,6 +87,48 @@ object StreamingThroughputProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // probe hygiene: checkpoints are throwaway
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+
+    /** Drive `q` until `rows` input rows are processed (or it dies).
+      * Drains recentProgress deduped by batchId each poll (r14 advice
+      * #1: sampling lastProgress misses batches faster than the poll
+      * interval — rows undercounted, percentiles biased), and after
+      * the loop surfaces q.exception as a non-zero exit instead of a
+      * normal-looking partial JSON line (r14 advice #2). Returns
+      * (rows, batch walls, state rows, state mem) from the drained
+      * progress stream. */
+    def drive(q: StreamingQuery, rows: Long): (Long, List[Double], Long, Long) = {
+      var seen = Set.empty[Long]
+      var n = 0L
+      var walls = List.empty[Double]
+      var stateRows = -1L
+      var stateMem = -1L
+      while (n < rows && q.isActive) {
+        Thread.sleep(200)
+        q.recentProgress.foreach { p =>
+          if (p.numInputRows > 0 && !seen.contains(p.batchId)) {
+            seen += p.batchId
+            n += p.numInputRows
+            walls ::= p.batchDuration / 1000.0
+            if (p.stateOperators.nonEmpty) {
+              stateRows = p.stateOperators.map(_.numRowsTotal).sum
+              stateMem = p.stateOperators.map(_.memoryUsedBytes).sum
+            }
+          }
+        }
+      }
+      q.exception.foreach { e =>
+        System.err.println(s"[probe] streaming query FAILED: $e")
+        spark.stop()
+        sys.exit(2)
+      }
+      (n, walls, stateRows, stateMem)
+    }
+
     def probe(name: String, mode: String = "append")
              (plan: DataFrame => DataFrame): Unit = {
       val ckpt = s"/root/repo/target/spark-tmp/stream_probe_${name}_${ProcessHandle.current.pid}"
@@ -78,25 +139,7 @@ object StreamingThroughputProbe {
         .trigger(Trigger.ProcessingTime(0L))
         .start()
       val t0 = System.nanoTime()
-      var rows = 0L
-      var walls = List.empty[Double]
-      var stateRows = -1L
-      var stateMem = -1L
-      var lastBatch = -1L
-      while (rows < totalRows && q.isActive) {
-        Thread.sleep(500)
-        Option(q.lastProgress).foreach { p =>
-          if (p.batchId != lastBatch && p.numInputRows > 0) {
-            lastBatch = p.batchId
-            rows += p.numInputRows
-            walls ::= p.batchDuration / 1000.0
-            if (p.stateOperators.nonEmpty) {
-              stateRows = p.stateOperators.map(_.numRowsTotal).sum
-              stateMem = p.stateOperators.map(_.memoryUsedBytes).sum
-            }
-          }
-        }
-      }
+      val (rows, walls, stateRows, stateMem) = drive(q, totalRows)
       val wall = (System.nanoTime() - t0) / 1e9
       q.stop()
       val ws = walls.sorted
@@ -106,23 +149,101 @@ object StreamingThroughputProbe {
         f""""events_per_s":${rows / wall}%.0f,"batches":${ws.size},""" +
         f""""batch_wall_p50_s":${pct(0.5)}%.2f,"batch_wall_p95_s":${pct(0.95)}%.2f,""" +
         f""""state_rows":$stateRows,"state_mem_mb":${stateMem / 1048576.0}%.1f}""")
-      // probe hygiene: the checkpoint is throwaway
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete(); ()
-      }
       rm(new java.io.File(ckpt))
     }
 
-    if (ops("sessionize"))
-      probe("sessionizeStream")(ev =>
-        StreamingOps.sessionizeStream(spark, ev, gapMinutes = 30).toDF())
-    if (ops("funnel"))
-      probe("funnelStream", mode = "update")(ev =>
-        StreamingOps.funnelStream(spark, ev, Seq("t0", "t1", "t2")))
-    if (ops("anomaly"))
-      probe("rollingAnomalyStream")(ev =>
-        StreamingOps.rollingAnomalyStream(spark, ev).toDF())
+    /** Crash-recovery contract at throughput scale (r14 verdict #6).
+      * The sink is foreachBatch keyed by batchId into a driver map of
+      * per-batch (row count, order-independent content checksum) — one
+      * bounded row per batch reaches the driver, never session rows.
+      * A replayed batchId OVERWRITES its slot: that is the idempotent
+      * batch-id-keyed sink Structured Streaming's exactly-once story
+      * requires, and the map doubles as the replay detector.
+      *
+      * rate-micro-batch never ends, so both runs are compared over the
+      * SAME deterministic batch window [0, nBatches): rows are a pure
+      * function of the checkpointed offset, batch b's emitted sessions
+      * are a pure function of batches < b, and any extra batch the
+      * stop race lets through (bid >= nBatches) is excluded from both
+      * sides — the comparison isolates state-store + offset-WAL
+      * recovery, not stop-timing luck. */
+    def recoveryProbe(): Unit = {
+      val pid = ProcessHandle.current.pid
+      val nBatches = (totalRows / rowsPerBatch).toInt
+      require(killAt > 0 && killAt < nBatches,
+        s"--kill-at $killAt out of (0, $nBatches)")
+
+      def runOnce(ckpt: String, sink: scala.collection.concurrent.Map[Long, (Long, Long)],
+                  stopAfterBatches: Int): Unit = {
+        val out = StreamingOps.sessionizeStream(
+          spark, synthEvents(spark, users, rowsPerBatch), gapMinutes = 30).toDF()
+        val cols = out.columns.map(col(_)).toSeq
+        val q = out.writeStream
+          .foreachBatch { (df: DataFrame, bid: Long) =>
+            val r = df.agg(
+              count(lit(1)).as("c"),
+              sum(xxhash64(struct(cols: _*))).as("h")).head()
+            sink.put(bid, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+            ()
+          }
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.ProcessingTime(0L))
+          .start()
+        def shouldStop =
+          if (stopAfterBatches > 0) sink.size >= stopAfterBatches
+          else (0 until nBatches).forall(b => sink.contains(b.toLong))
+        while (q.isActive && !shouldStop) Thread.sleep(200)
+        q.stop() // mid-stream: the in-flight batch replays on restart
+        q.exception.foreach { e =>
+          System.err.println(s"[probe] recovery query FAILED: $e")
+          spark.stop()
+          sys.exit(2)
+        }
+      }
+
+      // baseline: uninterrupted
+      val ckptA = s"/root/repo/target/spark-tmp/stream_rec_base_$pid"
+      val sinkA = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]().asScala
+      runOnce(ckptA, sinkA, stopAfterBatches = -1)
+
+      // killed + restarted from the same checkpoint
+      val ckptB = s"/root/repo/target/spark-tmp/stream_rec_kill_$pid"
+      val sinkB = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]().asScala
+      runOnce(ckptB, sinkB, stopAfterBatches = killAt)
+      val preRestart = sinkB.keySet.toSet
+      runOnce(ckptB, sinkB, stopAfterBatches = -1)
+      val replayed = sinkB.keySet.toSet.intersect(preRestart).size
+
+      def tot(m: scala.collection.Map[Long, (Long, Long)]): (Long, Long) =
+        m.collect { case (bid, (c1, h1)) if bid < nBatches => (c1, h1) }
+          .foldLeft((0L, 0L)) { case ((c, h), (c1, h1)) => (c + c1, h + h1) }
+      val (cA, hA) = tot(sinkA)
+      val (cB, hB) = tot(sinkB)
+      val ok = cA == cB && hA == hB
+      println(s"""{"op":"sessionize_recovery","input_rows":$totalRows,""" +
+        s""""batches":$nBatches,"killed_after_batches":$killAt,""" +
+        s""""baseline_sessions":$cA,"baseline_checksum":$hA,""" +
+        s""""recovered_sessions":$cB,"recovered_checksum":$hB,""" +
+        s""""batches_before_kill":${preRestart.count(_ < nBatches)},""" +
+        s""""batches_overlapping_restart":$replayed,""" +
+        s""""exactly_once_match":$ok}""")
+      rm(new java.io.File(ckptA)); rm(new java.io.File(ckptB))
+      if (!ok) { spark.stop(); sys.exit(3) }
+    }
+
+    if (recovery) recoveryProbe()
+    else {
+      if (ops("sessionize"))
+        probe("sessionizeStream")(ev =>
+          StreamingOps.sessionizeStream(spark, ev, gapMinutes = 30).toDF())
+      if (ops("funnel"))
+        probe("funnelStream", mode = "update")(ev =>
+          StreamingOps.funnelStream(spark, ev, Seq("t0", "t1", "t2")))
+      if (ops("anomaly"))
+        probe("rollingAnomalyStream")(ev =>
+          StreamingOps.rollingAnomalyStream(spark, ev).toDF())
+    }
     spark.stop()
   }
 }
