@@ -173,8 +173,17 @@ object StreamingThroughputProbe {
       require(killAt > 0 && killAt < nBatches,
         s"--kill-at $killAt out of (0, $nBatches)")
 
-      def runOnce(ckpt: String, sink: scala.collection.concurrent.Map[Long, (Long, Long)],
-                  stopAfterBatches: Int): Unit = {
+      // each leg writes into its OWN fresh map (the restarted leg's
+      // puts must be distinguishable from the killed leg's, or the
+      // replay metric degenerates to |pre-kill keys|); `already` holds
+      // the prior leg's committed results so the full-coverage stop
+      // condition sees batches the restart rightly does not re-run
+      // checksum accumulates as DECIMAL(38,0): xxhash64 values are
+      // full-range longs, so a BIGINT sum over a 2M-row batch
+      // overflows under ANSI mode; 38 digits holds ~10^19 of them
+      def runOnce(ckpt: String, already: Map[Long, (Long, BigDecimal)],
+                  stopAfterBatches: Int): Map[Long, (Long, BigDecimal)] = {
+        val sink = new java.util.concurrent.ConcurrentHashMap[Long, (Long, BigDecimal)]().asScala
         val out = StreamingOps.sessionizeStream(
           spark, synthEvents(spark, users, rowsPerBatch), gapMinutes = 30).toDF()
         val cols = out.columns.map(col(_)).toSeq
@@ -182,8 +191,11 @@ object StreamingThroughputProbe {
           .foreachBatch { (df: DataFrame, bid: Long) =>
             val r = df.agg(
               count(lit(1)).as("c"),
-              sum(xxhash64(struct(cols: _*))).as("h")).head()
-            sink.put(bid, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+              sum(xxhash64(struct(cols: _*)).cast("decimal(38,0)")).as("h")).head()
+            sink.put(bid, (r.getLong(0),
+              if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1))))
+            if (sys.env.contains("SPARK_GRAFT_REC_DEBUG"))
+              System.err.println(s"[rec] $ckpt batch $bid rows=${r.getLong(0)}")
             ()
           }
           .outputMode("append")
@@ -192,7 +204,8 @@ object StreamingThroughputProbe {
           .start()
         def shouldStop =
           if (stopAfterBatches > 0) sink.size >= stopAfterBatches
-          else (0 until nBatches).forall(b => sink.contains(b.toLong))
+          else (0 until nBatches).forall(b =>
+            already.contains(b.toLong) || sink.contains(b.toLong))
         while (q.isActive && !shouldStop) Thread.sleep(200)
         q.stop() // mid-stream: the in-flight batch replays on restart
         q.exception.foreach { e =>
@@ -200,33 +213,37 @@ object StreamingThroughputProbe {
           spark.stop()
           sys.exit(2)
         }
+        sink.toMap
       }
 
       // baseline: uninterrupted
       val ckptA = s"/root/repo/target/spark-tmp/stream_rec_base_$pid"
-      val sinkA = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]().asScala
-      runOnce(ckptA, sinkA, stopAfterBatches = -1)
+      val sinkA = runOnce(ckptA, Map.empty, stopAfterBatches = -1)
 
-      // killed + restarted from the same checkpoint
+      // killed + restarted from the same checkpoint. A batchId-keyed
+      // idempotent sink takes the RESTARTED leg's value on overlap
+      // (the replayed batch); determinism says it must equal the
+      // killed leg's value anyway — asserted as replay_consistent.
       val ckptB = s"/root/repo/target/spark-tmp/stream_rec_kill_$pid"
-      val sinkB = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]().asScala
-      runOnce(ckptB, sinkB, stopAfterBatches = killAt)
-      val preRestart = sinkB.keySet.toSet
-      runOnce(ckptB, sinkB, stopAfterBatches = -1)
-      val replayed = sinkB.keySet.toSet.intersect(preRestart).size
+      val preKill = runOnce(ckptB, Map.empty, stopAfterBatches = killAt)
+      val resumed = runOnce(ckptB, preKill, stopAfterBatches = -1)
+      val replayedIds = preKill.keySet.intersect(resumed.keySet)
+      val replayConsistent = replayedIds.forall(b => preKill(b) == resumed(b))
+      val merged = preKill ++ resumed
 
-      def tot(m: scala.collection.Map[Long, (Long, Long)]): (Long, Long) =
+      def tot(m: scala.collection.Map[Long, (Long, BigDecimal)]): (Long, BigDecimal) =
         m.collect { case (bid, (c1, h1)) if bid < nBatches => (c1, h1) }
-          .foldLeft((0L, 0L)) { case ((c, h), (c1, h1)) => (c + c1, h + h1) }
+          .foldLeft((0L, BigDecimal(0))) { case ((c, h), (c1, h1)) => (c + c1, h + h1) }
       val (cA, hA) = tot(sinkA)
-      val (cB, hB) = tot(sinkB)
-      val ok = cA == cB && hA == hB
+      val (cB, hB) = tot(merged)
+      val ok = cA == cB && hA == hB && replayConsistent
       println(s"""{"op":"sessionize_recovery","input_rows":$totalRows,""" +
         s""""batches":$nBatches,"killed_after_batches":$killAt,""" +
         s""""baseline_sessions":$cA,"baseline_checksum":$hA,""" +
         s""""recovered_sessions":$cB,"recovered_checksum":$hB,""" +
-        s""""batches_before_kill":${preRestart.count(_ < nBatches)},""" +
-        s""""batches_overlapping_restart":$replayed,""" +
+        s""""batches_before_kill":${preKill.keySet.count(_ < nBatches)},""" +
+        s""""batches_replayed":${replayedIds.size},""" +
+        s""""replay_consistent":$replayConsistent,""" +
         s""""exactly_once_match":$ok}""")
       rm(new java.io.File(ckptA)); rm(new java.io.File(ckptB))
       if (!ok) { spark.stop(); sys.exit(3) }
