@@ -63,19 +63,22 @@ object PipelineQueries {
   private val docShardCap = 5000L // = the sf0.1 documents row count
   private val embShardCap = 2000L // = the sf0.1 embeddings row count
 
-  // The DOCUMENT shard keeps doc_id RANGES (blocks of 1000 contiguous
-  // ids, every m-th block), not strides (r14 verdict #3): the
-  // generator's planted near-dup pairs are id-ADJACENT, so a stride
-  // shard at modulus m keeps 1-in-m docs but ~0 planted pairs — the
-  // sharded dedup oracles at sf10/sf100 agreed on an empty relation
-  // (0 = 0, vacuous). Block-clustered keeps both endpoints of any
-  // pair that lands inside a block (only block-boundary pairs are
-  // lost), so the sharded pair oracles carry NONZERO planted-pair
-  // evidence at every rung, while kept volume stays ≈ cap docs spread
-  // across the corpus (ceil(count/cap) blocks apart). At modulus 1
-  // (every scale ≤ sf0.1) the predicate is a tautology on both
-  // engines — results and plans bit-identical to the unsharded form.
-  private val docShardBlock = 1000L
+  // The DOCUMENT shard keeps doc_id RANGES (blocks of docShardCap
+  // contiguous ids, every m-th block), not strides (r14 verdict #3):
+  // the generator's planted near-dup pairs live WITHIN a source copy
+  // (measured id distance up to ~0.86 × the corpus span — clustered
+  // by copy, not tightly adjacent), so a stride shard at modulus m
+  // keeps 1-in-m docs but ~0 planted pairs — the sharded dedup
+  // oracles at sf10/sf100 agreed on an empty relation (0 = 0,
+  // vacuous). The block is sized to the FULL sf0.1 id span (5000):
+  // under the key-shift synthesis every kept block is exactly one
+  // source copy, so the complete within-copy pair relation survives
+  // at sf0.1 density — 1000-id sub-blocks were tried first and lost
+  // the long-range pairs (q_ngram_jaccard's ~1-in-500-docs pairs all
+  // straddled sub-block boundaries). At modulus 1 (every scale ≤
+  // sf0.1) the predicate is a tautology on both engines — results
+  // and plans bit-identical to the unsharded form.
+  private val docShardBlock = 5000L
 
   private def shardModulus(n: Long, cap: Long): Long = (n + cap - 1) / cap
 
