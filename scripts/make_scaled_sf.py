@@ -8,13 +8,16 @@ predicates keep their residues. Foreign keys shift by the REFERENCED
 table's offset, so the star schema stays consistent per copy.
 
 Usage: make_scaled_sf.py <copies> <out_dir> [src_dir=/root/testdata/sf0.1]
-         [--no-order] [--perturb] [--tables t1,t2]
+         [--no-order] [--perturb] [--tables t1,t2] [--link-from dir]
 e.g.   make_scaled_sf.py 100 /tmp/sf10   # = sf10, ~1.7 GB
 
---tables restricts synthesis to a comma-list (e.g. a perturbed variant
-of an existing unperturbed dir only differs in documents,embeddings —
-synthesize those two and symlink the other eight, ~16 GB saved at
-sf100).
+--tables restricts synthesis to a comma-list (validated against the
+known table set — a typo errors out instead of silently skipping).
+With --link-from <same-scale sibling dir>, the tables NOT listed are
+symlinked from there so the output dir is complete (e.g. a perturbed
+variant of an existing unperturbed dir only differs in
+documents,embeddings — synthesize those two, link the other eight,
+~16 GB saved at sf100).
 
 --no-order skips the ORDER BY i that keeps copies contiguous (a
 row-group-pruning nicety for `% m` shard predicates, irrelevant to
@@ -88,12 +91,28 @@ PERTURB = {
 
 
 def main(copies: int, out_dir: str, src: str, order: bool,
-         perturb: bool, tables: list[str] | None) -> None:
+         perturb: bool, tables: list[str] | None,
+         link_from: str | None = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for table, shifts in SHIFTS.items():
         if tables and table not in tables:
+            # --link-from <same-scale sibling dir>: symlink the tables
+            # NOT being synthesized so the output dir is complete
+            # without the manual step the docstring used to require
+            # (r15 advice #3). The link source must be the SAME SCALE
+            # (e.g. the unperturbed sf100 dir when synthesizing a
+            # perturbed sf100 variant) — never `src`, which is the
+            # sf0.1 seed.
+            if link_from:
+                dst = f"{out_dir}/{table}.parquet"
+                s = os.path.abspath(f"{link_from}/{table}.parquet")
+                if not os.path.exists(s):
+                    sys.exit(f"--link-from: {s} does not exist")
+                if not os.path.exists(dst):
+                    os.symlink(s, dst)
+                    print(f"{table}: symlinked from {s}", flush=True)
             continue
         f = f"{src}/{table}.parquet"
         cols = [r[0] for r in con.execute(
@@ -120,12 +139,32 @@ if __name__ == "__main__":
     tables = None
     if "--tables" in argv:
         i = argv.index("--tables")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit("--tables needs a comma-separated value, e.g. "
+                     "--tables documents,embeddings")
         tables = argv[i + 1].split(",")
+        # a typo like 'document' must not silently produce an output
+        # dir missing that table with exit 0 (r15 advice #3)
+        unknown = [t for t in tables if t not in SHIFTS]
+        if unknown:
+            sys.exit(f"--tables: unknown table(s) {unknown}; "
+                     f"known: {sorted(SHIFTS)}")
         argv = argv[:i] + argv[i + 2:]
+    link_from = None
+    if "--link-from" in argv:
+        i = argv.index("--link-from")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit("--link-from needs a directory value")
+        link_from = argv[i + 1]
+        if not os.path.isdir(link_from):
+            sys.exit(f"--link-from: {link_from} is not a directory")
+        argv = argv[:i] + argv[i + 2:]
+    if link_from and not tables:
+        sys.exit("--link-from only makes sense with --tables")
     flags = {"--no-order", "--perturb"}
     args = [a for a in argv if a not in flags]
     main(int(args[0]), args[1],
          args[2] if len(args) > 2 else "/root/testdata/sf0.1",
          order="--no-order" not in argv,
          perturb="--perturb" in argv,
-         tables=tables)
+         tables=tables, link_from=link_from)

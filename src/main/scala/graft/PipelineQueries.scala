@@ -345,6 +345,19 @@ object PipelineQueries {
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         eb AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e)"""
 
+  /** [[ivfCtes]] over the adaptive embedding shard (r15 verdict #2):
+    * q_ann_ivf_mp's oracle is per-candidate-linear in the INDEX side's
+    * size and DuckDB's list-kernel cosine runs it >90 min at 2M
+    * vectors, so the multi-probe variant caps BOTH engines' corpus at
+    * the sf0.1 size (identity below — the WHERE is a tautology at
+    * modulus 1, plans and hashes untouched). Single-probe q_ann_ivf
+    * keeps the full corpus: the unsharded full-scan serve path stays
+    * oracle-covered at every rung through it and q_ann_filtered. */
+  private lazy val ivfShardCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE $embShardSql),
+        eb AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e)"""
+
   // DuckDB cosine between two DOUBLE[] (fold order = Spark's aggregate)
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, v) -> acc + v)"
@@ -618,11 +631,23 @@ object PipelineQueries {
     * q_ann_ivf_learned (in-memory train-and-query) and
     * q_ann_ivf_persisted (train → AnnIO.saveIvf → loadIvf →
     * ivfQueryTopK) — the persisted index must serve identical results,
-    * proven through the one SQL string. */
+    * proven through the one SQL string.
+    *
+    * Over the adaptive embedding shard since r16 (r15 verdict #2): the
+    * unrolled-Lloyd chain's cost is driven by the in-query TRAINING
+    * corpus — each Lloyd round is corpus × k list-kernel distances
+    * plus a corpus × dim unnest for the update, >45 min in DuckDB at
+    * 2M vectors — so both queries cap BOTH engines' corpus at the
+    * sf0.1 size (the q_ann_topk discipline: identity below the cap —
+    * tautological WHERE, modulus 1, plans and hashes untouched). The
+    * learned-cell training path itself stays full-corpus-covered at
+    * scale through q_kmeans / q_kmeans_twolevel / the PQ family, whose
+    * oracles replay at sf100. */
   private lazy val annIvfOracleSql: String =
-    s"""WITH $kmeansCtes,
+    s"""WITH ${kmeansSubCtes("", 1, 64, kmK, kmIters, where = embShardSql)},
       g AS (SELECT vec_id, cl FROM a$kmIters),
-      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             WHERE $embShardSql),
       c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
               ${cosSql("qv.v", "nv.v")} AS cos
             FROM g q JOIN g n ON q.cl = n.cl AND q.vec_id <> n.vec_id
@@ -1801,14 +1826,17 @@ object PipelineQueries {
       // multi-probe IVF: each query scans its bucket + every Hamming-1
       // neighbor bucket — the recall lever beyond nprobe=1 (neighbors
       // that land just across one sign boundary are recovered at
-      // (bits+1)x candidate volume); still a pure bucket equi-join
-      (s, dir) => Similarity.ivfTopK(emb(s, dir), annProbePred(s, dir), 5,
+      // (bits+1)x candidate volume); still a pure bucket equi-join.
+      // r15 verdict #2: corpus capped via [[embSharded]] (identity
+      // below sf0.1) so the oracle replays at sf100 — see
+      // [[ivfShardCtes]] for why q_ann_ivf keeps the full corpus.
+      (s, dir) => Similarity.ivfTopK(embSharded(s, dir), annProbePred(s, dir), 5,
         hammingProbes = true)
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank"),
       Some {
         val flips = (0L +: (0 until 6).map(i => 1L << i)).map(f => s"($f)").mkString(", ")
-        s"""WITH $ivfCtes,
+        s"""WITH $ivfShardCtes,
         qp AS (SELECT vec_id, v, xor(CAST(bucket AS BIGINT), f) AS bucket
                FROM eb CROSS JOIN (VALUES $flips) t(f)
                WHERE ${annProbeSql("vec_id")}),
@@ -2331,6 +2359,49 @@ object PipelineQueries {
           CAST(((h + i * 2654435761) % 16777216) % 256 AS DOUBLE) AS mean_b
         FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""")),
 
+    QueryDef("q_image_neardup",
+      // perceptual IMAGE near-dup (r15 verdict #4 — the visual analog
+      // of q_simhash_neardup): block-pattern PNGs per doc with planted
+      // RESIZED re-encodes (every 25th, id -2d-1) and one-block
+      // PERTURBED re-encodes (every 40th, id -2d-2), then decode →
+      // 8×8 nearest-neighbor tiny raster → 56-bit dHash → 2×28-bit
+      // pigeonhole band join → Hamming-≤1 verify. All codec work is
+      // real (ImageIO both directions; the copies share no BYTES with
+      // their source), while the oracle derives every dHash in closed
+      // form from the content hash — the q_multimodal_gradient
+      // discipline — and states the semantics as the declarative
+      // all-pairs Hamming filter (band completeness is the pigeonhole
+      // theorem, scalatest-pinned). Doc-sharded from day one (r15
+      // verdict #8): identity ≤ sf0.1, and past it the oracle's
+      // all-pairs statement stays at sf0.1 volume while the engine
+      // path keeps its banded (never all-pairs) shape on real data.
+      (s, dir) => ImageDedup.nearDupPairs(s, docsSharded(s, dir), maxHamming = 1)
+        .orderBy("a", "b"),
+      Some(s"""WITH hh AS (SELECT doc_id, ${h60("text")} AS h FROM documents
+          WHERE $docShardSql),
+        ids AS (SELECT doc_id AS id, h, 0 AS pert FROM hh
+          UNION ALL SELECT -2 * doc_id - 1, h, 0 FROM hh WHERE doc_id % 25 = 0
+          UNION ALL SELECT -2 * doc_id - 2, h, 1 FROM hh WHERE doc_id % 40 = 0),
+        g0 AS (SELECT id, b, pert, h,
+            (h + (b + 1) * 2654435761) % 1000003 AS v
+          FROM ids, range(64) r(b)),
+        g AS (SELECT id, b,
+            CASE WHEN pert = 1 AND (b // 8) = h % 8 AND (b % 8) = 0
+              THEN ((v * v) % 1000003 % 256 + 128) % 256
+              ELSE (v * v) % 1000003 % 256 END AS gray
+          FROM g0),
+        bits AS (SELECT g1.id, (g1.b // 8) * 7 + (g1.b % 8) AS k,
+            CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+          FROM g g1 JOIN g g2 ON g2.id = g1.id AND g2.b = g1.b + 1
+          WHERE g1.b % 8 <= 6),
+        dh AS (SELECT id, CAST(sum(CASE WHEN bit = 1
+              THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash
+          FROM bits GROUP BY id),
+        c AS (SELECT x.id AS a, y.id AS b,
+            CAST(bit_count(xor(x.dhash, y.dhash)) AS INTEGER) AS hamming
+          FROM dh x JOIN dh y ON x.id < y.id)
+        SELECT a, b, hamming FROM c WHERE hamming <= 1 ORDER BY a, b""")),
+
     QueryDef("q_audio_decode",
       // audio twin of q_multimodal_decode: synthesize a REAL RIFF/WAV
       // PCM payload per doc (in-repo codec — canonical 44-byte header
@@ -2622,8 +2693,9 @@ object PipelineQueries {
       // IVF with LEARNED cells: nearest-k-means-centroid replaces the
       // sign bucket — data-adaptive cells, same one-equi-join plan
       // shape as q_ann_ivf. Probe set matches q_ann_ivf for direct
-      // comparability.
-      (s, dir) => Clustering.ivfLearnedTopK(emb(s, dir), annProbePred(s, dir), 5,
+      // comparability. Corpus capped via embSharded since r16
+      // (identity below sf0.1) — see annIvfOracleSql's scaladoc.
+      (s, dir) => Clustering.ivfLearnedTopK(embSharded(s, dir), annProbePred(s, dir), 5,
           kmK, kmIters)
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank"),
@@ -2637,7 +2709,7 @@ object PipelineQueries {
       // serve through ivfQueryTopK. Must reproduce q_ann_ivf_learned
       // bit-for-bit — the shared oracle SQL proves it through the gate.
       (s, dir) => {
-        val e = emb(s, dir)
+        val e = embSharded(s, dir)
         val base = sketchIoPath(s)
         val idx = Clustering.trainIvfIndex(e, kmK, kmIters)
         AnnIO.saveIvf(idx, s"$base/ivf_idx", perPidTable(s, "graft_annivf_asg_"))

@@ -103,15 +103,36 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // drain the async listener bus before snapshotting the totals —
-    // the last query's stage-completion events may still be in flight
-    Thread.sleep(2000)
-    val mj = wallsSec.map { case (name, w) =>
+    // the last query's stage-completion events may still be in flight.
+    // A fixed sleep under-reports on a loaded box (r15 advice #2), so
+    // poll: done when the totals snapshot is unchanged for 500 ms,
+    // bounded at 15 s; drain_complete marks a truncated snapshot as
+    // distinguishable from a true zero.
+    def snapshot(): Map[String, (Long, Long, Long, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      metrics.totals.asScala.map { case (k, t) =>
+        t.synchronized { k -> (t.shuffleRead, t.shuffleWrite,
+          t.spillDisk, t.spillMem, t.input) } }.toMap
+    }
+    val drainDeadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var prev = snapshot()
+    var stableSince = System.nanoTime()
+    var drainComplete = false
+    while (!drainComplete && System.nanoTime() < drainDeadline) {
+      Thread.sleep(100)
+      val cur = snapshot()
+      if (cur != prev) { prev = cur; stableSince = System.nanoTime() }
+      else if (System.nanoTime() - stableSince > 500L * 1000 * 1000)
+        drainComplete = true
+    }
+    val mj = (wallsSec.map { case (name, w) =>
       val t = Option(metrics.totals.get(name)).getOrElse(new metrics.Tot)
       s"${q(name)}: {" +
         f""""wall_s": $w%.3f, "shuffle_read_b": ${t.shuffleRead}, """ +
         s""""shuffle_write_b": ${t.shuffleWrite}, "spill_disk_b": ${t.spillDisk}, """ +
         s""""spill_mem_b": ${t.spillMem}, "input_b": ${t.input}}"""
-    }.mkString("{\n", ",\n", "\n}\n")
+    }.toSeq :+ s""""__meta__": {"drain_complete": $drainComplete}""")
+      .mkString("{\n", ",\n", "\n}\n")
     Files.writeString(Paths.get(s"$outDir/metrics.json"), mj)
     spark.stop()
   }

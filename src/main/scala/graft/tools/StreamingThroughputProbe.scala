@@ -28,11 +28,15 @@ import graft.streaming.StreamingOps
   * steady-state numbers, not an unbounded accumulation artifact. The
   * noop sink executes the full plan and discards rows.
   *
-  * `--recovery` (r14 verdict #6) runs the CRASH-RECOVERY contract at
-  * the same scale instead of the throughput sweep: sessionizeStream
-  * is run twice over the identical deterministic input — once
-  * uninterrupted (baseline), once hard-stopped at `--kill-at` batches
-  * and restarted from its checkpoint — with a batchId-keyed idempotent
+  * `--recovery` (r14 verdict #6) runs the checkpoint-RECOVERY
+  * contract at the same scale instead of the throughput sweep:
+  * sessionizeStream is run twice over the identical deterministic
+  * input — once uninterrupted (baseline), once INTERRUPTED MID-STREAM
+  * at `--kill-at` batches (StreamingQuery.stop() — a cooperative
+  * interrupt of the in-flight batch; the stream's normal shutdown
+  * path still runs, so torn-write/kill-9 recovery is NOT what this
+  * mode exercises, r15 advice #5) and restarted from its checkpoint
+  * — with a batchId-keyed idempotent
   * sink (the documented exactly-once recipe: replayed batch ids
   * overwrite, so at-least-once delivery collapses to exactly-once
   * results). The two runs' emitted-session multisets must agree
@@ -220,10 +224,11 @@ object StreamingThroughputProbe {
       val ckptA = s"/root/repo/target/spark-tmp/stream_rec_base_$pid"
       val sinkA = runOnce(ckptA, Map.empty, stopAfterBatches = -1)
 
-      // killed + restarted from the same checkpoint. A batchId-keyed
-      // idempotent sink takes the RESTARTED leg's value on overlap
-      // (the replayed batch); determinism says it must equal the
-      // killed leg's value anyway — asserted as replay_consistent.
+      // interrupted mid-batch + restarted from the same checkpoint.
+      // A batchId-keyed idempotent sink takes the RESTARTED leg's
+      // value on overlap (the replayed batch); determinism says it
+      // must equal the interrupted leg's value anyway — asserted as
+      // replay_consistent.
       val ckptB = s"/root/repo/target/spark-tmp/stream_rec_kill_$pid"
       val preKill = runOnce(ckptB, Map.empty, stopAfterBatches = killAt)
       val resumed = runOnce(ckptB, preKill, stopAfterBatches = -1)
@@ -245,8 +250,15 @@ object StreamingThroughputProbe {
         s""""batches_replayed":${replayedIds.size},""" +
         s""""replay_consistent":$replayConsistent,""" +
         s""""exactly_once_match":$ok}""")
-      rm(new java.io.File(ckptA)); rm(new java.io.File(ckptB))
-      if (!ok) { spark.stop(); sys.exit(3) }
+      if (ok) { rm(new java.io.File(ckptA)); rm(new java.io.File(ckptB)) }
+      else {
+        // keep the state-store/WAL evidence needed to debug an
+        // exactly-once mismatch (r15 advice #4) — deleting it here
+        // destroyed the only artifact of the failure
+        System.err.println(s"[probe] exactly-once MISMATCH — checkpoints " +
+          s"preserved for debugging: $ckptA , $ckptB")
+        spark.stop(); sys.exit(3)
+      }
     }
 
     if (recovery) recoveryProbe()

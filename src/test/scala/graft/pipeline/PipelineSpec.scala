@@ -2478,6 +2478,54 @@ class PipelineSpec extends AnyFunSuite {
       assert(g === got, s"bucketSec=$w changed the result")
     }
   }
+
+  test("image dHash is exactly invariant under the 2x nearest-neighbor resize") {
+    // unit-level: synthesize one block image, resize on raw pixels,
+    // hash both — the fixed 8x8 tiny-raster grid points land one per
+    // block at any block scale, so the signatures must be EQUAL
+    val h = Multimodal.textHash60("image resize invariance fixture")
+    val (sx, sy) = ImageDedup.blockSpec(h)
+    val (w, hgt) = (8 * sx, 8 * sy)
+    val px = new Array[Int](w * hgt)
+    for (y <- 0 until hgt; x <- 0 until w)
+      px(y * w + x) = ImageDedup.blockRgb(h, (y / sy) * 8 + (x / sx))
+    val rw = w / 2; val rh = hgt / 2
+    val rp = Array.tabulate(rw * rh)(i => px((2 * (i / rw)) * w + 2 * (i % rw)))
+    assert(ImageDedup.dHash56(px, w, hgt) === ImageDedup.dHash56(rp, rw, rh))
+  }
+
+  test("image Hamming band join is COMPLETE: equals brute-force over signatures") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val sigs = ImageDedup.imageDHashes(spark, ImageDedup.corpusWithCopies(spark, docs))
+    val banded = key(ImageDedup.hammingPairs(sigs, 1))
+    val brute = key(sigs.select(col("img_id").as("a"), col("dhash").as("ha"))
+      .join(sigs.select(col("img_id").as("b"), col("dhash").as("hb")),
+        col("a") < col("b"))
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter(col("hamming") <= 1))
+    assert(banded === brute, "pigeonhole candidates must be lossless")
+    assert(banded.nonEmpty, "fixture should contain Hamming-close image hashes")
+    intercept[IllegalArgumentException](ImageDedup.hammingPairs(sigs, 2)) // 56 % 3 != 0
+  }
+
+  test("image near-dup recovers every planted copy and no random pair") {
+    val pairs = ImageDedup.nearDupPairs(spark, docs, maxHamming = 1)
+      .as[(Long, Long, Int)].collect()
+    val ids = docs.select("doc_id").as[Long].collect()
+    // every resized re-encode (id -2d-1) pairs with its source at Hamming 0
+    for (d <- ids if d % 25 == 0)
+      assert(pairs.contains((-2 * d - 1, d, 0)),
+        s"missed resized copy of doc $d")
+    // every perturbed re-encode (id -2d-2) pairs with its source within 1 bit
+    for (d <- ids if d % 40 == 0)
+      assert(pairs.exists(p => p._1 == -2 * d - 2 && p._2 == d && p._3 <= 1),
+        s"missed perturbed copy of doc $d")
+    // zero random pairs: every reported pair involves a planted copy
+    // (negative id) — two SOURCE images never collide at this scale
+    assert(pairs.forall(_._1 < 0),
+      s"unexpected source-source pair: ${pairs.filter(_._1 >= 0).toSeq}")
+  }
 }
 
 class GraphSpec extends AnyFunSuite {
