@@ -19,8 +19,34 @@ import graft.pipeline._
   */
 object PipelineQueries {
 
+  /** Adaptive scan spread (optimization guide §2.5, input skew: "one
+    * huge unsplittable file … repartition immediately after the
+    * read"): the gate/bench corpora arrive as ONE single-row-group
+    * parquet file each, so every corpus-pass map stage (tokenize,
+    * shingle, md5) would otherwise run as ONE task however many cores
+    * the session has — measured 2.9 s single-task tokenize+hash walls
+    * on a 32-core local[32] bench. When the scan's natural split count
+    * is below the session's parallelism, ONE round-robin exchange of
+    * the small unsplittable input spreads the downstream work; with
+    * real inputs (many files / row groups ⟹ splits ≥ cores) the
+    * condition is false and the plan is untouched — this never adds an
+    * exchange at scale. Results are invariant to the re-partitioning:
+    * every consumer is declarative (agg/join/window with total-order
+    * ties) or an order-independent exact accumulator, and the two
+    * spark_partition_id users are local-prefilter top-k patterns whose
+    * global re-rank is partition-invariant. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    spread(s.read.parquet(s"$dir/documents.parquet"))
+  // embeddings/events deliberately NOT spread: their per-row scan-side
+  // work is light (no tokenize/md5), their queries are job-count-bound,
+  // and an A/B at sf0.1 measured the extra 32-task stages as a net
+  // LOSS (q_embedding_robust_stats 2.9 → 4.7 s spread); the heavy
+  // per-row compute that justifies the exchange is the text path's.
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   /** Events table, `ts` normalized to micro-precision TimestampType

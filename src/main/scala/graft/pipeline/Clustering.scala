@@ -96,75 +96,100 @@ object Clustering {
     val q = quantized(emb, dim).as[(Long, Array[Double])]
 
     // deterministic init: the first k vectors by vec_id
-    var cents: Array[(Int, Array[Double])] = q.orderBy("vec_id").take(k)
+    val init: Array[(Int, Array[Double])] = q.orderBy("vec_id").take(k)
       .zipWithIndex.map { case ((_, v), i) => (i, v) }
-
-    def assigned(cs: Array[(Int, Array[Double])]) =
-      if (coarseGroups <= 0) {
-        val bc = spark.sparkContext.broadcast(cs)
-        q.mapPartitions { it =>
-          val centroids = bc.value
-          it.map { case (id, v) =>
-            var bestCl = -1
-            var bestD = Double.MaxValue
-            centroids.foreach { case (cl, c) =>
-              var d = 0.0
-              var j = 0
-              while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-              if (d < bestD || (d == bestD && cl < bestCl)) { bestD = d; bestCl = cl }
-            }
-            (id, bestCl, bestD, v)
-          }
-        }
-      } else {
-        val (coarse, members) = groupCodebook(cs, coarseGroups)
-        val p = math.min(coarseProbes, coarse.length)
-        val bcC = spark.sparkContext.broadcast(coarse)
-        val bcM = spark.sparkContext.broadcast(members)
-        val bcF = spark.sparkContext.broadcast(cs)
-        q.mapPartitions { it =>
-          val cc = bcC.value; val mem = bcM.value; val fine = bcF.value
-          val gd = new Array[Double](cc.length)
-          it.map { case (id, v) =>
-            val (cl, d) = twoLevelScan(cc, mem, fine, p, gd, v)
-            (id, cl, d, v)
-          }
-        }
-      }
-
-    for (_ <- 1 until iters) {
-      // exact element-wise sums: k rows of dense accumulators per
-      // partition, then an integer-exact reduce — the corpus never
-      // shuffles
-      val partials = assigned(cents).mapPartitions { it =>
-        val acc = scala.collection.mutable.Map[Int, (Array[Double], Long)]()
-        it.foreach { case (_, cl, _, v) =>
-          val (s, _) = acc.getOrElseUpdate(cl, (new Array[Double](v.length), 0L))
-          var j = 0
-          while (j < v.length) { s(j) += v(j); j += 1 }
-          acc(cl) = (s, acc(cl)._2 + 1)
-        }
-        acc.iterator.map { case (cl, (s, n)) => (cl, s, n) }
-      }.toDF("cl", "sums", "n")
-      val merged = partials
-        .select(col("cl"), col("n"), posexplode(col("sums")).as(Seq("j", "s")))
-        .groupBy("cl", "j").agg(sum("s").as("s"), sum("n").as("n"))
-        .groupBy("cl").agg(
-          map_from_arrays(collect_list("j"), collect_list("s")).as("sm"),
-          first("n").as("n"))
-        .collect()
-      cents = merged.map { r =>
-        val cl = r.getInt(0)
-        val sm = r.getMap[Int, Double](1)
-        val n = r.getLong(2).toDouble
-        (cl, Array.tabulate(dimOf(sm))(j => sm(j) / n))
-      }.sortBy(_._1)
-    }
-    (assigned(cents).map { case (id, cl, d, _) => (id, cl, d) }
+    val cents = lloydRounds(q, init, iters, coarseGroups, coarseProbes)
+    (assignedTo(q, cents, coarseGroups, coarseProbes)
+      .map { case (id, cl, d, _) => (id, cl, d) }
       .toDF("vec_id", "cluster", "dist2"), cents)
   }
 
-  private def dimOf(m: scala.collection.Map[Int, Double]): Int = m.keys.max + 1
+  /** One stateless assignment pass against broadcast centroids:
+    * `(vec_id, cluster, dist2, v)` — the shared map stage of every
+    * Lloyd round and the final labeling. */
+  private def assignedTo(q: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+                         cs: Array[(Int, Array[Double])],
+                         coarseGroups: Int, coarseProbes: Int)
+      : org.apache.spark.sql.Dataset[(Long, Int, Double, Array[Double])] = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    if (coarseGroups <= 0) {
+      val bc = spark.sparkContext.broadcast(cs)
+      q.mapPartitions { it =>
+        val centroids = bc.value
+        it.map { case (id, v) =>
+          var bestCl = -1
+          var bestD = Double.MaxValue
+          centroids.foreach { case (cl, c) =>
+            var d = 0.0
+            var j = 0
+            while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+            if (d < bestD || (d == bestD && cl < bestCl)) { bestD = d; bestCl = cl }
+          }
+          (id, bestCl, bestD, v)
+        }
+      }
+    } else {
+      val (coarse, members) = groupCodebook(cs, coarseGroups)
+      val p = math.min(coarseProbes, coarse.length)
+      val bcC = spark.sparkContext.broadcast(coarse)
+      val bcM = spark.sparkContext.broadcast(members)
+      val bcF = spark.sparkContext.broadcast(cs)
+      q.mapPartitions { it =>
+        val cc = bcC.value; val mem = bcM.value; val fine = bcF.value
+        val gd = new Array[Double](cc.length)
+        it.map { case (id, v) =>
+          val (cl, d) = twoLevelScan(cc, mem, fine, p, gd, v)
+          (id, cl, d, v)
+        }
+      }
+    }
+  }
+
+  /** The `iters − 1` Lloyd update rounds, returning the final
+    * centroids. Each round is ONE single-stage job: the assignment map
+    * emits k dense per-partition accumulators and the element-wise
+    * merge happens on the DRIVER — the sums are integer-valued doubles
+    * (< 2⁵³, see the object scaladoc), so a driver-side add in
+    * collection order is bit-identical to the former
+    * posexplode → groupBy → groupBy exchange chain it replaces (two
+    * shuffles per round, measured pure overhead at every scale: the
+    * collected relation is ≤ partitions · k rows either way, the same
+    * driver boundedness as MLlib's per-round reduce). */
+  private def lloydRounds(q: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+                          init: Array[(Int, Array[Double])], iters: Int,
+                          coarseGroups: Int, coarseProbes: Int)
+      : Array[(Int, Array[Double])] = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    var cents = init
+    for (_ <- 1 until iters) {
+      val partials = assignedTo(q, cents, coarseGroups, coarseProbes)
+        .mapPartitions { it =>
+          val acc = scala.collection.mutable.Map[Int, (Array[Double], Long)]()
+          it.foreach { case (_, cl, _, v) =>
+            val (s, _) = acc.getOrElseUpdate(cl, (new Array[Double](v.length), 0L))
+            var j = 0
+            while (j < v.length) { s(j) += v(j); j += 1 }
+            acc(cl) = (s, acc(cl)._2 + 1)
+          }
+          acc.iterator.map { case (cl, (s, n)) => (cl, s, n) }
+        }.collect()
+      val acc = scala.collection.mutable.HashMap[Int, (Array[Double], Long)]()
+      partials.foreach { case (cl, s, n) =>
+        acc.get(cl) match {
+          case Some((t, n0)) =>
+            var j = 0
+            while (j < t.length) { t(j) += s(j); j += 1 }
+            acc(cl) = (t, n0 + n)
+          case None => acc(cl) = (s, n)
+        }
+      }
+      cents = acc.toArray.sortBy(_._1).map { case (cl, (s, n)) =>
+        (cl, Array.tabulate(s.length)(j => s(j) / n)) }
+    }
+    cents
+  }
 
   /** Decayed mini-batch Lloyd refresh of a FIXED centroid set against
     * an ingest batch — the [[encodePqBatch]] analog for the CENTROIDS
@@ -219,16 +244,25 @@ object Clustering {
         acc(bestCl) = (s, acc(bestCl)._2 + 1)
       }
       acc.iterator.map { case (cl, (s, n)) => (cl, s, n) }
-    }.toDF("cl", "sums", "n")
-    val merged = partials
-      .select(col("cl"), col("n"), posexplode(col("sums")).as(Seq("j", "s")))
-      .groupBy("cl", "j").agg(sum("s").as("s"), sum("n").as("n"))
-      .groupBy("cl").agg(
-        map_from_arrays(collect_list("j"), collect_list("s")).as("sm"),
-        first("n").as("n"))
-      .collect()
-      .map { r => (r.getInt(0), (r.getMap[Int, Double](1), r.getLong(2))) }
-      .toMap
+    }.collect()
+    // driver-side element-wise merge of the ≤ partitions · k partial
+    // accumulators — integer-exact sums, so collection order is
+    // irrelevant and the former two-shuffle posexplode/groupBy merge
+    // is replaced by a single-stage job (same boundedness: the merge
+    // input was already collected to the driver)
+    val merged = {
+      val acc = scala.collection.mutable.HashMap[Int, (Array[Double], Long)]()
+      partials.foreach { case (cl, s, n) =>
+        acc.get(cl) match {
+          case Some((t, n0)) =>
+            var j = 0
+            while (j < t.length) { t(j) += s(j); j += 1 }
+            acc(cl) = (t, n0 + n)
+          case None => acc(cl) = (s, n)
+        }
+      }
+      acc.toMap
+    }
     // loud-guard discipline (r11 advice): a vector whose distance to
     // EVERY centroid is NaN (NaN components poison the accumulation)
     // keeps bestCl = -1; its sums would land under cluster -1, which
@@ -574,32 +608,107 @@ object Clustering {
                    coarseIters: Int = 2): PqIndex = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
 
-    // per-subspace codebooks (Lloyd on each slice) + the code pivot.
-    // Codes are checkpointed: every downstream action would otherwise
-    // re-run the full Lloyd chain per subspace.
-    val subs = (0 until m).map { s0 =>
-      val sliced = emb.selectExpr("vec_id",
-        s"slice(embedding, ${s0 * subDim + 1}, $subDim) AS embedding")
-      val (asg, cents) = kmeansFull(sliced, codebookK, iters, subDim)
-      (s0,
-        asg.select(col("vec_id"), col("cluster").as(s"code_$s0")).localCheckpoint(),
-        cents)
+    // ONE quantized-corpus materialization feeds every Lloyd chain,
+    // every update round, and the final encode (was: each of the m + 1
+    // chains re-scanned the source per round). Slicing commutes with
+    // the element-wise round(x·10⁴), so per-subspace slices of the
+    // checkpointed full vectors are bit-identical to quantizing the
+    // sliced source.
+    val q = quantized(emb, dim).as[(Long, Array[Double])].localCheckpoint()
+    // shared deterministic init: the first max(k, cells) vectors by
+    // vec_id — each chain's init is a prefix (subspace chains sliced)
+    val initFull = q.orderBy("vec_id")
+      .take(math.max(codebookK, coarseCells))
+    def slicedInit(n: Int, s0: Int): Array[(Int, Array[Double])] =
+      initFull.take(n).zipWithIndex.map { case ((_, v), i) =>
+        (i, java.util.Arrays.copyOfRange(v, s0 * subDim, (s0 + 1) * subDim)) }
+
+    // per-subspace codebooks: the Lloyd chains run over slices of the
+    // shared checkpoint; no per-subspace assignment relation is ever
+    // materialized — the final codes come from ONE corpus pass below.
+    val codebooks = (0 until m).map { s0 =>
+      val sliced = q.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, s0 * subDim, (s0 + 1) * subDim)) }
+      (s0, lloydRounds(sliced, slicedInit(codebookK, s0), iters, 0, 0))
     }
-    var codes = subs.map(_._2).reduce((a, b) => a.join(b, "vec_id"))
-
     // coarse IVF cells (the scale path): the ADC scan is restricted to
     // the query's cell, so per-query work is corpus/cells, not corpus.
     // coarseCells = 0 is the exhaustive ADC scan (exact PQ ranking).
-    val coarse = if (coarseCells > 0) {
-      val (casg, ccents) = kmeansFull(emb, coarseCells, coarseIters, dim)
-      val cells = casg
-        .select(col("vec_id"), col("cluster").as("cell")).localCheckpoint()
-      codes = codes.join(cells, "vec_id")
-      (Some(cells), Some(ccents))
-    } else (None, None)
-    PqIndex(codes, coarse._1, subs.map { case (s0, _, cs) => (s0, cs) },
-      coarse._2, m, codebookK, dim)
+    val ccents = if (coarseCells > 0)
+      Some(lloydRounds(q,
+        initFull.take(coarseCells).zipWithIndex.map { case ((_, v), i) => (i, v) },
+        coarseIters, 0, 0))
+    else None
+
+    // the code relation in ONE stateless corpus pass against the m
+    // broadcast codebooks (+ coarse centroids): same per-subspace
+    // fixed-order fold and id tie-break as the per-chain assignment,
+    // so the rows are bit-identical to the former m-way vec_id join
+    // pivot — which shuffled the corpus-sized code relation m − 1 + 1
+    // times for no information gain. Checkpointed: every downstream
+    // action reads codes, never the Lloyd chains.
+    val codes = encodeRows(q, codebooks, ccents, subDim).localCheckpoint()
+    val cellAsg = if (coarseCells > 0) Some(codes.select("vec_id", "cell")) else None
+    PqIndex(if (coarseCells > 0) codes
+            else codes.drop("cell"),
+      cellAsg, codebooks, ccents, m, codebookK, dim)
+  }
+
+  /** ONE stateless encode pass shared by [[trainPqIndex]] and
+    * [[encodePqBatch]]: per vector, the m per-subspace nearest-centroid
+    * codes (fixed-order fold, id tie-break — the [[assignToCentroids]]
+    * contract per slice) and, when coarse centroids are given, the
+    * coarse cell. Output schema matches the persisted code relation:
+    * `(vec_id, code_0..code_{m-1}[, cell])`. */
+  private def encodeRows(q: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+                         codebooks: Seq[(Int, Array[(Int, Array[Double])])],
+                         coarse: Option[Array[(Int, Array[Double])]],
+                         subDim: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val m = codebooks.size
+    val cbArr: Array[Array[(Int, Array[Double])]] =
+      codebooks.sortBy(_._1).map(_._2).toArray
+    val bcCb = spark.sparkContext.broadcast(cbArr)
+    val bcCo = spark.sparkContext.broadcast(coarse.orNull)
+    val withCell = coarse.isDefined
+    val rows = q.mapPartitions { it =>
+      val cbs = bcCb.value; val co = bcCo.value
+      it.map { case (id, v) =>
+        val codes = new Array[Int](m)
+        var s0 = 0
+        while (s0 < m) {
+          val cs = cbs(s0)
+          var bestCl = -1
+          var bestD = Double.MaxValue
+          cs.foreach { case (cl, c) =>
+            var d = 0.0
+            var j = 0
+            while (j < c.length) { val t = v(s0 * subDim + j) - c(j); d += t * t; j += 1 }
+            if (d < bestD || (d == bestD && cl < bestCl)) { bestD = d; bestCl = cl }
+          }
+          codes(s0) = bestCl
+          s0 += 1
+        }
+        var cell = -1
+        if (co != null) {
+          var bestD = Double.MaxValue
+          co.foreach { case (cl, c) =>
+            var d = 0.0
+            var j = 0
+            while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+            if (d < bestD || (d == bestD && cl < cell)) { bestD = d; cell = cl }
+          }
+        }
+        (id, codes, cell)
+      }
+    }.toDF("vec_id", "codes", "cell")
+    val codeCols = (0 until m).map(i => col("codes").getItem(i).as(s"code_$i"))
+    rows.select((col("vec_id") +: codeCols) ++
+      (if (withCell) Seq(col("cell")) else Nil): _*)
   }
 
   /** Encode a NEW ingest batch against a trained (or loaded)
@@ -615,21 +724,17 @@ object Clustering {
     * [[AnnIO.appendCodes]]. */
   def encodePqBatch(index: PqIndex, emb: DataFrame): DataFrame = {
     val subDim = index.dim / index.m
-    val subs = (0 until index.m).map { s0 =>
-      val sliced = emb.selectExpr("vec_id",
-        s"slice(embedding, ${s0 * subDim + 1}, $subDim) AS embedding")
-      assignToCentroids(sliced,
-          index.codebooks.find(_._1 == s0)
-            .getOrElse(throw new IllegalStateException(s"no codebook for subspace $s0"))._2)
-        .select(col("vec_id"), col("cluster").as(s"code_$s0"))
-    }
-    val codes = subs.reduce((a, b) => a.join(b, "vec_id"))
-    val out = index.coarse match {
-      case Some(cc) => codes.join(
-        assignToCentroids(emb, cc)
-          .select(col("vec_id"), col("cluster").as("cell")), "vec_id")
-      case None => codes
-    }
+    require((0 until index.m).forall(s0 => index.codebooks.exists(_._1 == s0)),
+      s"index is missing a codebook for one of subspaces 0..${index.m - 1}")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // ONE stateless pass against the broadcast codebooks (+ coarse):
+    // the former per-subspace assignToCentroids relations joined
+    // m − 1 (+1) times on vec_id shuffled the batch per subspace for
+    // no information gain; the shared encode kernel keeps the math
+    // (fixed-order fold, id tie-break) bit-identical per slice.
+    val q = quantized(emb, index.dim).as[(Long, Array[Double])]
+    val out = encodeRows(q, index.codebooks, index.coarse, subDim)
     // stamp the model identity into the vec_id field's schema metadata
     // (zero data, zero jobs): AnnIO.appendCodes refuses a batch whose
     // stamp disagrees with the target index's fingerprint — codes

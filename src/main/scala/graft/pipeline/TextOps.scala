@@ -521,25 +521,114 @@ object TextOps {
     * are unpersisted before returning — the returned frames stay valid
     * through lineage (the learned merges are baked in as literals), so
     * callers never hold sketch memory across queries. */
+  /** Unsigned lexicographic UTF-8 byte comparison — the total order
+    * Spark's StringType sorts by (UTF8String.compareTo), so the
+    * in-task argmax tie-break below matches the distributed
+    * `orderBy(cnt DESC, a, b)` bit-for-bit on any input, not just
+    * ASCII. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
   private def bpeCore(docs: DataFrame, nMerges: Int,
                       dictPartitions: Int = 1): (DataFrame, DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(dictPartitions >= 1, s"dictPartitions must be >= 1, got $dictPartitions")
     val spark = docs.sparkSession
-    // the dictionary is vocabulary-sized (≪ corpus) — at the default
-    // dictPartitions = 1 the narrow per-round passes are single tasks,
-    // not 32 near-empty ones; callers past ~10⁸ word types raise it
-    // (see bpeTrain scaladoc — merge table identical either way)
-    var syms = withTokens(docs)
+    import spark.implicits._
+    val wordFreq = withTokens(docs)
       .selectExpr("explode(tokens) AS word")
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .selectExpr("word", "freq",
         "transform(sequence(1, length(word)), i -> substring(word, i, 1)) AS syms")
-      // coalesce can only shrink; repartition when the caller asks for
-      // real parallelism (one vocabulary-sized shuffle, paid once)
-      .transform(d => if (dictPartitions == 1) d.coalesce(1)
-                      else d.repartition(dictPartitions))
+    if (dictPartitions == 1) {
+      // ALL nMerges rounds inside ONE task over the coalesced
+      // dictionary: the former loop ran the identical single-partition
+      // rounds as nMerges driver-coordinated jobs (argmax collect +
+      // re-segmentation cache per round — 2·nMerges job launches of
+      // pure latency); here the weighted pair count, the
+      // (cnt DESC, lhs, rhs) argmax (UTF-8-byte tie order — exactly
+      // StringType's), and the left-to-right non-overlapping fold run
+      // in-memory over the same dictionary rows, and ONE localCheckpoint
+      // materializes the merge table and the final segmented dictionary
+      // together. The memory ceiling is unchanged — the old path
+      // cached the whole dictionary per round; past ~10⁸ word types
+      // callers pass dictPartitions > 1 for the distributed rounds
+      // (probe `bpefold` pins the two paths row-identical).
+      val combined = wordFreq.coalesce(1).as[(String, Long, Array[String])]
+        .mapPartitions { it =>
+          val dict = it.toArray
+          val merges =
+            scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+          var r = 1
+          var dry = false
+          while (r <= nMerges && !dry) {
+            val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+            dict.foreach { case (_, f, syms) =>
+              var i = 0
+              while (i < syms.length - 1) {
+                val k = (syms(i), syms(i + 1))
+                cnt.update(k, cnt.getOrElse(k, 0L) + f)
+                i += 1
+              }
+            }
+            if (cnt.isEmpty) dry = true
+            else {
+              var bk: (String, String) = null
+              var bc = 0L
+              cnt.foreach { case (k, c) =>
+                if (bk == null || c > bc || (c == bc &&
+                    (utf8Lt(k._1, bk._1) || (k._1 == bk._1 && utf8Lt(k._2, bk._2)))))
+                  { bk = k; bc = c }
+              }
+              val (a, b) = bk
+              merges += ((r, a, b, a + b, bc))
+              var di = 0
+              while (di < dict.length) {
+                val (w, f, syms) = dict(di)
+                // left-to-right non-overlapping application of
+                // (a, b) → ab — the aggregate-fold contract
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                syms.foreach { x =>
+                  if (out.nonEmpty && out(out.length - 1) == a && x == b)
+                    out(out.length - 1) = a + b
+                  else out += x
+                }
+                dict(di) = (w, f, out.toArray)
+                di += 1
+              }
+              r += 1
+            }
+          }
+          merges.iterator.map { case (rk, a, b, m0, c) =>
+            (0, rk, a, b, m0, c, null: String, 0L, null: Array[String]) } ++
+            dict.iterator.map { case (w, f, s) =>
+              (1, 0, null: String, null: String, null: String, 0L, w, f, s) }
+        }
+        .toDF("kind", "rank", "lhs", "rhs", "merged", "cnt", "word", "freq", "syms")
+        .localCheckpoint()
+      return (
+        combined.filter(col("kind") === 0)
+          .select(col("rank"), col("lhs"), col("rhs"), col("merged"), col("cnt")),
+        combined.filter(col("kind") === 1)
+          .select(col("word"), col("freq"), col("syms")))
+    }
+    // distributed rounds (dictPartitions > 1 — the ≥ ~10⁸-word-type
+    // regime): one vocabulary-sized repartition, then per round a
+    // map-side-combined weighted pair count + TakeOrdered argmax and a
+    // narrow re-segmentation fold, lineage kept one round deep
+    var syms = wordFreq
+      .repartition(dictPartitions)
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var prev: DataFrame = null
