@@ -705,12 +705,14 @@ object RegridQueries {
         FROM (${gridSql(gridOut)}) g ORDER BY cell_id""")),
 
     QueryDef("q_w_nearest_s2d",
-      (s, _) => Weights.nearestS2D(srcCells(s), dstCells(s)).orderBy("row", "col"),
+      (s, _) => Weights.nearestS2D(srcCells(s), dstCells(s),
+        nSrc = gridIn.nCells, nDst = gridOut.nCells).orderBy("row", "col"),
       Some(s"""SELECT * FROM (${nearestS2DSql(gridSql(gridIn), gridSql(gridOut))}) w
         ORDER BY "row", col""")),
 
     QueryDef("q_w_nearest_d2s",
-      (s, _) => Weights.nearestD2S(srcCells(s), dstCells(s)).orderBy("row", "col"),
+      (s, _) => Weights.nearestD2S(srcCells(s), dstCells(s),
+        nSrc = gridIn.nCells, nDst = gridOut.nCells).orderBy("row", "col"),
       Some(s"""SELECT * FROM (${nearestD2SSql(gridSql(gridIn), gridSql(gridOut))}) w
         ORDER BY "row", col""")),
 
@@ -1055,7 +1057,8 @@ object RegridQueries {
     QueryDef("q_locstream_nearest",
       // G6 + W3: locstream output, nearest_s2d, wave values at 4 points
       (s, _) => Apply.regrid(
-        Weights.nearestS2D(srcCells(s), Grids.locstream(s, locs4)).cache(),
+        Weights.nearestS2D(srcCells(s), Grids.locstream(s, locs4),
+          nSrc = gridIn.nCells, nDst = locs4.size.toLong).cache(),
         waveField(s), Grids.locstream(s, locs4)).orderBy("cell_id"),
       Some(s"""SELECT * FROM (${applySql(
           nearestS2DSql(gridSql(gridIn), locSql(locs4)),

@@ -68,14 +68,21 @@ object NearestJoin {
   val smallPtsMax = 64L
 
   def nearest(points: DataFrame, probes: DataFrame,
-              initBandDeg: Double = 0.0, maxRounds: Int = 5): DataFrame = {
+              initBandDeg: Double = 0.0, maxRounds: Int = 5,
+              nPtsHint: Long = -1L, nProbesHint: Long = -1L): DataFrame = {
     val pts = points.select(col("id").as("point_id"),
       col("lon").as("p_lon"), col("lat").as("p_lat"))
     // auto radius: ~2.5× the typical spacing of a uniform spread of n
-    // points over the sphere's ~41253 sq-deg (one count() at build
-    // time); clustered point sets under-estimate and simply take a
-    // second widening round
-    val nPts = if (initBandDeg > 0) -1L else math.max(1L, pts.count())
+    // points over the sphere's ~41253 sq-deg. Callers with statically
+    // known geometry (GridDef.nCells — exact by construction, and the
+    // CellsDef V2 check enforces declared == actual before the build)
+    // pass the size as a hint so no count() job runs at build time;
+    // clustered point sets under-estimate and simply take a second
+    // widening round
+    val nPts =
+      if (initBandDeg > 0) -1L
+      else if (nPtsHint >= 0L) math.max(1L, nPtsHint)
+      else math.max(1L, pts.count())
     if (initBandDeg <= 0 && nPts <= smallPtsMax) {
       // tiny searched set: exact argmin over all pairs. Identical
       // result to a converged tile search (same rounded distance, same
@@ -84,6 +91,28 @@ object NearestJoin {
       val cand = probes.select(col("id").as("probe_id"),
           col("lon").as("q_lon"), col("lat").as("q_lat"))
         .crossJoin(broadcast(pts))
+        .withColumn("dist",
+          Rounding.r9(sqChord(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat"))))
+      return cand
+        .groupBy(col("probe_id"))
+        .agg(min(struct(col("dist"), col("point_id"))).as("m"))
+        .select(col("probe_id"), col("m.point_id").as("point_id"), col("m.dist").as("dist"))
+    }
+    if (initBandDeg <= 0 && nProbesHint >= 0L && nProbesHint <= smallPtsMax) {
+      // symmetric tiny-PROBES fast path (same bound, other side): a
+      // handful of probes against an arbitrarily large point set is an
+      // exact argmin streamed through one broadcast pass — candidates
+      // = O(64 · n_points), linear in the searched set, aggregated
+      // map-side into ≤ 64 groups, with NONE of the per-round job
+      // overhead (localCheckpoints, isEmpty actions, widening). The
+      // 4-point locstream destination of the s2d direction paid ~6
+      // driver-coordinated jobs per build for a 480×4 problem.
+      // Identical result to a converged tile search: same rounded
+      // distance, same (dist, point_id) struct-min tie-break, global
+      // minimum either way.
+      val qs = probes.select(col("id").as("probe_id"),
+        col("lon").as("q_lon"), col("lat").as("q_lat"))
+      val cand = pts.crossJoin(broadcast(qs))
         .withColumn("dist",
           Rounding.r9(sqChord(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat"))))
       return cand

@@ -249,8 +249,15 @@ final class Regridder(
               "pass ignoreDegenerate = true to skip them (reference backend.py:230-232)")
           Weights.conservative(srcB, dstB)
         }
-      case RegridMethod.NearestS2D => Weights.nearestS2D(srcB, dstB, nearestBandDeg)
-      case RegridMethod.NearestD2S => Weights.nearestD2S(srcB, dstB, nearestBandDeg)
+      // GridDefs carry static nCells (exact by construction; CellsDef's
+      // V2 check enforces declared == actual), so the nearest builders
+      // get both sizes for free: no auto-radius count() job, and tiny
+      // sides (≤ 64, e.g. locstream endpoints) take the exact-argmin
+      // broadcast path instead of per-round tile iterations
+      case RegridMethod.NearestS2D =>
+        Weights.nearestS2D(srcB, dstB, nearestBandDeg, gridIn.nCells, gridOut.nCells)
+      case RegridMethod.NearestD2S =>
+        Weights.nearestD2S(srcB, dstB, nearestBandDeg, gridIn.nCells, gridOut.nCells)
       case RegridMethod.Patch =>
         gridIn match {
           case RectDef(r, _) => Weights.patch(r, dstB, periodic)

@@ -38,10 +38,12 @@ object Weights {
     * source point, weight 1 (reference `backend.py:241-246`, semantics
     * per `doc/notebooks/Compare_algorithms.ipynb`). */
   def nearestS2D(srcCells: DataFrame, dstCells: DataFrame,
-                 initBandDeg: Double = 0.0): DataFrame = {
+                 initBandDeg: Double = 0.0,
+                 nSrc: Long = -1L, nDst: Long = -1L): DataFrame = {
     val pts = srcCells.select(col("cell_id").as("id"), col("lon"), col("lat"))
     val probes = dstCells.select(col("cell_id").as("id"), col("lon"), col("lat"))
-    NearestJoin.nearest(pts, probes, initBandDeg)
+    NearestJoin.nearest(pts, probes, initBandDeg,
+      nPtsHint = nSrc, nProbesHint = nDst)
       .select(col("probe_id").as("row"), col("point_id").as("col"), lit(1.0).as("s"))
   }
 
@@ -49,10 +51,12 @@ object Weights {
     * a destination receiving several sources SUMS them (non-monotone;
     * destinations receiving none stay unmapped → 0). */
   def nearestD2S(srcCells: DataFrame, dstCells: DataFrame,
-                 initBandDeg: Double = 0.0): DataFrame = {
+                 initBandDeg: Double = 0.0,
+                 nSrc: Long = -1L, nDst: Long = -1L): DataFrame = {
     val pts = dstCells.select(col("cell_id").as("id"), col("lon"), col("lat"))
     val probes = srcCells.select(col("cell_id").as("id"), col("lon"), col("lat"))
-    NearestJoin.nearest(pts, probes, initBandDeg)
+    NearestJoin.nearest(pts, probes, initBandDeg,
+      nPtsHint = nDst, nProbesHint = nSrc)
       .select(col("point_id").as("row"), col("probe_id").as("col"), lit(1.0).as("s"))
   }
 

@@ -283,6 +283,32 @@ class RegridSpec extends AnyFunSuite {
     assert(fast.map(_._1) === probes.map(_._1), "one row per probe")
   }
 
+  test("NearestJoin tiny-PROBES fast path == tile path, row for row") {
+    // symmetric to the tiny-points path: a probe-side size hint at or
+    // below smallPtsMax routes through the broadcast exact argmin; the
+    // tile rounds (forced via an explicit radius, and via a large
+    // bogus probe hint) must produce the identical relation. Points
+    // include a pole and both seam sides; the searched set is LARGER
+    // than smallPtsMax so only the probe hint can trigger the path.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 200L).map(i =>
+      (i, rnd.nextDouble() * 360.0 - 180.0, rnd.nextDouble() * 178.0 - 89.0)) ++
+      Seq((200L, -179.9, -89.9), (201L, 179.9, 89.9))
+    val probes = Seq((0L, -179.5, -89.0), (1L, 179.5, 45.0), (2L, 0.25, -15.0),
+      (3L, 12.0, 5.0), (4L, -90.0, 89.5), (5L, 100.0, 0.0))
+    val ptsDf = pts.toDF("id", "lon", "lat")
+    val probesDf = probes.toDF("id", "lon", "lat")
+    assert(pts.size > NearestJoin.smallPtsMax)
+    def rows(df: DataFrame) = df.orderBy("probe_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fast = rows(NearestJoin.nearest(ptsDf, probesDf,
+      nPtsHint = pts.size.toLong, nProbesHint = probes.size.toLong))
+    val tiled = rows(NearestJoin.nearest(ptsDf, probesDf, initBandDeg = 60.0))
+    assert(fast === tiled)
+    assert(fast.map(_._1) === probes.map(_._1), "one row per probe")
+  }
+
   test("locstream OUTPUT works for bilinear and patch (method matrix, frontend.py:178-184)") {
     // 4 interior points: bilinear/patch to a locstream destination must
     // interpolate the analytic field closely
