@@ -277,6 +277,14 @@ object Dedup {
       .join(bandsB.select(col("band"), col("sig"), col("doc_id").as("b")), Seq("band", "sig"))
       .filter(col("a") < col("b"))
       .select("a", "b")
+    // Deliberately NOT checkpointed beyond bandsB: r16 A/Bs measured
+    // both materialization variants as net losses at sf0.1 (corpus
+    // shingles + bands eager: 4.3 → 5.0 s; candidate-pair relation
+    // eager: 4.3 → 6.2 s) — the lazy multi-reference DAG re-computes
+    // more but keeps one wide parallel job instead of serialized
+    // materialize-then-consume phases. Large-corpus callers pass a
+    // persisted corpusIndex and skip the corpus recompute entirely
+    // (the 1M-doc probe's measured regime).
     jaccardFor(shC.unionByName(shB), cross.unionByName(within).distinct(),
       pruneSizes = true)
   }
@@ -300,12 +308,28 @@ object Dedup {
   def clusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame =
     clustersWithRounds(pairs, maxRounds)._1
 
+  /** Pair-count ceiling for the exact small-graph fast path: at or
+    * below this many pairs the components are resolved with a driver
+    * union-find over ONE bounded collect (~16 bytes/pair ⟹ ≤ 16 MB at
+    * the cap) instead of O(log diameter) driver-coordinated join
+    * rounds — the measured cost of the loop at gate scale is pure job
+    * latency (~25 jobs for a pair set of a few hundred rows). Same
+    * guarded-collect discipline as `SlabApplier`/`NearestJoin.
+    * smallPtsMax`: the bound is checked on the MATERIALIZED pair
+    * relation (one count on checkpointed blocks), the distributed
+    * loop remains the path for every larger input (the 25M-node probe
+    * regime), and both paths are relation-identical (scalatest-pinned;
+    * min-label CC is the unique component labeling either way). */
+  val smallPairsMax = 1L << 20
+
   /** [[clusters]] plus the number of propagation/pointer-jump rounds
     * it took to converge — the observable the O(log diameter) claim
     * is checked against (PipelineScaleProbe `ccrounds` measures
     * rounds vs planted chain diameter; PLANS.md records the curve). */
-  def clustersWithRounds(pairs: DataFrame, maxRounds: Int = 20): (DataFrame, Int) = {
-    val sc = pairs.sparkSession.sparkContext
+  def clustersWithRounds(pairs: DataFrame, maxRounds: Int = 20,
+                         smallMax: Long = smallPairsMax): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
     // localCheckpoint with block-manager HYGIENE: the loop checkpoints
     // two relations per round, and without explicit release every
     // round's blocks stay resident for the whole loop — ~2·rounds·n
@@ -331,6 +355,33 @@ object Dedup {
     // references it twice, and the upstream is typically a full LSH
     // pipeline that must not run twice
     val (p, pIds) = ckpt(pairs.select(col("a"), col("b")))
+    if (p.count() <= smallMax) {
+      // exact small-graph path: union-find (path-halving + union by
+      // min label) over the bounded pair set — one collect of two
+      // longs per pair, zero join rounds, labels identical to the
+      // converged loop (each node → its component's min id)
+      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent(x) != x) {
+          parent(x) = parent(parent(x)); x = parent(x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root: the surviving root is always the
+        // component's smallest id, so find() IS the cluster label
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labels = parent.keys.toArray.map(id => (id, find(id)))
+      free(pIds)
+      import spark.implicits._
+      return (sc.parallelize(labels.toIndexedSeq, math.max(1, sc.defaultParallelism min 8))
+        .toDF("doc_id", "cluster_id"), 0)
+    }
     val (edges, _) = ckpt(p.select(col("a").as("x"), col("b").as("y"))
       .unionByName(p.select(col("b").as("x"), col("a").as("y")))
       .distinct())

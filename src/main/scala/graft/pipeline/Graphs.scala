@@ -44,9 +44,68 @@ object Graphs {
     * a shuffled join — same answer, bounded memory — when it doesn't.
     * PipelineScaleProbe's `graphTriangles10x` pins the shuffled plan's
     * viability at 10× contract edges. */
-  def triangleStats(edges0: DataFrame): DataFrame = {
+  /** Edge-count ceiling for triangleStats' exact small-graph fast
+    * path — smaller than [[smallEdgesMax]] because the driver replay
+    * is not linear: oriented triangle counting is O(m^1.5) worst-case
+    * (~1.3·10⁸ wedge checks at this cap, well under a second), so the
+    * bound caps WORK, not just collected bytes. Counts are integers —
+    * the driver walk is exactly the relation the distributed
+    * orientation DAG aggregates (property-spec pinned both ways). */
+  val smallTriEdgesMax: Long = 1L << 18
+
+  def triangleStats(edges0: DataFrame,
+                    smallMax: Long = smallTriEdgesMax): DataFrame = {
+    val spark = edges0.sparkSession
     val edges = edges0.select(col("a").cast("long"), col("b").cast("long"))
-      .where(col("a") < col("b")).distinct()
+      .where(col("a") < col("b")).distinct().localCheckpoint()
+    if (edges.count() <= smallMax) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val deg = new scala.collection.mutable.LongMap[Long]()
+      es.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1L; deg(b) = deg.getOrElse(b, 0L) + 1L
+      }
+      // degree orientation (lower (degree, id) → higher), out-adjacency
+      // sets, wedges closed against oriented edges — the identical
+      // count the distributed DAG computes, one corner per triangle
+      def lt(x: Long, y: Long): Boolean =
+        deg(x) < deg(y) || (deg(x) == deg(y) && x < y)
+      val out = new scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]]()
+      val outSet = new scala.collection.mutable.LongMap[scala.collection.mutable.HashSet[Long]]()
+      es.foreach { case (a, b) =>
+        val (u, v) = if (lt(a, b)) (a, b) else (b, a)
+        out.getOrElseUpdate(u, new scala.collection.mutable.ArrayBuffer[Long]()) += v
+        outSet.getOrElseUpdate(u, new scala.collection.mutable.HashSet[Long]()) += v
+      }
+      val nTri = new scala.collection.mutable.LongMap[Long]()
+      out.foreach { case (u, nbrs) =>
+        var i = 0
+        while (i < nbrs.length) {
+          var j = i + 1
+          while (j < nbrs.length) {
+            val (x, y) = (nbrs(i), nbrs(j))
+            val (v, w) = if (lt(x, y)) (x, y) else (y, x)
+            if (outSet.get(v).exists(_.contains(w))) {
+              nTri(u) = nTri.getOrElse(u, 0L) + 1L
+              nTri(v) = nTri.getOrElse(v, 0L) + 1L
+              nTri(w) = nTri.getOrElse(w, 0L) + 1L
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      val rows = deg.keys.toArray.map(v => (v, deg(v), nTri.getOrElse(v, 0L)))
+      import spark.implicits._
+      return spark.sparkContext
+        .parallelize(rows.toIndexedSeq, math.max(1, spark.sparkContext.defaultParallelism min 8))
+        .toDF("node", "degree", "n_tri")
+        .withColumn("clustering", expr(
+          """CASE WHEN degree < 2 THEN 0.0e0
+             ELSE floor((2.0e0 * CAST(n_tri AS DOUBLE)
+               / (CAST(degree AS DOUBLE) * CAST(degree - 1 AS DOUBLE)))
+               * 1.0e9 + 0.5e0) / 1.0e9 END"""))
+        .select("node", "degree", "n_tri", "clustering")
+    }
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -120,10 +179,61 @@ object Graphs {
     * probe runs 9 iterations to exercise the checkpointed path. */
   val checkpointEvery: Int = 6
 
-  def pageRankFixedPoint(edges0: DataFrame, iters: Int): DataFrame = {
+  /** Edge-count ceiling for the exact small-graph fast path: at or
+    * below this many (distinct undirected) edges the fixed-point
+    * recurrence runs on the driver over ONE bounded collect (~16
+    * bytes/edge ⟹ ≤ 16 MB at the cap) instead of `iters`
+    * driver-coordinated join rounds. Sound because the ranks are
+    * INTEGER fixed-point by design: the sums are exact and
+    * associative, so the driver replay is bit-identical to the
+    * distributed loop (the property spec literally pins this replay
+    * against the loop). Same guarded-collect discipline as
+    * `Dedup.smallPairsMax`; the distributed loop remains the path for
+    * every larger graph (the graphs10x probe regime). */
+  val smallEdgesMax: Long = 1L << 20
+
+  def pageRankFixedPoint(edges0: DataFrame, iters: Int,
+                         smallMax: Long = smallEdgesMax): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges0.sparkSession
+    // materialize the deduped edge list once: it feeds the size gate
+    // and both directed copies (blocks freed by the ContextCleaner
+    // once the plan is collected)
     val und = edges0.select(col("a").cast("long"), col("b").cast("long"))
-      .where(col("a") < col("b")).distinct()
+      .where(col("a") < col("b")).distinct().localCheckpoint()
+    if (und.count() <= smallMax) {
+      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val od = new scala.collection.mutable.LongMap[Long]()
+      es.foreach { case (a, b) =>
+        od(a) = od.getOrElse(a, 0L) + 1L; od(b) = od.getOrElse(b, 0L) + 1L
+      }
+      val ns = od.keys.toArray
+      val n = ns.length.toLong
+      val base = (PrScale * 15L / 100L) / n
+      var pr = new scala.collection.mutable.LongMap[Long]()
+      ns.foreach(v => pr(v) = PrScale / n)
+      (1 to iters).foreach { _ =>
+        val contrib = new scala.collection.mutable.LongMap[Long]()
+        // Long `/` == the SQL DIV on these operands (all non-negative);
+        // integer sums are order-independent, so accumulation order
+        // cannot matter — the same invariant the distributed loop
+        // rests on
+        es.foreach { case (a, b) =>
+          contrib(b) = contrib.getOrElse(b, 0L) + pr(a) / od(a)
+          contrib(a) = contrib.getOrElse(a, 0L) + pr(b) / od(b)
+        }
+        val next = new scala.collection.mutable.LongMap[Long]()
+        ns.foreach(v => next(v) = base + contrib.getOrElse(v, 0L) * 85L / 100L)
+        pr = next
+      }
+      import spark.implicits._
+      return spark.sparkContext
+        .parallelize(ns.map(v => (v, pr(v))).toIndexedSeq,
+          math.max(1, spark.sparkContext.defaultParallelism min 8))
+        .toDF("node", "pr")
+        .select(col("node"), col("pr").as("pr_fixed"),
+          expr(s"floor((CAST(pr AS DOUBLE) / ${PrScale}.0e0) * 1.0e9 + 0.5e0) / 1.0e9").as("pr"))
+    }
     val directed = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
     val out = directed.groupBy("src").agg(count(lit(1)).as("od")).cache()

@@ -395,38 +395,85 @@ object Similarity {
     * the MAD pass re-centers by a broadcast join of the 64-row median
     * relation and runs the same machinery on |q − median|.
     *
-    * `persistExploded` (opt-in, the [[Dedup.minhashLsh]]
-    * persistShingles discipline): the exploded quantized relation is
-    * referenced ~5× per action (each percentile pass scans it twice —
-    * histogram + located-bucket re-scan — plus the count agg), so
-    * large BATCH callers may pass true to localCheckpoint it once.
-    * The margin is real but modest — the probe (`robuststats`,
-    * 500k × 64-dim = 32M exploded rows) measures 20.8 s lazy vs
-    * 16.3 s persisted (1.3×): the percentile windows, not the
-    * re-evaluated projection, dominate. Default false keeps the lazy,
-    * side-effect-free contract — and at 10⁹-vector scale the exploded
-    * relation is corpus-sized, where re-computing a cheap projection
-    * beats spilling it to executor disk. Rows identical either way
-    * (probe-asserted). */
+    * ONE corpus scan (r16): the quantized values live on a BOUNDED
+    * lattice (unit-scale inputs ⟹ |q| ≤ ~10⁴, so ≤ dim × 2·10⁴ + 1
+    * distinct (pos, q) cells regardless of corpus size), so the
+    * per-(pos, q) count histogram is a corpus-independent summary —
+    * median, MAD and n all derive from it ([[Sampling.
+    * percentilesFromHistogram]] has the identical rank semantics,
+    * spec-pinned), the MAD re-centering maps the HISTOGRAM (not the
+    * corpus) through |q − median| and re-aggregates, and the corpus
+    * is never scanned again. The old shape re-scanned the exploded
+    * relation ~5× (two two-pass percentile calls + the count agg);
+    * at 10⁹ vectors that is 5 corpus passes vs 1 + histogram-sized
+    * work. The histogram is localCheckpoint'ed (bounded, never
+    * corpus-sized — blocks freed by the ContextCleaner once the plan
+    * is collected). Rows identical (probe-asserted vs the per-row
+    * percentile machinery). */
+  /** Histogram-cell ceiling for the driver rank-pick in
+    * [[embeddingRobustStats]]: on the documented unit-scale domain the
+    * histogram is ≤ dim × 20001 ≈ 1.3M cells — corpus-INDEPENDENT, so
+    * at or below this cap (~4M cells ≈ 64 MB collected) the median/MAD
+    * rank walks run on the driver (zero further jobs); above it (the
+    * scaladoc's out-of-domain misuse regime) the same ranks come from
+    * the distributed [[Sampling.percentilesFromHistogram]] machinery.
+    * Both paths are row-identical (probe + spec pinned). */
+  val robustStatsHistMax: Long = 4L << 20
+
   def embeddingRobustStats(emb: DataFrame, dim: Int = 64,
-                           persistExploded: Boolean = false): DataFrame = {
+                           histMax: Long = robustStatsHistMax): DataFrame = {
+    val spark = emb.sparkSession
     val q0 = emb.selectExpr(
         s"""CASE WHEN size(embedding) = $dim THEN embedding
             ELSE raise_error('bad embedding width') END AS embedding""")
       .selectExpr("posexplode(embedding) AS (pos, x)")
       .selectExpr("pos", "CAST(round(CAST(x AS DOUBLE) * 10000.0e0) AS BIGINT) AS q")
-    val q = if (persistExploded) q0.localCheckpoint() else q0
-    val med = Sampling.exactPercentilesBy(q, "q", Seq(50), Seq("pos"))
+    val hist = q0.groupBy("pos", "q").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val finish = (stats: DataFrame) => stats.selectExpr("pos", "n",
+      "floor((CAST(med_q AS DOUBLE) / 1.0e4) * 1.0e9 + 0.5e0) / 1.0e9 AS median",
+      "floor((CAST(mad_q AS DOUBLE) / 1.0e4) * 1.0e9 + 0.5e0) / 1.0e9 AS mad")
+    if (hist.count() <= histMax) {
+      // bounded-summary fast path: one collect of the (pos, q, cnt)
+      // cells, exact integer rank walk per dimension on the driver —
+      // rank ⌈50·n/100⌉ over sorted values, the IDENTICAL semantics
+      // percentilesFromHistogram computes distributively
+      val cells = hist.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      def rankPick(sorted: Array[(Long, Long)], rk: Long): Long = {
+        var acc = 0L; var i = 0
+        while (acc + sorted(i)._2 < rk) { acc += sorted(i)._2; i += 1 }
+        sorted(i)._1
+      }
+      val out = cells.groupBy(_._1).toArray.sortBy(_._1).map { case (pos, cs) =>
+        val byQ = cs.map(c => (c._2, c._3)).sortBy(_._1)
+        val n = byQ.map(_._2).sum
+        val rk = ((BigInt(50) * n + 99) / 100).toLong
+        val medQ = rankPick(byQ, rk)
+        val devAgg = new scala.collection.mutable.LongMap[Long]()
+        byQ.foreach { case (q, c) =>
+          val d = math.abs(q - medQ)
+          devAgg(d) = devAgg.getOrElse(d, 0L) + c
+        }
+        val madQ = rankPick(devAgg.toArray.sortBy(_._1), rk)
+        (pos, n, medQ, madQ)
+      }
+      import spark.implicits._
+      return finish(spark.sparkContext
+        .parallelize(out.toIndexedSeq, math.max(1, out.length min 8))
+        .toDF("pos", "n", "med_q", "mad_q"))
+    }
+    val med = Sampling.percentilesFromHistogram(
+        hist.select(col("pos"), col("q").as("val"), col("cnt")), Seq(50), Seq("pos"))
       .select(col("pos"), col("value").as("med_q"))
-    val dev = q.join(broadcast(med), "pos")
-      .selectExpr("pos", "abs(q - med_q) AS adev")
-    val mad = Sampling.exactPercentilesBy(dev, "adev", Seq(50), Seq("pos"))
+    val devHist = hist.join(broadcast(med), "pos")
+      .selectExpr("pos", "abs(q - med_q) AS val", "cnt")
+      .groupBy("pos", "val").agg(sum("cnt").as("cnt"))
+    val mad = Sampling.percentilesFromHistogram(devHist, Seq(50), Seq("pos"))
       .select(col("pos"), col("value").as("mad_q"))
-    val n = q.groupBy("pos").agg(count(lit(1)).as("n"))
-    n.join(med, "pos").join(mad, "pos")
-      .selectExpr("pos", "n",
-        "floor((CAST(med_q AS DOUBLE) / 1.0e4) * 1.0e9 + 0.5e0) / 1.0e9 AS median",
-        "floor((CAST(mad_q AS DOUBLE) / 1.0e4) * 1.0e9 + 0.5e0) / 1.0e9 AS mad")
+    val n = hist.groupBy("pos").agg(sum("cnt").as("n"))
+    finish(n.join(med, "pos").join(mad, "pos")
+      .select(col("pos"), col("n"), col("med_q"), col("mad_q")))
   }
 
   /** SEMANTIC decontamination flags: train vectors whose cosine to any

@@ -1059,36 +1059,52 @@ object PipelineScaleProbe {
     }
 
     if (sections("robuststats")) {
-      // X50 robust stats at 500k × 64-dim (32M exploded rows): the
-      // exploded quantized relation is referenced ~5× per action —
-      // measure recompute (the lazy default) vs the opt-in
-      // localCheckpoint, and require identical rows (the flag's
-      // contract). Both must stay exact: median of the planted
-      // distribution is closed-form (values are hash-uniform).
+      // X50 robust stats at 500k × 64-dim (32M exploded rows). Since
+      // r16 the operator is single-corpus-scan (the lattice-bounded
+      // (pos, q) histogram replaces the ~5 re-scans the old shape
+      // paid, and the old persistExploded A/B with it) — measure the
+      // wall, and require the result identical to an independent
+      // per-row percentile computation (Sampling.exactPercentilesBy
+      // over the exploded relation — the OLD shape's machinery, kept
+      // here as the cross-check).
       // values on the operator's documented domain: [-1, 1] on the
       // 1e-4 lattice (the raw `vectors()` hash doubles span ±2e9,
       // which after quantization makes every value its own histogram
       // bucket — a misuse the scaladoc's broadcast-small contract
       // excludes, and an OOM at the probe heap). NOT cached: caching
       // 512 MB of vectors squeezes execution memory under 8g, and the
-      // generator is cheap hash math both variants re-run equally.
+      // generator is cheap hash math both paths re-run equally.
       val emb = spark.range(500000L).selectExpr("id AS vec_id",
         """transform(sequence(0, 63),
            j -> CAST(pmod(hash(id, j), 20001) - 10000 AS DOUBLE) / 10000.0e0)
            AS embedding""")
-      def run(persist: Boolean): (Double, Seq[String]) = {
-        val t0 = System.nanoTime()
-        val rows = Similarity.embeddingRobustStats(emb, 64, persistExploded = persist)
-          .orderBy("pos")
-          .selectExpr("concat(pos, ':', n, ':', median, ':', mad) AS row")
-          .collect().map(_.getString(0)).toSeq
-        ((System.nanoTime() - t0) / 1e9, rows)
-      }
-      val (wLazy, rowsLazy) = run(persist = false)
-      val (wPersist, rowsPersist) = run(persist = true)
-      require(rowsLazy == rowsPersist, "persistExploded changed rows")
-      println(f"[info-probe] robust stats 500k x 64-dim: lazy $wLazy%.2f s, " +
-        f"persistExploded $wPersist%.2f s (rows identical)")
+      val t0 = System.nanoTime()
+      val rows = Similarity.embeddingRobustStats(emb, 64)
+        .orderBy("pos")
+        .selectExpr("concat(pos, ':', n, ':', median, ':', mad) AS row")
+        .collect().map(_.getString(0)).toSeq
+      val wHist = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val q = emb.selectExpr("posexplode(embedding) AS (pos, x)")
+        .selectExpr("pos", "CAST(round(CAST(x AS DOUBLE) * 10000.0e0) AS BIGINT) AS q")
+        .localCheckpoint()
+      val med = Sampling.exactPercentilesBy(q, "q", Seq(50), Seq("pos"))
+        .select(col("pos"), col("value").as("med_q"))
+      val dev = q.join(broadcast(med), "pos").selectExpr("pos", "abs(q - med_q) AS adev")
+      val mad = Sampling.exactPercentilesBy(dev, "adev", Seq(50), Seq("pos"))
+        .select(col("pos"), col("value").as("mad_q"))
+      val want = q.groupBy("pos").agg(count(lit(1)).as("n"))
+        .join(med, "pos").join(mad, "pos")
+        .selectExpr("pos", "n",
+          "floor((CAST(med_q AS DOUBLE) / 1.0e4) * 1.0e9 + 0.5e0) / 1.0e9 AS median",
+          "floor((CAST(mad_q AS DOUBLE) / 1.0e4) * 1.0e9 + 0.5e0) / 1.0e9 AS mad")
+        .orderBy("pos")
+        .selectExpr("concat(pos, ':', n, ':', median, ':', mad) AS row")
+        .collect().map(_.getString(0)).toSeq
+      val wRow = (System.nanoTime() - t1) / 1e9
+      require(rows == want, "histogram-path robust stats != per-row percentile replay")
+      println(f"[info-probe] robust stats 500k x 64-dim: histogram $wHist%.2f s, " +
+        f"per-row replay $wRow%.2f s (rows identical)")
     }
 
     if (sections("hll100m")) {

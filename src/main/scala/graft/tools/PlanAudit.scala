@@ -115,12 +115,12 @@ object PlanAudit {
     "q_hll_overlap"                    -> (2, 0), // |sources|² pair enumeration, ×2 branches
     "q_kmv_jaccard"                    -> (1, 0), // |sources|² pair enumeration over k-row sketches
     "q_length_quantiles"               -> (2, 0), // |pcts| × tiny-histogram rank location, ×2 branches
-    "q_locstream_nearest"              -> (1, 0), // apply-family: one-row zero-anchor pad
+    "q_locstream_nearest"              -> (4, 0), // apply-family: one-row zero-anchor pad + 3× the r16 tiny-probes broadcast argmin (crossJoin(broadcast(≤64 probes)) — bounded by NearestJoin.smallPtsMax; the W subtree is re-referenced by the apply)
     "q_regrid_conservative_curv"       -> (1, 0), // apply-family: one-row zero-anchor pad
     "q_regrid_conservative_curv_exact" -> (1, 0), // apply-family: one-row zero-anchor pad
     "q_regrid_curv"                    -> (1, 0), // apply-family: one-row zero-anchor pad
-    "q_regrid_locstream"               -> (7, 0), // both-direction locstream chain: per-leg one-row pads + fixture expansion
-    "q_regrid_locstream_in"            -> (5, 0), // locstream-in chain: per-leg one-row pads
+    "q_regrid_locstream"               -> (10, 0), // both-direction locstream chain: per-leg one-row pads + fixture expansion + 3× the r16 tiny-probes broadcast argmin (≤64-row broadcast side, NearestJoin.smallPtsMax-bounded)
+    "q_regrid_locstream_in"            -> (8, 0), // locstream-in chain: per-leg one-row pads + 3× the r16 tiny-probes broadcast argmin (≤64-row broadcast side, NearestJoin.smallPtsMax-bounded)
     "q_spmm_apply"                     -> (1, 0), // apply-family: one-row zero-anchor pad
     "q_unmapped_zero"                  -> (1, 0), // the pad IS the query under test
     "q_w_bilinear_peri"                -> (2, 0), // periodic pole caps × broadcast lon range (N+S)
@@ -363,7 +363,7 @@ object PlanAudit {
     "q_embedding_cosine" -> (3, 1),
     "q_embedding_cosine_lsh" -> (2, 3),
     "q_embedding_cosine_lsh_recall" -> (2, 3),
-    "q_embedding_robust_stats" -> (72, 34),
+    "q_embedding_robust_stats" -> (1, 0),
     "q_embedding_stats" -> (2, 0),
     "q_events_funnel" -> (7, 4),
     "q_events_funnel_steps" -> (7, 4),
@@ -371,8 +371,8 @@ object PlanAudit {
     "q_events_sessions" -> (2, 0),
     "q_events_window" -> (3, 0),
     "q_flatten_idx" -> (0, 0),
-    "q_graph_pagerank" -> (214, 96),
-    "q_graph_triangles" -> (459, 195),
+    "q_graph_pagerank" -> (1, 0),
+    "q_graph_triangles" -> (1, 0),
     "q_grid_1d" -> (0, 0),
     "q_grid_2d" -> (0, 0),
     "q_grid_global" -> (0, 0),
@@ -524,7 +524,7 @@ object PlanAudit {
     "q_embedding_cosine" -> (3, 1),
     "q_embedding_cosine_lsh" -> (2, 3),
     "q_embedding_cosine_lsh_recall" -> (2, 3),
-    "q_embedding_robust_stats" -> (72, 34),
+    "q_embedding_robust_stats" -> (1, 0),
     "q_embedding_stats" -> (2, 0),
     "q_events_funnel" -> (7, 4),
     "q_events_funnel_steps" -> (7, 4),
@@ -532,8 +532,8 @@ object PlanAudit {
     "q_events_sessions" -> (2, 0),
     "q_events_window" -> (3, 0),
     "q_flatten_idx" -> (0, 0),
-    "q_graph_pagerank" -> (214, 96),
-    "q_graph_triangles" -> (459, 195),
+    "q_graph_pagerank" -> (1, 0),
+    "q_graph_triangles" -> (1, 0),
     "q_grid_1d" -> (0, 0),
     "q_grid_2d" -> (0, 0),
     "q_grid_global" -> (0, 0),

@@ -418,7 +418,10 @@ class PipelineSpec extends AnyFunSuite {
     // curve at 6.4M nodes; this pins the observable in-suite)
     val chain = (0 until 64).map(i => (i.toLong, i.toLong + 1))
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val (lbl, rounds) = Dedup.clustersWithRounds(chain.toDF("a", "b"), maxRounds = 12)
+    // smallMax = 0 forces the distributed loop: the default would take
+    // the union-find fast path for a 64-pair input and never iterate
+    val (lbl, rounds) = Dedup.clustersWithRounds(chain.toDF("a", "b"), maxRounds = 12,
+      smallMax = 0L)
     assert(lbl.filter(col("cluster_id") =!= 0L).count() === 0, "chain collapses to min id")
     assert(rounds <= 8, s"diameter 64 took $rounds rounds (log2 bound ~7)")
     // checkpoint hygiene: superseded rounds' blocks are freed as the
@@ -427,6 +430,25 @@ class PipelineSpec extends AnyFunSuite {
     val live = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(live.size <= 3,
       s"${live.size} checkpoint RDDs still persisted after clusters (expect <= 3: edges + final)")
+  }
+
+  test("clusters small-graph union-find path == distributed loop, row for row") {
+    import spark.implicits._
+    // chains (deep diameter), a triangle, an isolated pair, duplicate
+    // and reversed edges: the union-find fast path must produce the
+    // exact relation the pointer-jumping loop converges to
+    val edges = (0 until 40).map(i => (i.toLong, i.toLong + 1)) ++
+      Seq((100L, 101L), (102L, 101L), (100L, 102L), (200L, 201L),
+        (201L, 200L), (200L, 201L), (300L, 310L), (310L, 305L)) ++
+      (0 until 40).map(i => (i.toLong + 1, i.toLong)) // reversed copies
+    val df = edges.toDF("a", "b")
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.orderBy("doc_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val fast = Dedup.clustersWithRounds(df, maxRounds = 12)
+    val loop = Dedup.clustersWithRounds(df, maxRounds = 12, smallMax = 0L)
+    assert(fast._2 === 0, "small input must take the zero-round fast path")
+    assert(loop._2 > 0, "smallMax = 0 must force the iterating loop")
+    assert(rows(fast._1) === rows(loop._1))
   }
 
   test("sessions partition the event stream: counts add up, gaps split") {
@@ -2025,6 +2047,13 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(stats1(pos)._1 - m0) < 0.5,
         s"median at dim $pos moved from $m0 to ${stats1(pos)._1}")
     }
+    // dual-path parity: the driver rank-pick (default — the histogram
+    // is lattice-bounded) and the distributed percentilesFromHistogram
+    // fallback (histMax = 0) must produce the identical relation
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(rows(Similarity.embeddingRobustStats(base)) ===
+      rows(Similarity.embeddingRobustStats(base, histMax = 0L)))
   }
 
   test("semanticDecontamFlags: planted leaks surface through the bucket discipline, clean corpus stays clean") {

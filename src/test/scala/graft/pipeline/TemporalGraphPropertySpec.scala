@@ -101,9 +101,15 @@ class TemporalGraphPropertySpec extends AnyFunSuite {
         v -> nb.combinations(2).count { case Seq(x, y) => connected(x, y) }
       }.toMap
       val wantDeg = nodes.map(v => v -> nodes.count(u => u != v && connected(u, v))).toMap
+      // default takes the small-graph driver path; smallMax = 0 forces
+      // the distributed orientation DAG — both against brute force
       val got = Graphs.triangleStats(edges.toDF("a", "b"))
         .collect().map(row => row.getLong(0) ->
           (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+      val gotDag = Graphs.triangleStats(edges.toDF("a", "b"), smallMax = 0L)
+        .collect().map(row => row.getLong(0) ->
+          (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+      assert(got === gotDag, s"seed $seed: fast path != distributed DAG")
       assert(got.keySet === nodes.toSet, s"seed $seed node set")
       nodes.foreach { v =>
         val (deg, tri, clus) = got(v)
@@ -125,8 +131,15 @@ class TemporalGraphPropertySpec extends AnyFunSuite {
         if r.nextDouble() < 0.3
       } yield (a.toLong, b.toLong))
       val iters = 3 + r.nextInt(5)
-      val got = Graphs.pageRankFixedPoint(edges.toDF("a", "b"), iters)
-        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      // default takes the small-graph driver path for 20 nodes;
+      // smallMax = 0 forces the distributed loop — BOTH must bit-equal
+      // the literal replay below (and therefore each other)
+      val fastDf = Graphs.pageRankFixedPoint(edges.toDF("a", "b"), iters)
+      val loopDf = Graphs.pageRankFixedPoint(edges.toDF("a", "b"), iters,
+        smallMax = 0L)
+      val got = fastDf.collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      val gotLoop = loopDf.collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      assert(got === gotLoop, s"seed $seed iters $iters: fast path != loop")
       // literal replay of the documented integer recurrence
       val directed = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       val out = directed.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
