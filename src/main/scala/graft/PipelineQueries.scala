@@ -41,12 +41,23 @@ object PipelineQueries {
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    spread(s.read.parquet(s"$dir/documents.parquet"))
-  // embeddings/events deliberately NOT spread: their per-row scan-side
-  // work is light (no tokenize/md5), their queries are job-count-bound,
-  // and an A/B at sf0.1 measured the extra 32-task stages as a net
-  // LOSS (q_embedding_robust_stats 2.9 → 4.7 s spread); the heavy
-  // per-row compute that justifies the exchange is the text path's.
+    s.read.parquet(s"$dir/documents.parquet")
+  /** [[docs]] + [[spread]] — OPT-IN per consumer after the r16
+    * interleaved A/Bs: the exchange costs ~0.3-0.5 s at gate scale
+    * (one producer task serializes the text corpus) and only pays for
+    * itself when the downstream per-row work is a heavy single-task
+    * wall (5-gram shingling, signature computation, span hashing:
+    * q_dupspan 4.11 → 1.16 s, q_simhash_neardup 3.08 → 0.99,
+    * q_minhash_sig 1.51 → 0.66). Blanket-spreading every docs()
+    * consumer (the first r16 attempt) was a measured net LOSS — ~45
+    * light/multi-reference queries each paid the exchange (and
+    * re-paid it per plan reference: q_ngram_jaccard_capped 3.28 →
+    * 5.50 s, q_decontam_bloom 1.34 → 3.03, q_vocab_topk 0.32 → 0.83)
+    * for parallelism their scan-side work never uses. embeddings/
+    * events are likewise never spread (q_embedding_robust_stats
+    * 2.9 → 4.7 s when tried). */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    spread(docs(s, dir))
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
   /** Events table, `ts` normalized to micro-precision TimestampType
@@ -127,6 +138,14 @@ object PipelineQueries {
     val m = cachedModulus(d, s"$dir/documents.parquet", docShardCap)
     if (m > 1) d.filter(s"(doc_id div $docShardBlock) % $m = 0") else d
   }
+
+  /** [[docsSharded]] + [[spread]] — the MinHash/n-gram dedup chain's
+    * shingle walls are the heavy single-task regime the spread exists
+    * for (A/B: q_dedup_minhash 2.26 → 2.04 s, q_ngram_jaccard 1.74 →
+    * 1.36); the light docsSharded consumers (audio decode, packing)
+    * measured the exchange as a loss and stay unspread. */
+  private def docsShardedSpread(s: SparkSession, dir: String): DataFrame =
+    spread(docsSharded(s, dir))
 
   private def embSharded(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -1135,7 +1154,7 @@ object PipelineQueries {
       // is the shared engine-neutral fragment, so even the compounded
       // overlap estimates hash-gate.
       (s, dir) => Sketches.hllPairOverlap(
-          TextOps.shingleSet(docs(s, dir), 5, carry = Seq("source")),
+          TextOps.shingleSet(docsSpread(s, dir), 5, carry = Seq("source")),
           "source", col("s"), 8)
         .orderBy("group_a", "group_b"),
       Some {
@@ -1184,7 +1203,7 @@ object PipelineQueries {
       // The 100 TB shape: per-day distinct accounting from persisted
       // 2^p-row summaries, old corpora never re-scanned.
       (s, dir) => {
-        val sh5 = TextOps.shingleSet(docs(s, dir), 5, carry = Seq("source"))
+        val sh5 = TextOps.shingleSet(docsSpread(s, dir), 5, carry = Seq("source"))
         val base = sketchIoPath(s)
         SketchIO.writeSketch(
           Sketches.hllSketch(sh5.filter(col("doc_id") % 2 === 0), "source", col("s"), 8),
@@ -1497,7 +1516,7 @@ object PipelineQueries {
         FROM tok WHERE len(tokens) >= 5 ORDER BY doc_id""")),
 
     QueryDef("q_minhash_sig",
-      (s, dir) => TextOps.minhash(docs(s, dir)).orderBy("doc_id", "seed"),
+      (s, dir) => TextOps.minhash(docsSpread(s, dir)).orderBy("doc_id", "seed"),
       Some(s"""WITH tok AS ($tokCte), sh5 AS (${sh(5)}),
         m AS (SELECT doc_id, ${h60("s")} % ${TextOps.minhashM} AS m FROM sh5),
         perm AS (SELECT * FROM (VALUES ${(0 until 16).map(i =>
@@ -1532,7 +1551,7 @@ object PipelineQueries {
       // provably misses nothing — a complete candidate set, unlike the
       // probabilistic MinHash/hyperplane LSH). The oracle states the
       // semantics declaratively as the all-pairs Hamming filter.
-      (s, dir) => Dedup.simhashNearDup(docs(s, dir), 3).orderBy("a", "b"),
+      (s, dir) => Dedup.simhashNearDup(docsSpread(s, dir), 3).orderBy("a", "b"),
       Some(s"""WITH $simhashCtes,
         c AS (SELECT x.doc_id AS a, y.doc_id AS b,
                 CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
@@ -1552,7 +1571,7 @@ object PipelineQueries {
       // oracle past a 10-minute cap (clone-quadratic candidate set) —
       // same adaptive-shard treatment as the closure oracles, identity
       // below the cap
-      (s, dir) => Dedup.minhashLsh(docsSharded(s, dir)).orderBy("a", "b"),
+      (s, dir) => Dedup.minhashLsh(docsShardedSpread(s, dir)).orderBy("a", "b"),
       Some(s"""WITH $minhashCtesSharded
         $jaccardSelect ORDER BY a, b""")),
 
@@ -1581,7 +1600,7 @@ object PipelineQueries {
       // min-label propagation with pointer jumping (O(log diameter)
       // equi-join rounds); oracle: recursive transitive closure.
       (s, dir) => Dedup.clusters(
-        Dedup.minhashLsh(docsSharded(s, dir)).filter(col("jaccard") >= 0.5))
+        Dedup.minhashLsh(docsShardedSpread(s, dir)).filter(col("jaccard") >= 0.5))
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $minhashCtesSharded,
         j AS ($jaccardSelect),
@@ -1603,7 +1622,7 @@ object PipelineQueries {
       // Oracle: the recursive-closure chain + the quality CTE + the
       // same argmax window.
       (s, dir) => {
-        val d = docsSharded(s, dir)
+        val d = docsShardedSpread(s, dir)
         Dedup.keepBest(
           Dedup.clusters(Dedup.minhashLsh(d).filter(col("jaccard") >= 0.5)),
           TextOps.qualityScore(d).select("doc_id", "score"))
@@ -1638,7 +1657,7 @@ object PipelineQueries {
     QueryDef("q_ngram_jaccard",
       // sharded since r13 (same sf10 finding as q_dedup_minhash: the
       // all-collision intersection CTE is quadratic in clone count)
-      (s, dir) => Dedup.ngramJaccardBlocked(docsSharded(s, dir), 3, 0.3).orderBy("a", "b"),
+      (s, dir) => Dedup.ngramJaccardBlocked(docsShardedSpread(s, dir), 3, 0.3).orderBy("a", "b"),
       Some(s"""WITH tok AS ($tokShardCte), sh3 AS (${sh(3)}),
         sz AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1),
         inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
@@ -2502,7 +2521,7 @@ object PipelineQueries {
       // shingles broadcast, train side scanned once (never shuffled
       // before the match), per-doc distinct counts on the survivors.
       (s, dir) => {
-        val d = docs(s, dir)
+        val d = docsSpread(s, dir)
         Decontam.contamination(
           d.filter(s"NOT ($evalPred)"), d.filter(evalPred), 5)
           .orderBy("doc_id")
@@ -2935,7 +2954,7 @@ object PipelineQueries {
       // corpus-wide heavy-hitter 3-grams (boilerplate detector): per-doc
       // distinct shingles -> doc-frequency count (map-side partial agg)
       // -> top-50 via TakeOrdered, total-ordered so the cut is exact
-      (s, dir) => TextOps.topShingles(docs(s, dir), 3, 50),
+      (s, dir) => TextOps.topShingles(docsSpread(s, dir), 3, 50),
       Some(s"""WITH tok AS ($tokCte), sh3 AS (${sh(3)})
         SELECT s, count(*) AS n_docs FROM sh3 GROUP BY 1
         ORDER BY n_docs DESC, s LIMIT 50""")),
@@ -2972,7 +2991,7 @@ object PipelineQueries {
       // equi-join back -> per-doc gaps-and-islands window (span counts
       // per doc are small, so the doc_id window never sees a large
       // partition).
-      (s, dir) => Spans.duplicateSpans(docs(s, dir), spanN)
+      (s, dir) => Spans.duplicateSpans(docsSpread(s, dir), spanN)
         .orderBy("doc_id", "tok_start"),
       Some(s"""WITH $spanCtes
         SELECT doc_id, CAST(t0 AS INTEGER) AS tok_start,
@@ -3378,7 +3397,7 @@ object PipelineQueries {
       // signatures are identical whether computed before or after the
       // corpus split, so the oracle filters the shared bands CTE.
       (s, dir) => {
-        val d = docs(s, dir)
+        val d = docsSpread(s, dir)
         Decontam.fuzzyContamination(
           d.filter(s"NOT ($evalPred)"), d.filter(evalPred))
           .orderBy("doc_id")
@@ -3466,7 +3485,7 @@ object PipelineQueries {
       // Counts joined back by shingle key; log-probs quantized to
       // integer micro-units and summed exactly (BM25's ln-parity
       // rationale).
-      (s, dir) => TextOps.bigramLmScore(docs(s, dir)).orderBy("doc_id"),
+      (s, dir) => TextOps.bigramLmScore(docsSpread(s, dir)).orderBy("doc_id"),
       Some(s"""WITH tok AS ($tokCte),
         bgx AS (SELECT doc_id, unnest(list_transform(
                   generate_series(0, len(tokens) - 2),

@@ -324,42 +324,42 @@ object PlanAudit {
     "q_asof_join_bucketed" -> (5, 1),
     "q_attach_coords" -> (5, 4),
     "q_auc_merged" -> (7, 1),
-    "q_auc_weighted" -> (9, 1),
+    "q_auc_weighted" -> (7, 1),
     "q_audio_decode" -> (2, 0),
     "q_audio_resample" -> (2, 0),
     "q_bigram_lm" -> (10, 3),
-    "q_bloom_merge" -> (5, 1),
-    "q_bm25_topk" -> (8, 1),
-    "q_bpe_apply" -> (3, 1),
+    "q_bloom_merge" -> (4, 1),
+    "q_bm25_topk" -> (5, 1),
+    "q_bpe_apply" -> (2, 1),
     "q_bpe_train" -> (1, 0),
     "q_broadcast_dims" -> (5, 7),
-    "q_calibration" -> (3, 0),
-    "q_calibration_hist" -> (4, 0),
+    "q_calibration" -> (2, 0),
+    "q_calibration_hist" -> (3, 0),
     "q_centroid_refresh" -> (1, 0),
-    "q_chunk_docs" -> (2, 0),
-    "q_classifier_auc" -> (9, 1),
-    "q_cm_frequency" -> (6, 3),
-    "q_cm_merge" -> (5, 3),
+    "q_chunk_docs" -> (1, 0),
+    "q_classifier_auc" -> (7, 1),
+    "q_cm_frequency" -> (4, 3),
+    "q_cm_merge" -> (4, 3),
     "q_corpus_append" -> (2, 0),
-    "q_corpus_diff" -> (6, 0),
+    "q_corpus_diff" -> (3, 0),
     "q_corpus_layout" -> (2, 0),
-    "q_corpus_report" -> (4, 0),
-    "q_corpus_rollup" -> (3, 0),
+    "q_corpus_report" -> (3, 0),
+    "q_corpus_rollup" -> (2, 0),
     "q_corpus_zorder" -> (2, 0),
     "q_dataset_map" -> (5, 3),
     "q_decontam" -> (7, 1),
-    "q_decontam_bloom" -> (7, 1),
+    "q_decontam_bloom" -> (5, 1),
     "q_decontam_fuzzy" -> (7, 1),
-    "q_decontam_keep" -> (7, 2),
+    "q_decontam_keep" -> (4, 2),
     "q_decontam_semantic" -> (1, 1),
     "q_dedup_clusters" -> (1, 0),
-    "q_dedup_exact" -> (3, 0),
-    "q_dedup_incremental" -> (36, 12),
+    "q_dedup_exact" -> (2, 0),
+    "q_dedup_incremental" -> (23, 12),
     "q_dedup_keep_best" -> (3, 1),
     "q_dedup_minhash" -> (18, 3),
-    "q_doc_fingerprint" -> (2, 0),
+    "q_doc_fingerprint" -> (1, 0),
     "q_dupspan" -> (5, 1),
-    "q_dupspan_scrub" -> (6, 2),
+    "q_dupspan_scrub" -> (3, 2),
     "q_embedding_cosine" -> (3, 1),
     "q_embedding_cosine_lsh" -> (2, 3),
     "q_embedding_cosine_lsh_recall" -> (2, 3),
@@ -376,45 +376,45 @@ object PlanAudit {
     "q_grid_1d" -> (0, 0),
     "q_grid_2d" -> (0, 0),
     "q_grid_global" -> (0, 0),
-    "q_hll_distinct" -> (14, 2),
+    "q_hll_distinct" -> (10, 2),
     "q_hll_merge" -> (3, 0),
     "q_hll_overlap" -> (23, 6),
     "q_image_neardup" -> (2, 1),
     "q_item_cooccurrence" -> (8, 3),
     "q_kmeans" -> (1, 0),
     "q_kmeans_twolevel" -> (1, 0),
-    "q_kmv_distinct" -> (8, 0),
-    "q_kmv_jaccard" -> (19, 4),
-    "q_lang_id" -> (2, 0),
-    "q_length_quantiles" -> (15, 4),
-    "q_length_quantiles_by_source" -> (16, 4),
+    "q_kmv_distinct" -> (6, 0),
+    "q_kmv_jaccard" -> (13, 4),
+    "q_lang_id" -> (1, 0),
+    "q_length_quantiles" -> (10, 4),
+    "q_length_quantiles_by_source" -> (11, 4),
     "q_lineitem_pricing" -> (2, 0),
     "q_local_supplier_volume" -> (2, 5),
     "q_locstream_nearest" -> (5, 3),
-    "q_minhash_bands_stateless" -> (2, 0),
+    "q_minhash_bands_stateless" -> (1, 0),
     "q_minhash_sig" -> (3, 0),
-    "q_mix_apply" -> (6, 1),
-    "q_mix_weights" -> (3, 0),
-    "q_mix_weights_tau" -> (9, 0),
+    "q_mix_apply" -> (4, 1),
+    "q_mix_weights" -> (2, 0),
+    "q_mix_weights_tau" -> (6, 0),
     "q_multimodal_decode" -> (2, 0),
     "q_multimodal_frames" -> (2, 0),
     "q_multimodal_gradient" -> (2, 0),
     "q_multimodal_gradient_resize" -> (2, 0),
-    "q_multimodal_meta" -> (2, 0),
+    "q_multimodal_meta" -> (1, 0),
     "q_multimodal_resize" -> (2, 0),
     "q_ngram_jaccard" -> (12, 3),
-    "q_ngram_jaccard_capped" -> (24, 7),
+    "q_ngram_jaccard_capped" -> (16, 7),
     "q_ngram_topk" -> (3, 0),
-    "q_oov_rate" -> (5, 1),
+    "q_oov_rate" -> (3, 1),
     "q_orders_revenue" -> (2, 2),
-    "q_pack_greedy" -> (3, 0),
-    "q_pack_stats" -> (4, 0),
-    "q_phrase_search" -> (4, 1),
-    "q_pii_redact" -> (2, 0),
-    "q_pipeline_e2e" -> (12, 3),
-    "q_pr_curve" -> (9, 1),
-    "q_quality_classifier" -> (2, 0),
-    "q_quality_score" -> (2, 0),
+    "q_pack_greedy" -> (2, 0),
+    "q_pack_stats" -> (3, 0),
+    "q_phrase_search" -> (3, 1),
+    "q_pii_redact" -> (1, 0),
+    "q_pipeline_e2e" -> (7, 3),
+    "q_pr_curve" -> (7, 1),
+    "q_quality_classifier" -> (1, 0),
+    "q_quality_score" -> (1, 0),
     "q_quantiles_merged" -> (15, 4),
     "q_range_join" -> (1, 1),
     "q_regrid_conservative_curv" -> (5, 3),
@@ -422,23 +422,23 @@ object PlanAudit {
     "q_regrid_curv" -> (6, 2),
     "q_regrid_locstream" -> (17, 12),
     "q_regrid_locstream_in" -> (9, 6),
-    "q_repetition" -> (2, 0),
+    "q_repetition" -> (1, 0),
     "q_rolling_anomaly" -> (2, 0),
-    "q_sample_stratified" -> (3, 0),
-    "q_sample_stratum_topk" -> (4, 0),
+    "q_sample_stratified" -> (2, 0),
+    "q_sample_stratum_topk" -> (3, 0),
     "q_semantic_dedup" -> (3, 0),
     "q_shipping_priority" -> (1, 2),
-    "q_shuffle_order" -> (6, 1),
-    "q_simhash" -> (4, 0),
+    "q_shuffle_order" -> (4, 1),
+    "q_simhash" -> (3, 0),
     "q_simhash_neardup" -> (2, 1),
-    "q_skew_report" -> (4, 0),
-    "q_split_assign" -> (2, 0),
+    "q_skew_report" -> (3, 0),
+    "q_split_assign" -> (1, 0),
     "q_spmm_apply" -> (5, 3),
-    "q_strip_markup" -> (2, 0),
-    "q_text_tokens" -> (2, 0),
-    "q_tokens_bpe" -> (2, 0),
+    "q_strip_markup" -> (1, 0),
+    "q_text_tokens" -> (1, 0),
+    "q_tokens_bpe" -> (1, 0),
     "q_unmapped_zero" -> (5, 3),
-    "q_vocab_topk" -> (2, 0),
+    "q_vocab_topk" -> (1, 0),
     "q_w_bilinear" -> (1, 0),
     "q_w_bilinear_curv" -> (2, 0),
     "q_w_bilinear_curv_peri" -> (2, 0),
@@ -455,7 +455,7 @@ object PlanAudit {
     "q_w_patch_nonuniform" -> (0, 3),
     "q_w_patch_nonuniform_peri" -> (0, 3),
     "q_wave_smooth" -> (0, 0),
-    "q_weighted_sample" -> (2, 0),
+    "q_weighted_sample" -> (1, 0),
     "q_weights_read" -> (1, 0),
     "q_weights_read_nc" -> (1, 0),
   )
@@ -485,42 +485,42 @@ object PlanAudit {
     "q_asof_join_bucketed" -> (5, 1),
     "q_attach_coords" -> (4, 4),
     "q_auc_merged" -> (7, 1),
-    "q_auc_weighted" -> (9, 1),
+    "q_auc_weighted" -> (7, 1),
     "q_audio_decode" -> (2, 0),
     "q_audio_resample" -> (2, 0),
     "q_bigram_lm" -> (10, 3),
-    "q_bloom_merge" -> (5, 1),
-    "q_bm25_topk" -> (8, 1),
-    "q_bpe_apply" -> (3, 1),
+    "q_bloom_merge" -> (4, 1),
+    "q_bm25_topk" -> (5, 1),
+    "q_bpe_apply" -> (2, 1),
     "q_bpe_train" -> (1, 0),
     "q_broadcast_dims" -> (5, 7),
-    "q_calibration" -> (3, 0),
-    "q_calibration_hist" -> (4, 0),
+    "q_calibration" -> (2, 0),
+    "q_calibration_hist" -> (3, 0),
     "q_centroid_refresh" -> (1, 0),
-    "q_chunk_docs" -> (2, 0),
-    "q_classifier_auc" -> (9, 1),
-    "q_cm_frequency" -> (6, 3),
-    "q_cm_merge" -> (5, 3),
+    "q_chunk_docs" -> (1, 0),
+    "q_classifier_auc" -> (7, 1),
+    "q_cm_frequency" -> (4, 3),
+    "q_cm_merge" -> (4, 3),
     "q_corpus_append" -> (2, 0),
-    "q_corpus_diff" -> (6, 0),
+    "q_corpus_diff" -> (3, 0),
     "q_corpus_layout" -> (2, 0),
-    "q_corpus_report" -> (4, 0),
-    "q_corpus_rollup" -> (3, 0),
+    "q_corpus_report" -> (3, 0),
+    "q_corpus_rollup" -> (2, 0),
     "q_corpus_zorder" -> (2, 0),
     "q_dataset_map" -> (4, 3),
     "q_decontam" -> (7, 1),
-    "q_decontam_bloom" -> (7, 1),
+    "q_decontam_bloom" -> (5, 1),
     "q_decontam_fuzzy" -> (7, 1),
-    "q_decontam_keep" -> (7, 2),
+    "q_decontam_keep" -> (4, 2),
     "q_decontam_semantic" -> (1, 1),
     "q_dedup_clusters" -> (1, 0),
-    "q_dedup_exact" -> (3, 0),
-    "q_dedup_incremental" -> (36, 12),
+    "q_dedup_exact" -> (2, 0),
+    "q_dedup_incremental" -> (23, 12),
     "q_dedup_keep_best" -> (3, 1),
     "q_dedup_minhash" -> (18, 3),
-    "q_doc_fingerprint" -> (2, 0),
+    "q_doc_fingerprint" -> (1, 0),
     "q_dupspan" -> (5, 1),
-    "q_dupspan_scrub" -> (6, 2),
+    "q_dupspan_scrub" -> (3, 2),
     "q_embedding_cosine" -> (3, 1),
     "q_embedding_cosine_lsh" -> (2, 3),
     "q_embedding_cosine_lsh_recall" -> (2, 3),
@@ -537,45 +537,45 @@ object PlanAudit {
     "q_grid_1d" -> (0, 0),
     "q_grid_2d" -> (0, 0),
     "q_grid_global" -> (0, 0),
-    "q_hll_distinct" -> (14, 2),
+    "q_hll_distinct" -> (10, 2),
     "q_hll_merge" -> (3, 0),
     "q_hll_overlap" -> (23, 6),
     "q_image_neardup" -> (2, 1),
     "q_item_cooccurrence" -> (8, 3),
     "q_kmeans" -> (1, 0),
     "q_kmeans_twolevel" -> (1, 0),
-    "q_kmv_distinct" -> (8, 0),
-    "q_kmv_jaccard" -> (19, 4),
-    "q_lang_id" -> (2, 0),
-    "q_length_quantiles" -> (15, 4),
-    "q_length_quantiles_by_source" -> (16, 4),
+    "q_kmv_distinct" -> (6, 0),
+    "q_kmv_jaccard" -> (13, 4),
+    "q_lang_id" -> (1, 0),
+    "q_length_quantiles" -> (10, 4),
+    "q_length_quantiles_by_source" -> (11, 4),
     "q_lineitem_pricing" -> (2, 0),
     "q_local_supplier_volume" -> (2, 5),
     "q_locstream_nearest" -> (5, 3),
-    "q_minhash_bands_stateless" -> (2, 0),
+    "q_minhash_bands_stateless" -> (1, 0),
     "q_minhash_sig" -> (3, 0),
-    "q_mix_apply" -> (6, 1),
-    "q_mix_weights" -> (3, 0),
-    "q_mix_weights_tau" -> (9, 0),
+    "q_mix_apply" -> (4, 1),
+    "q_mix_weights" -> (2, 0),
+    "q_mix_weights_tau" -> (6, 0),
     "q_multimodal_decode" -> (2, 0),
     "q_multimodal_frames" -> (2, 0),
     "q_multimodal_gradient" -> (2, 0),
     "q_multimodal_gradient_resize" -> (2, 0),
-    "q_multimodal_meta" -> (2, 0),
+    "q_multimodal_meta" -> (1, 0),
     "q_multimodal_resize" -> (2, 0),
     "q_ngram_jaccard" -> (12, 3),
-    "q_ngram_jaccard_capped" -> (24, 7),
+    "q_ngram_jaccard_capped" -> (16, 7),
     "q_ngram_topk" -> (3, 0),
-    "q_oov_rate" -> (5, 1),
+    "q_oov_rate" -> (3, 1),
     "q_orders_revenue" -> (2, 2),
-    "q_pack_greedy" -> (3, 0),
-    "q_pack_stats" -> (4, 0),
-    "q_phrase_search" -> (4, 1),
-    "q_pii_redact" -> (2, 0),
-    "q_pipeline_e2e" -> (12, 3),
-    "q_pr_curve" -> (9, 1),
-    "q_quality_classifier" -> (2, 0),
-    "q_quality_score" -> (2, 0),
+    "q_pack_greedy" -> (2, 0),
+    "q_pack_stats" -> (3, 0),
+    "q_phrase_search" -> (3, 1),
+    "q_pii_redact" -> (1, 0),
+    "q_pipeline_e2e" -> (7, 3),
+    "q_pr_curve" -> (7, 1),
+    "q_quality_classifier" -> (1, 0),
+    "q_quality_score" -> (1, 0),
     "q_quantiles_merged" -> (15, 4),
     "q_range_join" -> (1, 1),
     "q_regrid_conservative_curv" -> (5, 3),
@@ -583,23 +583,23 @@ object PlanAudit {
     "q_regrid_curv" -> (6, 2),
     "q_regrid_locstream" -> (17, 12),
     "q_regrid_locstream_in" -> (9, 6),
-    "q_repetition" -> (2, 0),
+    "q_repetition" -> (1, 0),
     "q_rolling_anomaly" -> (2, 0),
-    "q_sample_stratified" -> (3, 0),
-    "q_sample_stratum_topk" -> (4, 0),
+    "q_sample_stratified" -> (2, 0),
+    "q_sample_stratum_topk" -> (3, 0),
     "q_semantic_dedup" -> (3, 0),
     "q_shipping_priority" -> (1, 2),
-    "q_shuffle_order" -> (6, 1),
-    "q_simhash" -> (4, 0),
+    "q_shuffle_order" -> (4, 1),
+    "q_simhash" -> (3, 0),
     "q_simhash_neardup" -> (2, 1),
-    "q_skew_report" -> (4, 0),
-    "q_split_assign" -> (2, 0),
+    "q_skew_report" -> (3, 0),
+    "q_split_assign" -> (1, 0),
     "q_spmm_apply" -> (4, 3),
-    "q_strip_markup" -> (2, 0),
-    "q_text_tokens" -> (2, 0),
-    "q_tokens_bpe" -> (2, 0),
+    "q_strip_markup" -> (1, 0),
+    "q_text_tokens" -> (1, 0),
+    "q_tokens_bpe" -> (1, 0),
     "q_unmapped_zero" -> (5, 3),
-    "q_vocab_topk" -> (2, 0),
+    "q_vocab_topk" -> (1, 0),
     "q_w_bilinear" -> (1, 0),
     "q_w_bilinear_curv" -> (2, 0),
     "q_w_bilinear_curv_peri" -> (2, 0),
@@ -616,7 +616,7 @@ object PlanAudit {
     "q_w_patch_nonuniform" -> (0, 3),
     "q_w_patch_nonuniform_peri" -> (0, 3),
     "q_wave_smooth" -> (0, 0),
-    "q_weighted_sample" -> (2, 0),
+    "q_weighted_sample" -> (1, 0),
     "q_weights_read" -> (1, 0),
     "q_weights_read_nc" -> (1, 0),
   )
