@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r16 verdict #2 (driver bench contract, blind since r12): the driver
+// parses the LAST stdout line of `sbt "runMain graft.Bench"` as the
+// one-line JSON contract, but under the default LoggedOutput strategy
+// sbt prefixes every forked-program line with "[info] " and appends its
+// own "[success] Total time ..." epilogue AFTER the program's output —
+// so the driver's parse failed in every round (BENCH_r01..r16 all carry
+// `parsed: null`). StdoutOutput passes the forked JVM's stdout through
+// verbatim; showSuccess=false drops the epilogue so the bench's
+// contract line really is the last stdout line. Exit codes (what
+// VERIFY's compile_ok/tests_ok read) are unaffected.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

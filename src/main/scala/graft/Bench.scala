@@ -4,19 +4,19 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.regrid._
 
-/** Benchmark main: compact JSON line on stdout + full artifact file.
+/** Benchmark main: one JSON line on stdout + full artifact file.
   *
-  * The driver captures only the LAST 2000 characters of stdout
-  * (measured: every BENCH_r1–r5 artifact carries exactly a 2000-char
-  * `tail`, and `parsed` was null in ALL five rounds because the full
-  * per-query line never fit — the 95 contract-query names alone are
-  * 1,469 chars, ≥1,943 with JSON syntax before a single digit of
-  * timing). So the stdout contract line is kept COMPACT — headline
-  * kernels vs BASELINE.md, totals, error/flake counts, box-load and
-  * GC telemetry, and a pointer to the full artifact — while the
-  * complete evidence (per-query minima, per-round spread, per-round
-  * telemetry, error detail) goes to `bench/BENCH_full.json` in-repo,
-  * which the round commit preserves.
+  * The contract line is the LAST stdout line and carries the
+  * per-query minima in its `queries` map (r16 verdict #2: the driver
+  * parses that last line, and `parsed` was null in every BENCH_r1–r16
+  * artifact because sbt's "[success]" epilogue trailed it and "[info] "
+  * prefixed it — both fixed in build.sbt, see the comment at the
+  * bottom of main). The driver ARCHIVES only the last 2000 chars as
+  * `tail`, which cannot hold 151 query names (2402 chars bare), so the
+  * line keeps its aggregate/telemetry fields at the END of the object
+  * where the tail still shows them; the complete evidence (per-round
+  * spread, telemetry, error detail) goes to `bench/BENCH_full.json`
+  * in-repo, which the round commit preserves.
   *
   * Three measurement groups:
   *  - every driver-contract query at `SPARK_GRAFT_SF_DIR` scale,
@@ -780,16 +780,31 @@ object Bench {
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.print(fullJson) finally w.close()
 
-    // ---- compact contract line (must fit, with sbt's epilogue, in
-    // the driver's 2000-char tail): headline kernels vs BASELINE.md,
-    // contract total, top-5 slowest contract queries for quick drift
-    // triage, flake/error counts, box telemetry, artifact pointer
+    // ---- one-line JSON contract (r16 verdict #2: `parsed` was null in
+    // EVERY BENCH_r1..r16 artifact — the driver parses the bench's LAST
+    // stdout line, and every round so far ended with sbt's "[success]
+    // Total time" epilogue, with "[info] " prefixed to each program
+    // line). Three coordinated fixes restore the contract:
+    //  (a) `queries` now carries EVERY per-query minimum (adding
+    //      entries is allowed by the driver contract; contract_total /
+    //      contract_total_clean and the 5 headline kernels keep their
+    //      keys and semantics unchanged);
+    //  (b) the line prints AFTER spark.stop(), so no shutdown logging
+    //      can trail it;
+    //  (c) build.sbt routes forked `run` stdout through the unprefixed
+    //      StdoutOutput strategy and suppresses the [success] epilogue,
+    //      so this line IS the final stdout line, verbatim.
+    // The full line is ~4.5 KB — deliberately larger than the 2000-char
+    // tail the driver ARCHIVES (a tail cannot hold 151 query names:
+    // they alone are 2402 chars). The aggregate/telemetry fields ride
+    // at the END of the object so the archived tail, which cuts into
+    // the queries map from the left, still shows them human-readable.
     val slowest = contract.collect { case (k, Some(v)) => k -> v }
       .sortBy(-_._2).take(5)
     val lineQueries = obj(
       ("contract_total" -> num(contractTotal)) +:
       ("contract_total_clean" -> num(contractTotalClean)) +:
-      headline.map { case (k, v) => k -> v.map(num).getOrElse("null") })
+      (headline ++ contract).map { case (k, v) => k -> v.map(num).getOrElse("null") })
     val lineSlowest = obj(slowest.map { case (k, v) => k -> num(v) })
     // at most 3 error names inline (full detail in the artifact file)
     val lineErrs = obj(lastError.take(3).toSeq.map { case (k, v) => k -> jq(v.take(60)) })
@@ -833,7 +848,11 @@ object Bench {
       // so a hardcoded literal could name a file that doesn't exist)
       "detail" -> jq(outFile.getPath),
       "sf" -> jq(sfDir)))
+    // stop BEFORE printing: Spark's stop() logging (stderr, but some
+    // deployments merge streams) must never land after the contract
+    // line — the driver parses the LAST line
+    try spark.stop() catch { case _: Throwable => () }
     println(line)
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -353,8 +353,14 @@ object Dedup {
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // materialize the pair input once — the symmetric edge union below
     // references it twice, and the upstream is typically a full LSH
-    // pipeline that must not run twice
-    val (p, pIds) = ckpt(pairs.select(col("a"), col("b")))
+    // pipeline that must not run twice. Ids are cast to long up front
+    // (mirroring the Graphs fast paths, r16 advice #1): the small-graph
+    // collect reads longs, and BOTH paths emit LongType doc_id /
+    // cluster_id for any integer-typed input — previously an int-typed
+    // pair relation worked above the 2^20 gate but crashed below it,
+    // and the two paths disagreed on output type
+    val (p, pIds) = ckpt(pairs.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")))
     if (p.count() <= smallMax) {
       // exact small-graph path: union-find (path-halving + union by
       // min label) over the bounded pair set — one collect of two

@@ -21,6 +21,29 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** localCheckpoint plus the exact persisted-RDD ids it created (read
+    * off the LogicalRDD plan — the Dedup.clustersWithRounds hygiene),
+    * so the size gate's materialization can be FREED the moment the
+    * path decision is made: the small path frees after its bounded
+    * collect, and the LARGE path frees immediately and continues from
+    * the unmaterialized plan (r16 advice #2 — a gate checkpoint kept
+    * for the whole iteration DAG pins a corpus-sized relation in
+    * executor storage at the 10⁹-edge scale these scaladocs target,
+    * storage pressure the pre-r16 lazy plans never had). */
+  private def ckptWithIds(df: DataFrame): (DataFrame, Seq[Int]) = {
+    val out = df.localCheckpoint()
+    val ids = out.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => Seq(r.rdd.id)
+      case _ => Nil   // unexpected plan shape: keep blocks, stay correct
+    }
+    (out, ids)
+  }
+
+  private def free(df: DataFrame, ids: Seq[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   /** Per-node triangle participation and local clustering coefficient
     * over an undirected simple graph given as `(a, b)` edge rows with
     * `a < b` (any duplicate rows are deduped). Output:
@@ -56,10 +79,12 @@ object Graphs {
   def triangleStats(edges0: DataFrame,
                     smallMax: Long = smallTriEdgesMax): DataFrame = {
     val spark = edges0.sparkSession
-    val edges = edges0.select(col("a").cast("long"), col("b").cast("long"))
-      .where(col("a") < col("b")).distinct().localCheckpoint()
-    if (edges.count() <= smallMax) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edgesPlan = edges0.select(col("a").cast("long"), col("b").cast("long"))
+      .where(col("a") < col("b")).distinct()
+    val (edgesCk, edgesCkIds) = ckptWithIds(edgesPlan)
+    if (edgesCk.count() <= smallMax) {
+      val es = edgesCk.collect().map(r => (r.getLong(0), r.getLong(1)))
+      free(edgesCk, edgesCkIds)
       val deg = new scala.collection.mutable.LongMap[Long]()
       es.foreach { case (a, b) =>
         deg(a) = deg.getOrElse(a, 0L) + 1L; deg(b) = deg.getOrElse(b, 0L) + 1L
@@ -106,6 +131,11 @@ object Graphs {
                * 1.0e9 + 0.5e0) / 1.0e9 END"""))
         .select("node", "degree", "n_tri", "clustering")
     }
+    // large graph: free the gate checkpoint and continue from the LAZY
+    // deduped plan — the distributed DAG is exactly the pre-gate shape,
+    // with no corpus-sized relation pinned for its lifetime
+    free(edgesCk, edgesCkIds)
+    val edges = edgesPlan
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -196,13 +226,15 @@ object Graphs {
                          smallMax: Long = smallEdgesMax): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edges0.sparkSession
-    // materialize the deduped edge list once: it feeds the size gate
-    // and both directed copies (blocks freed by the ContextCleaner
-    // once the plan is collected)
-    val und = edges0.select(col("a").cast("long"), col("b").cast("long"))
-      .where(col("a") < col("b")).distinct().localCheckpoint()
-    if (und.count() <= smallMax) {
-      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the deduped edge list is materialized only for the size gate —
+    // the small path frees it after its bounded collect, the large path
+    // frees it immediately (r16 advice #2) and keeps the lazy plan
+    val undPlan = edges0.select(col("a").cast("long"), col("b").cast("long"))
+      .where(col("a") < col("b")).distinct()
+    val (undCk, undCkIds) = ckptWithIds(undPlan)
+    if (undCk.count() <= smallMax) {
+      val es = undCk.collect().map(r => (r.getLong(0), r.getLong(1)))
+      free(undCk, undCkIds)
       val od = new scala.collection.mutable.LongMap[Long]()
       es.foreach { case (a, b) =>
         od(a) = od.getOrElse(a, 0L) + 1L; od(b) = od.getOrElse(b, 0L) + 1L
@@ -234,6 +266,10 @@ object Graphs {
         .select(col("node"), col("pr").as("pr_fixed"),
           expr(s"floor((CAST(pr AS DOUBLE) / ${PrScale}.0e0) * 1.0e9 + 0.5e0) / 1.0e9").as("pr"))
     }
+    // large graph: drop the gate checkpoint, continue from the lazy
+    // plan — the pre-gate distributed DAG, nothing pinned for the loop
+    free(undCk, undCkIds)
+    val und = undPlan
     val directed = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
     val out = directed.groupBy("src").agg(count(lit(1)).as("od")).cache()

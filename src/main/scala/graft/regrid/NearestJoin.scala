@@ -87,10 +87,22 @@ object NearestJoin {
       // tiny searched set: exact argmin over all pairs. Identical
       // result to a converged tile search (same rounded distance, same
       // (dist, point_id) tie-break), audited-benign BNLJ (≤64-row
-      // broadcast side by construction).
+      // broadcast side by construction). The tiny side is pulled with a
+      // GUARDED bounded collect (limit cap+1 — r16 advice #3: a stale
+      // nPtsHint must fail loudly here, never silently broadcast an
+      // unbounded relation) and re-enters the plan as a local relation;
+      // the broadcast build would have collected the same rows anyway,
+      // so no extra evaluation of the searched-set subtree is paid.
+      val ptRows = pts.limit(smallPtsMax.toInt + 1).collect()
+      if (ptRows.length > smallPtsMax) throw new IllegalStateException(
+        s"nearest: nPtsHint=$nPtsHint claims <= $smallPtsMax searched points " +
+          "but the relation holds more — the hint must be exact " +
+          "(GridDef.nCells discipline) or -1")
+      val ptsLocal = points.sparkSession.createDataFrame(
+        java.util.Arrays.asList(ptRows: _*), pts.schema)
       val cand = probes.select(col("id").as("probe_id"),
           col("lon").as("q_lon"), col("lat").as("q_lat"))
-        .crossJoin(broadcast(pts))
+        .crossJoin(broadcast(ptsLocal))
         .withColumn("dist",
           Rounding.r9(sqChord(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat"))))
       return cand
@@ -110,8 +122,18 @@ object NearestJoin {
       // Identical result to a converged tile search: same rounded
       // distance, same (dist, point_id) struct-min tie-break, global
       // minimum either way.
-      val qs = probes.select(col("id").as("probe_id"),
+      // same guarded bounded collect as the tiny-points path above
+      // (r16 advice #3): a stale nProbesHint fails loudly instead of
+      // silently broadcasting an arbitrarily large probe relation
+      val qs0 = probes.select(col("id").as("probe_id"),
         col("lon").as("q_lon"), col("lat").as("q_lat"))
+      val qRows = qs0.limit(smallPtsMax.toInt + 1).collect()
+      if (qRows.length > smallPtsMax) throw new IllegalStateException(
+        s"nearest: nProbesHint=$nProbesHint claims <= $smallPtsMax probes " +
+          "but the relation holds more — the hint must be exact " +
+          "(GridDef.nCells discipline) or -1")
+      val qs = probes.sparkSession.createDataFrame(
+        java.util.Arrays.asList(qRows: _*), qs0.schema)
       val cand = pts.crossJoin(broadcast(qs))
         .withColumn("dist",
           Rounding.r9(sqChord(col("q_lon"), col("q_lat"), col("p_lon"), col("p_lat"))))

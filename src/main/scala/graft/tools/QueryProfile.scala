@@ -9,9 +9,11 @@ import org.apache.spark.scheduler._
   * compute-bound ones. Usage:
   *   runMain graft.tools.QueryProfile <sfDir> q1,q2,... [rounds]
   * Prints one TSV row per query: name, best wall s, jobs, stages,
-  * tasks, shuffleWrite MB (all counts from the best round's run;
-  * counts are per-round — identical across rounds for a deterministic
-  * plan, so the first round's counts are reported). */
+  * tasks, shuffleWrite MB. Counts come from the SAME round as the
+  * reported best wall, and each round drains the async listener bus by
+  * polling the counters until stable (r16 advice #4: a fixed 300 ms
+  * sleep could truncate counts under load or mis-attribute them to the
+  * next round). */
 object QueryProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -49,19 +51,34 @@ object QueryProfile {
     })
     // warm up codegen/classloading so round 1 isn't a JIT artifact
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // bounded poll-until-stable drain of the async listener bus (the
+    // Bench shuffle-gate discipline): counters stable for 300 ms, or a
+    // 5 s ceiling
+    def drain(): Unit = {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var prev = -1L
+      var stableSince = System.nanoTime()
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val cur = jobs.get + stages.get + tasks.get + shuffleW.get
+        if (cur != prev) { prev = cur; stableSince = System.nanoTime() }
+        else if (System.nanoTime() - stableSince > 300L * 1000 * 1000) done = true
+      }
+    }
     println("query\twall_s\tjobs\tstages\ttasks\tshuffle_mb")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       var best = Double.MaxValue
       var counts: (Long, Long, Long, Long) = null
-      (1 to rounds).foreach { r =>
+      (1 to rounds).foreach { _ =>
         jobs.set(0); stages.set(0); tasks.set(0); shuffleW.set(0)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val w = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // let the async listener bus drain
-        if (w < best) { best = w }
-        if (r == 1) counts = (jobs.get, stages.get, tasks.get, shuffleW.get)
+        drain()
+        // counts travel WITH the wall they were measured under
+        if (w < best) { best = w; counts = (jobs.get, stages.get, tasks.get, shuffleW.get) }
       }
       println(f"$name\t$best%.3f\t${counts._1}\t${counts._2}\t${counts._3}\t${counts._4 / 1048576.0}%.2f")
     }
